@@ -1,0 +1,92 @@
+"""SparkSession construction tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads,
+single JVM); the conf below is nevertheless written for a real multi-executor
+cluster at ~100 TB:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+  so the same logical plans survive a 1000x scale-up without hand-tuning.
+- ``spark.sql.shuffle.partitions`` sized from the env (small local default;
+  a cluster deployment overrides via ``SPARK_GRAFT_SHUFFLE_PARTITIONS`` or
+  relies on AQE coalescing from a high initial value).
+- Arrow enabled for every pandas-UDF boundary (the only places Python
+  touches row data).
+- Broadcast threshold left at default; plans additionally use explicit
+  ``F.broadcast`` hints for dimension tables (region/nation/supplier) so the
+  intent survives even where stats are missing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "radmapper-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(int(cpus), 8)))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # Driver parquet writes TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read as epoch-nanos longs and rebuild timestamps
+        # in load_tables (truncation to micros matches DuckDB's view).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    return builder.getOrCreate()
+
+
+# Columns stored as TIMESTAMP(NANOS) in the driver parquet; surfaced to
+# Spark as epoch-nano longs (see nanosAsLong conf) and rebuilt here.
+TS_NANO_COLS = {
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+    "events": ("ts",),
+}
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
+    """Load the driver-provided parquet tables as DataFrames.
+
+    Reads are plain ``spark.read.parquet`` so Catalyst gets predicate
+    pushdown + column pruning into the scan for free. The nano-timestamp
+    rebuild is a cheap projection; pushdown on the rebuilt column becomes a
+    filter on the underlying long, which still prunes row groups.
+    """
+    from pyspark.sql import functions as F
+
+    # The driver may hand us a session built without our configs; this conf
+    # is runtime-settable and required to read the TIMESTAMP(NANOS) parquet.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = {}
+    for name in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for c in TS_NANO_COLS.get(name, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        out[name] = df
+    return out
