@@ -1,0 +1,1029 @@
+"""RM builtin function library (~80 functions).
+
+Semantics follow docs.jsonata.org plus the reference's RM extensions
+(reference: builtin.cljc:323-1524 scalar/HOF battery, :2230-2326 object
+extensions). Signatures with an optional missing first argument default it
+to the context `$` (reference builtin_macros.cljc:174-205 `defn*`).
+
+Every function here is also the semantic spec for the Column-level twin in
+functions/columns.py used when the same program runs over a DataFrame.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+import random as _random
+import re
+import urllib.parse
+from dataclasses import dataclass
+from typing import Any, Callable
+
+from ..lang.values import (
+    JSeq, NOMATCH, as_array, containerize, deep_eq, is_nomatch, jflatten,
+    truthy,
+)
+
+
+class RMFnError(ValueError):
+    pass
+
+
+@dataclass
+class BuiltinFn:
+    name: str
+    fn: Callable
+    min_args: int
+    ctx_default: bool
+
+
+REGISTRY: dict[str, BuiltinFn] = {}
+
+
+def builtin(name: str, min_args: int = 1, ctx_default: bool = False):
+    def deco(f):
+        REGISTRY[name] = BuiltinFn(name, f, min_args, ctx_default)
+        return f
+    return deco
+
+
+def _s(v, who: str) -> str:
+    v = jflatten(v)
+    if not isinstance(v, str):
+        raise RMFnError(f"{who} expects a string, got {v!r}")
+    return v
+
+
+def _n(v, who: str):
+    v = jflatten(v)
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise RMFnError(f"{who} expects a number, got {v!r}")
+    return v
+
+
+def _rx(pat, who: str):
+    from ..lang.interp import RMRegex
+    if isinstance(pat, RMRegex):
+        return pat.compiled()
+    if isinstance(pat, str):
+        return None
+    raise RMFnError(f"{who} expects string or regex pattern")
+
+
+def to_string(v) -> str:
+    """$string semantics: JSON for structures, 'true'/'false', integral
+    floats render without the decimal point."""
+    v = jflatten(v)
+    if is_nomatch(v):
+        return ""
+    if isinstance(v, str):
+        return v
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isinf(v) or math.isnan(v):
+            raise RMFnError("cannot stringify non-finite number")
+        if v.is_integer():
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    if v is None:
+        return "null"
+    if isinstance(v, (list, JSeq)):
+        return json.dumps(_jsonable(v), separators=(",", ":"))
+    if isinstance(v, dict):
+        return json.dumps(_jsonable(v), separators=(",", ":"))
+    return str(v)
+
+
+def _jsonable(v):
+    v = jflatten(v)
+    if is_nomatch(v):
+        return None
+    if isinstance(v, (JSeq, list)):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _jsonable(x) for k, x in v.items()}
+    if isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
+
+# =================================================================== string
+
+@builtin("$string", 1, ctx_default=True)
+def _string(ip, env, v=NOMATCH):
+    if is_nomatch(jflatten(v)):
+        return NOMATCH
+    return to_string(v)
+
+
+@builtin("$length", 1, ctx_default=True)
+def _length(ip, env, s=NOMATCH):
+    return len(_s(s, "$length"))
+
+
+@builtin("$lowercase", 1, ctx_default=True)
+def _lowercase(ip, env, s=NOMATCH):
+    return _s(s, "$lowercase").lower()
+
+
+@builtin("$uppercase", 1, ctx_default=True)
+def _uppercase(ip, env, s=NOMATCH):
+    return _s(s, "$uppercase").upper()
+
+
+@builtin("$trim", 1, ctx_default=True)
+def _trim(ip, env, s=NOMATCH):
+    # collapses internal whitespace too (reference builtin.cljc:688-697)
+    return re.sub(r"\s+", " ", _s(s, "$trim")).strip()
+
+
+@builtin("$contains", 2, ctx_default=True)
+def _contains(ip, env, s=NOMATCH, pat=None):
+    s = _s(s, "$contains")
+    rx = _rx(pat, "$contains")
+    if rx is not None:
+        return rx.search(s) is not None
+    return pat in s
+
+
+@builtin("$substring", 2, ctx_default=True)
+def _substring(ip, env, s=NOMATCH, start=0, length=None):
+    s = _s(s, "$substring")
+    start = int(_n(start, "$substring"))
+    if start < 0:
+        start = max(0, len(s) + start)
+    if length is None:
+        return s[start:]
+    length = int(_n(length, "$substring"))
+    return s[start:start + max(0, length)]
+
+
+@builtin("$substringBefore", 2, ctx_default=True)
+def _substring_before(ip, env, s=NOMATCH, sep=""):
+    s = _s(s, "$substringBefore")
+    sep = _s(sep, "$substringBefore")
+    i = s.find(sep)
+    return s if i < 0 else s[:i]
+
+
+@builtin("$substringAfter", 2, ctx_default=True)
+def _substring_after(ip, env, s=NOMATCH, sep=""):
+    s = _s(s, "$substringAfter")
+    sep = _s(sep, "$substringAfter")
+    i = s.find(sep)
+    return s if i < 0 else s[i + len(sep):]
+
+
+@builtin("$split", 2, ctx_default=True)
+def _split(ip, env, s=NOMATCH, sep=None, limit=None):
+    s = _s(s, "$split")
+    rx = _rx(sep, "$split")
+    parts = rx.split(s) if rx is not None else (s.split(sep) if sep != "" else list(s))
+    if limit is not None:
+        parts = parts[: int(_n(limit, "$split"))]
+    return list(parts)
+
+
+@builtin("$join", 1, ctx_default=True)
+def _join(ip, env, arr=NOMATCH, sep=""):
+    items = [_s(x, "$join") for x in as_array(arr)]
+    return _s(sep, "$join").join(items) if sep != "" else "".join(items)
+
+
+@builtin("$pad", 2, ctx_default=True)
+def _pad(ip, env, s=NOMATCH, width=0, char=" "):
+    s = _s(s, "$pad")
+    width = int(_n(width, "$pad"))
+    char = _s(char, "$pad") or " "
+    if width >= 0:
+        while len(s) < width:
+            s = s + char
+        return s[: max(len(s), width)] if len(s) >= width else s
+    w = -width
+    while len(s) < w:
+        s = char + s
+    return s
+
+
+@builtin("$match", 2, ctx_default=True)
+def _match(ip, env, s=NOMATCH, pat=None, limit=None):
+    """Returns {match,index,groups} objects (reference builtin.cljc:448-488)."""
+    s = jflatten(s)
+    if is_nomatch(s):
+        return NOMATCH
+    s = _s(s, "$match")
+    rx = _rx(pat, "$match")
+    if rx is None:
+        rx = re.compile(re.escape(pat))
+    out = JSeq()
+    for i, m in enumerate(rx.finditer(s)):
+        if limit is not None and i >= int(limit):
+            break
+        out.append({"match": m.group(0), "index": m.start(), "groups": list(g for g in m.groups())})
+    return out
+
+
+@builtin("$replace", 3, ctx_default=True)
+def _replace(ip, env, s=NOMATCH, pat=None, repl=None, limit=None):
+    s = _s(s, "$replace")
+    count = int(limit) if limit is not None else 0
+    rx = _rx(pat, "$replace")
+    if rx is None:
+        if pat == "":
+            raise RMFnError("$replace pattern cannot be empty")
+        n = count if count else -1
+        return s.replace(pat, repl, n) if isinstance(repl, str) else s
+    if isinstance(repl, str):
+        py_repl = re.sub(r"\$(\d+)", r"\\\1", repl.replace("\\", "\\\\"))
+        return rx.sub(py_repl, s, count=count)
+    # function replacement: called with the match object
+    def do(m):
+        obj = {"match": m.group(0), "index": m.start(), "groups": list(m.groups())}
+        r = ip.call(repl, [obj], env)
+        r = jflatten(r)
+        if not isinstance(r, str):
+            raise RMFnError("$replace function must return a string")
+        return r
+    return rx.sub(do, s, count=count)
+
+
+@builtin("$base64encode", 1, ctx_default=True)
+def _b64e(ip, env, s=NOMATCH):
+    return base64.b64encode(_s(s, "$base64encode").encode()).decode()
+
+
+@builtin("$base64decode", 1, ctx_default=True)
+def _b64d(ip, env, s=NOMATCH):
+    return base64.b64decode(_s(s, "$base64decode").encode()).decode()
+
+
+@builtin("$encodeUrlComponent", 1, ctx_default=True)
+def _enc_url_c(ip, env, s=NOMATCH):
+    return urllib.parse.quote(_s(s, "$encodeUrlComponent"), safe="-_.!~*'()")
+
+
+@builtin("$encodeUrl", 1, ctx_default=True)
+def _enc_url(ip, env, s=NOMATCH):
+    return urllib.parse.quote(_s(s, "$encodeUrl"), safe=";/?:@&=+$,#-_.!~*'()")
+
+
+@builtin("$decodeUrlComponent", 1, ctx_default=True)
+def _dec_url_c(ip, env, s=NOMATCH):
+    return urllib.parse.unquote(_s(s, "$decodeUrlComponent"))
+
+
+@builtin("$decodeUrl", 1, ctx_default=True)
+def _dec_url(ip, env, s=NOMATCH):
+    return urllib.parse.unquote(_s(s, "$decodeUrl"))
+
+
+@builtin("$eval", 1, ctx_default=True)
+def _eval_src(ip, env, src=NOMATCH):
+    from ..lang.interp import Interp
+    return Interp(ip.spark).run(_s(src, "$eval"))
+
+
+# =================================================================== numeric
+
+@builtin("$abs", 1, ctx_default=True)
+def _abs(ip, env, n=NOMATCH):
+    return abs(_n(n, "$abs"))
+
+
+@builtin("$ceil", 1, ctx_default=True)
+def _ceil(ip, env, n=NOMATCH):
+    return int(math.ceil(_n(n, "$ceil")))
+
+
+@builtin("$floor", 1, ctx_default=True)
+def _floor(ip, env, n=NOMATCH):
+    return int(math.floor(_n(n, "$floor")))
+
+
+@builtin("$round", 1, ctx_default=True)
+def _round(ip, env, n=NOMATCH, precision=0):
+    # HALF_EVEN banker's rounding on the DECIMAL rendering of the number
+    # (reference builtin.cljc:898-922 uses bigdec, which goes through
+    # Double.toString — so 2.345 rounds to 2.34, not the binary 2.3450…2).
+    import decimal
+    n = _n(n, "$round")
+    p = int(precision)
+    d = decimal.Decimal(repr(n)).quantize(
+        decimal.Decimal(1).scaleb(-p), rounding=decimal.ROUND_HALF_EVEN)
+    if p <= 0:
+        return int(d)
+    return float(d)
+
+
+@builtin("$sqrt", 1, ctx_default=True)
+def _sqrt(ip, env, n=NOMATCH):
+    n = _n(n, "$sqrt")
+    if n < 0:
+        raise RMFnError("$sqrt of negative number")
+    return math.sqrt(n)
+
+
+@builtin("$power", 2, ctx_default=True)
+def _power(ip, env, b=NOMATCH, e=None):
+    b = _n(b, "$power")
+    e = _n(e, "$power")
+    r = b ** e
+    if isinstance(b, int) and isinstance(e, int) and e >= 0:
+        return int(r)
+    return r
+
+
+@builtin("$random", 0)
+def _rand(ip, env):
+    return _random.random()
+
+
+@builtin("$number", 1, ctx_default=True)
+def _number(ip, env, v=NOMATCH):
+    v = jflatten(v)
+    if isinstance(v, bool):
+        return 1 if v else 0
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        t = v.strip()
+        try:
+            if re.fullmatch(r"-?\d+", t):
+                return int(t)
+            if t.lower().startswith("0x"):
+                return int(t, 16)
+            return float(t)
+        except ValueError:
+            raise RMFnError(f"cannot cast {v!r} to a number") from None
+    raise RMFnError(f"cannot cast {v!r} to a number")
+
+
+@builtin("$formatBase", 1, ctx_default=True)
+def _format_base(ip, env, n=NOMATCH, radix=10):
+    n = int(_n(n, "$formatBase"))
+    radix = int(radix)
+    if not 2 <= radix <= 36:
+        raise RMFnError("$formatBase radix must be in 2..36")
+    if n == 0:
+        return "0"
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    neg, n = n < 0, abs(n)
+    out = ""
+    while n:
+        out = digits[n % radix] + out
+        n //= radix
+    return ("-" if neg else "") + out
+
+
+def _picture_format(n: float, picture: str) -> str:
+    """Subset of the XPath/DecimalFormat picture syntax used by
+    $formatNumber (reference builtin.cljc:777-808)."""
+    pct = picture.endswith("%")
+    if pct:
+        n = n * 100
+        picture = picture[:-1]
+    if "." in picture:
+        int_pic, frac_pic = picture.split(".", 1)
+    else:
+        int_pic, frac_pic = picture, ""
+    frac_digits = len(frac_pic)
+    neg = n < 0
+    n = abs(n)
+    s = f"{n:.{frac_digits}f}" if frac_digits else str(int(round(n)))
+    if frac_digits:
+        int_part, frac_part = s.split(".")
+    else:
+        int_part, frac_part = s, ""
+    min_int = int_pic.count("0")
+    int_part = int_part.zfill(min_int)
+    if "," in int_pic:
+        # grouping size = digits after the last comma
+        grp = len(int_pic.rsplit(",", 1)[1].replace(".", ""))
+        out = ""
+        while len(int_part) > grp:
+            out = "," + int_part[-grp:] + out
+            int_part = int_part[:-grp]
+        int_part = int_part + out
+    res = int_part + ("." + frac_part if frac_digits else "")
+    if pct:
+        res += "%"
+    return ("-" if neg else "") + res
+
+
+@builtin("$formatNumber", 2, ctx_default=True)
+def _format_number(ip, env, n=NOMATCH, picture="", opts=None):
+    return _picture_format(_n(n, "$formatNumber"), _s(picture, "$formatNumber"))
+
+
+_ONES = ["zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+         "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+         "sixteen", "seventeen", "eighteen", "nineteen"]
+_TENS = ["", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+         "eighty", "ninety"]
+
+
+def _int_words(n: int) -> str:
+    if n < 0:
+        return "minus " + _int_words(-n)
+    if n < 20:
+        return _ONES[n]
+    if n < 100:
+        return _TENS[n // 10] + ("-" + _ONES[n % 10] if n % 10 else "")
+    for size, name in ((10 ** 9, "billion"), (10 ** 6, "million"), (10 ** 3, "thousand"), (100, "hundred")):
+        if n >= size:
+            rest = n % size
+            return _int_words(n // size) + " " + name + (" " + _int_words(rest) if rest else "")
+    return str(n)
+
+
+_WORD_VALS: dict[str, int] = {}
+for _i in range(20):
+    _WORD_VALS[_ONES[_i]] = _i
+for _i in range(2, 10):
+    _WORD_VALS[_TENS[_i]] = _i * 10
+_WORD_VALS.update({"hundred": 100, "thousand": 1000, "million": 10 ** 6, "billion": 10 ** 9})
+
+
+def _roman(n: int) -> str:
+    table = [(1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"),
+             (90, "xc"), (50, "l"), (40, "xl"), (10, "x"), (9, "ix"),
+             (5, "v"), (4, "iv"), (1, "i")]
+    out = ""
+    for v, sym in table:
+        while n >= v:
+            out += sym
+            n -= v
+    return out
+
+
+@builtin("$formatInteger", 2, ctx_default=True)
+def _format_integer(ip, env, n=NOMATCH, picture=""):
+    n = int(_n(n, "$formatInteger"))
+    pic = _s(picture, "$formatInteger")
+    if pic == "w":
+        return _int_words(n)
+    if pic == "W":
+        return _int_words(n).upper()
+    if pic == "Ww":
+        return _int_words(n).title()
+    if pic == "i":
+        return _roman(n)
+    if pic == "I":
+        return _roman(n).upper()
+    if pic in ("a", "A"):
+        out = ""
+        m = n
+        while m > 0:
+            m, r = divmod(m - 1, 26)
+            out = chr(ord("a") + r) + out
+        return out.upper() if pic == "A" else out
+    return _picture_format(float(n), pic)
+
+
+@builtin("$parseInteger", 2, ctx_default=True)
+def _parse_integer(ip, env, s=NOMATCH, picture=""):
+    s = _s(s, "$parseInteger")
+    pic = _s(picture, "$parseInteger")
+    if pic in ("w", "W", "Ww"):
+        # English words -> int (reference util.cljc:262-280)
+        total, current = 0, 0
+        for w in re.split(r"[\s,-]+", s.lower().replace("and", " ").strip()):
+            if not w:
+                continue
+            if w == "minus":
+                continue
+            v = _WORD_VALS.get(w)
+            if v is None:
+                raise RMFnError(f"$parseInteger: unknown word {w!r}")
+            if v == 100:
+                current = max(current, 1) * 100
+            elif v >= 1000:
+                total += max(current, 1) * v
+                current = 0
+            else:
+                current += v
+        total += current
+        if "minus" in s.lower():
+            total = -total
+        return total
+    if pic in ("i", "I"):
+        vals = {"i": 1, "v": 5, "x": 10, "l": 50, "c": 100, "d": 500, "m": 1000}
+        t = s.lower()
+        total = 0
+        for i, ch in enumerate(t):
+            v = vals[ch]
+            if i + 1 < len(t) and vals[t[i + 1]] > v:
+                total -= v
+            else:
+                total += v
+        return total
+    return int(re.sub(r"[^\d-]", "", s))
+
+
+# =================================================================== aggregates
+
+@builtin("$sum", 1, ctx_default=True)
+def _sum(ip, env, arr=NOMATCH):
+    vals = [_n(x, "$sum") for x in as_array(arr)]
+    total = sum(vals)
+    if all(isinstance(v, int) for v in vals):
+        return int(total)
+    return float(total)
+
+
+@builtin("$max", 1, ctx_default=True)
+def _max(ip, env, arr=NOMATCH):
+    vals = [_n(x, "$max") for x in as_array(arr)]
+    if not vals:
+        return NOMATCH
+    return max(vals)
+
+
+@builtin("$min", 1, ctx_default=True)
+def _min(ip, env, arr=NOMATCH):
+    vals = [_n(x, "$min") for x in as_array(arr)]
+    if not vals:
+        return NOMATCH
+    return min(vals)
+
+
+@builtin("$average", 1, ctx_default=True)
+def _average(ip, env, arr=NOMATCH):
+    vals = [_n(x, "$average") for x in as_array(arr)]
+    if not vals:
+        return NOMATCH
+    return sum(vals) / len(vals)
+
+
+# =================================================================== boolean
+
+@builtin("$boolean", 1, ctx_default=True)
+def _boolean(ip, env, v=NOMATCH):
+    return truthy(v)
+
+
+@builtin("$not", 1, ctx_default=True)
+def _not(ip, env, v=NOMATCH):
+    return not truthy(v)
+
+
+@builtin("$exists", 1, ctx_default=True)
+def _exists(ip, env, v=NOMATCH):
+    return not is_nomatch(jflatten(v))
+
+
+# =================================================================== arrays
+
+@builtin("$count", 1, ctx_default=True)
+def _count(ip, env, arr=NOMATCH):
+    return len(as_array(arr))
+
+
+@builtin("$append", 2)
+def _append(ip, env, a=NOMATCH, b=NOMATCH):
+    return as_array(a) + as_array(b)
+
+
+@builtin("$distinct", 1, ctx_default=True)
+def _distinct(ip, env, arr=NOMATCH):
+    out = []
+    for x in as_array(arr):
+        if not any(deep_eq(x, y) for y in out):
+            out.append(x)
+    return out
+
+
+@builtin("$reverse", 1, ctx_default=True)
+def _reverse(ip, env, arr=NOMATCH):
+    return list(reversed(as_array(arr)))
+
+
+@builtin("$shuffle", 1, ctx_default=True)
+def _shuffle(ip, env, arr=NOMATCH):
+    out = list(as_array(arr))
+    _random.shuffle(out)
+    return out
+
+
+@builtin("$sort", 1, ctx_default=True)
+def _sort(ip, env, arr=NOMATCH, cmp=None):
+    items = list(as_array(arr))
+    if cmp is None:
+        return sorted(items, key=_sort_key)
+    import functools
+
+    def cmpf(a, b):
+        return 1 if truthy(ip.call(cmp, [a, b], env)) else -1
+    return sorted(items, key=functools.cmp_to_key(cmpf))
+
+
+def _sort_key(v):
+    if isinstance(v, bool):
+        return (2, v)
+    if isinstance(v, (int, float)):
+        return (0, v)
+    if isinstance(v, str):
+        return (1, v)
+    return (3, str(v))
+
+
+@builtin("$zip", 1)
+def _zip(ip, env, *arrays):
+    cols = [as_array(a) for a in arrays]
+    return [list(t) for t in zip(*cols)]
+
+
+# =================================================================== objects
+
+@builtin("$keys", 1, ctx_default=True)
+def _keys(ip, env, obj=NOMATCH):
+    obj = jflatten(obj)
+    if isinstance(obj, dict):
+        return list(obj.keys())
+    if isinstance(obj, (list, JSeq)):
+        seen: list = []
+        for o in as_array(obj):
+            if isinstance(o, dict):
+                for k in o:
+                    if k not in seen:
+                        seen.append(k)
+        return seen
+    return NOMATCH
+
+
+@builtin("$lookup", 2, ctx_default=True)
+def _lookup(ip, env, obj=NOMATCH, key=""):
+    obj = jflatten(obj)
+    if isinstance(obj, dict):
+        return obj.get(key, NOMATCH)
+    if isinstance(obj, (list, JSeq)):
+        out = JSeq()
+        for o in as_array(obj):
+            if isinstance(o, dict) and key in o:
+                out.append(o[key])
+        return out
+    return NOMATCH
+
+
+@builtin("$merge", 1, ctx_default=True)
+def _merge(ip, env, objs=NOMATCH):
+    out: dict = {}
+    for o in as_array(objs):
+        if not isinstance(o, dict):
+            raise RMFnError("$merge expects objects")
+        out.update(o)
+    return out
+
+
+@builtin("$spread", 1, ctx_default=True)
+def _spread(ip, env, obj=NOMATCH):
+    obj = jflatten(obj)
+    if isinstance(obj, dict):
+        return [{k: v} for k, v in obj.items()]
+    if isinstance(obj, (list, JSeq)):
+        out = []
+        for o in as_array(obj):
+            if isinstance(o, dict):
+                out.extend({k: v} for k, v in o.items())
+        return out
+    return obj
+
+
+@builtin("$each", 2, ctx_default=True)
+def _each(ip, env, obj=NOMATCH, fn=None):
+    obj = jflatten(obj)
+    if not isinstance(obj, dict):
+        raise RMFnError("$each expects an object")
+    out = JSeq()
+    for k, v in obj.items():
+        out.append(ip.call(fn, [v, k], env))
+    return out
+
+
+@builtin("$sift", 2, ctx_default=True)
+def _sift(ip, env, obj=NOMATCH, fn=None):
+    obj = jflatten(obj)
+    if not isinstance(obj, dict):
+        raise RMFnError("$sift expects an object")
+    out = {}
+    for k, v in obj.items():
+        nargs = _fn_arity(fn)
+        args = [v, k, obj][:max(1, nargs)]
+        if truthy(ip.call(fn, args, env)):
+            out[k] = v
+    return out
+
+
+@builtin("$type", 1, ctx_default=True)
+def _type(ip, env, v=NOMATCH):
+    from ..lang.interp import Closure, ExpressFnV, QueryFnV, RMRegex
+    v2 = jflatten(v)
+    if is_nomatch(v2):
+        return NOMATCH
+    if v2 is None:
+        return "null"
+    if isinstance(v2, bool):
+        return "boolean"
+    if isinstance(v2, (int, float)):
+        return "number"
+    if isinstance(v2, str):
+        return "string"
+    if isinstance(v2, (list, JSeq)):
+        return "array"
+    if isinstance(v2, dict):
+        return "object"
+    if isinstance(v2, RMRegex):
+        return "regex"
+    if isinstance(v2, (Closure, BuiltinFn, QueryFnV, ExpressFnV)) or callable(v2):
+        return "function"
+    return type(v2).__name__
+
+
+@builtin("$assert", 1)
+def _assert(ip, env, cond=NOMATCH, msg="assertion failed"):
+    if not truthy(cond):
+        raise RMFnError(to_string(msg))
+    return False
+
+
+@builtin("$error", 1)
+def _error(ip, env, msg="error"):
+    raise RMFnError(to_string(msg))
+
+
+@builtin("$mapObject", 2, ctx_default=True)
+def _map_object(ip, env, obj=NOMATCH, fn=None):
+    """fn(key, value [,index]) -> single-pair object, merged into result
+    (reference builtin.cljc:2230-2262)."""
+    obj = jflatten(obj)
+    if not isinstance(obj, dict):
+        raise RMFnError("$mapObject expects an object")
+    out: dict = {}
+    use_index = _fn_arity(fn) >= 3
+    for i, (k, v) in enumerate(obj.items()):
+        args = [k, v, i] if use_index else [k, v]
+        ret = ip.call(fn, args, env)
+        if not isinstance(ret, dict):
+            raise RMFnError("$mapObject function must return an object")
+        out.update(ret)
+    return out
+
+
+@builtin("$reduceKV", 2, ctx_default=True)
+def _reduce_kv(ip, env, obj=NOMATCH, fn=None, init=None):
+    obj = jflatten(obj)
+    if not isinstance(obj, dict):
+        raise RMFnError("$reduceKV expects an object")
+    acc = init if init is not None else {}
+    for k, v in obj.items():
+        acc = ip.call(fn, [acc, k, v], env)
+    return acc
+
+
+@builtin("$assoc", 3)
+def _assoc(ip, env, obj=NOMATCH, k=None, v=None):
+    obj = jflatten(obj)
+    if not isinstance(obj, dict):
+        raise RMFnError("$assoc expects an object")
+    out = dict(obj)
+    out[k] = v
+    return out
+
+
+@builtin("$update", 3)
+def _update(ip, env, obj=NOMATCH, k=None, fn=None):
+    obj = jflatten(obj)
+    if not isinstance(obj, dict):
+        raise RMFnError("$update expects an object")
+    out = dict(obj)
+    out[k] = ip.call(fn, [out.get(k, NOMATCH)], env)
+    return out
+
+
+def _fn_arity(fn) -> int:
+    from ..lang.interp import Closure
+    if isinstance(fn, Closure):
+        return len(fn.params)
+    if isinstance(fn, BuiltinFn):
+        return fn.min_args
+    return 1
+
+
+# =================================================================== datetime
+
+@builtin("$millis", 0)
+def _millis(ip, env):
+    return ip.now_millis
+
+
+def _translate_picture(pic: str) -> str:
+    """XPath datetime picture -> strftime (subset: reference
+    builtin.cljc:1236-1298)."""
+    mapping = [
+        ("[Y0001]", "%Y"), ("[Y01]", "%y"), ("[Y]", "%Y"),
+        ("[M01]", "%m"), ("[M]", "%m"),
+        ("[D01]", "%d"), ("[D]", "%d"),
+        ("[H01]", "%H"), ("[H]", "%H"),
+        ("[m01]", "%M"), ("[m]", "%M"),
+        ("[s01]", "%S"), ("[s]", "%S"),
+        ("[f001]", "%f"), ("[P]", "%p"),
+        ("[FNn]", "%A"), ("[MNn]", "%B"), ("[MN]", "%b"),
+    ]
+    out = pic
+    for a, b in mapping:
+        out = out.replace(a, b)
+    return out
+
+
+@builtin("$fromMillis", 1, ctx_default=True)
+def _from_millis(ip, env, ms=NOMATCH, picture=None, tz=None):
+    import datetime as dt
+    ms = _n(ms, "$fromMillis")
+    t = dt.datetime.fromtimestamp(ms / 1000.0, dt.timezone.utc)
+    if picture is None:
+        s = t.strftime("%Y-%m-%dT%H:%M:%S")
+        frac = int(ms % 1000)
+        return f"{s}.{frac:03d}Z"
+    fmt = _translate_picture(_s(picture, "$fromMillis"))
+    out = t.strftime(fmt)
+    if "%f" in fmt:
+        out = out.replace(t.strftime("%f"), f"{int(ms % 1000):03d}")
+    return out
+
+
+@builtin("$now", 0)
+def _now(ip, env, picture=None, tz=None):
+    return _from_millis.fn(ip, env, ip.now_millis, picture, tz) if picture is not None \
+        else _from_millis.fn(ip, env, ip.now_millis)
+
+
+# make decorated attrs accessible as BuiltinFn
+_from_millis = REGISTRY["$fromMillis"]
+
+
+@builtin("$toMillis", 1, ctx_default=True)
+def _to_millis(ip, env, ts=NOMATCH, picture=None):
+    import datetime as dt
+    s = _s(ts, "$toMillis")
+    if picture is not None:
+        fmt = _translate_picture(_s(picture, "$toMillis"))
+        t = dt.datetime.strptime(s, fmt).replace(tzinfo=dt.timezone.utc)
+        return int(t.timestamp() * 1000)
+    t = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if t.tzinfo is None:
+        t = t.replace(tzinfo=dt.timezone.utc)
+    return int(t.timestamp() * 1000)
+
+
+# =================================================================== HOFs
+
+@builtin("$map", 2)
+def _map(ip, env, arr=NOMATCH, fn=None):
+    from ..lang.interp import ExpressFnV
+    if isinstance(fn, ExpressFnV):
+        from ..operators.spark_bridge import SparkBindingSets
+        if isinstance(arr, SparkBindingSets):
+            from ..operators.express_spark import map_express_spark
+            return map_express_spark(ip, arr, fn)
+        from ..operators.express_local import instantiate_body
+        return [instantiate_body(ip, fn, b, keyed=False) for b in as_array(arr)]
+    items = as_array(arr)
+    arity = _fn_arity(fn)
+    out = JSeq()
+    for i, x in enumerate(items):
+        args = [x, i, items][:max(1, arity)]
+        v = ip.call(fn, args, env)
+        if not is_nomatch(v):
+            out.append(v)
+    return out
+
+
+@builtin("$filter", 2)
+def _filter(ip, env, arr=NOMATCH, fn=None):
+    items = as_array(arr)
+    arity = _fn_arity(fn)
+    out = JSeq()
+    for i, x in enumerate(items):
+        args = [x, i, items][:max(1, arity)]
+        if truthy(ip.call(fn, args, env)):
+            out.append(x)
+    return out
+
+
+@builtin("$single", 2)
+def _single(ip, env, arr=NOMATCH, fn=None):
+    items = as_array(arr)
+    hits = [x for i, x in enumerate(items)
+            if truthy(ip.call(fn, [x, i, items][:max(1, _fn_arity(fn))], env))]
+    if len(hits) != 1:
+        raise RMFnError(f"$single matched {len(hits)} values")
+    return hits[0]
+
+
+@builtin("$reduce", 2)
+def _reduce(ip, env, arr=NOMATCH, fn=None, init=None):
+    from ..lang.interp import ExpressFnV
+    if isinstance(fn, ExpressFnV):
+        from ..operators.express_local import reduce_express
+        return reduce_express(ip, arr, fn)
+    items = as_array(arr)
+    if init is not None:
+        acc = init
+        rest = items
+    else:
+        if not items:
+            return NOMATCH
+        acc, rest = items[0], items[1:]
+    for x in rest:
+        acc = ip.call(fn, [acc, x], env)
+    return acc
+
+
+# =================================================================== RM data ops
+
+@builtin("$db", 1, ctx_default=True)
+def _db(ip, env, data=NOMATCH):
+    from ..operators.query_local import LocalDB
+    from ..operators.spark_bridge import maybe_spark_db
+    sdb = maybe_spark_db(ip, data)
+    if sdb is not None:
+        return sdb
+    return LocalDB.from_data(jflatten(data))
+
+
+@builtin("$get", 1)
+def _get(ip, env, target=NOMATCH, opts=None):
+    from ..sources.readers import rm_get
+    return rm_get(ip, jflatten(target), opts)
+
+
+@builtin("$put", 2)
+def _put(ip, env, target=NOMATCH, obj=None):
+    from ..sources.readers import rm_put
+    return rm_put(ip, jflatten(target), obj)
+
+
+@builtin("$getSpreadsheet", 2)
+def _get_spreadsheet(ip, env, path=NOMATCH, sheet=None, invert=False):
+    from ..sources.readers import read_spreadsheet
+    return read_spreadsheet(_s(path, "$getSpreadsheet"), sheet, truthy(invert))
+
+
+@builtin("$pull", 2)
+def _pull(ip, env, eid=NOMATCH, db=None):
+    from ..operators.query_local import LocalDB
+    if isinstance(db, LocalDB):
+        return db.pull(int(jflatten(eid)))
+    raise RMFnError("$pull expects a local db")
+
+
+@builtin("$schemaFor", 1, ctx_default=True)
+def _schema_for(ip, env, data=NOMATCH):
+    from ..operators.query_local import learn_schema
+    return learn_schema(jflatten(data))
+
+
+@builtin("$addSchema", 2)
+def _add_schema(ip, env, db=NOMATCH, schema=None):
+    from ..operators.query_local import LocalDB
+    if isinstance(db, LocalDB):
+        db.add_schema(schema)
+        return db
+    raise RMFnError("$addSchema expects a db")
+
+
+@builtin("$qIdent", 1, ctx_default=True)
+def _q_ident(ip, env, data=NOMATCH):
+    from ..operators.query_local import q_ident
+    return q_ident(ip, jflatten(data))
+
+
+@builtin("$eIdent", 1, ctx_default=True)
+def _e_ident(ip, env, data=NOMATCH):
+    from ..operators.express_local import e_ident
+    return e_ident(ip, jflatten(data))
+
+
+@builtin("$identities", 1, ctx_default=True)
+def _identities(ip, env, data=NOMATCH):
+    return {"query": _q_ident.fn(ip, env, data), "express": _e_ident.fn(ip, env, data)}
+
+
+_q_ident = REGISTRY["$qIdent"]
+_e_ident = REGISTRY["$eIdent"]
+
+
+@builtin("$llmExtract", 2)
+def _llm_extract(ip, env, src=NOMATCH, seek=None):
+    from ..operators.llm import llm_extract
+    return llm_extract(_s(src, "$llmExtract"), _s(seek, "$llmExtract"))
+
+
+@builtin("$llmMatch", 2)
+def _llm_match(ip, env, src=NOMATCH, tar=None, opts=None):
+    from ..operators.llm import llm_match
+    return llm_match(src, tar, opts)

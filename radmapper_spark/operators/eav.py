@@ -1,0 +1,132 @@
+"""EAV shred: nested DataFrames -> triples(eid, attr, val) (SURVEY.md §2.4).
+
+The reference gets EAV for free by transacting into Datahike
+(reference: query.cljc:270-298); here it is an explicit long-format frame:
+
+    eid  LONG     -- entity surrogate id
+    attr STRING
+    val  STRUCT<s STRING, n DOUBLE, b BOOLEAN, ref LONG>  -- variant value
+
+Cardinality-many = one row per element. Child objects get fresh eids and a
+`ref` edge from the parent — the Spark analog of the reference's boxing
+through :db.type/ref slots (util.cljc:299-322).
+
+Scale: long-skinny tables hash-partition on eid; per-attribute frames
+(`attr = lit` filters) prune early and are typically broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VAL_STRUCT = "struct<s:string,n:double,b:boolean,ref:bigint>"
+
+
+def _val_col(col, dtype: str):
+    s = F.lit(None).cast("string")
+    n = F.lit(None).cast("double")
+    b = F.lit(None).cast("boolean")
+    ref = F.lit(None).cast("bigint")
+    if dtype == "boolean":
+        b = col
+    elif dtype in ("bigint", "int", "smallint", "tinyint", "double", "float", "decimal"):
+        n = col.cast("double")
+    else:
+        s = col.cast("string")
+    return F.struct(s.alias("s"), n.alias("n"), b.alias("b"), ref.alias("ref"))
+
+
+def melt_flat(df: DataFrame) -> DataFrame:
+    """Flat table -> EAV (used for attribute-wildcard queries)."""
+    df = df.withColumn("__eid", F.monotonically_increasing_id())
+    pieces = []
+    for name, dtype in df.dtypes:
+        if name == "__eid":
+            continue
+        pieces.append(
+            df.select(
+                F.col("__eid").alias("eid"),
+                F.lit(name).alias("attr"),
+                _val_col(F.col(f"`{name}`"), dtype).alias("val"),
+            ).filter(F.col("val.s").isNotNull() | F.col("val.n").isNotNull()
+                     | F.col("val.b").isNotNull() | F.col("val.ref").isNotNull())
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def shred_to_eav(df: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Recursively shred a (possibly nested) DataFrame into EAV triples.
+
+    Struct fields become child entities linked by `ref`; array fields emit
+    one row per element (cardinality-many). eids are derived with
+    monotonically_increasing_id per nesting level — unique within a level
+    and disjoint across levels via a level offset in the high bits.
+    """
+    frames: list[DataFrame] = []
+    level_bits = 48
+
+    def walk(frame: DataFrame, eid_col, prefix_level: int):
+        if prefix_level > max_depth:
+            return
+        for field in frame.schema.fields:
+            name, dt = field.name, field.dataType
+            if name == "__eid":
+                continue
+            col = F.col(f"`{name}`")
+            if isinstance(dt, T.StructType):
+                child = (
+                    frame.select(eid_col.alias("__peid"), col.alias("__child"))
+                    .filter(F.col("__child").isNotNull())
+                    .withColumn("__eid", F.monotonically_increasing_id()
+                                + F.lit((prefix_level + 1) << level_bits))
+                )
+                frames.append(child.select(
+                    F.col("__peid").alias("eid"), F.lit(name).alias("attr"),
+                    F.struct(
+                        F.lit(None).cast("string").alias("s"),
+                        F.lit(None).cast("double").alias("n"),
+                        F.lit(None).cast("boolean").alias("b"),
+                        F.col("__eid").alias("ref"),
+                    ).alias("val"),
+                ))
+                walk(child.select("__eid", "__child.*"), F.col("__eid"), prefix_level + 1)
+            elif isinstance(dt, T.ArrayType):
+                elem = (
+                    frame.select(eid_col.alias("__peid"), F.explode(col).alias("__elem"))
+                )
+                if isinstance(dt.elementType, T.StructType):
+                    elem = elem.withColumn("__eid", F.monotonically_increasing_id()
+                                           + F.lit((prefix_level + 1) << level_bits))
+                    frames.append(elem.select(
+                        F.col("__peid").alias("eid"), F.lit(name).alias("attr"),
+                        F.struct(
+                            F.lit(None).cast("string").alias("s"),
+                            F.lit(None).cast("double").alias("n"),
+                            F.lit(None).cast("boolean").alias("b"),
+                            F.col("__eid").alias("ref"),
+                        ).alias("val"),
+                    ))
+                    walk(elem.select("__eid", "__elem.*"), F.col("__eid"), prefix_level + 1)
+                else:
+                    dtype = elem.schema["__elem"].dataType.simpleString()
+                    frames.append(elem.select(
+                        F.col("__peid").alias("eid"), F.lit(name).alias("attr"),
+                        _val_col(F.col("__elem"), dtype).alias("val"),
+                    ))
+            else:
+                frames.append(frame.select(
+                    eid_col.alias("eid"), F.lit(name).alias("attr"),
+                    _val_col(col, dt.simpleString()).alias("val"),
+                ).filter(col.isNotNull()))
+
+    root = df.withColumn("__eid", F.monotonically_increasing_id())
+    walk(root, F.col("__eid"), 0)
+    out = frames[0]
+    for p in frames[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,247 @@
+"""`express{}` + `$reduce` over a binding-set DataFrame: groupBy cascade.
+
+SURVEY.md §2.6: the express template is a nesting spec. Each `key(?q)` /
+qvar-in-key-position level becomes one groupBy on the concatenated ancestor
+keys (the reference's concatenated :redex/express-key, query.cljc:244-266);
+children aggregate with sort_array(collect_list(struct(...))), qvar-keyed
+maps with map_from_entries. The whole document is ONE Spark job of chained
+aggregations — no driver-side merge loop. Partial aggregation is map-side,
+and each successive level shrinks the data, so the cascade scales with the
+number of distinct key paths, not binding sets.
+
+`$map(bsets, express)` is the shuffle-free variant: a single select() of a
+nested struct per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..lang import ast as A
+from .spark_bridge import SparkBindingSets
+
+
+# ---------------------------------------------------------------- spec
+
+@dataclass
+class Field:
+    qvar: str
+    is_key: bool = False
+
+
+@dataclass
+class Const:
+    value: Any
+
+
+@dataclass
+class StaticObj:
+    entries: list  # list[(name, spec)]
+
+
+@dataclass
+class KeyedArray:
+    key_var: str
+    elem: "StaticObj"
+
+
+@dataclass
+class QvarMap:
+    key_var: str
+    val: Any
+
+
+def analyze(node: A.Node):
+    """Express body AST -> nesting spec."""
+    if isinstance(node, A.ObjLit):
+        qvar_keys = [k for k, _ in node.pairs if isinstance(k, A.QVar)]
+        if qvar_keys:
+            if len(node.pairs) != 1:
+                raise ValueError("qvar-in-key-position object must have one entry")
+            k, v = node.pairs[0]
+            return QvarMap(k.name[1:], analyze(v))
+        return StaticObj([(k.value if isinstance(k, A.Lit) else str(k), analyze(v))
+                          for k, v in node.pairs])
+    if isinstance(node, A.ArrayLit):
+        if len(node.items) == 1 and isinstance(node.items[0], A.ObjLit):
+            elem = analyze(node.items[0])
+            if isinstance(elem, StaticObj):
+                kv = _find_key(elem)
+                if kv is not None:
+                    return KeyedArray(kv, elem)
+        return Const([analyze(i) for i in node.items])
+    if isinstance(node, A.KeyCall):
+        if not isinstance(node.expr, A.QVar):
+            raise ValueError("key() must wrap a query variable")
+        return Field(node.expr.name[1:], is_key=True)
+    if isinstance(node, A.QVar):
+        return Field(node.name[1:])
+    if isinstance(node, A.Lit):
+        return Const(node.value)
+    raise ValueError(f"unsupported express template node {type(node).__name__}")
+
+
+def _find_key(obj: StaticObj) -> Optional[str]:
+    for _name, spec in obj.entries:
+        if isinstance(spec, Field) and spec.is_key:
+            return spec.qvar
+    return None
+
+
+def _qvars_of(spec) -> set:
+    if isinstance(spec, Field):
+        return {spec.qvar}
+    if isinstance(spec, StaticObj):
+        out = set()
+        for _n, s in spec.entries:
+            out |= _qvars_of(s)
+        return out
+    if isinstance(spec, KeyedArray):
+        return {spec.key_var} | _qvars_of(spec.elem)
+    if isinstance(spec, QvarMap):
+        return {spec.key_var} | _qvars_of(spec.val)
+    return set()
+
+
+def _has_group(spec) -> bool:
+    if isinstance(spec, (KeyedArray, QvarMap)):
+        return True
+    if isinstance(spec, StaticObj):
+        return any(_has_group(s) for _n, s in spec.entries)
+    return False
+
+
+# ---------------------------------------------------------------- compile
+
+class _Builder:
+    def __init__(self, base: DataFrame):
+        self.base = base
+        self.n = 0
+
+    def fresh(self) -> str:
+        self.n += 1
+        return f"_v{self.n}"
+
+    def build(self, spec, parent_keys: list) -> tuple[DataFrame, str]:
+        """Return (frame keyed by parent_keys, value column name)."""
+        if isinstance(spec, KeyedArray):
+            child, vcol = self.build(spec.elem, parent_keys + [spec.key_var])
+            out = self.fresh()
+            g = child.groupBy(*parent_keys) if parent_keys else child.groupBy()
+            agg = g.agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(
+                        F.col(spec.key_var).alias("k"), F.col(vcol).alias("v")))),
+                    lambda x: x.v,
+                ).alias(out)
+            )
+            return agg, out
+        if isinstance(spec, QvarMap):
+            child, vcol = self.build(spec.val, parent_keys + [spec.key_var])
+            out = self.fresh()
+            g = child.groupBy(*parent_keys) if parent_keys else child.groupBy()
+            agg = g.agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct(
+                        F.col(spec.key_var).alias("k"), F.col(vcol).alias("v"))))
+                ).alias(out)
+            )
+            return agg, out
+        if isinstance(spec, StaticObj):
+            scalar_entries = [(n, s) for n, s in spec.entries if not _has_group(s)]
+            group_entries = [(n, s) for n, s in spec.entries if _has_group(s)]
+            scalar_qvars = sorted({q for _n, s in scalar_entries for q in _qvars_of(s)})
+            need = sorted(set(parent_keys) | set(scalar_qvars))
+            frame = self.base.select(*need).distinct() if need else None
+            for _name, s in group_entries:
+                child, vcol = self.build(s, parent_keys)
+                if frame is None:
+                    frame = child
+                elif parent_keys:
+                    frame = frame.join(child, on=parent_keys, how="left")
+                else:
+                    frame = frame.crossJoin(child)
+                # remember the value column on the spec for assembly
+                s._vcol = vcol  # type: ignore[attr-defined]
+            out = self.fresh()
+            fields = []
+            for name, s in spec.entries:
+                if _has_group(s):
+                    fields.append(F.col(s._vcol).alias(str(name)))  # type: ignore[attr-defined]
+                else:
+                    fields.append(self.scalar_col(s).alias(str(name)))
+            if frame is None:
+                frame = self.base.limit(1)
+            return frame.withColumn(out, F.struct(*fields)), out
+        if isinstance(spec, Field):
+            need = sorted(set(parent_keys) | {spec.qvar})
+            frame = self.base.select(*need).distinct()
+            return frame, spec.qvar
+        if isinstance(spec, Const):
+            frame = (self.base.select(*parent_keys).distinct()
+                     if parent_keys else self.base.limit(1))
+            out = self.fresh()
+            return frame.withColumn(out, self.scalar_col(spec)), out
+        raise ValueError(f"cannot compile spec {spec}")
+
+    def scalar_col(self, spec):
+        if isinstance(spec, Field):
+            return F.col(spec.qvar)
+        if isinstance(spec, Const):
+            if isinstance(spec.value, list):
+                return F.array(*[self.scalar_col(s) for s in spec.value])
+            return F.lit(spec.value)
+        if isinstance(spec, StaticObj):
+            return F.struct(*[self.scalar_col(s).alias(str(n)) for n, s in spec.entries])
+        raise ValueError(f"not a scalar spec {spec}")
+
+
+def reduce_express_spark(ip, bsets: SparkBindingSets, e):
+    """$reduce(binding-set DataFrame, express) -> one nested document."""
+    spec = analyze(e.body)
+    b = _Builder(bsets.df)
+    frame, vcol = b.build(spec, [])
+    rows = frame.select(vcol).collect()
+    if not rows:
+        return None
+    return _plain(rows[0][vcol])
+
+
+def map_express_spark(ip, bsets: SparkBindingSets, e) -> DataFrame:
+    """$map(binding-set DataFrame, express): one document per row —
+    a pure projection, no shuffle."""
+    spec = analyze(e.body)
+    col = _row_col(spec)
+    return bsets.df.select(col.alias("doc"))
+
+
+def _row_col(spec):
+    if isinstance(spec, Field):
+        return F.col(spec.qvar)
+    if isinstance(spec, Const):
+        if isinstance(spec.value, list):
+            return F.array(*[_row_col(s) for s in spec.value])
+        return F.lit(spec.value)
+    if isinstance(spec, StaticObj):
+        return F.struct(*[_row_col(s).alias(str(n)) for n, s in spec.entries])
+    if isinstance(spec, KeyedArray):
+        return F.array(_row_col(spec.elem))
+    if isinstance(spec, QvarMap):
+        return F.create_map(F.col(spec.key_var), _row_col(spec.val))
+    raise ValueError(f"cannot compile spec {spec}")
+
+
+def _plain(v):
+    """Row/struct -> plain Python."""
+    from pyspark.sql import Row
+    if isinstance(v, Row):
+        return {k: _plain(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _plain(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_plain(x) for x in v]
+    return v
