@@ -1,8 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` maps each
-implemented SURVEY.md §2 operator to a (spark, sf_dir) -> DataFrame callable;
-``oracle_sql()`` gives the DuckDB-equivalent SQL for the correctness gate.
+implemented SURVEY.md §2 operator (plus the training-data extensions) to a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+equivalent for the correctness gate. Registry lives in
+radmapper_spark/entrypoints.py.
 """
 
 from __future__ import annotations
@@ -12,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from radmapper_spark import headline
+from radmapper_spark.entrypoints import ENTRIES
 from radmapper_spark.session import load_tables
 
 
@@ -21,29 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return headline.pricing_summary(t)
 
 
-def _wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return fn(load_tables(spark, sf_dir))
-
-    return run
-
-
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        "pricing_summary": _wrap(headline.pricing_summary),
-        "top_revenue_orders": _wrap(headline.top_revenue_orders),
-        "region_nation_revenue": _wrap(headline.region_nation_revenue),
-        "events_by_type": _wrap(headline.events_by_type),
-    }
-    return q
+    return {name: fn for name, (fn, _sql) in ENTRIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per queries() key (tables pre-registered)."""
-    return {
-        "pricing_summary": headline.pricing_summary_sql(),
-        "top_revenue_orders": headline.top_revenue_orders_sql(),
-        "region_nation_revenue": headline.region_nation_revenue_sql(),
-        "events_by_type": headline.events_by_type_sql(),
-    }
+    """DuckDB-equivalent SQL per queries() key (omitted for hash-seeded
+    operators -> driver records the weaker rows-only check)."""
+    return {name: sql() for name, (_fn, sql) in ENTRIES.items() if sql is not None}

@@ -1,0 +1,487 @@
+"""Driver-facing query entries: one per implemented SURVEY.md §2 operator
+family (plus the training-data extensions). Each entry is
+(spark, sf_dir) -> DataFrame paired with a DuckDB oracle SQL where the
+semantics are ANSI-SQL-expressible; hash-seeded operators (minhash/simhash/
+LSH) get rows-only checks.
+
+Float discipline for oracle equality: sums go through DECIMAL(18,2);
+doubles surfaced to the driver are rounded identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import headline
+from .lang.interp import Interp
+from .operators import dedup, multimodal, similarity, textstats
+from .session import load_tables
+from .streaming import windows as W
+
+DEC = "decimal(18,2)"
+
+LANGS = sorted(textstats.LANG_PROFILES.keys())  # de, en, es, fr
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.LANG_PROFILES[lang])
+    return (f"len(list_intersect(list_distinct(string_split_regex(trim(lower(text)),"
+            f" '\\s+')), [{words}]))")
+
+
+# =============================================================== RM-language
+
+def rm_datalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query{} over two Spark tables -> equi-join binding sets (SURVEY §2.3).
+    Runs through the full engine: parse -> datalog plan -> DataFrame joins."""
+    t = load_tables(spark, sf_dir)
+    ip = Interp(spark)
+    src = """
+    ( $q := query{[$o ?e :o_custkey      ?ck]
+                  [$o ?e :o_orderkey     ?ok]
+                  [$o ?e :o_totalprice   ?tp]
+                  [$o ?e :o_orderpriority '1-URGENT']
+                  [$c ?c :c_custkey      ?ck]
+                  [$c ?c :c_name         ?name]};
+      $q($o, $c) )
+    """
+    bsets = ip.run_raw(src, bindings={"$o": t["orders"], "$c": t["customer"]})
+    return bsets.df
+
+
+def rm_datalog_join_sql() -> str:
+    return """
+    SELECT DISTINCT o_custkey AS ck, c_name AS name, o_orderkey AS ok, o_totalprice AS tp
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderpriority = '1-URGENT'
+    """
+
+
+def rm_qvar_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pattern query + qvar projection (stays a lazy Spark plan)."""
+    t = load_tables(spark, sf_dir)
+    ip = Interp(spark)
+    bsets = ip.run_raw("query{[?e :c_mktsegment ?seg]}($c)",
+                       bindings={"$c": t["customer"]})
+    return bsets.df
+
+
+def rm_qvar_project_sql() -> str:
+    return "SELECT DISTINCT c_mktsegment AS seg FROM customer"
+
+
+def rm_eav_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-wildcard query [?e ?attr ?val] over region via the EAV melt
+    (SURVEY §2.4)."""
+    t = load_tables(spark, sf_dir)
+    ip = Interp(spark)
+    bsets = ip.run_raw("query{[?e ?attr ?val]}($r)", bindings={"$r": t["region"]})
+    return bsets.df
+
+
+def rm_eav_wildcard_sql() -> str:
+    return """
+    SELECT DISTINCT attr, val FROM (
+        SELECT 'r_regionkey' AS attr, (r_regionkey::DOUBLE)::VARCHAR AS val FROM region
+        UNION ALL
+        SELECT 'r_name' AS attr, r_name AS val FROM region
+    )
+    """
+
+
+def rm_express_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$map(bsets, express{...}) over a binding-set DataFrame: one nested
+    document per row, as a pure projection (SURVEY §2.6). Rows-only check
+    (nested struct output)."""
+    t = load_tables(spark, sf_dir)
+    ip = Interp(spark)
+    out = ip.run_raw(
+        "( $bsets := query{[?e :c_custkey ?id] [?e :c_name ?name] [?e :c_mktsegment ?seg]}($c);"
+        "  $map($bsets, express{{'customer': {'id': key(?id), 'name': ?name, 'segment': ?seg}}}) )",
+        bindings={"$c": t["customer"]})
+    return out
+
+
+def rm_express_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$reduce(bsets, express{...}): the groupBy cascade assembling one
+    nested document (segments -> customers), uncollected. Rows-only."""
+    from .operators.express_spark import reduce_express_frame
+    from .operators.spark_bridge import SparkBindingSets
+    t = load_tables(spark, sf_dir)
+    ip = Interp(spark)
+    bsets = ip.run_raw(
+        "query{[?e :c_custkey ?id] [?e :c_name ?name] [?e :c_mktsegment ?seg]}($c)",
+        bindings={"$c": t["customer"]})
+    efn = ip.run_raw(
+        "express{{'segments': {?seg: {'customers': [{'id': key(?id), 'name': ?name}]}}}}")
+    return reduce_express_frame(ip, bsets, efn)
+
+
+# =============================================================== scalar fns
+
+def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string functions at table scale (Column twins of the builtins)."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    return c.select(
+        F.col("c_custkey").alias("ck"),
+        F.upper(F.col("c_name")).alias("up"),
+        F.lower(F.col("c_mktsegment")).alias("lo"),
+        F.substring(F.col("c_name"), 1, 8).alias("sub"),
+        F.length(F.col("c_name")).alias("len"),
+        F.regexp_replace(F.col("c_name"), "Customer", "C").alias("repl"),
+        F.lpad(F.col("c_mktsegment"), 12, "*").alias("pad"),
+        F.concat_ws("|", F.col("c_name"), F.col("c_mktsegment")).alias("cat"),
+        F.when(F.col("c_name").contains("1"), 1).otherwise(0).alias("has1"),
+        F.substring_index(F.col("c_name"), "#", -1).alias("after_hash"),
+    )
+
+
+def string_battery_sql() -> str:
+    return """
+    SELECT c_custkey AS ck, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        substring(c_name, 1, 8) AS sub, length(c_name) AS len,
+        regexp_replace(c_name, 'Customer', 'C', 'g') AS repl,
+        lpad(c_mktsegment, 12, '*') AS pad,
+        c_name || '|' || c_mktsegment AS cat,
+        CASE WHEN contains(c_name, '1') THEN 1 ELSE 0 END AS has1,
+        CASE WHEN contains(c_name, '#') THEN split_part(c_name, '#', -1) ELSE c_name END AS after_hash
+    FROM customer
+    """
+
+
+def numeric_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 numeric functions at table scale."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    return li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.abs(F.col("l_discount") - F.lit(0.05)).alias("absd"),
+        F.ceil(F.col("l_quantity") / 7).cast("bigint").alias("ceil7"),
+        F.floor(F.col("l_quantity") / 7).cast("bigint").alias("floor7"),
+        F.round(F.sqrt(F.col("l_extendedprice")), 6).alias("sq"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("pw"),
+        F.pmod(F.col("l_orderkey"), 97).cast("bigint").alias("md"),
+    )
+
+
+def numeric_battery_sql() -> str:
+    return """
+    SELECT l_orderkey AS ok, l_linenumber AS ln,
+        abs(l_discount - 0.05) AS absd,
+        ceil(l_quantity / 7)::BIGINT AS ceil7,
+        floor(l_quantity / 7)::BIGINT AS floor7,
+        round(sqrt(l_extendedprice), 6) AS sq,
+        round(pow(l_tax + 1, 2), 6) AS pw,
+        (l_orderkey % 97)::BIGINT AS md
+    FROM lineitem
+    """
+
+
+# =============================================================== dedup
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (dedup.exact_dedup(t["documents"])
+            .select("keep_id", "n_copies"))
+
+
+def dedup_exact_sql() -> str:
+    return """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+    """
+
+
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard on same-source candidate pairs (the
+    SQL-checkable twin of the n-gram stage)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    # candidate banding: same source AND similar length — docs differing by
+    # >40 chars can't clear a 0.5 Jaccard here, so the quadratic candidate
+    # set shrinks by ~the length spread (mirrored exactly in the oracle).
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src"),
+                    F.col("n_chars").alias("nc_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src"),
+                    F.col("n_chars").alias("nc_b"))
+    cand = (a.join(b, on="src")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 40))
+            .select("id_a", "id_b"))
+    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.5, candidates=cand)
+    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+
+
+def dedup_token_jaccard_sql() -> str:
+    return """
+    WITH g AS (
+        SELECT doc_id, source,
+               list_distinct(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS grams
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    JOIN documents da ON da.doc_id = a.doc_id
+    JOIN documents db ON db.doc_id = b.doc_id
+    WHERE abs(da.n_chars - db.n_chars) <= 40
+      AND len(list_intersect(a.grams, b.grams))::DOUBLE
+          / len(list_distinct(a.grams || b.grams)) >= 0.5
+    """
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5) \
+        .select("id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.simhash_dedup(t["documents"]).select("bucket", "n_docs", "ids")
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return dedup.embedding_cosine_pairs(t["embeddings"], threshold=0.8) \
+        .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+
+
+# =============================================================== similarity
+
+def _query_vectors(t):
+    return (t["embeddings"].orderBy("vec_id").limit(5)
+            .select(F.col("vec_id").alias("qid"), F.col("embedding")))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return similarity.brute_force_topk(t["embeddings"], _query_vectors(t), k=10)
+
+
+def ann_bruteforce_topk_sql() -> str:
+    return """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings ORDER BY vec_id LIMIT 5),
+         scored AS (
+            SELECT q.qid, e.vec_id AS cid,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+            FROM embeddings e CROSS JOIN q),
+         ranked AS (
+            SELECT qid, cid, cosine,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+            FROM scored)
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return similarity.ivf_topk(t["embeddings"], _query_vectors(t), k=10,
+                               ncentroids=16, nprobe=4)
+
+
+# =============================================================== text
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return textstats.lang_id(t["documents"]).select("doc_id", "lang_pred")
+
+
+def text_lang_id_sql() -> str:
+    h = {lang: _sql_hits(lang) for lang in LANGS}
+    return f"""
+    SELECT doc_id,
+        CASE WHEN greatest({h['de']}, {h['en']}, {h['es']}, {h['fr']}) = 0 THEN 'und'
+             WHEN {h['fr']} >= {h['es']} AND {h['fr']} >= {h['en']} AND {h['fr']} >= {h['de']} THEN 'fr'
+             WHEN {h['es']} >= {h['en']} AND {h['es']} >= {h['de']} THEN 'es'
+             WHEN {h['en']} >= {h['de']} THEN 'en'
+             ELSE 'de' END AS lang_pred
+    FROM documents
+    """
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return textstats.token_count(t["documents"]).select(
+        "doc_id", "n_tokens_ws", "n_tokens_bpe_est")
+
+
+def text_token_count_sql() -> str:
+    return """
+    SELECT doc_id,
+        len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens_ws,
+        ceil(length(text) / 4.0)::BIGINT AS n_tokens_bpe_est
+    FROM documents
+    """
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return textstats.quality_score(t["documents"]).select(
+        "doc_id", "mean_word_len", "punct_ratio", "digit_ratio",
+        "stopword_ratio", "quality")
+
+
+def text_quality_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in textstats.LANG_PROFILES["en"])
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks,
+            length(text) AS chars
+        FROM documents),
+         m AS (
+        SELECT doc_id,
+            (chars - len(toks) + 1)::DOUBLE / len(toks) AS mwl,
+            (chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                / greatest(chars, 1) AS pr,
+            (chars - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                / greatest(chars, 1) AS dr,
+            len(list_filter(toks, x -> list_contains([{stop}], x)))::DOUBLE
+                / greatest(len(toks), 1) AS sr
+        FROM t)
+    SELECT doc_id,
+        round(mwl, 6) AS mean_word_len, round(pr, 6) AS punct_ratio,
+        round(dr, 6) AS digit_ratio, round(sr, 6) AS stopword_ratio,
+        round(CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN pr < 0.2 THEN 0.2 ELSE 0.0 END
+            + CASE WHEN dr < 0.3 THEN 0.2 ELSE 0.0 END
+            + CASE WHEN sr > 0.01 THEN 0.2 ELSE 0.0 END, 2)::DOUBLE AS quality
+    FROM m
+    """
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return textstats.fingerprint(t["documents"]).select(
+        "doc_id", "fp_hash", "fp_min_window")
+
+
+# =============================================================== streaming
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the streaming tumbling-window agg (same plan runs on
+    readStream with a watermark)."""
+    t = load_tables(spark, sf_dir)
+    out = W.tumbling_counts(t["events"], window="1 hour")
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        "event_type", "n_events", "sum_value")
+
+
+def stream_tumbling_sql() -> str:
+    return """
+    SELECT epoch(date_trunc('hour', ts::TIMESTAMP))::BIGINT AS ws, event_type,
+        count(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    out = W.session_windows(t["events"], gap="30 minutes")
+    return out.select(
+        F.unix_timestamp("session_start").alias("ss"),
+        F.unix_timestamp("session_end").alias("se"),
+        "user_id", "n_events", "sum_value")
+
+
+def stream_session_sql() -> str:
+    return """
+    WITH e AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, value,
+            CASE WHEN lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_session
+        FROM events),
+         s AS (
+        SELECT user_id, ts, value,
+            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM e)
+    SELECT floor(epoch(min(ts)))::BIGINT AS ss,
+           floor(epoch(max(ts) + INTERVAL '30 minutes'))::BIGINT AS se,
+           user_id, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """
+
+
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the applyInPandasWithState running counter."""
+    t = load_tables(spark, sf_dir)
+    out = W.running_user_totals_stateful(t["events"])
+    return out.select("user_id", "event_id", "running_value", "running_events")
+
+
+def stream_running_totals_sql() -> str:
+    return """
+    SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS running_events
+    FROM events
+    """
+
+
+# =============================================================== multimodal
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> Arrow-batched feature extraction (decode
+    stubbed deterministically). Rows-only."""
+    media = multimodal.synthesize_media(spark, 64)
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256")
+
+
+# =============================================================== registry
+
+ENTRIES: dict = {
+    # headline relational plans
+    "pricing_summary": (lambda s, d: headline.pricing_summary(load_tables(s, d)),
+                        headline.pricing_summary_sql),
+    "top_revenue_orders": (lambda s, d: headline.top_revenue_orders(load_tables(s, d)),
+                           headline.top_revenue_orders_sql),
+    "region_nation_revenue": (lambda s, d: headline.region_nation_revenue(load_tables(s, d)),
+                              headline.region_nation_revenue_sql),
+    "events_by_type": (lambda s, d: headline.events_by_type(load_tables(s, d)),
+                       headline.events_by_type_sql),
+    # RM language on Spark
+    "rm_datalog_join": (rm_datalog_join, rm_datalog_join_sql),
+    "rm_qvar_project": (rm_qvar_project, rm_qvar_project_sql),
+    "rm_eav_wildcard": (rm_eav_wildcard, rm_eav_wildcard_sql),
+    "rm_express_map": (rm_express_map, None),
+    "rm_express_reduce": (rm_express_reduce, None),
+    # scalar function batteries
+    "string_battery": (string_battery, string_battery_sql),
+    "numeric_battery": (numeric_battery, numeric_battery_sql),
+    # dedup
+    "dedup_exact": (dedup_exact, dedup_exact_sql),
+    "dedup_token_jaccard": (dedup_token_jaccard, dedup_token_jaccard_sql),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding_cosine": (dedup_embedding_cosine, None),
+    # similarity
+    "ann_bruteforce_topk": (ann_bruteforce_topk, ann_bruteforce_topk_sql),
+    "ann_ivf_topk": (ann_ivf_topk, None),
+    # text analysis
+    "text_lang_id": (text_lang_id, text_lang_id_sql),
+    "text_token_count": (text_token_count, text_token_count_sql),
+    "text_quality": (text_quality, text_quality_sql),
+    "text_fingerprint": (text_fingerprint, None),
+    # streaming (batch shapes of the streaming plans)
+    "stream_tumbling": (stream_tumbling, stream_tumbling_sql),
+    "stream_session": (stream_session, stream_session_sql),
+    "stream_running_totals": (stream_running_totals, stream_running_totals_sql),
+    # multimodal
+    "multimodal_features": (multimodal_features, None),
+}

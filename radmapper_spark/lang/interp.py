@@ -121,6 +121,17 @@ class Interp:
         out = self.eval(node, env)
         return finalize(self._force(out))
 
+    def run_raw(self, src: str, bindings: Optional[dict] = None, data=None):
+        """Like run(), but returns lazy Spark values (SparkBindingSets /
+        DataFrame) unmaterialized — for embedding in larger Spark plans."""
+        node = parse(src)
+        env = Env({"$": data if data is not None else NOMATCH,
+                   "$$": data if data is not None else NOMATCH})
+        if bindings:
+            for k, v in bindings.items():
+                env.define(k if k.startswith("$") else f"${k}", v)
+        return self.eval(node, env)
+
     def _force(self, v):
         """Materialize lazy Spark values at the program boundary."""
         from ..operators.spark_bridge import force_value

@@ -1,0 +1,233 @@
+"""Deduplication operators over a document table (100 TB training-data path).
+
+All operators are pure DataFrame plans:
+
+- exact_dedup: hash-groupBy on normalized text (one shuffle on the hash).
+- minhash_lsh_pairs: shingle -> minhash -> band -> bucket-join. The
+  candidate join is an equi-join on (band_id, band_hash) — only documents
+  sharing a band bucket ever meet, so the shuffle is O(docs x bands), not
+  O(docs^2).
+- simhash_dedup: 64-bit simhash via token-hash bit voting; near-dups share
+  the simhash prefix buckets.
+- ngram_jaccard_pairs: exact n-gram Jaccard on candidate pairs (verification
+  stage after LSH).
+- embedding_cosine_pairs: near-dup by embedding cosine over LSH-ish
+  coarse buckets (random hyperplane signs).
+
+Everything stays JVM-side (built-in functions only — no Python UDFs in the
+hot path): xxhash64, transform, aggregate, explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# -------------------------------------------------------------- exact
+
+def normalize_text(col):
+    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact (normalized) text.
+    groupBy on the 64-bit content hash: map-side partial agg, single
+    shuffle keyed by hash — scales linearly."""
+    h = F.xxhash64(normalize_text(F.col(text_col)))
+    return (
+        docs.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(F.min(F.col(id_col)).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup_keep(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated document set itself."""
+    reps = exact_dedup(docs, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return docs.join(reps, on=id_col, how="inner")
+
+
+# -------------------------------------------------------------- shingles
+
+def _shingles(col, k: int = 5):
+    """Word k-shingles as an array<string> (empty-safe)."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )).otherwise(F.array(F.array_join(words, " ")))
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int = 32,
+                      shingle_k: int = 5) -> DataFrame:
+    """num_hashes minhash values per doc: min over xxhash64(shingle, seed_i).
+    Vectorized entirely in Catalyst: transform+array_min per hash — no UDF,
+    no explode, no shuffle."""
+    sh = _shingles(F.col(text_col), shingle_k)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return docs.withColumn("minhash", sig)
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 32, bands: int = 8, shingle_k: int = 5,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH, verified with estimated
+    Jaccard (= fraction of matching minhashes).
+
+    Plan shape: docs -> signatures (narrow) -> explode to (band, hash)
+    [rows x bands] -> self-equi-join on (band, band_hash) -> distinct pairs
+    -> verify. At 100 TB the bucket join is the only shuffle and AQE's
+    skew-join handles hot buckets (boilerplate text)."""
+    rows_per_band = num_hashes // bands
+    # persist the (small: id + num_hashes longs per doc) signature frame so
+    # the self-join's two sides don't recompute the shingling
+    sigs = minhash_signature(docs, text_col, num_hashes, shingle_k).select(
+        F.col(id_col).alias("id"), "minhash").persist()
+    banded = sigs.select(
+        "id", "minhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("minhash")[b * rows_per_band + r]
+                                  for r in range(rows_per_band)]).alias("bhash"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "minhash", "bb.band", "bb.bhash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bhash") == F.col("r.bhash"))
+                  & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.minhash").alias("mh_a"), F.col("r.minhash").alias("mh_b"))
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            nbits: int = 64) -> DataFrame:
+    """64-bit SimHash: per-token 64-bit hash; each bit votes +1/-1; the sign
+    of the vote is the fingerprint bit. Pure Catalyst expressions
+    (aggregate over the token array with a BIGINT-array accumulator)."""
+    # Scalable formulation: explode tokens -> one 64-bit hash per token ->
+    # 64 conditional sums in ONE groupBy(doc). Partial aggregation happens
+    # map-side, shuffle carries 64 longs per doc; codegen stays linear in
+    # nbits (a single giant per-row lambda blows up the expression tree).
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64(F.col("tok")))
+    vote_cols = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"v{i}")
+        for i in range(nbits)
+    ]
+    votes = toks.groupBy(id_col).agg(*vote_cols)
+    bit_vals = [1 << i for i in range(nbits - 1)] + [-(1 << (nbits - 1))]
+    fingerprint = None
+    for i in range(nbits):
+        piece = F.when(F.col(f"v{i}") > 0,
+                       F.lit(bit_vals[i]).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fingerprint = piece if fingerprint is None else fingerprint.bitwiseOR(piece)
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  prefix_bits: int = 16) -> DataFrame:
+    """Bucket by simhash prefix; near-dup candidates share a bucket.
+    Returns (bucket, n_docs, ids) for buckets with >1 doc."""
+    sh = simhash(docs, text_col, id_col)
+    bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    return (
+        sh.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# -------------------------------------------------------------- ngram jaccard
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.3,
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact word n-gram Jaccard between candidate pairs. Without a
+    candidate frame, verifies the minhash-LSH candidates (never all-pairs:
+    the quadratic join is gated behind LSH)."""
+    if candidates is None:
+        candidates = minhash_lsh_pairs(docs, text_col, id_col,
+                                       jaccard_threshold=0.0)
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(F.col(text_col), n)).alias("grams"),
+    )
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    joined = (
+        candidates.join(a, candidates.id_a == F.col("ga.id"))
+        .join(b, candidates.id_b == F.col("gb.id"))
+    )
+    inter = F.size(F.array_intersect(F.col("ga.grams"), F.col("gb.grams")))
+    union = F.size(F.array_union(F.col("ga.grams"), F.col("gb.grams")))
+    jac = (inter.cast("double") / union.cast("double"))
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- embedding cosine
+
+def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id", threshold: float = 0.95,
+                           planes: int = 12) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine, bucketed by random
+    hyperplane signs (sign LSH): vectors agreeing on all `planes` signs
+    land in one bucket; cosine verified exactly inside buckets only."""
+    dim_df = emb.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = dim_df[0]["d"] if dim_df else 0
+    import random
+    rnd = random.Random(42)
+    hyper = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+    def dot_plane(p):
+        arr = F.array(*[F.lit(w) for w in hyper[p]])
+        return F.aggregate(F.zip_with(vec, arr, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    sig = F.concat_ws("", *[F.when(dot_plane(p) >= 0, "1").otherwise("0")
+                            for p in range(planes)])
+    norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    b = emb.select(F.col(id_col).alias("id"), vec.alias("v"),
+                   sig.alias("bucket"), norm.alias("nrm"))
+    l, r = b.alias("l"), b.alias("r")
+    dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, c: a * c),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cos = dot / (F.col("l.nrm") * F.col("r.nrm"))
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

