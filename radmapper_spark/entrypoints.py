@@ -118,6 +118,41 @@ def rm_express_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce_express_frame(ip, bsets, efn)
 
 
+def rm_nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pillar-1 at table scale: reconstruct nested order documents
+    (order -> lines) with one groupBy, then run an RM path expression over
+    every document via the Column compiler — pure Catalyst expressions, no
+    Python per row (SURVEY §4.3; FIXTURES.md F1-at-scale)."""
+    from .lang.columns import rm_column
+    t = load_tables(spark, sf_dir)
+    nested = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price")))).alias("lines"))
+    )
+    total = rm_column(nested, "$sum(lines.(qty * price))")
+    nlines = rm_column(nested, "$count(lines.price)")
+    first_qty = rm_column(nested, "lines[0].qty")
+    return nested.select(
+        F.col("l_orderkey").alias("ok"), total.alias("doc_total"),
+        nlines.alias("n_lines"), first_qty.alias("first_qty"))
+
+
+def rm_nested_docs_sql() -> str:
+    # list_reduce = the same left fold the Column compiler emits, over the
+    # identically ordered line list -> bit-exact doubles
+    return """
+    SELECT l_orderkey AS ok,
+        list_reduce(list(l_quantity * l_extendedprice
+            ORDER BY l_linenumber, l_quantity, l_extendedprice), (a,b) -> a+b) AS doc_total,
+        count(*) AS n_lines,
+        first(l_quantity ORDER BY l_linenumber, l_quantity, l_extendedprice) AS first_qty
+    FROM lineitem GROUP BY l_orderkey
+    """
+
+
 # =============================================================== scalar fns
 
 def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,6 +496,7 @@ ENTRIES: dict = {
     "rm_eav_wildcard": (rm_eav_wildcard, rm_eav_wildcard_sql),
     "rm_express_map": (rm_express_map, None),
     "rm_express_reduce": (rm_express_reduce, None),
+    "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     # scalar function batteries
     "string_battery": (string_battery, string_battery_sql),
     "numeric_battery": (numeric_battery, numeric_battery_sql),

@@ -1,0 +1,417 @@
+"""RM expression -> Catalyst Column compiler (document-at-a-time, pillar 1).
+
+Where the local evaluator (interp.py) runs one document on the driver, this
+compiler runs the same expression on EVERY ROW of a DataFrame of documents
+as pure Column expressions: path navigation becomes getField/transform,
+implicit array mapping becomes F.transform, filters become F.filter/
+element_at, aggregates become F.aggregate — all inside whole-stage codegen,
+no Python per row (SURVEY.md §4.3 "document-at-a-time expressions ...
+vectorized, no shuffles").
+
+Static-typing restriction vs the dynamic evaluator: sequence flattening is
+resolved at compile time from the schema (array-of-array fields flatten;
+singleton collapse is a type-level decision), so programs whose flattening
+depends on runtime shapes should run on the driver path instead.
+
+    rm_column(df, "$sum(Account.Order.Product.(Price * Quantity))")
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import ast as A
+from .parser import parse
+
+
+class ColumnCompileError(ValueError):
+    pass
+
+
+@dataclass
+class CV:
+    """A compiled value: Column + static type + sequence flag."""
+    col: Column
+    dtype: Optional[T.DataType]
+    is_seq: bool = False  # array with sequence (mapping) semantics
+
+
+class ColumnCompiler:
+    def __init__(self, schema: T.StructType):
+        self.schema = schema
+
+    # ---------------------------------------------------------- entry
+    def compile(self, node: A.Node) -> CV:
+        return self._c(node, None)
+
+    def _c(self, node: A.Node, ctx: Optional[CV]) -> CV:
+        m = getattr(self, "_c_" + type(node).__name__, None)
+        if m is None:
+            raise ColumnCompileError(f"not column-compilable: {type(node).__name__}")
+        return m(node, ctx)
+
+    # ---------------------------------------------------------- atoms
+    def _c_Lit(self, n: A.Lit, ctx) -> CV:
+        t = {bool: T.BooleanType(), int: T.LongType(), float: T.DoubleType(),
+             str: T.StringType()}.get(type(n.value))
+        return CV(F.lit(n.value), t)
+
+    def _c_Var(self, n: A.Var, ctx) -> CV:
+        if n.name in ("$", "$$"):
+            if ctx is None:
+                raise ColumnCompileError("$ refers to the row; use a field path")
+            return ctx
+        raise ColumnCompileError(f"unbound variable {n.name} in column expression")
+
+    def _c_FieldRef(self, n: A.FieldRef, ctx) -> CV:
+        return self._get(ctx, n.name)
+
+    # ---------------------------------------------------------- navigation
+    def _field_type(self, dtype, name: str):
+        if isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                if f.name == name:
+                    return f.dataType
+        return None
+
+    def _get(self, ctx: Optional[CV], name: str) -> CV:
+        if ctx is None:
+            ft = self._field_type(self.schema, name)
+            if ft is None:
+                raise ColumnCompileError(f"no column {name!r} in schema")
+            return CV(F.col(f"`{name}`"), ft)
+        dt = ctx.dtype
+        if isinstance(dt, T.StructType):
+            ft = self._field_type(dt, name)
+            if ft is None:
+                raise ColumnCompileError(f"no field {name!r} in struct")
+            return CV(ctx.col.getField(name), ft)
+        if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+            ft = self._field_type(dt.elementType, name)
+            if ft is None:
+                raise ColumnCompileError(f"no field {name!r} in array element struct")
+            mapped = F.transform(ctx.col, lambda x: x.getField(name))
+            if isinstance(ft, T.ArrayType):
+                # implicit one-level splice of array-valued fields (jflatten)
+                return CV(F.flatten(mapped), T.ArrayType(ft.elementType), True)
+            return CV(mapped, T.ArrayType(ft), True)
+        raise ColumnCompileError(f"cannot navigate {name!r} from {dt}")
+
+    def _c_Path(self, n: A.Path, ctx) -> CV:
+        head = n.steps[0]
+        cur = self._c(head.expr, ctx)
+        for f in head.filters:
+            cur = self._filter(cur, f)
+        for step in n.steps[1:]:
+            cur = self._step(step, cur)
+        return cur
+
+    def _step(self, step: A.PathStep, cur: CV) -> CV:
+        if step.kind == "get" and isinstance(step.expr, A.FieldRef):
+            name = step.expr.name
+            if step.filters:
+                # non-compositional a.b[i]: apply the filter per element
+                # BEFORE the flatten
+                dt = cur.dtype
+                if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+                    ft = self._field_type(dt.elementType, name)
+                    if ft is None:
+                        raise ColumnCompileError(f"no field {name!r}")
+                    out_t, mk = self._fused_filter(ft, name, step.filters[0])
+                    col = F.transform(cur.col, mk)
+                    if isinstance(out_t, T.ArrayType) and self._static_index(step.filters[0]) is None:
+                        # predicate filters splice (only index filters are
+                        # non-compositional)
+                        col = F.flatten(col)
+                        out_t = out_t.elementType
+                    cv = CV(col, T.ArrayType(out_t), True)
+                else:
+                    cv = self._filter(self._get(cur, name), step.filters[0])
+                for f in step.filters[1:]:
+                    cv = self._filter(cv, f)
+                return cv
+            return self._get(cur, name)
+        if step.kind in ("map", "get"):
+            dt = cur.dtype
+            if isinstance(dt, T.ArrayType):
+                elem_t = dt.elementType
+                body_t: list = [None]
+
+                def body(x):
+                    out = self._c(step.expr, CV(x, elem_t))
+                    body_t[0] = out.dtype
+                    return out.col
+
+                col = F.transform(cur.col, body)
+                cv = CV(col, T.ArrayType(body_t[0]) if body_t[0] else None, True)
+            else:
+                cv = self._c(step.expr, cur)
+            for f in step.filters:
+                cv = self._filter(cv, f)
+            return cv
+        if step.kind == "value":
+            dt = cur.dtype
+            if isinstance(dt, T.ArrayType):
+                elem_t = dt.elementType
+                body_t: list = [None]
+
+                def body(x):
+                    out = self._c(step.expr, CV(x, elem_t))
+                    body_t[0] = out.dtype
+                    return out.col
+
+                col = F.transform(cur.col, body)
+                return CV(col, T.ArrayType(body_t[0]) if body_t[0] else None, True)
+            out = self._c(step.expr, cur)
+            return out
+        raise ColumnCompileError(f"unsupported step kind {step.kind}")
+
+    def _fused_filter(self, ft, name: str, filt: A.Node):
+        """Build (result_type, per-element lambda) for a.b[filter]."""
+        idx = self._static_index(filt)
+        if isinstance(ft, T.ArrayType):
+            if idx is not None:
+                pos = F.lit(idx + 1) if idx >= 0 else F.lit(idx)
+                return ft.elementType, lambda x: F.element_at(x.getField(name), pos)
+            elem_t = ft.elementType
+            return ft, lambda x: F.filter(
+                x.getField(name), lambda e: self._pred(filt, CV(e, elem_t)))
+        # scalar field: [0]/[-1] selects it, others nothing
+        if idx in (0, -1):
+            return ft, lambda x: x.getField(name)
+        if idx is not None:
+            return ft, lambda x: F.lit(None)
+        return ft, lambda x: F.when(self._pred(filt, CV(x.getField(name), ft)),
+                                    x.getField(name))
+
+    def _static_index(self, filt: A.Node) -> Optional[int]:
+        if isinstance(filt, A.Lit) and isinstance(filt.value, (int, float)) \
+                and not isinstance(filt.value, bool):
+            import math
+            return int(math.floor(filt.value))
+        if isinstance(filt, A.UnOp) and filt.op == "-" and isinstance(filt.expr, A.Lit):
+            import math
+            return -int(math.floor(filt.expr.value))
+        return None
+
+    def _pred(self, filt: A.Node, elem: CV) -> Column:
+        return self._c(filt, elem).col
+
+    def _filter(self, cur: CV, filt: A.Node) -> CV:
+        idx = self._static_index(filt)
+        dt = cur.dtype
+        if isinstance(dt, T.ArrayType):
+            if idx is not None:
+                pos = F.lit(idx + 1) if idx >= 0 else F.lit(idx)
+                return CV(F.element_at(cur.col, pos), dt.elementType, False)
+            elem_t = dt.elementType
+            return CV(F.filter(cur.col, lambda e: self._pred(filt, CV(e, elem_t))),
+                      dt, True)
+        if idx is not None:
+            return cur if idx in (0, -1) else CV(F.lit(None), dt)
+        return CV(F.when(self._pred(filt, cur), cur.col), dt)
+
+    # ---------------------------------------------------------- operators
+    NUM_OPS = {"+", "-", "*", "/", "%"}
+    CMP_OPS = {"=", "!=", "<", "<=", ">", ">="}
+
+    def _c_BinOp(self, n: A.BinOp, ctx) -> CV:
+        l = self._c(n.left, ctx)
+        r = self._c(n.right, ctx)
+        op = n.op
+        if op in self.NUM_OPS:
+            out_t = T.DoubleType() if op == "/" else (
+                l.dtype if isinstance(l.dtype, T.DoubleType) or
+                isinstance(r.dtype, T.DoubleType) else T.LongType())
+            col = {"+": l.col + r.col, "-": l.col - r.col, "*": l.col * r.col,
+                   "/": l.col.cast("double") / r.col.cast("double"),
+                   "%": l.col % r.col}[op]
+            return CV(col, out_t)
+        if op in self.CMP_OPS:
+            col = {"=": l.col == r.col, "!=": l.col != r.col, "<": l.col < r.col,
+                   "<=": l.col <= r.col, ">": l.col > r.col, ">=": l.col >= r.col}[op]
+            return CV(col, T.BooleanType())
+        if op == "and":
+            return CV(l.col & r.col, T.BooleanType())
+        if op == "or":
+            return CV(l.col | r.col, T.BooleanType())
+        if op == "&":
+            return CV(F.concat(l.col.cast("string"), r.col.cast("string")),
+                      T.StringType())
+        if op == "in":
+            return CV(F.array_contains(r.col, l.col), T.BooleanType())
+        if op == "..":
+            return CV(F.sequence(l.col, r.col), T.ArrayType(T.LongType()), True)
+        if op == "~>":
+            if isinstance(n.right, A.Call):
+                return self._call(n.right, ctx, lead=l)
+            raise ColumnCompileError("~> target must be a function call")
+        raise ColumnCompileError(f"unsupported operator {op}")
+
+    def _c_UnOp(self, n: A.UnOp, ctx) -> CV:
+        v = self._c(n.expr, ctx)
+        if n.op == "-":
+            return CV(-v.col, v.dtype)
+        raise ColumnCompileError(f"unsupported unary {n.op}")
+
+    def _c_Cond(self, n: A.Cond, ctx) -> CV:
+        t = self._c(n.test, ctx)
+        a = self._c(n.then, ctx)
+        col = F.when(t.col, a.col)
+        if n.other is not None:
+            b = self._c(n.other, ctx)
+            col = col.otherwise(b.col)
+        return CV(col, a.dtype)
+
+    def _c_ArrayLit(self, n: A.ArrayLit, ctx) -> CV:
+        items = [self._c(i, ctx) for i in n.items]
+        et = items[0].dtype if items else None
+        return CV(F.array(*[i.col for i in items]), T.ArrayType(et) if et else None)
+
+    def _c_ObjLit(self, n: A.ObjLit, ctx) -> CV:
+        fields = []
+        types = []
+        for k, v in n.pairs:
+            if not isinstance(k, A.Lit):
+                raise ColumnCompileError("object keys must be literals in column mode")
+            cv = self._c(v, ctx)
+            fields.append(cv.col.alias(str(k.value)))
+            types.append(T.StructField(str(k.value), cv.dtype or T.StringType()))
+        return CV(F.struct(*fields), T.StructType(types))
+
+    # ---------------------------------------------------------- calls
+    def _c_Call(self, n: A.Call, ctx) -> CV:
+        return self._call(n, ctx)
+
+    def _num_agg(self, arr: CV, kind: str) -> CV:
+        col = F.transform(arr.col, lambda x: x.cast("double"))
+        if kind == "sum":
+            out = F.aggregate(col, F.lit(0.0), lambda a, x: a + x)
+        elif kind == "max":
+            out = F.array_max(col)
+        elif kind == "min":
+            out = F.array_min(col)
+        else:  # average
+            out = F.aggregate(col, F.lit(0.0), lambda a, x: a + x) / F.size(col)
+        return CV(out, T.DoubleType())
+
+    def _call(self, n: A.Call, ctx, lead: Optional[CV] = None) -> CV:
+        if not isinstance(n.fn, A.Var):
+            raise ColumnCompileError("only builtin calls compile to columns")
+        name = n.fn.name
+        args = [self._c(a, ctx) for a in n.args]
+        if lead is not None:
+            args = [lead] + args
+        if not args and ctx is not None:
+            args = [ctx]
+
+        def a(i):
+            return args[i]
+
+        if name in ("$sum", "$max", "$min", "$average"):
+            return self._num_agg(a(0), name[1:])
+        if name == "$count":
+            dt = a(0).dtype
+            if isinstance(dt, T.ArrayType):
+                return CV(F.size(a(0).col).cast("long"), T.LongType())
+            return CV(F.when(a(0).col.isNotNull(), 1).otherwise(0).cast("long"),
+                      T.LongType())
+        if name == "$distinct":
+            return CV(F.array_distinct(a(0).col), a(0).dtype, a(0).is_seq)
+        if name == "$reverse":
+            return CV(F.reverse(a(0).col), a(0).dtype, a(0).is_seq)
+        if name == "$sort":
+            return CV(F.array_sort(a(0).col), a(0).dtype, a(0).is_seq)
+        if name == "$append":
+            return CV(F.concat(a(0).col, a(1).col), a(0).dtype, True)
+        if name == "$join":
+            sep = a(1).col if len(args) > 1 else F.lit("")
+            return CV(F.array_join(a(0).col, sep), T.StringType())
+        if name == "$split":
+            return CV(F.split(a(0).col, a(1).col), T.ArrayType(T.StringType()), True)
+        if name == "$zip":
+            return CV(F.arrays_zip(*[x.col for x in args]), None, True)
+        if name == "$uppercase":
+            return CV(F.upper(a(0).col), T.StringType())
+        if name == "$lowercase":
+            return CV(F.lower(a(0).col), T.StringType())
+        if name == "$length":
+            return CV(F.length(a(0).col).cast("long"), T.LongType())
+        if name == "$trim":
+            return CV(F.trim(F.regexp_replace(a(0).col, r"\s+", " ")), T.StringType())
+        if name == "$substring":
+            start = a(1).col
+            ln = a(2).col if len(args) > 2 else F.lit(2 ** 31 - 1)
+            pos = F.when(start >= 0, start + 1).otherwise(
+                F.greatest(F.length(a(0).col) + start + 1, F.lit(1)))
+            return CV(F.substring(a(0).col, pos, ln), T.StringType())
+        if name == "$substringBefore":
+            i = F.instr(a(0).col, a(1).col)
+            return CV(F.when(i > 0, F.substring(a(0).col, 1, i - 1))
+                      .otherwise(a(0).col), T.StringType())
+        if name == "$substringAfter":
+            i = F.instr(a(0).col, a(1).col)
+            return CV(F.when(i > 0,
+                             F.substring(a(0).col, i + F.length(a(1).col),
+                                         F.lit(2 ** 31 - 1)))
+                      .otherwise(a(0).col), T.StringType())
+        if name == "$contains":
+            if isinstance(n.args[-1], A.RegexLit):
+                return CV(a(0).col.rlike(n.args[-1].pattern), T.BooleanType())
+            return CV(a(0).col.contains(args[-1].col), T.BooleanType())
+        if name == "$replace":
+            return CV(F.regexp_replace(a(0).col,
+                                       n.args[-2].pattern if isinstance(n.args[-2], A.RegexLit)
+                                       else F.lit(self._lit_str(n.args[-2])),
+                                       args[-1].col), T.StringType())
+        if name == "$pad":
+            w = args[-2].col if len(args) >= 2 else F.lit(0)
+            c = args[-1].col if len(args) > 2 else F.lit(" ")
+            return CV(F.rpad(a(0).col, w, c), T.StringType())
+        if name == "$abs":
+            return CV(F.abs(a(0).col), a(0).dtype)
+        if name == "$floor":
+            return CV(F.floor(a(0).col).cast("long"), T.LongType())
+        if name == "$ceil":
+            return CV(F.ceil(a(0).col).cast("long"), T.LongType())
+        if name == "$round":
+            p = args[1].col if len(args) > 1 else F.lit(0)
+            return CV(F.bround(a(0).col, 0) if len(args) == 1
+                      else F.bround(a(0).col, n.args[-1].value), T.DoubleType())
+        if name == "$sqrt":
+            return CV(F.sqrt(a(0).col), T.DoubleType())
+        if name == "$power":
+            return CV(F.pow(a(0).col, a(1).col), T.DoubleType())
+        if name == "$number":
+            return CV(a(0).col.cast("double"), T.DoubleType())
+        if name == "$string":
+            return CV(a(0).col.cast("string"), T.StringType())
+        if name == "$boolean":
+            return CV(a(0).col.cast("boolean"), T.BooleanType())
+        if name == "$not":
+            return CV(~a(0).col.cast("boolean"), T.BooleanType())
+        if name == "$exists":
+            return CV(a(0).col.isNotNull(), T.BooleanType())
+        raise ColumnCompileError(f"builtin {name} is not column-compilable")
+
+    def _lit_str(self, node) -> str:
+        if isinstance(node, A.Lit):
+            return str(node.value)
+        raise ColumnCompileError("expected literal")
+
+
+def rm_column(df: DataFrame, src: str) -> Column:
+    """Compile an RM expression to a Column over df's schema."""
+    node = parse(src)
+    return ColumnCompiler(df.schema).compile(node).col
+
+
+def rm_select(df: DataFrame, **exprs: str) -> DataFrame:
+    """df.select of compiled RM expressions: rm_select(df, total='$sum(a.b)')."""
+    cols = [rm_column(df, src).alias(name) for name, src in exprs.items()]
+    return df.select(*cols)

@@ -485,7 +485,16 @@ class Interp:
                         out.append(got)
                 return jflatten(out)
             return _aref(ob, ix)
-        # predicate: filter elements of each per-element value
+        # predicate: only INDEX filters are non-compositional (per-parent);
+        # predicates test each item, so splice array values first
+        if isinstance(ob, JSeq):
+            spliced = JSeq()
+            for v in ob:
+                if isinstance(v, list) and not isinstance(v, JSeq):
+                    spliced.extend(v)
+                else:
+                    spliced.append(v)
+            ob = spliced
         return self._pred_filter(ob, filt, env)
 
     def _filter_step(self, res, filt: A.Node, env: Env):

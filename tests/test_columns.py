@@ -1,0 +1,116 @@
+"""Column-compiler tests: golden values + differential testing against the
+driver interpreter (two independent backends, one semantics)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from radmapper_spark import run
+from radmapper_spark.lang.columns import ColumnCompileError, rm_column, rm_select
+
+DOC = {
+    "Account": {
+        "Order": [
+            {"OrderID": "order103", "Product": [
+                {"Price": 34.45, "Quantity": 2},
+                {"Price": 21.67, "Quantity": 1}]},
+            {"OrderID": "order104", "Product": [
+                {"Price": 34.45, "Quantity": 4},
+                {"Price": 107.99, "Quantity": 1}]},
+        ]
+    }
+}
+
+# expressions evaluated by BOTH backends on DOC; results must agree
+DIFFERENTIAL = [
+    "$sum(Account.Order.Product.(Price * Quantity))",
+    "Account.Order.Product.(Price * Quantity)",
+    "Account.Order.OrderID",
+    "Account.Order.Product[0].Price",
+    "Account.Order.Product[-1].Quantity",
+    "$count(Account.Order.Product.Price)",
+    "$max(Account.Order.Product.Price)",
+    "$min(Account.Order.Product.Price)",
+    "$average(Account.Order.Product.Quantity)",
+    "Account.Order.Product.(Price * Quantity)[$ > 100]",
+    "$distinct(Account.Order.Product.Price)",
+    "$sort(Account.Order.Product.Quantity)",
+    "$reverse(Account.Order.OrderID)",
+    "Account.Order.Product[Quantity > 1].Price",
+]
+
+
+@pytest.fixture(scope="module")
+def doc_df(spark):
+    return spark.read.json(spark.sparkContext.parallelize([json.dumps(DOC)]))
+
+
+def _plain(v):
+    if isinstance(v, list):
+        return [_plain(x) for x in v]
+    return v
+
+
+@pytest.mark.parametrize("src", DIFFERENTIAL)
+def test_differential_interp_vs_columns(spark, doc_df, src):
+    expected = run(src, data=DOC)
+    got = _plain(doc_df.select(rm_column(doc_df, src).alias("v")).collect()[0]["v"])
+    # column backend keeps static arrays where the dynamic evaluator
+    # collapses singletons — accept [x] == x
+    if isinstance(got, list) and not isinstance(expected, list) and len(got) == 1:
+        got = got[0]
+    assert got == expected, f"{src}: column={got!r} interp={expected!r}"
+
+
+def test_flagship_column_value(spark, doc_df):
+    v = doc_df.select(
+        rm_column(doc_df, "$sum(Account.Order.Product.(Price * Quantity))").alias("v")
+    ).collect()[0]["v"]
+    assert abs(v - 336.36) < 1e-9
+
+
+def test_rm_select_multiple(spark, doc_df):
+    out = rm_select(
+        doc_df,
+        total="$sum(Account.Order.Product.(Price * Quantity))",
+        n="$count(Account.Order.Product.Price)",
+    ).collect()[0]
+    assert abs(out["total"] - 336.36) < 1e-9
+    assert out["n"] == 4
+
+
+def test_string_ops_columns(spark):
+    df = spark.createDataFrame([("hello world",)], ["s"])
+    out = rm_select(
+        df,
+        up="$uppercase(s)",
+        sub="$substring(s, 0, 5)",
+        neg="$substring(s, -5)",
+        before="$substringBefore(s, ' ')",
+        after="$substringAfter(s, ' ')",
+        ln="$length(s)",
+    ).collect()[0]
+    assert out["up"] == "HELLO WORLD"
+    assert out["sub"] == "hello"
+    assert out["neg"] == "world"
+    assert out["before"] == "hello"
+    assert out["after"] == "world"
+    assert out["ln"] == 11
+
+
+def test_column_compile_error_is_clean(spark, doc_df):
+    with pytest.raises(ColumnCompileError):
+        rm_column(doc_df, "$llmExtract(Account, 'x')")
+    with pytest.raises(ColumnCompileError):
+        rm_column(doc_df, "NoSuchField.x")
+
+
+def test_no_python_udf_in_plan(spark, doc_df):
+    """The compiled plan must stay JVM-side: no BatchEvalPython/ArrowEval."""
+    df = doc_df.select(
+        rm_column(doc_df, "$sum(Account.Order.Product.(Price * Quantity))").alias("v"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
