@@ -69,6 +69,11 @@ def run_query_spark(ip, q, dbs: dict, env) -> SparkBindingSets:
         if isinstance(pats[0].e, A.QVar):
             entity_vars.add(pats[0].e.name[1:])
         frame, cols, selectivity = _entity_frame(ip, db, pats, subs)
+        ent = pats[0].e.name[1:] if isinstance(pats[0].e, A.QVar) else None
+        if q.options.get("keepDBid") and ent and ent not in frame.columns:
+            # flat tables have no stored eid; synthesize a surrogate
+            frame = frame.withColumn(ent, F.monotonically_increasing_id())
+            cols = cols | {ent}
         frames.append((frame, cols, selectivity))
 
     # join ordering: most literal filters first, then shared-var connectivity

@@ -1,0 +1,112 @@
+"""query{}/express{} on Spark tables: the datalog->DataFrame compiler."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from radmapper_spark.lang.interp import Interp
+
+
+def test_two_table_join_counts(spark, tables):
+    ip = Interp(spark)
+    bsets = ip.run_raw(
+        "query{[$o ?e :o_custkey ?ck] [$c ?cc :c_custkey ?ck] [$c ?cc :c_name ?n]}($o, $c)",
+        bindings={"$o": tables["orders"], "$c": tables["customer"]})
+    assert bsets.df.count() == tables["orders"].select("o_custkey").distinct().count()
+
+
+def test_literal_filter_pushdown(spark, tables):
+    ip = Interp(spark)
+    bsets = ip.run_raw(
+        "query{[?e :o_orderpriority '1-URGENT'] [?e :o_orderkey ?ok]}($o)",
+        bindings={"$o": tables["orders"]})
+    plan = bsets.df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" not in plan or "o_orderpriority" in plan
+    want = tables["orders"].filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert bsets.df.count() == want
+
+
+def test_parametric_query_spark(spark, tables):
+    ip = Interp(spark)
+    out = ip.run_raw(
+        "( $q := query($prio){[?e :o_orderpriority $prio] [?e :o_orderkey ?ok]};"
+        "  $q('5-LOW')($o) )",
+        bindings={"$o": tables["orders"]})
+    want = tables["orders"].filter(F.col("o_orderpriority") == "5-LOW").count()
+    assert out.df.count() == want
+
+
+def test_predicate_pattern_spark(spark, tables):
+    ip = Interp(spark)
+    out = ip.run_raw(
+        "query{[?e :c_name ?n] [($contains(?n, '1'))]}($c)",
+        bindings={"$c": tables["customer"]})
+    want = tables["customer"].filter(F.col("c_name").contains("1")).count()
+    assert out.df.count() == want
+
+
+def test_regex_predicate_spark(spark, tables):
+    ip = Interp(spark)
+    out = ip.run_raw(
+        "query{[?e :c_name ?n] [($match(?n, /0{2}$/))]}($c)",
+        bindings={"$c": tables["customer"]})
+    want = tables["customer"].filter(F.col("c_name").rlike("0{2}$")).count()
+    assert out.df.count() == want
+
+
+def test_express_reduce_spark_matches_local(spark):
+    """The Spark groupBy cascade must produce the same document as the
+    driver-side merge on identical binding sets."""
+    bsets_rows = [
+        {"ownerName": "owner1", "systemName": "system1", "id": 100, "status": "Ok"},
+        {"ownerName": "owner1", "systemName": "system1", "id": 200, "status": "Ok"},
+        {"ownerName": "owner1", "systemName": "system2", "id": 300, "status": "Ok"},
+        {"ownerName": "owner2", "systemName": "system1", "id": 400, "status": "Ok"},
+    ]
+    src_express = ("express(){{'owners': [{'owner_id': key(?ownerName),"
+                   " 'systems': [{'system_id': key(?systemName),"
+                   " 'devices': [{'device_id': key(?id), 'status': ?status}]}]}]}}")
+    ip = Interp(spark)
+    efn = ip.run_raw(src_express)
+    from radmapper_spark.operators.express_local import reduce_express
+    local = reduce_express(ip, bsets_rows, efn)
+
+    from radmapper_spark.operators.spark_bridge import SparkBindingSets
+    df = spark.createDataFrame(bsets_rows)
+    dist = reduce_express(ip, SparkBindingSets(df), efn)
+    assert dist == local
+
+
+def test_express_reduce_spark_qvar_map(spark):
+    bsets_rows = [
+        {"ownerName": "owner1", "id": 1}, {"ownerName": "owner2", "id": 2},
+    ]
+    ip = Interp(spark)
+    efn = ip.run_raw("express{{'byOwner': {?ownerName: {'id': ?id}}}}")
+    from radmapper_spark.operators.express_local import reduce_express
+    from radmapper_spark.operators.spark_bridge import SparkBindingSets
+    local = reduce_express(ip, bsets_rows, efn)
+    dist = reduce_express(ip, SparkBindingSets(spark.createDataFrame(bsets_rows)), efn)
+    assert dist == local == {"byOwner": {"owner1": {"id": 1}, "owner2": {"id": 2}}}
+
+
+def test_keep_db_id_option(spark, tables):
+    ip = Interp(spark)
+    with_id = ip.run_raw(
+        "query{[?e :r_name ?name]} <|keepDBid: true|> ($r)",
+        bindings={"$r": tables["region"]})
+    without = ip.run_raw(
+        "query{[?e :r_name ?name]}($r)", bindings={"$r": tables["region"]})
+    assert "e" in with_id.df.columns or len(with_id.df.columns) > len(without.df.columns)
+
+
+def test_nested_spark_data_eav(spark):
+    """query{} over a NESTED DataFrame goes through the EAV shred."""
+    import json
+    docs = [{"id": i, "child": {"val": f"v{i}"}} for i in range(4)]
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(d) for d in docs]))
+    ip = Interp(spark)
+    out = ip.run_raw("query{[?e :child ?c] [?c :val ?v]}($d)", bindings={"$d": df})
+    vals = sorted(r["v"] for r in out.df.collect())
+    assert vals == ["v0", "v1", "v2", "v3"]

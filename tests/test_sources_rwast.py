@@ -1,0 +1,83 @@
+"""Sources ($get/$put/$getSpreadsheet/XML) and rwast AST round-trips."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from radmapper_spark import parse, run
+from radmapper_spark.lang.rwast import from_rwast, to_rwast
+
+
+# ------------------------------------------------------------ rwast
+RWAST_PROGRAMS = [
+    "1 + 2 * 3",
+    "'a' & 'b'",
+    "($x := 5; $x * 2)",
+    "function($a,$b){$a+$b}(3,4)",
+    "[1,2,3][0]",
+    "{'a': 1}.a",
+    "Account.Order.Product.(Price * Quantity)",
+    "true ? 'y' : 'n'",
+    "$sum([1..10])",
+    "query{[?e :name ?n]}([{'name':'Bob'}])",
+    "$reduce([{?id: 1}], express{{'x': [{'id': key(?id)}]}})",
+    "$match('abc', /b/) ~> $exists()",
+]
+
+
+@pytest.mark.parametrize("src", RWAST_PROGRAMS)
+def test_rwast_roundtrip_preserves_semantics(src):
+    ast = parse(src)
+    d = to_rwast(ast)
+    json.dumps(d)  # must be JSON-serializable
+    restored = from_rwast(d)
+    from radmapper_spark.lang.interp import Interp
+    r1 = Interp().run(src)
+    ip = Interp()
+    from radmapper_spark.lang.interp import Env
+    from radmapper_spark.lang.values import NOMATCH, finalize
+    env = Env({"$": NOMATCH, "$$": NOMATCH})
+    r2 = finalize(ip.eval(restored, env))
+    assert r1 == r2
+
+
+# ------------------------------------------------------------ $get JSON/XML
+def test_get_json(tmp_path):
+    p = tmp_path / "data.json"
+    p.write_text(json.dumps({"a": {"b": [1, 2, 3]}}))
+    assert run(f"$get('{p}').a.b") == [1, 2, 3]
+
+
+def test_get_xml(tmp_path):
+    p = tmp_path / "doc.xml"
+    p.write_text("<root><item id='1'><name>x</name></item>"
+                 "<item id='2'><name>y</name></item></root>")
+    r = run(f"$get('{p}')")
+    assert r == {"root": {"item": [{"id": "1", "name": "x"},
+                                   {"id": "2", "name": "y"}]}}
+
+
+def test_catalog_put_get_roundtrip(tmp_path, monkeypatch):
+    import radmapper_spark.sources.readers as readers
+    monkeypatch.setattr(readers, "CATALOG_PATH", str(tmp_path / "cat.json"))
+    run("$put(['fn_name', 'addOne'], {'fn_src': 'function($x){$x+1}', 'fn_doc': 'adds 1'})")
+    obj = run("$get(['fn_name', 'addOne'])")
+    assert obj["fn_doc"] == "adds 1"
+    # stored function source compiles and runs ($eval — SURVEY §2.1 fn_exe)
+    assert run("($f := $eval($get(['fn_name','addOne']).fn_src); $f(41))") == 42
+
+
+def test_get_spreadsheet_csv(tmp_path):
+    p = tmp_path / "sheet.csv"
+    p.write_text("name,qty\nwidget,4\ngadget,7\n")
+    r = run(f"$getSpreadsheet('{p}')")
+    assert r == [{"name": "widget", "qty": 4}, {"name": "gadget", "qty": 7}]
+
+
+def test_get_parquet_as_db(spark):
+    r = run("( $db := $get('/root/testdata/sf0.001/region.parquet');"
+            "  query{[?e :r_name ?name]}($db).?name ~> $sort() )", spark=spark)
+    assert r == ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
