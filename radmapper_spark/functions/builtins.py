@@ -787,6 +787,8 @@ def _reduce_kv(ip, env, obj=NOMATCH, fn=None, init=None):
 @builtin("$assoc", 3)
 def _assoc(ip, env, obj=NOMATCH, k=None, v=None):
     obj = jflatten(obj)
+    if is_nomatch(obj) or obj is None:
+        obj = {}  # like Clojure (assoc nil k v) — used by the shape recursion
     if not isinstance(obj, dict):
         raise RMFnError("$assoc expects an object")
     out = dict(obj)
@@ -797,6 +799,8 @@ def _assoc(ip, env, obj=NOMATCH, k=None, v=None):
 @builtin("$update", 3)
 def _update(ip, env, obj=NOMATCH, k=None, fn=None):
     obj = jflatten(obj)
+    if is_nomatch(obj) or obj is None:
+        obj = {}
     if not isinstance(obj, dict):
         raise RMFnError("$update expects an object")
     out = dict(obj)

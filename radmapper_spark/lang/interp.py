@@ -156,9 +156,17 @@ class Interp:
 
     def _eval_Var(self, n: A.Var, env: Env):
         if n.name == "$":
-            return self.ctx(env)
+            # reading $ containerizes a vector (reference builtin_macros.cljc
+            # deref$): [[1,2,3], 4].$ flattens to [1,2,3,4]
+            v = self.ctx(env)
+            if isinstance(v, list) and not isinstance(v, JSeq):
+                return JSeq(v)
+            return v
         if n.name == "$$":
-            return env.lookup("$$")
+            v = env.lookup("$$")
+            if isinstance(v, list) and not isinstance(v, JSeq):
+                return JSeq(v)
+            return v
         if env.has(n.name):
             return env.lookup(n.name)
         from ..functions.builtins import REGISTRY
@@ -170,6 +178,11 @@ class Interp:
         key = n.name[1:]
         if env.has("?" + key):
             return env.lookup("?" + key)
+        # inside a filter over binding sets, ?x reads the bset field
+        # (reference match-test: $spc[?parent = $p])
+        ctx = self.ctx(env)
+        if isinstance(ctx, dict) and key in ctx:
+            return ctx[key]
         raise RMError(f"unbound query variable {n.name}")
 
     def _eval_FieldRef(self, n: A.FieldRef, env: Env):
@@ -308,9 +321,14 @@ class Interp:
     def _eval_BinOp(self, n: A.BinOp, env: Env):
         op = n.op
         if op == "and":
-            return truthy(self.eval(n.left, env)) and truthy(self.eval(n.right, env))
+            # value semantics as in the reference (Clojure and/or): the
+            # deciding operand's VALUE is returned, enabling
+            # `$lookup(...) or '<default>'` (builtin_test.cljc match-test)
+            l = self.eval(n.left, env)
+            return self.eval(n.right, env) if truthy(l) else l
         if op == "or":
-            return truthy(self.eval(n.left, env)) or truthy(self.eval(n.right, env))
+            l = self.eval(n.left, env)
+            return l if truthy(l) else self.eval(n.right, env)
         if op == "~>":
             return self._eval_thread(n, env)
         l = jflatten(self.eval(n.left, env))
