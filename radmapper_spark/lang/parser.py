@@ -403,10 +403,10 @@ class Parser:
                 if name.kind not in ("ident", "keyword"):
                     raise ParseError(f"expected attribute name at {name.pos}")
                 attr = str(name.val)
-                while self.at_op("/") or self.at_op("."):
+                while self.at_op("/") or self.at_op(".") or self.at_op("-"):
                     sep = self.next().val
                     nxt = self.next()
-                    attr += ("/" if sep == "/" else ".") + str(nxt.val)
+                    attr += sep + str(nxt.val)
                 parts.append(Lit(":" + attr))
             elif t.kind == "kw":
                 self.next()

@@ -71,8 +71,27 @@ def llm_extract_column(df, text_col: str, seek: str, out_col: str = "extracted")
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def extract(batch: pd.Series) -> pd.Series:
-        return batch.map(lambda s: _heuristic_extract(s or "", seek))
+    # NB: the extraction logic is inlined (not a module-global reference) so
+    # cloudpickle ships it BY VALUE — executor Python workers must not need
+    # `radmapper_spark` importable (the driver may run from any cwd).
+    def extract(batch):
+        import re as _re
 
-    return df.withColumn(out_col, extract(F.col(text_col)))
+        def one(src):
+            m = _re.search(rf"{_re.escape(seek)}\s*[:=]?\s*([^\s,;]+)", src,
+                           _re.IGNORECASE)
+            if m:
+                return m.group(1)
+            if "number" in seek.lower() or "amount" in seek.lower():
+                m = _re.search(r"-?\d+(\.\d+)?", src)
+                return m.group(0) if m else None
+            return None
+
+        return batch.map(lambda s: one(s or ""))
+
+    # `from __future__ import annotations` stringifies hints, which the
+    # pandas_udf inspector can't resolve — set them as real objects
+    extract.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    extract_udf = pandas_udf(extract, "string")
+
+    return df.withColumn(out_col, extract_udf(F.col(text_col)))

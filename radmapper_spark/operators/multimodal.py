@@ -72,17 +72,27 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     retry/restage freely at scale."""
     import pandas as pd
 
+    fake_decode = os.environ.get("RM_MM_FAKE_DECODE", "1") == "1"
+
+    # self-contained closure: executor workers don't import radmapper_spark
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def decode(payload):
+            if not fake_decode:
+                raise NotImplementedError(
+                    "image decode requires PIL/libvips (not in container)")
+            h = _hl.sha256(payload).digest()
+            return [b / 255.0 for b in h[:16]]
+
         for pdf in batches:
             out = {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
                 "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
                 "sha256": pdf["payload"].map(
-                    lambda b: hashlib.sha256(b or b"").hexdigest()),
-                "feature": [
-                    _decode_image_bytes(p or b"", None) for p in pdf["payload"]
-                ],
+                    lambda b: _hl.sha256(b or b"").hexdigest()),
+                "feature": [decode(p or b"") for p in pdf["payload"]],
             }
             yield pd.DataFrame(out)
 

@@ -41,6 +41,9 @@ def rm_get(ip, target, opts=None):
                 return json.load(f)
         if target.endswith(".xml"):
             return read_xml(target)
+        if target.endswith(".edn"):
+            from .edn import load_file
+            return load_file(target)
         raise ValueError(f"$get: unsupported source {target!r}")
     if isinstance(target, (list, JSeq)):
         return catalog_get(list(target), opts)

@@ -450,3 +450,36 @@ def test_data_binding():
     assert run("$.a", data={"a": 9}) == 9
     assert run("a.b", data={"a": {"b": 1}}) == 1
     assert run("$$.a", data={"a": 9}) == 9
+
+
+def test_express_numeric_keys_restored():
+    """Non-string (numeric) map keys in qvar-key-position survive reduction
+    (reference query_test.cljc:654-675)."""
+    r = run("$reduce([{?id: 123, ?aval: 'A'}, {?id: 234, ?aval: 'B'}],"
+            " express{{?id : {'a': ?aval}}})")
+    assert r == {123: {"a": "A"}, 234: {"a": "B"}}
+
+
+def test_express_parametric():
+    r = run("( $pe := express($type){{'instance-of': $type, 'content': ?content}};"
+            "  $e := $pe('MyType');"
+            "  $map([{?content: 'c1'}, {?content: 'c2'}], $e) )")
+    assert r == [{"instance-of": "MyType", "content": "c1"},
+                 {"instance-of": "MyType", "content": "c2"}]
+
+
+def test_parametric_query_then_express():
+    """reference query_test.cljc:217-232 simple-parametric-express."""
+    r = run("( $data   := {'instance-of' : 'MyType', 'content' : 'someContent'};"
+            "  $q      := query($type) { [?e :instance-of $type]"
+            "                            [?e :content     ?content] };"
+            "  $qq     := $q('MyType');"
+            "  $bsets  := $qq($data);"
+            "  $map($bsets, express{{'the-content': ?content}}) )")
+    assert r == [{"the-content": "someContent"}]
+
+
+def test_identities_roundtrip_vector_data():
+    src = ("( $data := [{'id': 1, 'x': {'y': 'a'}}];"
+           "  $reduce($qIdent($data)($data), $eIdent($data)) )")
+    assert run(src) == {"id": 1, "x": {"y": "a"}}

@@ -131,3 +131,26 @@ def test_session_windows_cover_all_events(spark, tables):
 def test_streaming_end_to_end(spark):
     n = W.streaming_smoke(spark, seconds=3)
     assert n >= 0  # the query ran, produced finalized windows (append mode)
+
+
+def test_llm_extract_column_batched(spark):
+    """Arrow-batched extraction UDF over a text column (LLM stubbed with
+    the deterministic heuristic)."""
+    from radmapper_spark.operators.llm import llm_extract, llm_extract_column
+    df = spark.createDataFrame(
+        [(1, "invoice number: INV-778 due soon"), (2, "no fields here")],
+        ["id", "text"])
+    out = {r["id"]: r["extracted"]
+           for r in llm_extract_column(df, "text", "invoice number").collect()}
+    assert out[1] == "INV-778"
+    assert out[2] is None
+    assert llm_extract("total amount: 42.50", "total amount") == "42.50"
+
+
+def test_llm_match_name_alignment():
+    from radmapper_spark.operators.llm import llm_match
+    src = {"Invoice": {"InvoiceLine": {"BuyerParty": "x"}}}
+    tar = {"invoice": {"invoice_line": {"buyer_party": "y"}}}
+    m = llm_match(src, tar)
+    assert m["mapping"]["Invoice"] == "invoice"
+    assert m["mapping"]["Invoice.InvoiceLine"] == "invoice.invoice_line"
