@@ -155,6 +155,36 @@ def rm_nested_docs_sql() -> str:
 
 # =============================================================== scalar fns
 
+def rm_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar functions EXECUTED THROUGH THE RM LANGUAGE: each column
+    below is an RM expression compiled to a Catalyst Column (lang/columns),
+    not hand-written Spark."""
+    from .lang.columns import rm_select
+    t = load_tables(spark, sf_dir)
+    return rm_select(
+        t["customer"],
+        ck="c_custkey",
+        up="$uppercase(c_name)",
+        lo="$lowercase(c_mktsegment)",
+        sub="$substring(c_name, 0, 8)",
+        ln="$length(c_name)",
+        cat="c_name & '|' & c_mktsegment",
+        bal2="$floor($abs(c_acctbal) / 2)",
+        sq="$round($sqrt($abs(c_acctbal) + 1), 6)",
+    )
+
+
+def rm_scalar_battery_sql() -> str:
+    return """
+    SELECT c_custkey AS ck, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        substring(c_name, 1, 8) AS sub, length(c_name) AS ln,
+        c_name || '|' || c_mktsegment AS cat,
+        floor(abs(c_acctbal) / 2)::BIGINT AS bal2,
+        round(sqrt(abs(c_acctbal) + 1), 6) AS sq
+    FROM customer
+    """
+
+
 def string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 string functions at table scale (Column twins of the builtins)."""
     t = load_tables(spark, sf_dir)
@@ -473,7 +503,10 @@ def stream_running_totals_sql() -> str:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> Arrow-batched feature extraction (decode
     stubbed deterministically). Rows-only."""
-    media = multimodal.synthesize_media(spark, 64)
+    # coalesce: 64 demo rows don't justify 32 Python workers — partition
+    # count should track data volume (at real scale the source parquet's
+    # partitioning carries through instead)
+    media = multimodal.synthesize_media(spark, 64).coalesce(2)
     return multimodal.extract_features(media).select(
         "media_id", "kind", "n_bytes", "sha256")
 
@@ -498,6 +531,7 @@ ENTRIES: dict = {
     "rm_express_reduce": (rm_express_reduce, None),
     "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     # scalar function batteries
+    "rm_scalar_battery": (rm_scalar_battery, rm_scalar_battery_sql),
     "string_battery": (string_battery, string_battery_sql),
     "numeric_battery": (numeric_battery, numeric_battery_sql),
     # dedup
