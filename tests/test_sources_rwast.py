@@ -81,3 +81,24 @@ def test_get_parquet_as_db(spark):
     r = run("( $db := $get('/root/testdata/sf0.001/region.parquet');"
             "  query{[?e :r_name ?name]}($db).?name ~> $sort() )", spark=spark)
     assert r == ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def test_schema_for():
+    r = run("$schemaFor({'name': 'Bob', 'scores': [1, 2], 'addr': {'city': 'X'}})")
+    assert r["name"]["type"] == "string"
+    assert r["scores"]["cardinality"] == "many"
+    assert r["addr"]["type"] == "ref"
+
+
+def test_db_and_pull():
+    r = run("( $db := $db([{'name': 'Bob', 'age': 30}]); $pull(1, $db) )")
+    assert r == {"name": "Bob", "age": 30}
+
+
+def test_spreadsheet_invert(tmp_path):
+    p = tmp_path / "wide.csv"
+    p.write_text("metric,q1,q2\nrevenue,10,20\ncost,3,4\n")
+    r = run(f"$getSpreadsheet('{p}', null, true)")
+    # transposed: one row per original column, keyed by first-column values
+    assert len(r) == 2
+    assert r[0]["metric"] == "q1"
