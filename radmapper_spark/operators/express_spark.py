@@ -132,9 +132,12 @@ class _Builder:
             child, vcol = self.build(spec.elem, parent_keys + [spec.key_var])
             out = self.fresh()
             g = child.groupBy(*parent_keys) if parent_keys else child.groupBy()
+            # collect_SET + sort_array: dedupe (b-set semantics) happens in
+            # the same aggregation as the collect — one shuffle per level
+            # instead of distinct + collect_list's two
             agg = g.agg(
                 F.transform(
-                    F.sort_array(F.collect_list(F.struct(
+                    F.sort_array(F.collect_set(F.struct(
                         F.col(spec.key_var).alias("k"), F.col(vcol).alias("v")))),
                     lambda x: x.v,
                 ).alias(out)
@@ -146,7 +149,7 @@ class _Builder:
             g = child.groupBy(*parent_keys) if parent_keys else child.groupBy()
             agg = g.agg(
                 F.map_from_entries(
-                    F.sort_array(F.collect_list(F.struct(
+                    F.sort_array(F.collect_set(F.struct(
                         F.col(spec.key_var).alias("k"), F.col(vcol).alias("v"))))
                 ).alias(out)
             )
@@ -156,6 +159,14 @@ class _Builder:
             group_entries = [(n, s) for n, s in spec.entries if _has_group(s)]
             scalar_qvars = sorted({q for _n, s in scalar_entries for q in _qvars_of(s)})
             need = sorted(set(parent_keys) | set(scalar_qvars))
+            if not group_entries:
+                # leaf level: no distinct here — the parent's collect_set
+                # dedupes in the same shuffle (the leaf is the big frame;
+                # a distinct would add a full extra exchange)
+                frame = self.base.select(*need) if need else self.base.limit(1)
+                out = self.fresh()
+                fields = [self.scalar_col(s).alias(str(nm)) for nm, s in spec.entries]
+                return frame.withColumn(out, F.struct(*fields)), out
             frame = self.base.select(*need).distinct() if need else None
             for _name, s in group_entries:
                 child, vcol = self.build(s, parent_keys)
@@ -179,7 +190,7 @@ class _Builder:
             return frame.withColumn(out, F.struct(*fields)), out
         if isinstance(spec, Field):
             need = sorted(set(parent_keys) | {spec.qvar})
-            frame = self.base.select(*need).distinct()
+            frame = self.base.select(*need)  # deduped by parent collect_set
             return frame, spec.qvar
         if isinstance(spec, Const):
             frame = (self.base.select(*parent_keys).distinct()
