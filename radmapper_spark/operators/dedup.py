@@ -67,8 +67,12 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int =
     Vectorized entirely in Catalyst: transform+array_min per hash — no UDF,
     no explode, no shuffle."""
     sh = _shingles(F.col(text_col), shingle_k)
+    # hash each shingle STRING once (the expensive part), then derive the
+    # num_hashes functions from the 8-byte base hash — ~len(text)/8 fewer
+    # bytes hashed per function
+    base = F.transform(sh, lambda s: F.xxhash64(s))
     sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
         for i in range(num_hashes)
     ])
     return docs.withColumn("minhash", sig)
@@ -90,24 +94,28 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
     sigs = minhash_signature(docs, text_col, num_hashes, shingle_k).select(
         F.col(id_col).alias("id"), "minhash").persist()
     banded = sigs.select(
-        "id", "minhash",
+        "id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.xxhash64(*[F.col("minhash")[b * rows_per_band + r]
                                   for r in range(rows_per_band)]).alias("bhash"))
             for b in range(bands)
         ])).alias("bb"),
-    ).select("id", "minhash", "bb.band", "bb.bhash")
+    ).select("id", "bb.band", "bb.bhash")
     left = banded.alias("l")
     right = banded.alias("r")
+    # dedupe CANDIDATE ID PAIRS first (narrow rows through the shuffle),
+    # then join the (persisted, small) signatures back for verification
     cand = (
         left.join(right, (F.col("l.band") == F.col("r.band"))
                   & (F.col("l.bhash") == F.col("r.bhash"))
                   & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.minhash").alias("mh_a"), F.col("r.minhash").alias("mh_b"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b"))
+    cand = cand.join(sa, on="id_a").join(sb, on="id_b")
     est = F.aggregate(
         F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda a, b: (a == b).cast("int")),
         F.lit(0), lambda acc, x: acc + x,
