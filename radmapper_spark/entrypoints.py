@@ -245,6 +245,30 @@ def numeric_battery_sql() -> str:
     """
 
 
+def rm_datetime_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 datetime functions through the RM Column compiler over the
+    events stream: $toMillis / $fromMillis with an XPath picture."""
+    from .lang.columns import rm_select
+    t = load_tables(spark, sf_dir)
+    return rm_select(
+        t["events"],
+        id="event_id",
+        ms="$toMillis(ts)",
+        day="$fromMillis($toMillis(ts), '[Y0001]-[M01]-[D01]')",
+        hour="$fromMillis($toMillis(ts), '[H01]')",
+    )
+
+
+def rm_datetime_ops_sql() -> str:
+    return """
+    SELECT event_id AS id,
+        epoch_ms(ts::TIMESTAMP)::BIGINT AS ms,
+        strftime(ts::TIMESTAMP, '%Y-%m-%d') AS day,
+        strftime(ts::TIMESTAMP, '%H') AS hour
+    FROM events
+    """
+
+
 # =============================================================== dedup
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,6 +556,7 @@ ENTRIES: dict = {
     "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     # scalar function batteries
     "rm_scalar_battery": (rm_scalar_battery, rm_scalar_battery_sql),
+    "rm_datetime_ops": (rm_datetime_ops, rm_datetime_ops_sql),
     "string_battery": (string_battery, string_battery_sql),
     "numeric_battery": (numeric_battery, numeric_battery_sql),
     # dedup

@@ -397,12 +397,35 @@ class ColumnCompiler:
             return CV(~a(0).col.cast("boolean"), T.BooleanType())
         if name == "$exists":
             return CV(a(0).col.isNotNull(), T.BooleanType())
+        if name == "$toMillis":
+            src = a(0)
+            ts = src.col if isinstance(src.dtype, T.TimestampType) \
+                else F.to_timestamp(src.col)
+            return CV(F.unix_millis(ts), T.LongType())
+        if name == "$fromMillis":
+            ts = F.timestamp_millis(a(0).col.cast("long"))
+            if len(args) > 1:
+                fmt = _xpath_picture_to_spark(self._lit_str(n.args[-1]))
+                return CV(F.date_format(ts, fmt), T.StringType())
+            return CV(F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+                               F.lit("Z")), T.StringType())
         raise ColumnCompileError(f"builtin {name} is not column-compilable")
 
     def _lit_str(self, node) -> str:
         if isinstance(node, A.Lit):
             return str(node.value)
         raise ColumnCompileError("expected literal")
+
+
+def _xpath_picture_to_spark(pic: str) -> str:
+    """XPath datetime picture -> Spark date_format pattern (subset,
+    mirrors functions/builtins._translate_picture)."""
+    for a, b in [("[Y0001]", "yyyy"), ("[Y01]", "yy"), ("[Y]", "yyyy"),
+                 ("[M01]", "MM"), ("[M]", "M"), ("[D01]", "dd"), ("[D]", "d"),
+                 ("[H01]", "HH"), ("[H]", "H"), ("[m01]", "mm"), ("[m]", "m"),
+                 ("[s01]", "ss"), ("[s]", "s")]:
+        pic = pic.replace(a, b)
+    return pic
 
 
 def rm_column(df: DataFrame, src: str) -> Column:
