@@ -44,6 +44,7 @@ class CV:
 class ColumnCompiler:
     def __init__(self, schema: T.StructType):
         self.schema = schema
+        self.locals: dict = {}  # lambda params in scope -> CV
 
     # ---------------------------------------------------------- entry
     def compile(self, node: A.Node) -> CV:
@@ -66,6 +67,8 @@ class ColumnCompiler:
             if ctx is None:
                 raise ColumnCompileError("$ refers to the row; use a field path")
             return ctx
+        if n.name in self.locals:
+            return self.locals[n.name]
         raise ColumnCompileError(f"unbound variable {n.name} in column expression")
 
     def _c_FieldRef(self, n: A.FieldRef, ctx) -> CV:
@@ -304,6 +307,35 @@ class ColumnCompiler:
         if not isinstance(n.fn, A.Var):
             raise ColumnCompileError("only builtin calls compile to columns")
         name = n.fn.name
+        # user-lambda HOFs compile to Catalyst higher-order functions:
+        # $map/$filter(arr, function($x[,$i]){...}) -> transform / filter
+        if name in ("$map", "$filter") and len(n.args) == 2 \
+                and isinstance(n.args[1], A.FunDef):
+            arr = self._c(n.args[0], ctx)
+            fd = n.args[1]
+            if not isinstance(arr.dtype, T.ArrayType):
+                raise ColumnCompileError(f"{name} needs an array")
+            elem_t = arr.dtype.elementType
+            out_t: list = [None]
+
+            def body(x, i=None):
+                saved = dict(self.locals)
+                self.locals[fd.params[0]] = CV(x, elem_t)
+                if len(fd.params) > 1 and i is not None:
+                    self.locals[fd.params[1]] = CV(i, T.IntegerType())
+                try:
+                    out = self._c(fd.body, CV(x, elem_t))
+                finally:
+                    self.locals = saved
+                out_t[0] = out.dtype
+                return out.col
+
+            if name == "$map":
+                fn2 = (lambda x, i: body(x, i)) if len(fd.params) > 1 else body
+                col = F.transform(arr.col, fn2)
+                return CV(col, T.ArrayType(out_t[0]) if out_t[0] else None, True)
+            col = F.filter(arr.col, body)
+            return CV(col, arr.dtype, arr.is_seq)
         args = [self._c(a, ctx) for a in n.args]
         if lead is not None:
             args = [lead] + args

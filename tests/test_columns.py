@@ -114,3 +114,20 @@ def test_no_python_udf_in_plan(spark, doc_df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+HOF_DIFFERENTIAL = [
+    "$map(Account.Order.Product.Price, function($p){$p * 2})",
+    "$filter(Account.Order.Product.(Price * Quantity), function($v){$v > 100})",
+    "$sum($map(Account.Order.Product.Quantity, function($q){$q + 1}))",
+    "$map(Account.Order.Product.Price, function($p, $i){$p + $i})",
+]
+
+
+@pytest.mark.parametrize("src", HOF_DIFFERENTIAL)
+def test_hof_lambdas_differential(spark, doc_df, src):
+    expected = run(src, data=DOC)
+    got = _plain(doc_df.select(rm_column(doc_df, src).alias("v")).collect()[0]["v"])
+    if isinstance(got, list) and not isinstance(expected, list) and len(got) == 1:
+        got = got[0]
+    assert got == expected, f"{src}: column={got!r} interp={expected!r}"
