@@ -31,13 +31,14 @@ def normalize_text(col):
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of each exact (normalized) text.
-    groupBy on the 64-bit content hash: map-side partial agg, single
-    shuffle keyed by hash — scales linearly."""
-    h = F.xxhash64(normalize_text(F.col(text_col)))
+    Groups on the normalized text ITSELF (Spark hash-partitions it
+    internally) — keying on a 64-bit hash alone would collision-merge
+    distinct documents at 1e10+ docs. Map-side partial agg, one shuffle."""
     return (
-        docs.withColumn("content_hash", h)
-        .groupBy("content_hash")
+        docs.withColumn("__norm", normalize_text(F.col(text_col)))
+        .groupBy("__norm")
         .agg(F.min(F.col(id_col)).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__norm")
     )
 
 
@@ -120,11 +121,15 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
         F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda a, b: (a == b).cast("int")),
         F.lit(0), lambda acc, x: acc + x,
     ) / F.lit(num_hashes)
-    return (
+    out = (
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    # hand the persisted-signature handle to the caller: the cache must stay
+    # live until the plan's action runs, so release is caller-scheduled
+    out.rm_release_cache = sigs.unpersist
+    return out
 
 
 # -------------------------------------------------------------- simhash
@@ -205,37 +210,93 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 # -------------------------------------------------------------- embedding cosine
 
 def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
-                           id_col: str = "vec_id", threshold: float = 0.95,
-                           planes: int = 12) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine, bucketed by random
-    hyperplane signs (sign LSH): vectors agreeing on all `planes` signs
-    land in one bucket; cosine verified exactly inside buckets only."""
-    dim_df = emb.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    dim = dim_df[0]["d"] if dim_df else 0
-    import random
-    rnd = random.Random(42)
-    hyper = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+                           id_col: str = "vec_id", threshold: float = 0.45,
+                           bands: int = 32, planes_per_band: int = 4,
+                           seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine via BANDED sign-LSH
+    (OR-construction over AND-bands, like the minhash path): each band is
+    `planes_per_band` random-hyperplane sign bits; two vectors are
+    candidates if ANY band matches; candidates are verified with exact
+    cosine. Recall per true pair = 1-(1-p^r)^b with p = 1-theta/pi.
+
+    Parameter guidance: for production near-dup thresholds (cos >= 0.9,
+    p ~ 0.86) use r=16, b=24: fine buckets (random pairs collide at
+    ~0.5^16 per band => candidate volume ~ b*n^2/65536, a narrow bucketed
+    equi-join) with ~99% recall. Low thresholds need small r / large b and
+    trend toward brute force — that is inherent to sign-LSH, not the plan.
+
+    Hyperplane weights are derived IN-EXPRESSION from xxhash64(seed, plane,
+    dim-index) — no driver-side collect, no dependence on knowing the
+    dimension at plan-build, fully deterministic under `seed`.
+
+    Plan: one narrow projection computes all band signatures per row ->
+    explode to (id, band, sig) -> self equi-join on (band, sig) -> distinct
+    id pairs -> re-join vectors -> exact cosine filter. The only shuffles
+    are the bucket join (narrow rows) and the verify re-join.
+    """
+    nplanes = bands * planes_per_band
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-    def dot_plane(p):
-        arr = F.array(*[F.lit(w) for w in hyper[p]])
-        return F.aggregate(F.zip_with(vec, arr, lambda a, b: a * b),
-                           F.lit(0.0), lambda acc, x: acc + x)
+    # dots[p] = <vec, plane_p> with w(p, i) ~ Uniform(-0.5, 0.5) from a hash
+    def plane_dot(p):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+                lambda x, i: x * (F.pmod(F.xxhash64(F.lit(seed), p, i),
+                                         F.lit(1000003)).cast("double")
+                                  / F.lit(1000003.0) - F.lit(0.5)),
+            ),
+            F.lit(0.0), lambda acc, x: acc + x)
 
-    sig = F.concat_ws("", *[F.when(dot_plane(p) >= 0, "1").otherwise("0")
-                            for p in range(planes)])
+    dots = F.transform(F.sequence(F.lit(0), F.lit(nplanes - 1)), plane_dot)
+    # Let-bind the computed dot array via a 1-element transform so each band
+    # reads the SAME evaluated array — referencing `dots` per band would
+    # re-expand (and re-evaluate) the whole plane-dot expression 'bands'
+    # times over.
+    bands_col = F.element_at(
+        F.transform(
+            F.array(dots),
+            lambda d: F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.aggregate(
+                        F.slice(d, b * F.lit(planes_per_band) + 1,
+                                F.lit(planes_per_band)),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc * 2 + (x >= 0).cast("bigint"),
+                    ).alias("sig"),
+                ),
+            ),
+        ),
+        1,
+    )
+    banded = (
+        emb.select(F.col(id_col).alias("id"), F.explode(bands_col).alias("bb"))
+        .select("id", "bb.band", "bb.sig")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.sig") == F.col("r.sig"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
     norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
                               F.lit(0.0), lambda acc, x: acc + x))
-    b = emb.select(F.col(id_col).alias("id"), vec.alias("v"),
-                   sig.alias("bucket"), norm.alias("nrm"))
-    l, r = b.alias("l"), b.alias("r")
-    dot = F.aggregate(F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, c: a * c),
+    v = emb.select(F.col(id_col).alias("id"), vec.alias("v"), norm.alias("nrm"))
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                  F.col("nrm").alias("nrm_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                  F.col("nrm").alias("nrm_b"))
+    dot = F.aggregate(F.zip_with(F.col("v_a"), F.col("v_b"), lambda a, c: a * c),
                       F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot / (F.col("l.nrm") * F.col("r.nrm"))
+    cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket"))
-               & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                cos.alias("cosine"))
+        cand.join(va, on="id_a").join(vb, on="id_b")
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

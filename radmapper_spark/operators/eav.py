@@ -59,16 +59,31 @@ def melt_flat(df: DataFrame) -> DataFrame:
     return out
 
 
+_SIGN_BIT = -0x8000000000000000  # int64 sign bit
+
+
+def _child_eid(peid_col, attr: str, pos_col):
+    """Deterministic child eid from (parent eid, attr, element position).
+
+    Sibling branches at the same depth (two struct fields, two array-of-struct
+    fields) must never share eids, or a parent's ref edge equi-joins onto an
+    entity from a different branch. Hashing the full provenance makes each
+    branch/position distinct; setting the sign bit keeps hashed child eids
+    disjoint from the non-negative monotonically_increasing_id root eids.
+    """
+    return F.xxhash64(peid_col, F.lit(attr), pos_col).bitwiseOR(F.lit(_SIGN_BIT))
+
+
 def shred_to_eav(df: DataFrame, max_depth: int = 8) -> DataFrame:
     """Recursively shred a (possibly nested) DataFrame into EAV triples.
 
     Struct fields become child entities linked by `ref`; array fields emit
-    one row per element (cardinality-many). eids are derived with
-    monotonically_increasing_id per nesting level — unique within a level
-    and disjoint across levels via a level offset in the high bits.
+    one row per element (cardinality-many). Root eids come from
+    monotonically_increasing_id (non-negative); child eids are hashed from
+    (parent eid, attr, position) — deterministic, branch-distinct, and
+    disjoint from the root range via the sign bit.
     """
     frames: list[DataFrame] = []
-    level_bits = 48
 
     def walk(frame: DataFrame, eid_col, prefix_level: int):
         if prefix_level > max_depth:
@@ -82,8 +97,7 @@ def shred_to_eav(df: DataFrame, max_depth: int = 8) -> DataFrame:
                 child = (
                     frame.select(eid_col.alias("__peid"), col.alias("__child"))
                     .filter(F.col("__child").isNotNull())
-                    .withColumn("__eid", F.monotonically_increasing_id()
-                                + F.lit((prefix_level + 1) << level_bits))
+                    .withColumn("__eid", _child_eid(F.col("__peid"), name, F.lit(0)))
                 )
                 frames.append(child.select(
                     F.col("__peid").alias("eid"), F.lit(name).alias("attr"),
@@ -97,11 +111,12 @@ def shred_to_eav(df: DataFrame, max_depth: int = 8) -> DataFrame:
                 walk(child.select("__eid", "__child.*"), F.col("__eid"), prefix_level + 1)
             elif isinstance(dt, T.ArrayType):
                 elem = (
-                    frame.select(eid_col.alias("__peid"), F.explode(col).alias("__elem"))
+                    frame.select(eid_col.alias("__peid"),
+                                 F.posexplode(col).alias("__pos", "__elem"))
                 )
                 if isinstance(dt.elementType, T.StructType):
-                    elem = elem.withColumn("__eid", F.monotonically_increasing_id()
-                                           + F.lit((prefix_level + 1) << level_bits))
+                    elem = elem.withColumn(
+                        "__eid", _child_eid(F.col("__peid"), name, F.col("__pos")))
                     frames.append(elem.select(
                         F.col("__peid").alias("eid"), F.lit(name).alias("attr"),
                         F.struct(

@@ -55,14 +55,22 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def train_centroids(corpus: DataFrame, vec_col: str = "embedding",
-                    ncentroids: int = 16, iters: int = 5, seed: int = 42):
+                    ncentroids: int = 16, iters: int = 5, seed: int = 42,
+                    max_sample: int = 4096):
     """Tiny k-means on a driver-side sample (the IVF codebook is small by
-    construction; training data is a bounded sample, not the corpus)."""
+    construction; training data is a bounded sample, not the corpus).
+
+    The sample is a genuine uniform row sample: fraction computed from the
+    corpus count (with 20% overshoot, trimmed to max_sample) — a
+    fraction=1.0 + limit() would just take the first partitions, biasing
+    the codebook toward whatever the file order correlates with."""
     import numpy as np
+    n = corpus.count()
+    frac = min(1.0, (max_sample * 1.2) / max(n, 1))
     sample = np.array(
         [r["v"] for r in
          corpus.select(_to_double(F.col(vec_col)).alias("v"))
-         .sample(fraction=1.0, seed=seed).limit(4096).collect()],
+         .sample(fraction=frac, seed=seed).limit(max_sample).collect()],
         dtype="float64",
     )
     if len(sample) == 0:

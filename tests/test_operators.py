@@ -51,6 +51,39 @@ def test_ngram_jaccard_self_pair_is_one(spark, tables):
         assert abs(r["jaccard"] - 1.0) < 1e-9
 
 
+def test_embedding_cosine_lsh_recall(spark, tables):
+    """Banded sign-LSH must recover every true pair >= threshold that a
+    brute-force scan finds (100% recall on the deterministic fixture)."""
+    emb = tables["embeddings"]
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.embedding_cosine_pairs(
+               emb, threshold=0.45, bands=32, planes_per_band=4).collect()}
+    v = emb.select(F.col("vec_id").alias("id"),
+                   F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda s: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(s), lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    true = {(r["id_a"], r["id_b"]) for r in
+            a.crossJoin(b)
+            .filter(F.col("a.id") < F.col("b.id"))
+            .withColumn("cos", dot / (nrm("a.v") * nrm("b.v")))
+            .filter(F.col("cos") >= 0.45)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .collect()}
+    assert true, "fixture should exercise the threshold"
+    assert true <= lsh and lsh <= true, f"LSH/brute-force mismatch: {true ^ lsh}"
+
+
+def test_exact_dedup_no_hash_collision_merge(spark):
+    """Distinct texts must never merge, whatever their hashes do."""
+    rows = [(1, "alpha beta"), (2, "alpha  beta"), (3, "gamma delta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
 def test_brute_force_topk_self_is_rank1(spark, tables):
     emb = tables["embeddings"]
     q = emb.orderBy("vec_id").limit(3).select(F.col("vec_id").alias("qid"), "embedding")

@@ -110,3 +110,30 @@ def test_nested_spark_data_eav(spark):
     out = ip.run_raw("query{[?e :child ?c] [?c :val ?v]}($d)", bindings={"$d": df})
     vals = sorted(r["v"] for r in out.df.collect())
     assert vals == ["v0", "v1", "v2", "v3"]
+
+
+def test_nested_eav_sibling_struct_branches(spark):
+    """Sibling nested branches must get distinct eids: a ref edge into the
+    `left` branch must never join onto an entity from the `right` branch."""
+    import json
+    docs = [{"id": i, "left": {"val": f"L{i}"}, "right": {"val": f"R{i}"}}
+            for i in range(4)]
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(d) for d in docs]))
+    ip = Interp(spark)
+    out = ip.run_raw("query{[?e :left ?l] [?l :val ?v]}($d)", bindings={"$d": df})
+    vals = sorted(r["v"] for r in out.df.collect())
+    assert vals == ["L0", "L1", "L2", "L3"]
+
+
+def test_nested_eav_sibling_array_branches(spark):
+    """Same for sibling array-of-struct branches, with multiple elements."""
+    import json
+    docs = [{"id": i,
+             "xs": [{"v": f"x{i}.{j}"} for j in range(2)],
+             "ys": [{"v": f"y{i}.{j}"} for j in range(3)]}
+            for i in range(3)]
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(d) for d in docs]))
+    ip = Interp(spark)
+    out = ip.run_raw("query{[?e :xs ?x] [?x :v ?v]}($d)", bindings={"$d": df})
+    vals = sorted(r["v"] for r in out.df.collect())
+    assert vals == sorted(f"x{i}.{j}" for i in range(3) for j in range(2))
