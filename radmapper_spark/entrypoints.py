@@ -92,20 +92,30 @@ def rm_eav_wildcard_sql() -> str:
 
 def rm_express_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$map(bsets, express{...}) over a binding-set DataFrame: one nested
-    document per row, as a pure projection (SURVEY §2.6). Rows-only check
-    (nested struct output)."""
+    document per row, as a pure projection (SURVEY §2.6). The JSON
+    serialization of each document is the oracle-comparable value."""
     t = load_tables(spark, sf_dir)
     ip = Interp(spark)
     out = ip.run_raw(
         "( $bsets := query{[?e :c_custkey ?id] [?e :c_name ?name] [?e :c_mktsegment ?seg]}($c);"
         "  $map($bsets, express{{'customer': {'id': key(?id), 'name': ?name, 'segment': ?seg}}}) )",
         bindings={"$c": t["customer"]})
-    return out
+    return out.select(F.to_json(F.col("doc")).alias("doc"))
+
+
+def rm_express_map_sql() -> str:
+    return """
+    SELECT DISTINCT to_json(struct_pack(customer := struct_pack(
+        id := c_custkey, name := c_name, segment := c_mktsegment)))::VARCHAR AS doc
+    FROM customer
+    """
 
 
 def rm_express_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """$reduce(bsets, express{...}): the groupBy cascade assembling one
-    nested document (segments -> customers), uncollected. Rows-only."""
+    nested document (segments -> customers), uncollected. The entry emits
+    a CANONICAL JSON serialization (map keys sorted) so the one-row doc is
+    oracle-comparable; map_from_entries order is shuffle-dependent."""
     from .operators.express_spark import reduce_express_frame
     from .operators.spark_bridge import SparkBindingSets
     t = load_tables(spark, sf_dir)
@@ -115,7 +125,28 @@ def rm_express_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         bindings={"$c": t["customer"]})
     efn = ip.run_raw(
         "express{{'segments': {?seg: {'customers': [{'id': key(?id), 'name': ?name}]}}}}")
-    return reduce_express_frame(ip, bsets, efn)
+    doc = reduce_express_frame(ip, bsets, efn)
+    segs = F.col("doc").getField("segments")
+    entries = F.transform(
+        F.array_sort(F.map_keys(segs)),
+        lambda k: F.concat(F.lit('"'), k, F.lit('":'),
+                           F.to_json(F.element_at(segs, k))))
+    return doc.select(F.concat(F.lit('{"segments":{'),
+                               F.array_join(entries, ","),
+                               F.lit("}}")).alias("doc"))
+
+
+def rm_express_reduce_sql() -> str:
+    return """
+    WITH per_seg AS (
+        SELECT c_mktsegment AS seg,
+               '"' || c_mktsegment || '":' || to_json(struct_pack(
+                   customers := list(struct_pack(id := c_custkey, name := c_name)
+                                     ORDER BY c_custkey)))::VARCHAR AS entry
+        FROM customer GROUP BY c_mktsegment)
+    SELECT '{"segments":{' || string_agg(entry, ',' ORDER BY seg) || '}}' AS doc
+    FROM per_seg
+    """
 
 
 def rm_nested_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,8 +609,8 @@ ENTRIES: dict = {
     "rm_datalog_join": (rm_datalog_join, rm_datalog_join_sql),
     "rm_qvar_project": (rm_qvar_project, rm_qvar_project_sql),
     "rm_eav_wildcard": (rm_eav_wildcard, rm_eav_wildcard_sql),
-    "rm_express_map": (rm_express_map, None),
-    "rm_express_reduce": (rm_express_reduce, None),
+    "rm_express_map": (rm_express_map, rm_express_map_sql),
+    "rm_express_reduce": (rm_express_reduce, rm_express_reduce_sql),
     "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     # scalar function batteries
     "rm_scalar_battery": (rm_scalar_battery, rm_scalar_battery_sql),

@@ -127,11 +127,16 @@ class ColumnCompiler:
                         raise ColumnCompileError(f"no field {name!r}")
                     out_t, mk = self._fused_filter(ft, name, step.filters[0])
                     col = F.transform(cur.col, mk)
-                    if isinstance(out_t, T.ArrayType) and self._static_index(step.filters[0]) is None:
+                    is_pred = self._static_index(step.filters[0]) is None
+                    if isinstance(out_t, T.ArrayType) and is_pred:
                         # predicate filters splice (only index filters are
                         # non-compositional)
                         col = F.flatten(col)
                         out_t = out_t.elementType
+                    elif is_pred:
+                        # scalar field + predicate: non-matches are dropped
+                        # from the sequence, not kept as nulls
+                        col = F.filter(col, lambda x: x.isNotNull())
                     cv = CV(col, T.ArrayType(out_t), True)
                 else:
                     cv = self._filter(self._get(cur, name), step.filters[0])
@@ -151,7 +156,14 @@ class ColumnCompiler:
                     return out.col
 
                 col = F.transform(cur.col, body)
-                cv = CV(col, T.ArrayType(body_t[0]) if body_t[0] else None, True)
+                if isinstance(body_t[0], T.ArrayType):
+                    # sequence semantics: array-valued step results are
+                    # APPENDED into the output sequence (one-level splice),
+                    # e.g. [[1,2,3],[4]].$ => [1,2,3,4] — mirrors the
+                    # field-access splice in _get
+                    cv = CV(F.flatten(col), body_t[0], True)
+                else:
+                    cv = CV(col, T.ArrayType(body_t[0]) if body_t[0] else None, True)
             else:
                 cv = self._c(step.expr, cur)
             for f in step.filters:
@@ -240,9 +252,14 @@ class ColumnCompiler:
                    "<=": l.col <= r.col, ">": l.col > r.col, ">=": l.col >= r.col}[op]
             return CV(col, T.BooleanType())
         if op == "and":
-            return CV(l.col & r.col, T.BooleanType())
+            # value semantics as in the driver evaluator (interp._eval_BinOp,
+            # per the reference's Clojure and/or): return the DECIDING
+            # operand's value, not a strict boolean
+            out_t = r.dtype if l.dtype == r.dtype else None
+            return CV(F.when(self._truthy(l), r.col).otherwise(l.col), out_t)
         if op == "or":
-            return CV(l.col | r.col, T.BooleanType())
+            out_t = r.dtype if l.dtype == r.dtype else None
+            return CV(F.when(self._truthy(l), l.col).otherwise(r.col), out_t)
         if op == "&":
             return CV(F.concat(l.col.cast("string"), r.col.cast("string")),
                       T.StringType())
@@ -255,6 +272,21 @@ class ColumnCompiler:
                 return self._call(n.right, ctx, lead=l)
             raise ColumnCompileError("~> target must be a function call")
         raise ColumnCompileError(f"unsupported operator {op}")
+
+    def _truthy(self, cv: CV) -> Column:
+        """JSONata truthiness by static type (mirror of values.truthy):
+        false/null/0/''/empty array are falsy."""
+        dt = cv.dtype
+        if isinstance(dt, T.BooleanType):
+            return F.coalesce(cv.col, F.lit(False))
+        if isinstance(dt, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType,
+                           T.ShortType, T.ByteType, T.DecimalType)):
+            return cv.col.isNotNull() & (cv.col != 0)
+        if isinstance(dt, T.StringType):
+            return cv.col.isNotNull() & (F.length(cv.col) > 0)
+        if isinstance(dt, T.ArrayType):
+            return cv.col.isNotNull() & (F.size(cv.col) > 0)
+        return cv.col.isNotNull()
 
     def _c_UnOp(self, n: A.UnOp, ctx) -> CV:
         v = self._c(n.expr, ctx)
@@ -336,13 +368,19 @@ class ColumnCompiler:
                 return CV(col, T.ArrayType(out_t[0]) if out_t[0] else None, True)
             col = F.filter(arr.col, body)
             return CV(col, arr.dtype, arr.is_seq)
-        args = [self._c(a, ctx) for a in n.args]
+        # RegexLit/FunDef args are consumed as patterns / lambda bodies by
+        # the builtin handlers below, never compiled eagerly as Columns
+        args = [None if isinstance(a, (A.RegexLit, A.FunDef)) else self._c(a, ctx)
+                for a in n.args]
         if lead is not None:
             args = [lead] + args
         if not args and ctx is not None:
             args = [ctx]
 
         def a(i):
+            if args[i] is None:
+                raise ColumnCompileError(
+                    f"{name}: function/regex argument not column-compilable here")
             return args[i]
 
         if name in ("$sum", "$max", "$min", "$average"):
@@ -358,6 +396,26 @@ class ColumnCompiler:
         if name == "$reverse":
             return CV(F.reverse(a(0).col), a(0).dtype, a(0).is_seq)
         if name == "$sort":
+            fd = next((x for x in n.args if isinstance(x, A.FunDef)), None)
+            if fd is not None:
+                # user comparator: truthy(fn(a,b)) means a sorts AFTER b
+                # (reference builtin.cljc:1034-1055) -> +1/-1 comparator
+                arr = a(0)
+                if not isinstance(arr.dtype, T.ArrayType):
+                    raise ColumnCompileError("$sort needs an array")
+                elem_t = arr.dtype.elementType
+
+                def cmp(x, y):
+                    saved = dict(self.locals)
+                    self.locals[fd.params[0]] = CV(x, elem_t)
+                    self.locals[fd.params[1]] = CV(y, elem_t)
+                    try:
+                        res = self._c(fd.body, None)
+                    finally:
+                        self.locals = saved
+                    return F.when(self._truthy(res), F.lit(1)).otherwise(F.lit(-1))
+
+                return CV(F.array_sort(arr.col, cmp), arr.dtype, arr.is_seq)
             return CV(F.array_sort(a(0).col), a(0).dtype, a(0).is_seq)
         if name == "$append":
             return CV(F.concat(a(0).col, a(1).col), a(0).dtype, True)
@@ -397,14 +455,30 @@ class ColumnCompiler:
                 return CV(a(0).col.rlike(n.args[-1].pattern), T.BooleanType())
             return CV(a(0).col.contains(args[-1].col), T.BooleanType())
         if name == "$replace":
-            return CV(F.regexp_replace(a(0).col,
-                                       n.args[-2].pattern if isinstance(n.args[-2], A.RegexLit)
-                                       else F.lit(self._lit_str(n.args[-2])),
-                                       args[-1].col), T.StringType())
+            # regex semantics ONLY for RegexLit args; plain strings replace
+            # LITERALLY (reference/local builtin use s.replace) — passing a
+            # plain string to regexp_replace would treat '.' as a wildcard
+            pat_node = n.args[-2] if len(n.args) >= 2 else None
+            if isinstance(pat_node, A.RegexLit):
+                return CV(F.regexp_replace(a(0).col, pat_node.pattern,
+                                           args[-1].col), T.StringType())
+            return CV(F.replace(a(0).col, args[-2].col, args[-1].col),
+                      T.StringType())
         if name == "$pad":
-            w = args[-2].col if len(args) >= 2 else F.lit(0)
-            c = args[-1].col if len(args) > 2 else F.lit(" ")
-            return CV(F.rpad(a(0).col, w, c), T.StringType())
+            # signature is (s, width[, char]); negative width pads LEFT
+            # (reference builtin.cljc:525-545, local builtins._pad)
+            w = a(1).col.cast("int")
+            c = a(2).col if len(args) > 2 else F.lit(" ")
+            s = a(0).col
+            padded = F.when(
+                w >= 0,
+                F.when(F.length(s) >= w, s)
+                .otherwise(F.call_function("rpad", s, w, c)),
+            ).otherwise(
+                F.when(F.length(s) >= -w, s)
+                .otherwise(F.call_function("lpad", s, -w, c))
+            )
+            return CV(padded, T.StringType())
         if name == "$abs":
             return CV(F.abs(a(0).col), a(0).dtype)
         if name == "$floor":
@@ -412,9 +486,27 @@ class ColumnCompiler:
         if name == "$ceil":
             return CV(F.ceil(a(0).col).cast("long"), T.LongType())
         if name == "$round":
-            p = args[1].col if len(args) > 1 else F.lit(0)
-            return CV(F.bround(a(0).col, 0) if len(args) == 1
-                      else F.bround(a(0).col, n.args[-1].value), T.DoubleType())
+            # HALF_EVEN like the reference. bround requires a foldable
+            # scale, so non-literal precision gets an explicit banker's-
+            # rounding expression.
+            x = a(0).col.cast("double")
+            if len(args) <= 1:
+                return CV(F.bround(x, 0), T.DoubleType())
+            pnode = n.args[-1]
+            if isinstance(pnode, A.Lit) and isinstance(pnode.value, int):
+                return CV(F.bround(x, pnode.value), T.DoubleType())
+            # go through the decimal STRING rendering like bround/the driver
+            # (BigDecimal.valueOf uses Double.toString), else the binary
+            # double multiply drifts across the .5 tie (2.345*100 -> 234.5..03)
+            dec = "decimal(38,15)"
+            scale = F.pow(F.lit(10.0), args[-1].col.cast("int"))
+            y = x.cast("string").cast(dec) * scale.cast(dec)
+            fl = F.floor(y).cast(dec)
+            frac = y - fl
+            half = F.lit(0.5).cast(dec)
+            even_up = F.when(F.pmod(fl.cast("long"), 2) == 0, fl).otherwise(fl + 1)
+            r = F.when(frac > half, fl + 1).when(frac < half, fl).otherwise(even_up)
+            return CV(r.cast("double") / scale, T.DoubleType())
         if name == "$sqrt":
             return CV(F.sqrt(a(0).col), T.DoubleType())
         if name == "$power":

@@ -40,11 +40,13 @@ def _val_col(col, dtype: str):
 
 def melt_flat(df: DataFrame) -> DataFrame:
     """Flat table -> EAV (used for attribute-wildcard queries)."""
+    attr_types: dict[str, str] = {}
     df = df.withColumn("__eid", F.monotonically_increasing_id())
     pieces = []
     for name, dtype in df.dtypes:
         if name == "__eid":
             continue
+        attr_types[name] = dtype
         pieces.append(
             df.select(
                 F.col("__eid").alias("eid"),
@@ -56,6 +58,9 @@ def melt_flat(df: DataFrame) -> DataFrame:
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
+    # per-attribute source types: lets the query compiler keep NATIVE-typed
+    # binding values instead of the string coalesce (ADVICE: typed bindings)
+    out.rm_attr_types = attr_types
     return out
 
 
@@ -84,6 +89,15 @@ def shred_to_eav(df: DataFrame, max_depth: int = 8) -> DataFrame:
     disjoint from the root range via the sign bit.
     """
     frames: list[DataFrame] = []
+    attr_types: dict[str, str] = {}
+
+    def note_type(attr: str, t: str):
+        # same attr name at different nesting levels with conflicting types
+        # -> unknown (query compiler falls back to string coalesce)
+        if attr_types.get(attr, t) != t:
+            attr_types[attr] = "conflict"
+        else:
+            attr_types[attr] = t
 
     def walk(frame: DataFrame, eid_col, prefix_level: int):
         if prefix_level > max_depth:
@@ -108,6 +122,7 @@ def shred_to_eav(df: DataFrame, max_depth: int = 8) -> DataFrame:
                         F.col("__eid").alias("ref"),
                     ).alias("val"),
                 ))
+                note_type(name, "ref")
                 walk(child.select("__eid", "__child.*"), F.col("__eid"), prefix_level + 1)
             elif isinstance(dt, T.ArrayType):
                 elem = (
@@ -126,14 +141,17 @@ def shred_to_eav(df: DataFrame, max_depth: int = 8) -> DataFrame:
                             F.col("__eid").alias("ref"),
                         ).alias("val"),
                     ))
+                    note_type(name, "ref")
                     walk(elem.select("__eid", "__elem.*"), F.col("__eid"), prefix_level + 1)
                 else:
                     dtype = elem.schema["__elem"].dataType.simpleString()
+                    note_type(name, dtype)
                     frames.append(elem.select(
                         F.col("__peid").alias("eid"), F.lit(name).alias("attr"),
                         _val_col(F.col("__elem"), dtype).alias("val"),
                     ))
             else:
+                note_type(name, dt.simpleString())
                 frames.append(frame.select(
                     eid_col.alias("eid"), F.lit(name).alias("attr"),
                     _val_col(col, dt.simpleString()).alias("val"),
@@ -144,4 +162,5 @@ def shred_to_eav(df: DataFrame, max_depth: int = 8) -> DataFrame:
     out = frames[0]
     for p in frames[1:]:
         out = out.unionByName(p)
+    out.rm_attr_types = attr_types
     return out

@@ -97,7 +97,7 @@ def run_query_spark(ip, q, dbs: dict, env) -> SparkBindingSets:
         cur_cols |= cols
 
     for pred in preds:
-        cur = cur.filter(_compile_pred(ip, pred.call, subs, env))
+        cur = cur.filter(_compile_pred(ip, pred.call, subs, env, cur))
 
     keep_db_id = bool(q.options.get("keepDBid"))
     out_cols = [c for c in cur.columns
@@ -138,7 +138,7 @@ def _entity_frame_direct(df: DataFrame, pats: list, subs) -> tuple[DataFrame, se
     sel = []
     cols: set[str] = set()
     nfilters = 0
-    seen_alias: set[str] = set()
+    alias_attr: dict[str, str] = {}  # qvar name -> first bound column
     for pat in pats:
         attr = _resolve_attr(pat, subs)
         if attr is None:
@@ -151,9 +151,16 @@ def _entity_frame_direct(df: DataFrame, pats: list, subs) -> tuple[DataFrame, se
             return empty.select(), set(), 0
         if isinstance(pat.v, A.QVar):
             name = pat.v.name[1:]
-            if name != "_" and name not in seen_alias:
+            if name == "_":
+                continue
+            if name in alias_attr:
+                # repeated value qvar => implied equality constraint
+                # (query{[?e :a ?x] [?e :b ?x]} keeps only rows with a = b)
+                df = df.filter(F.col(attr) == F.col(alias_attr[name]))
+                nfilters += 1
+            else:
                 sel.append(F.col(attr).alias(name))
-                seen_alias.add(name)
+                alias_attr[name] = attr
                 cols.add(name)
         else:
             want = _resolve_val(pat, subs)
@@ -163,12 +170,36 @@ def _entity_frame_direct(df: DataFrame, pats: list, subs) -> tuple[DataFrame, se
     return out, cols, nfilters
 
 
+def _eav_binding_col(eav: DataFrame, attr):
+    """Column expression for a value binding, with NATIVE type when the
+    attribute's type is known from the source schema (eav.rm_attr_types,
+    attached by melt_flat/shred_to_eav); string coalesce only for
+    attribute wildcards / unknown attrs (reference keeps typed values in
+    binding sets — stringifying '1.0'/'true' diverges)."""
+    types = getattr(eav, "rm_attr_types", None) or {}
+    t = types.get(attr) if attr is not None else None
+    if t == "boolean":
+        return F.col("val.b")
+    if t in ("bigint", "int", "smallint", "tinyint"):
+        return F.col("val.n").cast("bigint")
+    if t in ("double", "float"):
+        return F.col("val.n")
+    if t == "ref":
+        return F.col("val.ref")
+    if t is not None and t.startswith("string"):
+        return F.col("val.s")
+    return F.coalesce(
+        F.col("val.s"), F.col("val.n").cast("string"),
+        F.col("val.b").cast("string"), F.col("val.ref").cast("string"))
+
+
 def _entity_frame_eav(eav: DataFrame, pats: list, subs) -> tuple[DataFrame, set, int]:
     """EAV source: per-pattern filtered frames joined on the entity id."""
     cur = None
     cols: set[str] = set()
     nfilters = 0
     ent_col = "__eid"
+    eq_pairs: list[tuple[str, str]] = []
     for i, pat in enumerate(pats):
         f = eav
         attr = _resolve_attr(pat, subs)
@@ -182,11 +213,16 @@ def _entity_frame_eav(eav: DataFrame, pats: list, subs) -> tuple[DataFrame, set,
         if isinstance(pat.v, A.QVar):
             name = pat.v.name[1:]
             if name != "_":
-                proj.append(F.coalesce(
-                    F.col("val.s"), F.col("val.n").cast("string"),
-                    F.col("val.b").cast("string"), F.col("val.ref").cast("string"),
-                ).alias(name))
-                cols.add(name)
+                vcol = _eav_binding_col(eav, attr)
+                if name in cols:
+                    # repeated value qvar on the same entity: bind a temp
+                    # column and keep only rows where both attrs agree
+                    tmp = f"__eq{i}_{name}"
+                    proj.append(vcol.alias(tmp))
+                    eq_pairs.append((name, tmp))
+                else:
+                    proj.append(vcol.alias(name))
+                    cols.add(name)
         else:
             want = _resolve_val(pat, subs)
             if isinstance(want, bool):
@@ -198,16 +234,20 @@ def _entity_frame_eav(eav: DataFrame, pats: list, subs) -> tuple[DataFrame, set,
             nfilters += 1
         f = f.select(*proj)
         cur = f if cur is None else cur.join(f, on=ent_col, how="inner")
+    for name, tmp in eq_pairs:
+        cur = cur.filter(F.col(name) == F.col(tmp)).drop(tmp)
+        nfilters += 1
     if isinstance(pats[0].e, A.QVar):
         cur = cur.withColumnRenamed(ent_col, pats[0].e.name[1:])
         cols.add(pats[0].e.name[1:])
     return cur, cols, nfilters
 
 
-def _compile_pred(ip, call: A.Call, subs, env):
-    """Compile a predicate pattern to a Column filter. Supports the builtin
-    predicates the reference allows in :where (reference
-    rewrite.cljc:269-287): $match/$contains + comparisons."""
+def _compile_pred(ip, call: A.Call, subs, env, frame: DataFrame):
+    """Compile a predicate pattern to a Column filter: $match/$contains get
+    direct regex forms; ANY other column-compilable builtin goes through
+    the ColumnCompiler against the joined frame's schema (reference allows
+    arbitrary predicates in :where, rewrite.cljc:269-287)."""
     fn_name = call.fn.name if isinstance(call.fn, A.Var) else None
     args = call.args
 
@@ -222,11 +262,44 @@ def _compile_pred(ip, call: A.Call, subs, env):
             return F.lit(node.pattern)
         raise ValueError(f"unsupported predicate arg {node}")
 
-    if fn_name == "$match":
+    simple = all(isinstance(x, (A.QVar, A.Lit, A.Var, A.RegexLit)) for x in args)
+    if fn_name == "$match" and simple:
         return col_of(args[0]).rlike(args[1].pattern if isinstance(args[1], A.RegexLit)
                                      else str(args[1].value))
-    if fn_name == "$contains":
+    if fn_name == "$contains" and simple:
         if isinstance(args[1], A.RegexLit):
             return col_of(args[0]).rlike(args[1].pattern)
         return col_of(args[0]).contains(col_of(args[1]))
-    raise ValueError(f"unsupported query predicate {fn_name}")
+    # any other builtin: rewrite qvars to column refs and hand the call to
+    # the Column compiler (the reference allows arbitrary predicates in
+    # :where via :in substitution, rewrite.cljc:269-287)
+    from ..lang.columns import ColumnCompiler
+    node = _subst_qvars(call, subs)
+    cc = ColumnCompiler(frame.schema)
+    return cc.compile(node).col.cast("boolean")
+
+
+def _subst_qvars(node, subs):
+    """Rewrite ?qvar -> FieldRef(column) and $param-in-subs -> Lit for
+    compiling predicate patterns against the joined binding-set frame."""
+    import dataclasses
+    if isinstance(node, A.QVar):
+        return A.FieldRef(node.name[1:])
+    if isinstance(node, A.Var) and node.name in subs:
+        return A.Lit(subs[node.name])
+    if dataclasses.is_dataclass(node) and isinstance(node, A.Node):
+        kwargs = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, A.Node):
+                kwargs[f.name] = _subst_qvars(v, subs)
+            elif isinstance(v, list):
+                kwargs[f.name] = [
+                    _subst_qvars(x, subs) if isinstance(x, A.Node)
+                    else tuple(_subst_qvars(y, subs) if isinstance(y, A.Node) else y
+                               for y in x) if isinstance(x, tuple) else x
+                    for x in v]
+            else:
+                kwargs[f.name] = v
+        return type(node)(**kwargs)
+    return node

@@ -50,6 +50,8 @@ def doc_df(spark):
 def _plain(v):
     if isinstance(v, list):
         return [_plain(x) for x in v]
+    if hasattr(v, "asDict"):  # Row -> dict for comparison with the driver
+        return {k: _plain(x) for k, x in v.asDict().items()}
     return v
 
 
@@ -114,6 +116,74 @@ def test_no_python_udf_in_plan(spark, doc_df):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+SCALAR_DOC = {"s": "ab", "t": "a.b.c", "n": 2.345, "p": 2, "xs": [3, 1, 2]}
+
+# parity set for the column twins fixed after round 1: $pad width sign and
+# 2-arg form, literal-$replace, value-semantics and/or, non-literal $round
+# precision, $sort comparator
+SCALAR_DIFFERENTIAL = [
+    "$pad(s, 5)",
+    "$pad(s, -5)",
+    "$pad(s, 5, '*')",
+    "$pad(s, -5, '*')",
+    "$pad(s, 1)",
+    "$replace(t, '.', '-')",
+    "$replace(t, /b/, 'B')",
+    "$round(n, p)",
+    "$round(n, 1)",
+    "$round(n)",
+    "'' or 'dflt'",
+    "s or 'dflt'",
+    "s and 'y'",
+    "'' and 'y'",
+    "$sort(xs, function($a,$b){$a < $b})",
+    "$sort(xs, function($a,$b){$a > $b})",
+]
+
+
+@pytest.mark.parametrize("src", SCALAR_DIFFERENTIAL)
+def test_scalar_twin_differential(spark, src):
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(SCALAR_DOC)]))
+    expected = run(src, data=SCALAR_DOC)
+    got = _plain(df.select(rm_column(df, src).alias("v")).collect()[0]["v"])
+    if isinstance(got, list) and not isinstance(expected, list) and len(got) == 1:
+        got = got[0]
+    assert got == expected, f"{src}: column={got!r} interp={expected!r}"
+
+
+def test_quirk_corpus_differential(spark):
+    """Sweep the whole quirk corpus through BOTH evaluators: any case the
+    Column compiler accepts must agree with the driver interpreter (cases
+    it rejects raise ColumnCompileError and are skipped — rejection is the
+    honest answer for driver-only constructs, divergence is a bug)."""
+    from tests import test_quirks as Q
+    cases = []
+    for mark_fn in (Q.test_today_block, Q.test_small_things, Q.test_immediate_use,
+                    Q.test_code_blocks, Q.test_design):
+        for m in mark_fn.pytestmark:
+            if m.name == "parametrize":
+                cases.extend(m.args[1])
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(SCALAR_DOC)]))
+    compiled = mismatched = 0
+    for src, want in cases:
+        try:
+            col = rm_column(df, src)
+        except Exception:
+            continue
+        try:
+            got = _plain(df.select(col.alias("v")).collect()[0]["v"])
+        except Exception:
+            continue  # accepted-at-compile but not executable: driver-only
+        compiled += 1
+        if isinstance(got, list) and not isinstance(want, list) and len(got) == 1:
+            got = got[0]
+        if got != want:
+            mismatched += 1
+            print(f"quirk divergence: {src}: column={got!r} want={want!r}")
+    assert mismatched == 0, f"{mismatched} quirk divergences"
+    assert compiled >= 10, f"only {compiled} quirk cases column-compiled"
 
 
 HOF_DIFFERENTIAL = [

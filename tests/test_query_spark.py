@@ -112,6 +112,67 @@ def test_nested_spark_data_eav(spark):
     assert vals == ["v0", "v1", "v2", "v3"]
 
 
+def test_repeated_value_qvar_direct(spark):
+    """query{[?e :a ?x] [?e :b ?x]} implies a = b — rows where the two
+    attributes differ must be excluded (matches the local evaluator)."""
+    rows = [(1, 1), (1, 2), (3, 3), (4, 5)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    ip = Interp(spark)
+    out = ip.run_raw("query{[?e :a ?x] [?e :b ?x]}($d)", bindings={"$d": df})
+    got = sorted(r["x"] for r in out.df.collect())
+    local = ip.run_raw("query{[?e :a ?x] [?e :b ?x]}($d)",
+                       bindings={"$d": [{"a": a, "b": b} for a, b in rows]})
+    assert got == sorted(b["x"] for b in local) == [1, 3]
+
+
+def test_repeated_value_qvar_eav(spark):
+    """Same constraint through the EAV shred (nested source)."""
+    import json
+    docs = [{"a": 1, "b": 1, "nest": {"y": 0}}, {"a": 1, "b": 2, "nest": {"y": 0}},
+            {"a": 7, "b": 7, "nest": {"y": 0}}]
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(d) for d in docs]))
+    ip = Interp(spark)
+    out = ip.run_raw("query{[?e :a ?x] [?e :b ?x]}($d)", bindings={"$d": df})
+    assert sorted(r["x"] for r in out.df.collect()) == [1, 7]
+
+
+def test_eav_typed_binding_values(spark):
+    """Value bindings through the shred keep native types: a number must
+    come back as a number, not the string '5.0'."""
+    import json
+    docs = [{"child": {"n": 5, "flag": True, "s": "hi"}}]
+    df = spark.read.json(spark.sparkContext.parallelize([json.dumps(d) for d in docs]))
+    ip = Interp(spark)
+    out = ip.run_raw("query{[?e :child ?c] [?c :n ?v] [?c :flag ?f] [?c :s ?s]}($d)",
+                     bindings={"$d": df})
+    row = out.df.collect()[0]
+    assert row["v"] == 5 and not isinstance(row["v"], str)
+    assert row["f"] is True
+    assert row["s"] == "hi"
+
+
+def test_arbitrary_builtin_predicate_spark(spark, tables):
+    """Predicates beyond the $match/$contains allowlist compile through the
+    Column compiler ([($not($contains(?n,'1')))]-style)."""
+    ip = Interp(spark)
+    out = ip.run_raw(
+        "query{[?e :c_name ?n] [($not($contains(?n, '1')))]}($c)",
+        bindings={"$c": tables["customer"]})
+    want = tables["customer"].filter(~F.col("c_name").contains("1")).count()
+    assert out.df.count() == want
+
+
+def test_uppercase_predicate_spark(spark, tables):
+    ip = Interp(spark)
+    out = ip.run_raw(
+        "query{[?e :c_mktsegment ?s] [($contains($lowercase(?s), 'build'))]}($c)",
+        bindings={"$c": tables["customer"]})
+    want = tables["customer"].filter(
+        F.lower(F.col("c_mktsegment")).contains("build")) \
+        .select("c_mktsegment").distinct().count()
+    assert out.df.count() == want
+
+
 def test_nested_eav_sibling_struct_branches(spark):
     """Sibling nested branches must get distinct eids: a ref edge into the
     `left` branch must never join onto an entity from the `right` branch."""
