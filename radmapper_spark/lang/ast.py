@@ -130,8 +130,25 @@ class PredPattern(Node):
 @dataclass
 class QueryDef(Node):
     params: list        # parameter var names
-    patterns: list      # TriplePattern | PredPattern
+    patterns: list      # TriplePattern | PredPattern | RuleCall
     options: dict = field(default_factory=dict)
+
+
+@dataclass
+class RuleDef(Node):
+    """Named datalog rule: rule{(name ?a ...) [clauses...]}
+    (reference parse.cljc:1168-1206; execution NYI there — here a rule is
+    a reusable clause group, spliceable into query{} where-patterns)."""
+    name: str
+    args: list          # qvar names ['?c', ...]
+    clauses: list       # TriplePattern list
+
+
+@dataclass
+class RuleCall(Node):
+    """Rule invocation inside a query's :where — [(name ?x ...)]."""
+    name: str
+    args: list          # QVar | Lit nodes
 
 
 @dataclass

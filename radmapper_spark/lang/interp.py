@@ -75,6 +75,17 @@ class ExpressFnV:
     param_subs: Optional[dict] = None
 
 
+@dataclass
+class RuleV:
+    """rule{} value: a named, reusable clause group. Callable with DB args
+    -> binding sets projected to the rule-head qvars; also spliced into
+    query{} patterns via [(name ?x)] (see query_local.expand_rule_calls)."""
+    name: str
+    args: list
+    clauses: list
+    env: "Env"
+
+
 class Env:
     __slots__ = ("vars", "parent")
 
@@ -242,6 +253,13 @@ class Interp:
     def _eval_QueryDef(self, n: A.QueryDef, env: Env):
         return QueryFnV(n.params, n.patterns, n.options, env)
 
+    def _eval_RuleDef(self, n: A.RuleDef, env: Env):
+        rv = RuleV(n.name, n.args, n.clauses, env)
+        # register under the rule's own name so query{} bodies can invoke
+        # it by [(name ?x)] without threading a $var
+        env.vars[n.name] = rv
+        return rv
+
     def _eval_ExpressDef(self, n: A.ExpressDef, env: Env):
         return ExpressFnV(n.params, n.body, n.options, env)
 
@@ -283,6 +301,17 @@ class Interp:
             return fnv.fn(self, env, *args)
         if isinstance(fnv, QueryFnV):
             return self._call_query(fnv, args, env)
+        if isinstance(fnv, RuleV):
+            # standalone rule application: run its clauses as a query and
+            # project the binding sets to the head qvars (keepDBid: a head
+            # var may BE an entity var — the projection must retain it)
+            q = QueryFnV([], fnv.clauses, {"keepDBid": True}, fnv.env)
+            bsets = self._call_query(q, args, env)
+            keep = [a[1:] for a in fnv.args]
+            from ..operators.spark_bridge import SparkBindingSets
+            if isinstance(bsets, SparkBindingSets):
+                return SparkBindingSets(bsets.df.select(*keep).distinct())
+            return [{k: b[k] for k in keep if k in b} for b in bsets]
         if isinstance(fnv, ExpressFnV):
             return self._call_express(fnv, args, env)
         if isinstance(fnv, RMRegex):

@@ -16,7 +16,7 @@ from __future__ import annotations
 from .ast import (
     ArrayLit, Assign, BinOp, Block, Call, Cond, ExpressDef, FieldRef, FunDef,
     KeyCall, Lit, Node, ObjLit, Path, PathStep, PredPattern, QVar, QueryDef,
-    RegexLit, TriplePattern, UnOp, Var,
+    RegexLit, RuleCall, RuleDef, TriplePattern, UnOp, Var,
 )
 from .tokens import Tok, tokenize
 
@@ -160,6 +160,8 @@ class Parser:
                 return self.parse_query()
             if t.val == "express":
                 return self.parse_express()
+            if t.val == "rule":
+                return self.parse_rule()
             if t.val == "key":
                 self.next()
                 self.expect_op("(")
@@ -380,10 +382,59 @@ class Parser:
         opts = self._parse_options()
         return QueryDef(params, patterns, opts)
 
+    def parse_rule(self) -> RuleDef:
+        """rule{(name ?a ...) [clause]*} — reference parse.cljc:1168-1206."""
+        self.next()  # 'rule'
+        self.expect_op("{")
+        self.expect_op("(")
+        name = self._rule_name()
+        args = []
+        while not self.at_op(")"):
+            t = self.next()
+            if t.kind != "qvar":
+                raise ParseError(f"rule head args must be qvars, got {t.val!r} at {t.pos}")
+            args.append(t.val)
+        self.next()  # ')'
+        clauses = []
+        while not self.at_op("}"):
+            clauses.append(self.parse_pattern())
+        self.expect_op("}")
+        return RuleDef(name, args, clauses)
+
+    def _rule_name(self) -> str:
+        t = self.next()
+        if t.kind not in ("ident", "keyword"):
+            raise ParseError(f"expected rule name at {t.pos}")
+        name = str(t.val)
+        if self.at_op("?"):  # datalog-style predicate names: twitter?
+            self.next()
+            name += "?"
+        return name
+
     def parse_pattern(self) -> Node:
         self.expect_op("[")
         if self.at_op("("):
             self.next()
+            # rule invocation form: (name ?x ...) — a bare ident followed
+            # by qvars is not an RM expression, so detect it first
+            if self.peek().kind == "ident":
+                save = self.i
+                try:
+                    name = self._rule_name()
+                    rargs = []
+                    while not self.at_op(")"):
+                        t = self.next()
+                        if t.kind == "qvar":
+                            rargs.append(QVar(t.val))
+                        elif t.kind in ("num", "str"):
+                            rargs.append(Lit(t.val))
+                        else:
+                            raise ParseError("not a rule call")
+                    self.next()  # ')'
+                    self.expect_op("]")
+                    return RuleCall(name, rargs)
+                except ParseError:
+                    self.i = save
             call = self.parse_expr(0)
             self.expect_op(")")
             self.expect_op("]")

@@ -157,11 +157,54 @@ def _as_db(ip, val):
     return LocalDB.from_data(jflatten(val))
 
 
+def expand_rule_calls(patterns: list, q_env, env, _depth: int = 0) -> list:
+    """Splice [(name ?x)] rule invocations into their clause groups:
+    head qvars map to the call's args, rule-internal qvars get fresh
+    names (no capture). Rules may invoke rules; depth-capped."""
+    from ..lang import ast as A
+    from ..lang.interp import RuleV
+    if _depth > 8:
+        raise ValueError("rule expansion too deep (recursive rule?)")
+    out = []
+    for i, p in enumerate(patterns):
+        if not isinstance(p, A.RuleCall):
+            out.append(p)
+            continue
+        rv = None
+        for e in (q_env, env):
+            if e is not None and e.has(p.name):
+                rv = e.lookup(p.name)
+                break
+        if not isinstance(rv, RuleV):
+            raise ValueError(f"unknown rule {p.name!r} in query pattern")
+        mapping = dict(zip(rv.args, p.args))
+        tag = f"__r{_depth}_{i}"
+
+        def rn(node):
+            if isinstance(node, A.QVar):
+                if node.name in mapping:
+                    return mapping[node.name]
+                return A.QVar(f"?{tag}_{node.name[1:]}")
+            return node
+
+        renamed = [A.TriplePattern(cl.db, rn(cl.e), rn(cl.a), rn(cl.v))
+                   if isinstance(cl, A.TriplePattern) else cl
+                   for cl in rv.clauses]
+        out.extend(expand_rule_calls(renamed, rv.env, env, _depth + 1))
+    return out
+
+
 def run_query(ip, q, args: list, env):
     """Execute a query fn value against data/db arguments -> binding sets
     (list of dicts keyed by qvar name without '?')."""
+    import dataclasses
+
+    from ..lang import ast as _A
     from .query_spark import run_query_spark
     from .spark_bridge import SparkDB
+    if any(isinstance(p, _A.RuleCall) for p in q.patterns):
+        q = dataclasses.replace(
+            q, patterns=expand_rule_calls(q.patterns, q.env, env))
     dbs = _resolve_dbs(ip, q, args, env)
     if any(isinstance(db, SparkDB) for db in dbs.values()):
         return run_query_spark(ip, q, dbs, env)
@@ -206,7 +249,9 @@ def run_query(ip, q, args: list, env):
     for b in bsets:
         row = {}
         for k, v in b.items():
-            if k == "_":
+            if k == "_" or k.startswith("__r"):
+                # '__r*' = fresh rule-internal qvars from expand_rule_calls;
+                # rule scoping keeps them out of the binding set
                 continue
             if not keep_db_id and (k in entity_vars or isinstance(v, Eid)):
                 continue

@@ -101,7 +101,9 @@ def run_query_spark(ip, q, dbs: dict, env) -> SparkBindingSets:
 
     keep_db_id = bool(q.options.get("keepDBid"))
     out_cols = [c for c in cur.columns
-                if keep_db_id or (c not in entity_vars and not c.startswith("__eid"))]
+                if not c.startswith("__r")  # rule-internal fresh qvars
+                and (keep_db_id or (c not in entity_vars
+                                    and not c.startswith("__eid")))]
     result = cur.select(*sorted(out_cols)).distinct()  # datalog set semantics
     return SparkBindingSets(result)
 

@@ -116,23 +116,93 @@ def rm_put(ip, target, obj):
 
 # ------------------------------------------------------------- spreadsheet
 
+_XNS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_RELNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
+def _col_index(ref: str) -> int:
+    """'A1' -> 0, 'B3' -> 1, 'AA7' -> 26 (cell reference -> column index)."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return n - 1
+
+
+def _xlsx_matrix(path: str, sheet=None) -> list[list]:
+    """Minimal .xlsx reader on the stdlib only (zip of XML — no external
+    engine in this environment): resolves the sheet by name via
+    workbook.xml rels, decodes sharedStrings, returns a dense row matrix."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+    z = zipfile.ZipFile(path)
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in z.namelist():
+        for si in ET.fromstring(z.read("xl/sharedStrings.xml")).findall(f"{_XNS}si"):
+            shared.append("".join(t.text or "" for t in si.iter(f"{_XNS}t")))
+    rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+    rid_target = {r.get("Id"): r.get("Target")
+                  for r in rels.findall(f"{_RNS}Relationship")}
+    sheet_file = "xl/worksheets/sheet1.xml"
+    sheets = ET.fromstring(z.read("xl/workbook.xml")).find(f"{_XNS}sheets")
+    for sh in (sheets if sheets is not None else []):
+        if sheet is None or sh.get("name") == sheet:
+            tgt = rid_target.get(sh.get(f"{_RELNS}id")) or "worksheets/sheet1.xml"
+            sheet_file = tgt if tgt.startswith("xl/") else "xl/" + tgt.lstrip("/")
+            break
+    rows: list[list] = []
+    for row in ET.fromstring(z.read(sheet_file)).iter(f"{_XNS}row"):
+        cells: dict[int, Any] = {}
+        for c in row.findall(f"{_XNS}c"):
+            idx = _col_index(c.get("r", "A"))
+            t = c.get("t", "n")
+            v = c.find(f"{_XNS}v")
+            if t == "s":
+                val = shared[int(v.text)] if v is not None else ""
+            elif t == "inlineStr":
+                val = "".join(tt.text or "" for tt in c.iter(f"{_XNS}t"))
+            elif v is None or v.text is None:
+                continue
+            elif t == "b":
+                val = v.text == "1"
+            else:
+                txt = v.text
+                val = float(txt) if ("." in txt or "e" in txt.lower()) else int(txt)
+            cells[idx] = val
+        if cells:
+            width = max(cells) + 1
+            rows.append([cells.get(i) for i in range(width)])
+    width = max((len(r) for r in rows), default=0)
+    return [r + [None] * (width - len(r)) for r in rows]
+
+
 def read_spreadsheet(path: str, sheet=None, invert: bool = False):
-    """.xlsx rows -> maps keyed by header names (reference
-    builtin.cljc:1626-1675). Falls back to csv for .csv files."""
-    try:
-        import pandas as pd
-    except ImportError as exc:  # pragma: no cover
-        raise ValueError("$getSpreadsheet needs pandas") from exc
+    """.xlsx / .csv rows -> maps keyed by header names, optional transpose
+    (reference builtin.cljc:1626-1675 $getSpreadsheet)."""
     if path.endswith(".csv"):
-        df = pd.read_csv(path)
+        import csv
+        with open(path, newline="") as f:
+            matrix = [[_csv_val(x) for x in row] for row in csv.reader(f)]
     else:
-        df = pd.read_excel(path, sheet_name=sheet or 0)
+        matrix = _xlsx_matrix(path, sheet)
     if invert:
-        df = df.T.reset_index()
-        df.columns = [str(c) for c in df.iloc[0]]
-        df = df.iloc[1:]
+        matrix = [list(col) for col in zip(*matrix)]
+    if not matrix:
+        return []
+    headers = [str(h) if h is not None else f"_c{i}"
+               for i, h in enumerate(matrix[0])]
     return [
-        {str(k): (v.item() if hasattr(v, "item") else v) for k, v in row.items()
-         if not (isinstance(v, float) and v != v)}
-        for row in df.to_dict(orient="records")
+        {h: v for h, v in zip(headers, row) if v is not None}
+        for row in matrix[1:]
     ]
+
+
+def _csv_val(s: str):
+    for conv in (int, float):
+        try:
+            return conv(s)
+        except ValueError:
+            pass
+    return s

@@ -483,3 +483,34 @@ def test_identities_roundtrip_vector_data():
     src = ("( $data := [{'id': 1, 'x': {'y': 'a'}}];"
            "  $reduce($qIdent($data)($data), $eIdent($data)) )")
     assert run(src) == {"id": 1, "x": {"y": "a"}}
+
+
+# ---- rule{} named datalog rules (reference parse.cljc:1168-1206) ----
+
+def test_rule_standalone_application():
+    """A rule applied to data runs its clauses as a query projected to the
+    head qvars (the reference's Seattle twitter? example shape)."""
+    r = run("( $isT := rule{(twitter? ?c)"
+            "             [?c :community_type 'twitter']};"
+            "  $isT([{'community_type': 'twitter', 'name': 'a'},"
+            "        {'community_type': 'forum',   'name': 'b'},"
+            "        {'community_type': 'twitter', 'name': 'c'}]) )")
+    assert isinstance(r, list) and len(r) == 2
+
+
+def test_rule_spliced_into_query():
+    """[(name ?x)] inside query{} splices the rule's clauses; rule-internal
+    qvars stay scoped (no leak into the binding set)."""
+    r = run("( $adj := rule{(adjacent ?a ?b)"
+            "              [?e :from ?a] [?e :to ?b]};"
+            "  $q := query{[(adjacent ?x ?y)]};"
+            "  $q([{'from': 1, 'to': 2}, {'from': 2, 'to': 3}]) )")
+    assert sorted((b["x"], b["y"]) for b in r) == [(1, 2), (2, 3)]
+    assert all(set(b) == {"x", "y"} for b in r)
+
+
+def test_rule_spliced_with_extra_patterns():
+    r = run("( $adj := rule{(adjacent ?a ?b) [?e :from ?a] [?e :to ?b]};"
+            "  $q := query{[(adjacent ?x ?y)] [?e2 :from ?y] [?e2 :to ?z]};"
+            "  $q([{'from': 1, 'to': 2}, {'from': 2, 'to': 3}]) )")
+    assert sorted((b["x"], b["y"], b["z"]) for b in r) == [(1, 2, 3)]

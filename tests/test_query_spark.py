@@ -101,6 +101,20 @@ def test_keep_db_id_option(spark, tables):
     assert "e" in with_id.df.columns or len(with_id.df.columns) > len(without.df.columns)
 
 
+def test_rule_splice_on_spark_table(spark, tables):
+    """rule{} clauses spliced into a query{} running on a Spark table."""
+    ip = Interp(spark)
+    out = ip.run_raw(
+        "( $urgent := rule{(urgent ?ok) [?e :o_orderpriority '1-URGENT']"
+        "                               [?e :o_orderkey ?ok]};"
+        "  query{[(urgent ?k)]}($o) )",
+        bindings={"$o": tables["orders"]})
+    want = tables["orders"].filter(
+        F.col("o_orderpriority") == "1-URGENT").count()
+    assert out.df.count() == want
+    assert out.df.columns == ["k"]
+
+
 def test_nested_spark_data_eav(spark):
     """query{} over a NESTED DataFrame goes through the EAV shred."""
     import json

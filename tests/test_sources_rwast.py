@@ -102,3 +102,48 @@ def test_spreadsheet_invert(tmp_path):
     # transposed: one row per original column, keyed by first-column values
     assert len(r) == 2
     assert r[0]["metric"] == "q1"
+
+
+ONHAND_XLSX = "/root/reference/data/testing/spreadsheets/on-hand.xlsx"
+
+
+def test_spreadsheet_real_xlsx():
+    """The REAL .xlsx path (stdlib zip+XML reader, no external engine)
+    against the reference's own on-hand.xlsx fixture."""
+    import os
+    import pytest
+    if not os.path.exists(ONHAND_XLSX):
+        pytest.skip("reference fixture not present")
+    r = run(f"$getSpreadsheet('{ONHAND_XLSX}')")
+    assert r == [
+        {"Material Item No.": "BIND-ARAM", "O.H. Qty.": 2899},
+        {"Material Item No.": "F-11567", "O.H. Qty.": 893},
+        {"Material Item No.": "F-13567", "O.H. Qty.": 521},
+        {"Material Item No.": "F-16975", "O.H. Qty.": 19},
+    ]
+
+
+def test_spreadsheet_xlsx_generated(tmp_path):
+    """Self-contained xlsx fixture (sharedStrings + inline numbers) built
+    with the same OOXML layout Excel emits."""
+    import zipfile
+    p = tmp_path / "mini.xlsx"
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml",
+                   f'<workbook {ns} {rns}><sheets>'
+                   '<sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                   '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>')
+        z.writestr("xl/sharedStrings.xml",
+                   f'<sst {ns}><si><t>item</t></si><si><t>n</t></si>'
+                   '<si><t>ok</t></si></sst>')
+        z.writestr("xl/worksheets/sheet1.xml",
+                   f'<worksheet {ns}><sheetData>'
+                   '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+                   '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>2.5</v></c></row>'
+                   '</sheetData></worksheet>')
+    r = run(f"$getSpreadsheet('{p}', 'Data')")
+    assert r == [{"item": "ok", "n": 2.5}]
