@@ -237,6 +237,12 @@ class ColumnCompiler:
 
     def _c_BinOp(self, n: A.BinOp, ctx) -> CV:
         l = self._c(n.left, ctx)
+        if n.op == "~>":
+            # right side must compile WITH the lead arg (a bare $match(/re/)
+            # etc. has a regex in arg 0 and no source otherwise)
+            if isinstance(n.right, A.Call):
+                return self._call(n.right, ctx, lead=l)
+            raise ColumnCompileError("~> target must be a function call")
         r = self._c(n.right, ctx)
         op = n.op
         if op in self.NUM_OPS:
@@ -267,10 +273,6 @@ class ColumnCompiler:
             return CV(F.array_contains(r.col, l.col), T.BooleanType())
         if op == "..":
             return CV(F.sequence(l.col, r.col), T.ArrayType(T.LongType()), True)
-        if op == "~>":
-            if isinstance(n.right, A.Call):
-                return self._call(n.right, ctx, lead=l)
-            raise ColumnCompileError("~> target must be a function call")
         raise ColumnCompileError(f"unsupported operator {op}")
 
     def _truthy(self, cv: CV) -> Column:
@@ -305,6 +307,18 @@ class ColumnCompiler:
 
     def _c_ArrayLit(self, n: A.ArrayLit, ctx) -> CV:
         items = [self._c(i, ctx) for i in n.items]
+        if any(i.is_seq and isinstance(i.dtype, T.ArrayType) for i in items):
+            # sequence elements SPLICE into the constructed array ([1..5] is
+            # [1,2,3,4,5], not [[1,2,3,4,5]]) — concat array segments
+            segs, et = [], None
+            for i in items:
+                if i.is_seq and isinstance(i.dtype, T.ArrayType):
+                    segs.append(i.col)
+                    et = et or i.dtype.elementType
+                else:
+                    segs.append(F.array(i.col))
+                    et = et or i.dtype
+            return CV(F.concat(*segs), T.ArrayType(et) if et else None)
         et = items[0].dtype if items else None
         return CV(F.array(*[i.col for i in items]), T.ArrayType(et) if et else None)
 
@@ -454,6 +468,8 @@ class ColumnCompiler:
             if isinstance(n.args[-1], A.RegexLit):
                 return CV(a(0).col.rlike(n.args[-1].pattern), T.BooleanType())
             return CV(a(0).col.contains(args[-1].col), T.BooleanType())
+        if name == "$match":
+            return self._match_objects(n, args, a)
         if name == "$replace":
             # regex semantics ONLY for RegexLit args; plain strings replace
             # LITERALLY (reference/local builtin use s.replace) — passing a
@@ -534,6 +550,59 @@ class ColumnCompiler:
             return CV(F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSS"),
                                F.lit("Z")), T.StringType())
         raise ColumnCompileError(f"builtin {name} is not column-compilable")
+
+    def _match_objects(self, n: A.Call, args, a) -> CV:
+        """Column twin of $match: {match,index,groups} objects (reference
+        builtin.cljc:448-488). Positions are derived WITHOUT a UDF: split
+        the string on the pattern, then a fold accumulates each match's
+        start offset from the segment/match lengths. Group captures come
+        from regexp_extract_all per group (group count read from the
+        compiled pattern at plan build)."""
+        import re as _re
+        pat_node = next((x for x in n.args if isinstance(x, A.RegexLit)), None)
+        if pat_node is None:
+            raise ColumnCompileError("$match needs a /regex/ literal in column mode")
+        pattern = pat_node.pattern
+        ngroups = _re.compile(pattern).groups
+        limit = None
+        if len(n.args) >= 2 and isinstance(n.args[-1], A.Lit) \
+                and isinstance(n.args[-1].value, int):
+            limit = n.args[-1].value
+        src = a(0).col
+        matches = F.regexp_extract_all(src, F.lit(pattern), F.lit(0))
+        parts = F.split(src, pattern, -1)
+        group_arrs = [F.regexp_extract_all(src, F.lit(pattern), F.lit(j))
+                      for j in range(1, ngroups + 1)]
+
+        def step(acc, i):
+            m = F.element_at(matches, i + 1)
+            obj = F.struct(
+                m.alias("match"),
+                acc.getField("pos").alias("index"),
+                F.array(*[F.element_at(g, i + 1) for g in group_arrs])
+                .alias("groups") if group_arrs
+                else F.array().cast("array<string>").alias("groups"),
+            )
+            new_pos = (acc.getField("pos") + F.length(m)
+                       + F.length(F.element_at(parts, i + 2)))
+            return F.struct(new_pos.alias("pos"),
+                            F.array_append(acc.getField("out"), obj).alias("out"))
+
+        elem_t = T.StructType([
+            T.StructField("match", T.StringType()),
+            T.StructField("index", T.IntegerType()),
+            T.StructField("groups", T.ArrayType(T.StringType())),
+        ])
+        init = F.struct(
+            F.length(F.element_at(parts, 1)).alias("pos"),
+            F.array().cast(f"array<{elem_t.simpleString()}>").alias("out"))
+        folded = F.aggregate(
+            F.sequence(F.lit(0), F.size(matches) - 1), init, step
+        ).getField("out")
+        folded = F.when(F.size(matches) > 0, folded)
+        if limit is not None:
+            folded = F.slice(folded, 1, limit)
+        return CV(folded, T.ArrayType(elem_t), True)
 
     def _lit_str(self, node) -> str:
         if isinstance(node, A.Lit):

@@ -140,6 +140,12 @@ SCALAR_DIFFERENTIAL = [
     "'' and 'y'",
     "$sort(xs, function($a,$b){$a < $b})",
     "$sort(xs, function($a,$b){$a > $b})",
+    # $match object shape {match,index,groups} (builtin.cljc:448-488)
+    "$match(t, /b/)",
+    "$match(t, /[a-z]/)",
+    "$match(t, /([a-z])\\./)",
+    "$match(t, /[a-z]/, 2)",
+    "t ~> $match(/[a-z]/)",
 ]
 
 
