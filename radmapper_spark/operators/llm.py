@@ -1,10 +1,13 @@
 """LLM-assisted operators (`$llmExtract`, `$llmMatch`) — SURVEY.md §2.10.
 
-The reference posts to an OpenAI endpoint (builtin.cljc:2489-2738). No
-network access exists in this environment, so the LLM call itself is a
-clearly-marked stub behind ``RM_LLM_ENDPOINT``; the Spark-side plumbing
-(batched pandas UDF over a text column — the shape that matters at scale)
-is real and tested with a deterministic fake.
+The reference posts to an OpenAI-style chat endpoint (builtin.cljc:
+2489-2738, the POST itself at 2626-2642). Here the HTTP client is real
+(stdlib urllib, chat-completions request/response shape) and activates
+when ``RM_LLM_ENDPOINT`` is set — a deployment needs only the env var
+(+ optional ``RM_LLM_API_KEY`` / ``RM_LLM_MODEL``). Without it, a
+deterministic heuristic keeps the operators testable offline; the
+Spark-side plumbing (batched pandas UDF over a text column — the shape
+that matters at scale) is identical in both modes.
 """
 
 from __future__ import annotations
@@ -14,14 +17,33 @@ import re
 from typing import Any, Optional
 
 
-def _call_llm(prompt: str) -> str:
+def _call_llm(prompt: str, system: str = "You are a data extraction assistant. Reply with ONLY the extracted value.") -> str:
+    """POST one chat-completions request to RM_LLM_ENDPOINT and return the
+    assistant message content (reference builtin.cljc:2626-2642 — query-llm
+    posts {model, messages} and reads choices[0].message.content)."""
     endpoint = os.environ.get("RM_LLM_ENDPOINT")
     if not endpoint:
         raise NotImplementedError(
             "LLM endpoint not configured (set RM_LLM_ENDPOINT); "
             "use llm_extract_column for the deterministic Spark path"
         )
-    raise NotImplementedError("remote LLM calls are not available in this environment")
+    import json as _json
+    import urllib.request as _rq
+
+    body = _json.dumps({
+        "model": os.environ.get("RM_LLM_MODEL", "gpt-4o-mini"),
+        "messages": [{"role": "system", "content": system},
+                     {"role": "user", "content": prompt}],
+        "temperature": 0,
+    }).encode("utf-8")
+    headers = {"Content-Type": "application/json"}
+    key = os.environ.get("RM_LLM_API_KEY")
+    if key:
+        headers["Authorization"] = f"Bearer {key}"
+    req = _rq.Request(endpoint, data=body, headers=headers, method="POST")
+    with _rq.urlopen(req, timeout=float(os.environ.get("RM_LLM_TIMEOUT", "30"))) as resp:
+        payload = _json.loads(resp.read().decode("utf-8"))
+    return payload["choices"][0]["message"]["content"]
 
 
 def _heuristic_extract(src: str, seek: str) -> Optional[str]:
@@ -37,6 +59,8 @@ def _heuristic_extract(src: str, seek: str) -> Optional[str]:
 
 
 def llm_extract(src: str, seek: str):
+    if os.environ.get("RM_LLM_ENDPOINT"):
+        return _call_llm(f"Extract the {seek} from the following text:\n\n{src}")
     out = _heuristic_extract(src, seek)
     return out if out is not None else None
 
@@ -73,9 +97,39 @@ def llm_extract_column(df, text_col: str, seek: str, out_col: str = "extracted")
 
     # NB: the extraction logic is inlined (not a module-global reference) so
     # cloudpickle ships it BY VALUE — executor Python workers must not need
-    # `radmapper_spark` importable (the driver may run from any cwd).
+    # `radmapper_spark` importable (the driver may run from any cwd). The
+    # endpoint config is captured at plan build so executors don't depend on
+    # their own env propagation.
+    endpoint = os.environ.get("RM_LLM_ENDPOINT")
+    model = os.environ.get("RM_LLM_MODEL", "gpt-4o-mini")
+    api_key = os.environ.get("RM_LLM_API_KEY")
+    timeout = float(os.environ.get("RM_LLM_TIMEOUT", "30"))
+
     def extract(batch):
         import re as _re
+
+        def live(src):
+            import json as _json
+            import urllib.request as _rq
+            body = _json.dumps({
+                "model": model,
+                "messages": [
+                    {"role": "system",
+                     "content": "You are a data extraction assistant. "
+                                "Reply with ONLY the extracted value."},
+                    {"role": "user",
+                     "content": f"Extract the {seek} from the following "
+                                f"text:\n\n{src}"}],
+                "temperature": 0,
+            }).encode("utf-8")
+            headers = {"Content-Type": "application/json"}
+            if api_key:
+                headers["Authorization"] = f"Bearer {api_key}"
+            req = _rq.Request(endpoint, data=body, headers=headers,
+                              method="POST")
+            with _rq.urlopen(req, timeout=timeout) as resp:
+                payload = _json.loads(resp.read().decode("utf-8"))
+            return payload["choices"][0]["message"]["content"]
 
         def one(src):
             m = _re.search(rf"{_re.escape(seek)}\s*[:=]?\s*([^\s,;]+)", src,
@@ -87,7 +141,8 @@ def llm_extract_column(df, text_col: str, seek: str, out_col: str = "extracted")
                 return m.group(0) if m else None
             return None
 
-        return batch.map(lambda s: one(s or ""))
+        fn = live if endpoint else (lambda s: one(s))
+        return batch.map(lambda s: fn(s or ""))
 
     # `from __future__ import annotations` stringifies hints, which the
     # pandas_udf inspector can't resolve — set them as real objects

@@ -180,6 +180,48 @@ def test_llm_extract_column_batched(spark):
     assert llm_extract("total amount: 42.50", "total amount") == "42.50"
 
 
+def test_llm_live_http_client(spark, monkeypatch):
+    """The real HTTP path: a local OpenAI-shaped stub server answers the
+    chat-completions POST; both the scalar call and the batched pandas-UDF
+    column path must route through it when RM_LLM_ENDPOINT is set."""
+    import http.server
+    import json
+    import threading
+
+    class Stub(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            req = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            user = next(m["content"] for m in req["messages"]
+                        if m["role"] == "user")
+            body = json.dumps({"choices": [{"message": {
+                "role": "assistant",
+                "content": f"ANSWER:{len(user)}"}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv("RM_LLM_ENDPOINT",
+                           f"http://127.0.0.1:{srv.server_address[1]}/v1/chat/completions")
+        from radmapper_spark.operators.llm import llm_extract, llm_extract_column
+        got = llm_extract("some text", "thing")
+        assert got.startswith("ANSWER:")
+        df = spark.createDataFrame([(1, "abc"), (2, "defgh")], ["id", "text"])
+        out = {r["id"]: r["extracted"]
+               for r in llm_extract_column(df, "text", "thing").collect()}
+        assert all(v.startswith("ANSWER:") for v in out.values())
+        assert out[1] != out[2]  # per-row prompts differ in length
+    finally:
+        srv.shutdown()
+
+
 def test_llm_match_name_alignment():
     from radmapper_spark.operators.llm import llm_match
     src = {"Invoice": {"InvoiceLine": {"BuyerParty": "x"}}}
