@@ -369,13 +369,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-simhash near-dup pairs (4×16-bit tables, exact popcount
+    verify) — the Manku-style scale path; flat (id_a, id_b, hamming)
+    rows are driver-canonicalizable."""
     t = load_tables(spark, sf_dir)
-    # ids as a comma-joined string: driver-canonicalizable (pandas can't
-    # sort an array column) and deterministic (sort_array upstream).
-    return dedup.simhash_dedup(t["documents"]).select(
-        "bucket", "n_docs",
-        F.concat_ws(",", F.transform(F.col("ids"),
-                                     lambda x: x.cast("string"))).alias("ids"))
+    return dedup.simhash_pairs(t["documents"], max_hamming=3)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -163,18 +163,73 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  prefix_bits: int = 16) -> DataFrame:
-    """Bucket by simhash prefix; near-dup candidates share a bucket.
-    Returns (bucket, n_docs, ids) for buckets with >1 doc."""
+                  prefix_bits: int = 16, max_ids: int = 100) -> DataFrame:
+    """Bucket-summary diagnostic: docs sharing a simhash prefix. Returns
+    (bucket, n_docs, ids) for buckets with >1 doc; `ids` is CAPPED at
+    `max_ids` so a hot bucket (e.g. near-empty docs) cannot accumulate
+    unbounded per-row state. For the scalable pairwise form use
+    simhash_pairs()."""
     sh = simhash(docs, text_col, id_col)
     bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
     return (
         sh.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+             F.slice(F.sort_array(F.collect_list(F.col(id_col))),
+                     1, max_ids).alias("ids"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, bands: int = 4,
+                  band_bits: int = 16) -> DataFrame:
+    """Near-duplicate pairs by banded SimHash — the scale path.
+
+    Classic multi-table construction (Manku et al., WWW'07 "Detecting
+    near-duplicates for web crawling"): split the 64-bit fingerprint into
+    `bands` tables of `band_bits` each; any pair within Hamming distance
+    `max_hamming` < `bands` agrees EXACTLY on at least one band
+    (pigeonhole), so a per-band equi-join finds every true pair — no
+    unbounded collect_list, no all-pairs scan. Candidates are verified
+    with exact bit_count(xor) <= max_hamming.
+
+    Shuffle profile mirrors minhash_lsh_pairs: fingerprints computed once
+    and persisted (id + 1 long per doc), candidate join carries only
+    (band, band_val, id), pair dedup before the verify re-join.
+    """
+    assert bands * band_bits <= 64
+    sh = simhash(docs, text_col, id_col).select(
+        F.col(id_col).alias("id"), "simhash").persist()
+    mask = (1 << band_bits) - 1
+    bandvals = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("bval"))
+            for b in range(bands)])).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a, b = bandvals.alias("a"), bandvals.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.bval") == F.col("b.bval"),
+                      F.col("a.id") < F.col("b.id")])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out = (
+        cand.join(sh.select(F.col("id").alias("id_a"),
+                            F.col("simhash").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"),
+                        F.col("simhash").alias("sh_b")), "id_b")
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    out.rm_release_cache = sh.unpersist
+    return out
 
 
 # -------------------------------------------------------------- ngram jaccard

@@ -40,6 +40,22 @@ def test_simhash_identical_docs_same_hash(spark, tables):
             assert rows[i] == rows[i + 100000]
 
 
+def test_simhash_pairs_recall_vs_bruteforce(spark, tables):
+    """Banded simhash (4×16-bit tables) must find EVERY pair within
+    Hamming<=3 — the pigeonhole guarantee — verified against brute-force
+    popcount over all fingerprint pairs."""
+    docs = tables["documents"].limit(60)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(both).collect()}
+    truth = {(a, b) for a in fps for b in fps
+             if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3}
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.simhash_pairs(both, max_hamming=3).collect()}
+    assert truth, "test corpus has no hamming<=3 pair (exact dups expected)"
+    assert got == truth, f"missed={truth - got} extra={got - truth}"
+
+
 def test_ngram_jaccard_self_pair_is_one(spark, tables):
     docs = tables["documents"].limit(5)
     dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
