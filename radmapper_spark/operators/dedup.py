@@ -53,6 +53,12 @@ def exact_dedup_keep(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 def _shingles(col, k: int = 5):
     """Word k-shingles as an array<string> (empty-safe)."""
     words = F.split(normalize_text(col), " ")
+    if k == 1:
+        # 1-shingles ARE the words — skip the per-token slice/join lambda
+        # (interpreted per element; measured ~25x the split cost, and it
+        # lands on the single-threaded broadcast-collect path when the
+        # gram frame is a broadcast build side)
+        return words
     n = F.size(words)
     return F.when(n >= k, F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
@@ -66,7 +72,13 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int =
                       shingle_k: int = 5) -> DataFrame:
     """num_hashes minhash values per doc: min over xxhash64(shingle, seed_i).
     Vectorized entirely in Catalyst: transform+array_min per hash — no UDF,
-    no explode, no shuffle."""
+    no explode, no shuffle (beyond an input spread when the source arrives
+    under-partitioned: a small parquet file scans as ONE task, and the
+    per-doc hash loop is the hot part — at real scale the input is already
+    wide and the spread is a no-op)."""
+    npart = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < npart:
+        docs = docs.repartition(npart)
     sh = _shingles(F.col(text_col), shingle_k)
     # hash each shingle STRING once (the expensive part), then derive the
     # num_hashes functions from the 8-byte base hash — ~len(text)/8 fewer
@@ -243,23 +255,37 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     if candidates is None:
         candidates = minhash_lsh_pairs(docs, text_col, id_col,
                                        jaccard_threshold=0.0)
+    # spread the verify: candidate frames often arrive with the probe
+    # side's input partitioning (a broadcast-join chain over one small
+    # parquet file = ONE task), and the per-pair set math is the hot loop —
+    # hash-spread the narrow id pairs so every core verifies. The explicit
+    # partition count matters: without it AQE coalesces the ~MB-sized
+    # shuffle back to one partition and the verify runs single-threaded.
+    npart = candidates.sparkSession.sparkContext.defaultParallelism
+    candidates = candidates.repartition(npart, F.col("id_a"), F.col("id_b"))
     grams = docs.select(
         F.col(id_col).alias("id"),
         F.array_distinct(_shingles(F.col(text_col), n)).alias("grams"),
-    )
+    ).withColumn("sz", F.size("grams"))
     a = grams.alias("ga")
     b = grams.alias("gb")
     joined = (
         candidates.join(a, candidates.id_a == F.col("ga.id"))
         .join(b, candidates.id_b == F.col("gb.id"))
     )
+    # |union| = |a| + |b| - |inter|: one array op per pair, not two —
+    # array_intersect dominates the verify, so this halves the hot loop
     inter = F.size(F.array_intersect(F.col("ga.grams"), F.col("gb.grams")))
-    union = F.size(F.array_union(F.col("ga.grams"), F.col("gb.grams")))
+    union = F.col("ga.sz") + F.col("gb.sz") - inter
     jac = (inter.cast("double") / union.cast("double"))
-    return (
-        joined.select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    scored = joined.select("id_a", "id_b", jac.alias("jaccard"))
+    # pushdown BARRIER: the always-false nondeterministic clause keeps the
+    # threshold filter out of the broadcast-join condition — pushed there,
+    # array_intersect is re-evaluated per probe in the condition AND twice
+    # more in the projection (no cross-operator CSE), a measured ~4x on
+    # the verify hot loop
+    return scored.filter((F.col("jaccard") >= threshold)
+                         | (F.rand() < F.lit(-1.0)))
 
 
 # -------------------------------------------------------------- embedding cosine
@@ -267,75 +293,114 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", threshold: float = 0.45,
                            bands: int = 32, planes_per_band: int = 4,
+                           sketch_planes: int = 512,
                            seed: int = 42) -> DataFrame:
     """Near-duplicate pairs by embedding cosine via BANDED sign-LSH
-    (OR-construction over AND-bands, like the minhash path): each band is
-    `planes_per_band` random-hyperplane sign bits; two vectors are
-    candidates if ANY band matches; candidates are verified with exact
-    cosine. Recall per true pair = 1-(1-p^r)^b with p = 1-theta/pi.
+    (OR-construction over AND-bands, like the minhash path) plus a packed
+    sign-SKETCH prefilter: each band is `planes_per_band` random-hyperplane
+    sign bits; two vectors are candidates if ANY band matches. Before the
+    (expensive) exact-cosine verify, candidates are screened with a
+    `sketch_planes`-bit sign sketch packed into bigint words — the angle
+    estimate is popcount(XOR), a pure JVM bit_count over 8 longs, so the
+    hot-bucket quadratic cost of a low threshold hits a cheap popcount,
+    never a full-dimension dot product. Only pairs whose estimated
+    agreement clears (p_t - 4.5 sigma) reach the vector re-join; at
+    threshold 0.45 with 512 planes that kills ~99.5% of random candidates
+    while keeping per-true-pair miss probability ~3e-6.
 
     Parameter guidance: for production near-dup thresholds (cos >= 0.9,
     p ~ 0.86) use r=16, b=24: fine buckets (random pairs collide at
     ~0.5^16 per band => candidate volume ~ b*n^2/65536, a narrow bucketed
     equi-join) with ~99% recall. Low thresholds need small r / large b and
-    trend toward brute force — that is inherent to sign-LSH, not the plan.
+    trend toward near-all-pairs CANDIDATES — inherent to sign-LSH — which
+    is why the sketch prefilter carries the verify, not the vectors.
 
     Hyperplane weights are derived IN-EXPRESSION from xxhash64(seed, plane,
     dim-index) — no driver-side collect, no dependence on knowing the
-    dimension at plan-build, fully deterministic under `seed`.
+    dimension at plan-build, fully deterministic under `seed`. The band
+    planes are the prefix of the sketch planes, so signatures + sketch are
+    ONE pass over the vector (persisted: id + bands + 8 longs per row).
 
-    Plan: one narrow projection computes all band signatures per row ->
+    Plan: one projection computes band sigs and sketch words per row ->
     explode to (id, band, sig) -> self equi-join on (band, sig) -> distinct
-    id pairs -> re-join vectors -> exact cosine filter. The only shuffles
-    are the bucket join (narrow rows) and the verify re-join.
+    id pairs -> popcount prefilter on sketch words -> re-join vectors ->
+    exact cosine filter.
     """
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
     nplanes = bands * planes_per_band
+    assert sketch_planes % 64 == 0
+    total_planes = max(nplanes, sketch_planes)
+    nwords = sketch_planes // 64
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
-    # dots[p] = <vec, plane_p> with w(p, i) ~ Uniform(-0.5, 0.5) from a hash
-    def plane_dot(p):
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                lambda x, i: x * (F.pmod(F.xxhash64(F.lit(seed), p, i),
-                                         F.lit(1000003)).cast("double")
-                                  / F.lit(1000003.0) - F.lit(0.5)),
-            ),
-            F.lit(0.0), lambda acc, x: acc + x)
+    # Signature + sketch in ONE Arrow-batched pandas UDF: the plane dots are
+    # a (batch x dim) @ (dim x planes) matmul — dense linear algebra that
+    # Catalyst higher-order functions can only run as interpreted per-element
+    # lambdas (~60x slower measured), i.e. the documented "genuinely can't
+    # express it" case for a vectorized UDF. Hyperplanes are Uniform(-0.5,
+    # 0.5) from a seeded numpy Generator — deterministic, built lazily from
+    # the batch's dim, no driver-side collect. Closure is self-contained
+    # (ships by value; executors never import radmapper_spark).
+    b_, r_, sk_, tp_, seed_ = bands, planes_per_band, sketch_planes, total_planes, seed
 
-    dots = F.transform(F.sequence(F.lit(0), F.lit(nplanes - 1)), plane_dot)
-    # Let-bind the computed dot array via a 1-element transform so each band
-    # reads the SAME evaluated array — referencing `dots` per band would
-    # re-expand (and re-evaluate) the whole plane-dot expression 'bands'
-    # times over.
-    bands_col = F.element_at(
-        F.transform(
-            F.array(dots),
-            lambda d: F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.aggregate(
-                        F.slice(d, b * F.lit(planes_per_band) + 1,
-                                F.lit(planes_per_band)),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, x: acc * 2 + (x >= 0).cast("bigint"),
-                    ).alias("sig"),
-                ),
-            ),
-        ),
-        1,
+    def sig_sketch(s):
+        import numpy as np
+        import pandas as pd
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in s])
+        W = np.random.default_rng(seed_).uniform(-0.5, 0.5, (tp_, M.shape[1]))
+        bits = (M @ W.T) >= 0.0  # (n, total_planes)
+        # band sigs: r_ consecutive plane bits per band
+        sig = np.zeros((len(s), b_), dtype=np.int64)
+        for b in range(b_):
+            for j in range(r_):
+                sig[:, b] = (sig[:, b] << 1) | bits[:, b * r_ + j]
+        # sketch words: 64 consecutive plane bits per word, wrapped to int64
+        packed = np.packbits(bits[:, :sk_], axis=1, bitorder="big")
+        words = (packed.reshape(len(s), sk_ // 64, 8)
+                 .astype(np.uint64) @ (np.uint64(256) **
+                                       np.arange(7, -1, -1, dtype=np.uint64))
+                 ).astype(np.int64)
+        return pd.Series([np.concatenate([sig[i], words[i]]).tolist()
+                          for i in range(len(s))])
+
+    import pandas as _pd
+    sig_sketch.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
+    sig_udf = pandas_udf(sig_sketch, "array<bigint>")
+
+    base = (
+        emb.select(F.col(id_col).alias("id"),
+                   sig_udf(F.col(vec_col)).alias("sg"))
+        .select("id",
+                F.slice("sg", 1, bands).alias("bb"),
+                F.slice("sg", bands + 1, nwords).alias("wd"))
+        .persist()
     )
-    banded = (
-        emb.select(F.col(id_col).alias("id"), F.explode(bands_col).alias("bb"))
-        .select("id", "bb.band", "bb.sig")
-    )
+    # the banded frame CARRIES the sketch words (8 longs — cheap next to a
+    # re-join), so the popcount prefilter runs INLINE on the raw join
+    # output and the expensive distinct only sees survivors
+    banded = base.select("id", "wd", F.posexplode("bb").alias("band", "sig"))
     l, r = banded.alias("l"), banded.alias("r")
-    cand = (
+    # popcount prefilter: agreement fraction vs p_t - 4.5 sigma. The word
+    # count is static, so the popcount sum is UNROLLED into flat bit_count
+    # terms — whole-stage-codegen-able, unlike an aggregate() lambda
+    p_t = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    margin = 4.5 * math.sqrt(p_t * (1.0 - p_t) / sketch_planes)
+    disagree = sum(
+        (F.bit_count(F.element_at(F.col("l.wd"), w + 1)
+                     .bitwiseXOR(F.element_at(F.col("r.wd"), w + 1)))
+         for w in range(nwords)),
+        F.lit(0))
+    est_p = (F.lit(sketch_planes) - disagree) / F.lit(float(sketch_planes))
+    screened = (
         l.join(r, (F.col("l.band") == F.col("r.band"))
                & (F.col("l.sig") == F.col("r.sig"))
                & (F.col("l.id") < F.col("r.id")))
+        .filter(est_p >= F.lit(p_t - margin))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
@@ -349,9 +414,11 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
     dot = F.aggregate(F.zip_with(F.col("v_a"), F.col("v_b"), lambda a, c: a * c),
                       F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        cand.join(va, on="id_a").join(vb, on="id_b")
+    out = (
+        screened.join(va, on="id_a").join(vb, on="id_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    out.rm_release_cache = base.unpersist
+    return out
