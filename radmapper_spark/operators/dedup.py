@@ -155,6 +155,11 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # 64 conditional sums in ONE groupBy(doc). Partial aggregation happens
     # map-side, shuffle carries 64 longs per doc; codegen stays linear in
     # nbits (a single giant per-row lambda blows up the expression tree).
+    npart = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < npart:
+        # spread the map-side vote aggregation: a small parquet file scans
+        # as one task; at real scale the input is already wide (no-op)
+        docs = docs.repartition(npart)
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),

@@ -87,11 +87,15 @@ def train_centroids(corpus: DataFrame, vec_col: str = "embedding",
     return cents
 
 
-def _nearest_centroid_col(vec, cents, n_take: int = 1):
-    """Column: id(s) of nearest centroid(s) by cosine (expression-only)."""
+def _nearest_centroid_col(vec, cents, n_take: int = 1, norm_col=None):
+    """Column: id(s) of nearest centroid(s) by cosine (expression-only).
+    Pass a precomputed `norm_col` so the vector norm is evaluated once,
+    not once per centroid (the aggregate() lambdas are interpreted — the
+    norm re-evaluation was ncentroids x dim extra evals per row)."""
+    vnorm = norm_col if norm_col is not None else _norm(vec)
     sims = F.array(*[
         _dot(vec, F.array(*[F.lit(float(x)) for x in c])) /
-        (_norm(vec) * F.lit(float(sum(x * x for x in c) ** 0.5) or 1.0))
+        (vnorm * F.lit(float(sum(x * x for x in c) ** 0.5) or 1.0))
         for c in cents
     ])
     idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
@@ -105,12 +109,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              qid_col: str = "qid", ncentroids: int = 16, nprobe: int = 4) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest centroid cells."""
     cents = train_centroids(corpus, vec_col, ncentroids)
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < npart:
+        # spread the per-row assignment math (ncentroids interpreted dots);
+        # a small parquet file otherwise runs it all in one task
+        corpus = corpus.repartition(npart)
     c = corpus.select(F.col(id_col).alias("cid"), _to_double(F.col(vec_col)).alias("cv"))
-    c = c.withColumn("cell", _nearest_centroid_col(F.col("cv"), cents, 1)[0])
+    c = c.withColumn("cnrm", _norm(F.col("cv")))
+    c = c.withColumn("cell", _nearest_centroid_col(F.col("cv"), cents, 1,
+                                                   norm_col=F.col("cnrm"))[0])
     q = queries.select(F.col(qid_col).alias("qid"), _to_double(F.col(vec_col)).alias("qv"))
-    q = q.withColumn("cells", _nearest_centroid_col(F.col("qv"), cents, nprobe))
-    q = q.select("qid", "qv", F.explode(F.col("cells")).alias("cell"))
-    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    q = q.withColumn("qnrm", _norm(F.col("qv")))
+    q = q.withColumn("cells", _nearest_centroid_col(F.col("qv"), cents, nprobe,
+                                                    norm_col=F.col("qnrm")))
+    q = q.select("qid", "qv", "qnrm", F.explode(F.col("cells")).alias("cell"))
+    # norms hoisted into the frames: the scoring join evaluates ONE dot per
+    # (query, candidate), not a dot plus two fresh norm folds
+    cos = _dot(F.col("cv"), F.col("qv")) / (F.col("cnrm") * F.col("qnrm"))
     scored = c.join(F.broadcast(q), on="cell").select(
         "qid", "cid", F.round(cos, 6).alias("cosine"))
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
