@@ -87,21 +87,35 @@ def train_centroids(corpus: DataFrame, vec_col: str = "embedding",
     return cents
 
 
-def _nearest_centroid_col(vec, cents, n_take: int = 1, norm_col=None):
-    """Column: id(s) of nearest centroid(s) by cosine (expression-only).
-    Pass a precomputed `norm_col` so the vector norm is evaluated once,
-    not once per centroid (the aggregate() lambdas are interpreted — the
-    norm re-evaluation was ncentroids x dim extra evals per row)."""
-    vnorm = norm_col if norm_col is not None else _norm(vec)
-    sims = F.array(*[
-        _dot(vec, F.array(*[F.lit(float(x)) for x in c])) /
-        (vnorm * F.lit(float(sum(x * x for x in c) ** 0.5) or 1.0))
-        for c in cents
-    ])
-    idx = F.sequence(F.lit(0), F.lit(len(cents) - 1))
-    ranked = F.reverse(F.array_sort(F.zip_with(
-        sims, idx, lambda s, i: F.struct(s.alias("s"), i.alias("i")))))
-    return F.transform(F.slice(ranked, 1, n_take), lambda x: x.i)
+def _nearest_centroid_udf(cents, n_take: int = 1):
+    """Arrow-batched cell assignment: ids of the n_take nearest centroids
+    by cosine, as one numpy matmul per batch.
+
+    Why a pandas UDF and not Catalyst expressions: the expression version
+    inlines ncentroids x dim literals (a ~5k-node tree) — Catalyst spends
+    seconds PLANNING it, and the interpreted aggregate() lambdas evaluate
+    ~1000 ops/row. A normalized-codebook matmul is the vectorized shape
+    this math wants; the closure ships the codebook by value (no module
+    globals — executor workers can't import this package)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    cn = np.asarray(cents, dtype="float64")
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    take = int(n_take)
+
+    @pandas_udf("array<int>")
+    def assign(batch):
+        import numpy as np
+        import pandas as pd
+        m = np.array(batch.tolist(), dtype="float64")
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cn.T
+        # stable argsort on (-sim, index): deterministic under ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        return pd.Series(list(order.astype("int32")))
+
+    return assign
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -111,17 +125,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     cents = train_centroids(corpus, vec_col, ncentroids)
     npart = corpus.sparkSession.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < npart:
-        # spread the per-row assignment math (ncentroids interpreted dots);
-        # a small parquet file otherwise runs it all in one task
+        # spread the per-row assignment math; a small parquet file
+        # otherwise runs it all in one task (no-op on wide inputs)
         corpus = corpus.repartition(npart)
+    assign1 = _nearest_centroid_udf(cents, 1)
+    assignp = _nearest_centroid_udf(cents, nprobe)
     c = corpus.select(F.col(id_col).alias("cid"), _to_double(F.col(vec_col)).alias("cv"))
     c = c.withColumn("cnrm", _norm(F.col("cv")))
-    c = c.withColumn("cell", _nearest_centroid_col(F.col("cv"), cents, 1,
-                                                   norm_col=F.col("cnrm"))[0])
+    c = c.withColumn("cell", assign1(F.col("cv"))[0])
     q = queries.select(F.col(qid_col).alias("qid"), _to_double(F.col(vec_col)).alias("qv"))
     q = q.withColumn("qnrm", _norm(F.col("qv")))
-    q = q.withColumn("cells", _nearest_centroid_col(F.col("qv"), cents, nprobe,
-                                                    norm_col=F.col("qnrm")))
+    q = q.withColumn("cells", assignp(F.col("qv")))
     q = q.select("qid", "qv", "qnrm", F.explode(F.col("cells")).alias("cell"))
     # norms hoisted into the frames: the scoring join evaluates ONE dot per
     # (query, candidate), not a dot plus two fresh norm folds
