@@ -293,6 +293,93 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
                          | (F.rand() < F.lit(-1.0)))
 
 
+# -------------------------------------------------------------- components
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         nodes: DataFrame | None = None, node_col: str = "node",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, component) labeling: component = MIN node id in the component.
+
+    The grouping step that turns near-dup PAIRS into dedup GROUPS. Runs the
+    alternating large-star / small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): converges in
+    O(log^2 n) rounds regardless of component diameter — a plain min-label
+    propagation needs diameter rounds, which a 100M-doc boilerplate chain
+    can make arbitrarily deep.
+
+    Every round is two (groupBy-min + equi-join) passes — the per-node state
+    is ONE bigint (its minimum neighbor), never a collect_list, so a hub
+    node with 10M near-dups costs the same as a pair. Lineage is truncated
+    per round with localCheckpoint (an iterative DataFrame loop otherwise
+    compounds the plan until planning dominates); convergence is detected
+    from a (count, sum-of-hashes) checksum of the edge set — two scalar
+    aggs, no driver-side edge collection.
+
+    Returns one row per node appearing in `edges` (plus every node of
+    `nodes`, if given — isolated nodes label themselves).
+    """
+    e = (edges.select(F.col(src).cast("bigint").alias("u"),
+                      F.col(dst).cast("bigint").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    # canonical orientation (max, min): the small-star input shape
+    e = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")) \
+         .distinct().localCheckpoint(eager=True)
+
+    def _checksum(df):
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64(F.col("u"), F.col("v"))).alias("h")).head()
+        return (row["n"], row["h"])
+
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        # LARGE-STAR: over the symmetric neighborhood, attach every
+        # strictly-larger neighbor v of u to m = min(N(u) + {u})
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m")))
+        e = (sym.join(mins, "u")
+             .filter(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .distinct())
+        # SMALL-STAR: edges oriented (u > v); attach u and all its smaller
+        # neighbors to m = min(N(u)); emit nothing for v == m (self-loop)
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (e.join(mins, "u")
+             .filter(F.col("v") != F.col("m"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .unionByName(mins.select("u", F.col("m").alias("v")))
+             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # fixpoint edges are stars (node -> root): label both endpoints
+    labeled = (e.select(F.col("u").alias(node_col), F.col("v").alias("component"))
+               .unionByName(e.select(F.col("v").alias(node_col),
+                                     F.col("v").alias("component")))
+               .groupBy(node_col).agg(F.min("component").alias("component")))
+    if nodes is not None:
+        allnodes = nodes.select(F.col(node_col).cast("bigint").alias(node_col)).distinct()
+        labeled = (allnodes.join(labeled, on=node_col, how="left")
+                   .select(node_col,
+                           F.coalesce("component", F.col(node_col)).alias("component")))
+    return labeled
+
+
+def dedup_groups(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Near-dup GROUP labeling for every document: connected components over
+    a near-dup pair frame (minhash/simhash/jaccard/cosine output), keeping
+    the lowest doc id as the group representative."""
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b",
+        nodes=docs.select(F.col(id_col).alias("node")), node_col="node")
+    return comp.select(F.col("node").alias(id_col), "component")
+
+
 # -------------------------------------------------------------- embedding cosine
 
 def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",

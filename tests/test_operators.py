@@ -280,3 +280,57 @@ def test_salted_join_matches_plain(spark, tables):
     assert salted == plain
     keys = top_keys(li, "l_orderkey", 3)
     assert len(keys) == 3 and keys[0][1] >= keys[-1][1]
+
+
+def test_connected_components_vs_union_find(spark):
+    """Random graph: star-algorithm labels must equal brute-force union-find."""
+    import random
+    from radmapper_spark.operators.dedup import connected_components
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in range(n)}
+    e = spark.createDataFrame(edges, ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    got = {r["node"]: r["component"]
+           for r in connected_components(e, nodes=nodes).collect()}
+    assert got == expected
+
+
+def test_connected_components_long_chain(spark):
+    """A 64-node chain needs multiple star rounds (diameter >> 2)."""
+    from radmapper_spark.operators.dedup import connected_components
+    e = spark.createDataFrame([(i, i + 1) for i in range(63)], ["id_a", "id_b"])
+    out = connected_components(e).collect()
+    assert len(out) == 64
+    assert {r["component"] for r in out} == {0}
+
+
+def test_dedup_groups_labels_every_doc(spark, tables):
+    """Exact-dup pairs -> groups: every doc labeled, copies share a group."""
+    from radmapper_spark.operators import dedup
+    from pyspark.sql import functions as F
+    docs = tables["documents"]
+    norm = docs.select(F.col("doc_id"),
+                       dedup.normalize_text(F.col("text")).alias("t"))
+    pairs = (norm.alias("a").join(norm.alias("b"), "t")
+             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    out = dedup.dedup_groups(docs, pairs)
+    assert out.count() == docs.count()
+    # group count == number of distinct normalized texts
+    assert out.select("component").distinct().count() == norm.select("t").distinct().count()
