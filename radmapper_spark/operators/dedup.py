@@ -326,9 +326,13 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
          .distinct().localCheckpoint(eager=True)
 
     def _checksum(df):
+        # sum in DECIMAL(38,0): xxhash64 spans the full int64 range, so a
+        # plain bigint sum overflows (ANSI mode -> ARITHMETIC_OVERFLOW) on
+        # essentially any real edge set
         row = df.select(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(F.col("u"), F.col("v"))).alias("h")).head()
+            F.sum(F.xxhash64(F.col("u"), F.col("v"))
+                  .cast("decimal(38,0)")).alias("h")).head()
         return (row["n"], row["h"])
 
     prev = _checksum(e)
