@@ -362,6 +362,47 @@ def dedup_token_jaccard_sql() -> str:
     """
 
 
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs -> GROUPS: the step every real dedup pipeline ends with.
+    Connected components (large-star/small-star, O(log^2 n) rounds) over
+    the oracle-expressible token-jaccard pair set; every document gets a
+    component label = min doc_id in its near-dup group (isolated docs
+    label themselves)."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dedup_token_jaccard(spark, sf_dir)
+    return dedup.dedup_groups(docs, pairs).select("doc_id", "component")
+
+
+def dedup_groups_sql() -> str:
+    # min-label fixpoint as a recursive CTE: the component minimum m
+    # satisfies m < v for every other member v, so it propagates along any
+    # path; rows are bounded by (node, smaller-reachable-label) pairs.
+    return """
+    WITH RECURSIVE
+    g AS (
+        SELECT doc_id, source,
+               list_distinct(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS grams
+        FROM documents),
+    pairs AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        JOIN documents da ON da.doc_id = a.doc_id
+        JOIN documents db ON db.doc_id = b.doc_id
+        WHERE abs(da.n_chars - db.n_chars) <= 40
+          AND len(list_intersect(a.grams, b.grams))::DOUBLE
+              / len(list_distinct(a.grams || b.grams)) >= 0.5),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    cc (node, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v AS node, cc.comp
+        FROM cc JOIN edges e ON e.u = cc.node
+        WHERE cc.comp < e.v)
+    SELECT node AS doc_id, min(comp) AS component FROM cc GROUP BY node
+    """
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5) \
@@ -380,10 +421,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH candidates verified with exact cosine; threshold
     chosen so the deterministic test embeddings actually exercise it
     (max true cosine ~0.51 at sf0.01), and band/plane params chosen so LSH
-    recall on those pairs is 100% — making the entry oracle-exact."""
+    recall on those pairs is 100% — making the entry oracle-exact.
+    r=8 planes/band (vs the r1/r2 r=4): random-pair band collision 2^-8,
+    so the candidate join volume is ~b*n^2/512 — 8x below the old shape
+    that trended near-quadratic at 100 TB."""
     t = load_tables(spark, sf_dir)
     return dedup.embedding_cosine_pairs(
-        t["embeddings"], threshold=0.45, bands=32, planes_per_band=4) \
+        t["embeddings"], threshold=0.45, bands=64, planes_per_band=8) \
         .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
 
 
@@ -618,6 +662,7 @@ ENTRIES: dict = {
     # dedup
     "dedup_exact": (dedup_exact, dedup_exact_sql),
     "dedup_token_jaccard": (dedup_token_jaccard, dedup_token_jaccard_sql),
+    "dedup_groups": (dedup_groups, dedup_groups_sql),
     "dedup_minhash_lsh": (dedup_minhash_lsh, None),
     "dedup_simhash": (dedup_simhash, None),
     "dedup_embedding_cosine": (dedup_embedding_cosine, dedup_embedding_cosine_sql),

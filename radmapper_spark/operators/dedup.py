@@ -182,19 +182,27 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   prefix_bits: int = 16, max_ids: int = 100) -> DataFrame:
     """Bucket-summary diagnostic: docs sharing a simhash prefix. Returns
-    (bucket, n_docs, ids) for buckets with >1 doc; `ids` is CAPPED at
-    `max_ids` so a hot bucket (e.g. near-empty docs) cannot accumulate
-    unbounded per-row state. For the scalable pairwise form use
-    simhash_pairs()."""
+    (bucket, n_docs, ids) for buckets with >1 doc; rows are pre-limited to
+    the `max_ids` smallest ids per bucket with a row_number window BEFORE
+    the collect_list, so a hot bucket (e.g. near-empty docs) bounds the
+    aggregation BUFFER too, not just the output row (a post-agg slice
+    still collects every id into the buffer). For the scalable pairwise
+    form use simhash_pairs()."""
+    from pyspark.sql import Window
     sh = simhash(docs, text_col, id_col)
     bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    w = Window.partitionBy("bucket")
+    # count + row_number share the bucket partitioning; the groupBy below
+    # reuses the same exchange (HashPartitioning(bucket) satisfies the
+    # (bucket, n_docs) clustering), so this is still a one-shuffle plan
     return (
         sh.withColumn("bucket", bucket)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.slice(F.sort_array(F.collect_list(F.col(id_col))),
-                     1, max_ids).alias("ids"))
-        .filter(F.col("n_docs") > 1)
+        .withColumn("n_docs", F.count(F.lit(1)).over(w))
+        .withColumn("rn", F.row_number().over(w.orderBy(id_col)))
+        .filter((F.col("n_docs") > 1) & (F.col("rn") <= max_ids))
+        .groupBy("bucket", "n_docs")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .select("bucket", "n_docs", "ids")
     )
 
 
@@ -260,6 +268,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     if candidates is None:
         candidates = minhash_lsh_pairs(docs, text_col, id_col,
                                        jaccard_threshold=0.0)
+    # the repartition below builds a NEW DataFrame object — capture the
+    # upstream cache-release handle first so callers can still unpersist
+    # the minhash signatures (else a long-lived session leaks the cache)
+    release = getattr(candidates, "rm_release_cache", None)
     # spread the verify: candidate frames often arrive with the probe
     # side's input partitioning (a broadcast-join chain over one small
     # parquet file = ONE task), and the per-pair set math is the hot loop —
@@ -284,13 +296,20 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     union = F.col("ga.sz") + F.col("gb.sz") - inter
     jac = (inter.cast("double") / union.cast("double"))
     scored = joined.select("id_a", "id_b", jac.alias("jaccard"))
-    # pushdown BARRIER: the always-false nondeterministic clause keeps the
-    # threshold filter out of the broadcast-join condition — pushed there,
-    # array_intersect is re-evaluated per probe in the condition AND twice
-    # more in the projection (no cross-operator CSE), a measured ~4x on
-    # the verify hot loop
-    return scored.filter((F.col("jaccard") >= threshold)
-                         | (F.rand() < F.lit(-1.0)))
+    # pushdown BARRIER: keep the threshold filter out of the join
+    # condition — pushed there, array_intersect is re-evaluated per probe
+    # during the match AND again in the projection (no cross-operator
+    # CSE), a measured ~4x on the verify hot loop. The always-false
+    # disjunct is nondeterministic-MARKED (so Catalyst cannot split or
+    # push the Or) but value-deterministic: spark_partition_id() is always
+    # >= 0, so the result never depends on partitioning. (rand() < -1
+    # stopped working as a fence: pyspark 4.1 folds out-of-range rand
+    # comparisons.) test_jaccard_threshold_stays_out_of_join guards this.
+    out = scored.filter((F.col("jaccard") >= threshold)
+                        | (F.spark_partition_id() < F.lit(0)))
+    if release is not None:
+        out.rm_release_cache = release
+    return out
 
 
 # -------------------------------------------------------------- components
@@ -386,51 +405,22 @@ def dedup_groups(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
 
 # -------------------------------------------------------------- embedding cosine
 
-def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
-                           id_col: str = "vec_id", threshold: float = 0.45,
-                           bands: int = 32, planes_per_band: int = 4,
-                           sketch_planes: int = 512,
-                           seed: int = 42) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine via BANDED sign-LSH
-    (OR-construction over AND-bands, like the minhash path) plus a packed
-    sign-SKETCH prefilter: each band is `planes_per_band` random-hyperplane
-    sign bits; two vectors are candidates if ANY band matches. Before the
-    (expensive) exact-cosine verify, candidates are screened with a
-    `sketch_planes`-bit sign sketch packed into bigint words — the angle
-    estimate is popcount(XOR), a pure JVM bit_count over 8 longs, so the
-    hot-bucket quadratic cost of a low threshold hits a cheap popcount,
-    never a full-dimension dot product. Only pairs whose estimated
-    agreement clears (p_t - 4.5 sigma) reach the vector re-join; at
-    threshold 0.45 with 512 planes that kills ~99.5% of random candidates
-    while keeping per-true-pair miss probability ~3e-6.
-
-    Parameter guidance: for production near-dup thresholds (cos >= 0.9,
-    p ~ 0.86) use r=16, b=24: fine buckets (random pairs collide at
-    ~0.5^16 per band => candidate volume ~ b*n^2/65536, a narrow bucketed
-    equi-join) with ~99% recall. Low thresholds need small r / large b and
-    trend toward near-all-pairs CANDIDATES — inherent to sign-LSH — which
-    is why the sketch prefilter carries the verify, not the vectors.
-
-    Hyperplane weights are derived IN-EXPRESSION from xxhash64(seed, plane,
-    dim-index) — no driver-side collect, no dependence on knowing the
-    dimension at plan-build, fully deterministic under `seed`. The band
-    planes are the prefix of the sketch planes, so signatures + sketch are
-    ONE pass over the vector (persisted: id + bands + 8 longs per row).
-
-    Plan: one projection computes band sigs and sketch words per row ->
-    explode to (id, band, sig) -> self equi-join on (band, sig) -> distinct
-    id pairs -> popcount prefilter on sketch words -> re-join vectors ->
-    exact cosine filter.
-    """
-    import math
-
+def sign_lsh_base(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id", bands: int = 64,
+                  planes_per_band: int = 8, sketch_planes: int = 512,
+                  seed: int = 42) -> DataFrame:
+    """(id, bb, wd) frame: per-row banded sign-LSH signatures `bb`
+    (`bands` ints of `planes_per_band` hyperplane sign bits each) plus a
+    `sketch_planes`-bit packed sign sketch `wd` (bigint words), computed in
+    ONE Arrow-batched pass over the vectors. Shared by
+    embedding_cosine_pairs and the candidate-volume instrumentation in
+    tests; NOT persisted — callers decide caching."""
     from pyspark.sql.functions import pandas_udf
 
     nplanes = bands * planes_per_band
     assert sketch_planes % 64 == 0
     total_planes = max(nplanes, sketch_planes)
     nwords = sketch_planes // 64
-    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
     # Signature + sketch in ONE Arrow-batched pandas UDF: the plane dots are
     # a (batch x dim) @ (dim x planes) matmul — dense linear algebra that
@@ -468,14 +458,59 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
     sig_sketch.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
     sig_udf = pandas_udf(sig_sketch, "array<bigint>")
 
-    base = (
+    return (
         emb.select(F.col(id_col).alias("id"),
                    sig_udf(F.col(vec_col)).alias("sg"))
         .select("id",
                 F.slice("sg", 1, bands).alias("bb"),
                 F.slice("sg", bands + 1, nwords).alias("wd"))
-        .persist()
     )
+
+
+def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id", threshold: float = 0.45,
+                           bands: int = 64, planes_per_band: int = 8,
+                           sketch_planes: int = 512,
+                           seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine via BANDED sign-LSH
+    (OR-construction over AND-bands, like the minhash path) plus a packed
+    sign-SKETCH prefilter: each band is `planes_per_band` random-hyperplane
+    sign bits; two vectors are candidates if ANY band matches. Before the
+    (expensive) exact-cosine verify, candidates are screened with a
+    `sketch_planes`-bit sign sketch packed into bigint words — the angle
+    estimate is popcount(XOR), a pure JVM bit_count over 8 longs, so the
+    hot-bucket quadratic cost of a low threshold hits a cheap popcount,
+    never a full-dimension dot product. Only pairs whose estimated
+    agreement clears (p_t - 4.5 sigma) reach the vector re-join; at
+    threshold 0.45 with 512 planes that kills ~99.5% of random candidates
+    while keeping per-true-pair miss probability ~3e-6.
+
+    Parameter guidance: for production near-dup thresholds (cos >= 0.9,
+    p ~ 0.86) use r=16, b=24: fine buckets (random pairs collide at
+    ~0.5^16 per band => candidate volume ~ b*n^2/65536, a narrow bucketed
+    equi-join) with ~99% recall. The r=8/b=64 defaults serve moderate
+    thresholds (the sf fixtures' cos~0.45-0.51 regime) at a random-pair
+    band collision of 2^-8 — candidate join volume ~ b*n^2/512, 8x below
+    the old r=4/b=32 shape. Low thresholds inherently need small r /
+    large b — which is why the sketch prefilter carries the verify, not
+    the vectors.
+
+    Signatures + sketch are ONE Arrow-batched pass over the vectors
+    (sign_lsh_base; persisted: id + bands + 8 longs per row), fully
+    deterministic under `seed`.
+
+    Plan: one projection computes band sigs and sketch words per row ->
+    explode to (id, band, sig) -> self equi-join on (band, sig) ->
+    popcount prefilter INLINE on the raw join output -> distinct id pairs
+    (only survivors reach the wide exchange) -> re-join vectors -> exact
+    cosine filter.
+    """
+    import math
+
+    nwords = sketch_planes // 64
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = sign_lsh_base(emb, vec_col, id_col, bands, planes_per_band,
+                         sketch_planes, seed).persist()
     # the banded frame CARRIES the sketch words (8 longs — cheap next to a
     # re-join), so the popcount prefilter runs INLINE on the raw join
     # output and the expensive distinct only sees survivors

@@ -157,16 +157,24 @@ def _as_db(ip, val):
     return LocalDB.from_data(jflatten(val))
 
 
+_RULE_FRESH = [0]  # global so sibling expansions can never collide
+
+
 def expand_rule_calls(patterns: list, q_env, env, _depth: int = 0) -> list:
     """Splice [(name ?x)] rule invocations into their clause groups:
     head qvars map to the call's args, rule-internal qvars get fresh
-    names (no capture). Rules may invoke rules; depth-capped."""
+    names (no capture). The rename is a generic AST walk, so qvars inside
+    nested RuleCall args and PredPattern call expressions are substituted
+    too — a rule can invoke rules and carry predicates on its own vars.
+    Rules may invoke rules; depth-capped against unbounded recursion."""
+    import dataclasses as _dc
+
     from ..lang import ast as A
     from ..lang.interp import RuleV
     if _depth > 8:
         raise ValueError("rule expansion too deep (recursive rule?)")
     out = []
-    for i, p in enumerate(patterns):
+    for p in patterns:
         if not isinstance(p, A.RuleCall):
             out.append(p)
             continue
@@ -178,18 +186,33 @@ def expand_rule_calls(patterns: list, q_env, env, _depth: int = 0) -> list:
         if not isinstance(rv, RuleV):
             raise ValueError(f"unknown rule {p.name!r} in query pattern")
         mapping = dict(zip(rv.args, p.args))
-        tag = f"__r{_depth}_{i}"
+        _RULE_FRESH[0] += 1
+        tag = f"__r{_RULE_FRESH[0]}"
 
         def rn(node):
             if isinstance(node, A.QVar):
-                if node.name in mapping:
-                    return mapping[node.name]
-                return A.QVar(f"?{tag}_{node.name[1:]}")
+                if node.name == "?_":
+                    return node  # wildcard never binds; renaming would
+                return mapping.get(node.name) or A.QVar(f"?{tag}_{node.name[1:]}")
+            if isinstance(node, A.Node) and _dc.is_dataclass(node):
+                changes = {}
+                for fld in _dc.fields(node):
+                    v = getattr(node, fld.name)
+                    nv = rn_val(v)
+                    if nv is not v:
+                        changes[fld.name] = nv
+                return _dc.replace(node, **changes) if changes else node
             return node
 
-        renamed = [A.TriplePattern(cl.db, rn(cl.e), rn(cl.a), rn(cl.v))
-                   if isinstance(cl, A.TriplePattern) else cl
-                   for cl in rv.clauses]
+        def rn_val(v):
+            if isinstance(v, A.Node):
+                return rn(v)
+            if isinstance(v, list):
+                nl = [rn_val(x) for x in v]
+                return nl if any(a is not b for a, b in zip(nl, v)) else v
+            return v
+
+        renamed = [rn(cl) for cl in rv.clauses]
         out.extend(expand_rule_calls(renamed, rv.env, env, _depth + 1))
     return out
 

@@ -514,3 +514,35 @@ def test_rule_spliced_with_extra_patterns():
             "  $q := query{[(adjacent ?x ?y)] [?e2 :from ?y] [?e2 :to ?z]};"
             "  $q([{'from': 1, 'to': 2}, {'from': 2, 'to': 3}]) )")
     assert sorted((b["x"], b["y"], b["z"]) for b in r) == [(1, 2, 3)]
+
+
+def test_rule_invoking_rule():
+    """A rule body may invoke another rule: the inner RuleCall's args must
+    be renamed through the outer head mapping, so the caller's qvars
+    (?p/?q) — not the rules' internal names — reach the binding set."""
+    r = run("( $adj := rule{(adjacent ?a ?b) [?e :from ?a] [?e :to ?b]};"
+            "  $via := rule{(viarule ?x ?y) [(adjacent ?x ?y)]};"
+            "  $q := query{[(viarule ?p ?q)]};"
+            "  $q([{'from': 1, 'to': 2}, {'from': 2, 'to': 3}]) )")
+    assert sorted((b["p"], b["q"]) for b in r) == [(1, 2), (2, 3)]
+    assert all(set(b) == {"p", "q"} for b in r)
+
+
+def test_rule_two_hop_via_nested_rules():
+    """Inner rule invoked twice from one outer rule: fresh names must be
+    unique across SIBLING expansions or the two hops' internal ?e collide."""
+    r = run("( $adj := rule{(adjacent ?a ?b) [?e :from ?a] [?e :to ?b]};"
+            "  $hop2 := rule{(hop2 ?x ?z) [(adjacent ?x ?m)] [(adjacent ?m ?z)]};"
+            "  $q := query{[(hop2 ?p ?q)]};"
+            "  $q([{'from': 1, 'to': 2}, {'from': 2, 'to': 3}]) )")
+    assert sorted((b["p"], b["q"]) for b in r) == [(1, 3)]
+
+
+def test_rule_with_predicate_clause():
+    """A predicate inside a rule body must see the RENAMED qvars — before
+    the generic-walk fix it referenced the pre-rename name and silently
+    filtered every row."""
+    r = run("( $big := rule{(big ?v) [?e :val ?v] [($boolean(?v > 10))]};"
+            "  $q := query{[(big ?n)]};"
+            "  $q([{'val': 5}, {'val': 15}, {'val': 25}]) )")
+    assert sorted(b["n"] for b in r) == [15, 25]

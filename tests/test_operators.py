@@ -73,7 +73,7 @@ def test_embedding_cosine_lsh_recall(spark, tables):
     emb = tables["embeddings"]
     lsh = {(r["id_a"], r["id_b"])
            for r in dedup.embedding_cosine_pairs(
-               emb, threshold=0.45, bands=32, planes_per_band=4).collect()}
+               emb, threshold=0.45, bands=64, planes_per_band=8).collect()}
     v = emb.select(F.col("vec_id").alias("id"),
                    F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     a, b = v.alias("a"), v.alias("b")
@@ -90,6 +90,65 @@ def test_embedding_cosine_lsh_recall(spark, tables):
             .collect()}
     assert true, "fixture should exercise the threshold"
     assert true <= lsh and lsh <= true, f"LSH/brute-force mismatch: {true ^ lsh}"
+
+
+def test_embedding_lsh_candidate_volume_subquadratic(spark):
+    """Scale regression: at production params (r=16 planes/band, b=24,
+    cos >= 0.9) the banded candidate join volume on a 10k-vector set must
+    stay a tiny fraction of all-pairs — the property that makes the
+    operator a narrow bucketed equi-join at 100 TB instead of a quadratic
+    shuffle — while still recovering the planted near-dup pairs."""
+    import numpy as np
+    n, dim, nplanted = 10_000, 32, 250
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(n, dim))
+    # plant near-dups: rows i and i+nplanted are tiny perturbations
+    # (cosine ~0.97) of the same vector
+    base[nplanted:2 * nplanted] = (base[:nplanted]
+                                   + 0.18 * rng.normal(size=(nplanted, dim)))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>").repartition(8)
+
+    sigs = dedup.sign_lsh_base(emb, bands=24, planes_per_band=16)
+    buckets = (sigs.select(F.posexplode("bb").alias("band", "sig"))
+               .groupBy("band", "sig").count())
+    volume = buckets.select(
+        F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("v")
+    ).head()["v"]
+    all_pairs = n * (n - 1) / 2
+    assert volume < 0.002 * all_pairs, \
+        f"candidate join volume {volume} is not sub-quadratic vs {all_pairs}"
+
+    pairs = dedup.embedding_cosine_pairs(
+        emb, threshold=0.9, bands=24, planes_per_band=16)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    pairs.rm_release_cache()
+    truth = {(i, i + nplanted) for i in range(nplanted)
+             if float(base[i] @ base[i + nplanted]
+                      / (np.linalg.norm(base[i])
+                         * np.linalg.norm(base[i + nplanted]))) >= 0.9}
+    assert len(truth) > 200, "fixture should plant enough true pairs"
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.98, f"recall {recall} below production-grade target"
+
+
+def test_jaccard_threshold_stays_out_of_join(spark):
+    """Plan-shape regression for the verify pushdown barrier: the jaccard
+    threshold must never end up in the join CONDITION (evaluated per probe
+    row during the match — a measured ~4x on the verify hot loop). Breaks
+    if a future optimizer learns to fold the barrier clause, as already
+    happened to the old rand() < -1 spelling in pyspark 4.1."""
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h"[: 2 * (i % 8) + 1]) for i in range(50)],
+        "doc_id bigint, text string")
+    cand = docs.select(F.col("doc_id").alias("id_a"),
+                       (F.col("doc_id") + 1).alias("id_b")).filter("id_b < 50")
+    out = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.5, candidates=cand)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    leaks = [ln for ln in plan.splitlines()
+             if "Join" in ln and ("array_intersect" in ln or "jaccard" in ln)]
+    assert not leaks, f"jaccard predicate leaked into join condition: {leaks}"
 
 
 def test_exact_dedup_no_hash_collision_merge(spark):
@@ -245,6 +304,63 @@ def test_llm_match_name_alignment():
     m = llm_match(src, tar)
     assert m["mapping"]["Invoice"] == "invoice"
     assert m["mapping"]["Invoice.InvoiceLine"] == "invoice.invoice_line"
+
+
+def test_llm_match_live_branch(monkeypatch):
+    """$llmMatch live path: a stub chat server receives the reference-shaped
+    matching prompt (placeholder-ized source/target forms) and answers with
+    concat / extract-from / direct placeholders; the post-processor must turn
+    them into `$data.` paths, `&` concatenation, and `$llmExtract` calls,
+    plus a function source (builtin.cljc:2532-2623)."""
+    import http.server
+    import json
+    import threading
+
+    seen = {}
+
+    class Stub(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            req = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            seen["user"] = next(m["content"] for m in req["messages"]
+                                if m["role"] == "user")
+            seen["system"] = next(m["content"] for m in req["messages"]
+                                  if m["role"] == "system")
+            answer = {"Buyer": {"AddressLine": {
+                          "concat": ["<company-data>", "<street-data>"]},
+                      "City": {"extract-from": "<blob-data>", "value": "City"},
+                      "Zip": "<replace-me>"}}
+            body = json.dumps({"choices": [{"message": {
+                "role": "assistant", "content": json.dumps(answer)}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv("RM_LLM_ENDPOINT",
+                           f"http://127.0.0.1:{srv.server_address[1]}/v1/chat/completions")
+        from radmapper_spark.operators.llm import llm_match
+        src = {"Seller": {"Company": "Acme", "Street": "1 Way", "Blob": "x"}}
+        tar = {"Buyer": {"AddressLine": "?", "City": "?", "Zip": "?"}}
+        m = llm_match(src, tar)
+        # the POSTed prompt carries the placeholder-ized forms
+        assert "<company-data>" in seen["user"] and "<replace-me>" in seen["user"]
+        assert "source_form" in seen["user"] and "target_form" in seen["user"]
+        assert "concat" in seen["system"] and "extract-from" in seen["system"]
+        got = m["mapping"]["Buyer"]
+        assert got["AddressLine"] == "$data.Seller.Company & $data.Seller.Street"
+        assert got["City"] == "$llmExtract($data.Seller.Blob, 'City')"
+        assert got["Zip"] == "<replace-me>"  # nothing matched => left as-is
+        assert m["fn_src"].startswith("function($data){")
+        assert "$llmExtract($data.Seller.Blob, 'City')" in m["fn_src"]
+    finally:
+        srv.shutdown()
 
 
 def test_write_parquet_roundtrip(spark, tables, tmp_path):
