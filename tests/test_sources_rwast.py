@@ -147,3 +147,33 @@ def test_spreadsheet_xlsx_generated(tmp_path):
                    '</sheetData></worksheet>')
     r = run(f"$getSpreadsheet('{p}', 'Data')")
     assert r == [{"item": "ok", "n": 2.5}]
+
+    # a MISSING named sheet must error, not silently read sheet1
+    import pytest
+    from radmapper_spark.sources.readers import _xlsx_matrix
+    with pytest.raises(ValueError, match="NoSuch"):
+        _xlsx_matrix(str(p), "NoSuch")
+
+
+def test_spreadsheet_xlsx_cells_without_refs(tmp_path):
+    """Cells lacking the r= attribute (some writers omit it) advance a
+    running column index instead of all collapsing onto column A."""
+    import zipfile
+    p = tmp_path / "noref.xlsx"
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    rns = 'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"'
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/workbook.xml",
+                   f'<workbook {ns} {rns}><sheets>'
+                   '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                   '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>')
+        z.writestr("xl/worksheets/sheet1.xml",
+                   f'<worksheet {ns}><sheetData>'
+                   '<row><c t="inlineStr"><is><t>a</t></is></c>'
+                   '<c t="inlineStr"><is><t>b</t></is></c></row>'
+                   '<row><c><v>1</v></c><c><v>2</v></c></row>'
+                   '</sheetData></worksheet>')
+    r = run(f"$getSpreadsheet('{p}')")
+    assert r == [{"a": 1, "b": 2}]
