@@ -661,6 +661,26 @@ def stream_running_totals_sql() -> str:
     """
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-native exact dedup (batch shape): the events table unioned
+    with a deterministic 10% echo of itself (the duplicate injection —
+    testdata has no natural dups), deduped on event_id. The streaming form
+    is dropDuplicatesWithinWatermark (bounded state); same plan shape."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_id", "ts", "user_id", "event_type", "value")
+    dups = ev.filter(F.col("event_id") % 10 == 0)
+    return W.dedup_events(ev.unionAll(dups), key_cols=("event_id",))
+
+
+def stream_dedup_sql() -> str:
+    return """
+    WITH ev AS (SELECT event_id, ts, user_id, event_type, value FROM events),
+         unioned AS (SELECT * FROM ev
+                     UNION ALL SELECT * FROM ev WHERE event_id % 10 = 0)
+    SELECT DISTINCT * FROM unioned
+    """
+
+
 # =============================================================== multimodal
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -717,6 +737,7 @@ ENTRIES: dict = {
     "stream_tumbling": (stream_tumbling, stream_tumbling_sql),
     "stream_session": (stream_session, stream_session_sql),
     "stream_running_totals": (stream_running_totals, stream_running_totals_sql),
+    "stream_dedup": (stream_dedup, stream_dedup_sql),
     # multimodal
     "multimodal_features": (multimodal_features, None),
 }

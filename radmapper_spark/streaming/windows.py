@@ -65,9 +65,9 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
 
 
 def running_user_totals_stateful(events: DataFrame) -> DataFrame:
-    """Custom stateful operator: per-user running totals via
-    applyInPandasWithState (streaming) — demonstrates arbitrary state.
-    Batch twin used for verification: a window-function cumulative sum."""
+    """Batch twin of the stateful running totals: a window-function
+    cumulative sum. Oracle-checkable; the streaming form with arbitrary
+    per-key state is running_user_totals_stream below."""
     from pyspark.sql import Window
     w = (
         Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -78,6 +78,50 @@ def running_user_totals_stateful(events: DataFrame) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
         F.count(F.lit(1)).over(w).alias("running_events"),
     )
+
+
+def running_user_totals_stream(events_stream: DataFrame) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator: per-user running totals via
+    applyInPandasWithState — per-key state (n_events, total_value)
+    persisted in the state store across micro-batches, emitting the
+    updated totals for every user seen in a batch.
+
+    State is O(distinct users) and each batch touches only the keys it
+    contains — the shape that scales to 1000 executors (state is
+    hash-partitioned by key alongside the shuffle). The decimal-summed
+    batch twin above is the oracle for the final state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_events(events: DataFrame, key_cols=("event_id",),
+                 watermark: str = "2 hours", streaming: bool = False) -> DataFrame:
+    """Exact dedup as a STREAM operator: first occurrence per key wins.
+    Streaming uses dropDuplicatesWithinWatermark so per-key state expires
+    once the watermark passes — bounded state on an unbounded stream (the
+    property plain dropDuplicates lacks). Batch twin: dropDuplicates, the
+    map-side-combine exact dedup."""
+    if streaming:
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(list(key_cols)))
+    return events.dropDuplicates(list(key_cols))
 
 
 def streaming_smoke(spark, seconds: int = 3) -> int:

@@ -236,6 +236,70 @@ def test_session_windows_cover_all_events(spark, tables):
     assert s.agg(F.sum("n_events")).collect()[0][0] == ev.count()
 
 
+def test_stateful_running_totals_stream(spark, tmp_path):
+    """The REAL applyInPandasWithState operator: a 3-file parquet stream
+    (maxFilesPerTrigger=1 -> 3 micro-batches, so per-key state must carry
+    ACROSS batches) whose final per-user state must equal the batch twin."""
+    from radmapper_spark.session import load_tables
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    ev = t["events"].select("event_id", "ts", "user_id", "value").limit(300).cache()
+    rows = ev.collect()
+    src = str(tmp_path / "stream_in")
+    for i in range(3):  # 3 files = 3 micro-batches
+        chunk = rows[i * 100:(i + 1) * 100]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1) \
+            .write.mode("append" if i else "overwrite").parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = W.running_user_totals_stream(stream)
+    q = (out.writeStream.format("memory").queryName("rm_stateful_totals")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # update mode re-emits a user's row each batch they appear in; the
+    # FINAL state per user is the row with the highest running count
+    final = spark.sql("""
+        SELECT user_id, max_by(total_value, n_events) AS total_value,
+               max(n_events) AS n_events
+        FROM rm_stateful_totals GROUP BY user_id""").collect()
+    got = {r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+           for r in final}
+    want = {r["user_id"]: (r["n"], round(r["tv"], 6)) for r in
+            ev.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("tv")).collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0], f"user {u} count"
+        assert abs(got[u][1] - want[u][1]) < 1e-6, f"user {u} total"
+    ev.unpersist()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on a file stream: injected duplicate
+    rows (same event_id, later file) must be dropped."""
+    from radmapper_spark.session import load_tables
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    ev = t["events"].select("event_id", "ts", "user_id", "event_type",
+                            "value").limit(100)
+    rows = ev.collect()
+    src = str(tmp_path / "dedup_in")
+    spark.createDataFrame(rows, ev.schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows[:40], ev.schema).coalesce(1) \
+        .write.mode("append").parquet(src)  # the echo: 40 dup event_ids
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = W.dedup_events(stream, key_cols=("event_id",),
+                         watermark="10 days", streaming=True)
+    q = (out.writeStream.format("memory").queryName("rm_stream_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total "
+                  "FROM rm_stream_dedup").collect()[0]
+    assert n["total"] == 100  # duplicates dropped
+    assert n["n"] == 100
+
+
 def test_streaming_end_to_end(spark):
     n = W.streaming_smoke(spark, seconds=3)
     assert n >= 0  # the query ran, produced finalized windows (append mode)
