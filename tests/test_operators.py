@@ -485,16 +485,21 @@ def test_connected_components_vs_union_find(spark):
     expected = {x: find(x) for x in range(n)}
     e = spark.createDataFrame(edges, ["id_a", "id_b"])
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
-    got = {r["node"]: r["component"]
-           for r in connected_components(e, nodes=nodes).collect()}
-    assert got == expected
+    # BOTH engines must agree with brute force: the driver union-find
+    # fast path (default gate) and the distributed star loop (gate 0)
+    for thr in (2_000_000, 0):
+        got = {r["node"]: r["component"]
+               for r in connected_components(
+                   e, nodes=nodes, local_threshold=thr).collect()}
+        assert got == expected, f"local_threshold={thr}"
 
 
 def test_connected_components_long_chain(spark):
     """A 64-node chain needs multiple star rounds (diameter >> 2)."""
     from radmapper_spark.operators.dedup import connected_components
     e = spark.createDataFrame([(i, i + 1) for i in range(63)], ["id_a", "id_b"])
-    out = connected_components(e).collect()
+    # force the DISTRIBUTED star loop: a chain is its worst case (diameter)
+    out = connected_components(e, local_threshold=0).collect()
     assert len(out) == 64
     assert {r["component"] for r in out} == {0}
 

@@ -1,0 +1,107 @@
+"""Plan-shape discipline across ALL driver entries (SURVEY.md §4.2/§4.3):
+the properties that make the engine scale — stay JVM-side, prune columns,
+broadcast small dims — asserted as regression tests so a future change
+that silently de-optimizes a plan fails CI, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+# the ONLY entries allowed a Python eval node — each is an Arrow-batched
+# vectorized kernel doing dense math Catalyst can't express efficiently
+# (documented in their operator docstrings)
+ARROW_ALLOWED = {
+    "dedup_embedding_cosine",  # sign-LSH signature matmul
+    "ann_ivf_topk",            # IVF cell-assignment matmul
+    "multimodal_features",     # binary decode boundary (mapInPandas)
+}
+
+PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+            "FlatMapGroupsInPandas")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _release(df):
+    rel = getattr(df, "rm_release_cache", None)
+    if rel is not None:
+        rel()
+
+
+def test_no_python_eval_outside_allowlist(spark):
+    """Every entry's physical plan is pure JVM except the 3 documented
+    Arrow kernels; NOTHING uses row-at-a-time BatchEvalPython."""
+    offenders, missing_arrow = [], []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF)
+        plan = _plan(df)
+        _release(df)
+        has_py = [w for w in PY_NODES if w in plan]
+        if "BatchEvalPython" in has_py:
+            offenders.append((name, "row-at-a-time BatchEvalPython"))
+        elif has_py and name not in ARROW_ALLOWED:
+            offenders.append((name, has_py))
+        elif not has_py and name in ARROW_ALLOWED:
+            missing_arrow.append(name)
+    assert not offenders, f"python leaked into plans: {offenders}"
+    # the allowlist must stay honest too: if an entry went pure-JVM,
+    # remove it from ARROW_ALLOWED rather than carrying a stale exception
+    assert not missing_arrow, f"ARROW_ALLOWED is stale: {missing_arrow}"
+
+
+@pytest.mark.parametrize("name,table,needed", [
+    ("pricing_summary", "lineitem",
+     {"l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+      "l_discount", "l_tax", "l_shipdate"}),
+    ("text_token_count", "documents", {"doc_id", "text"}),
+    ("events_by_type", "events", {"event_type", "value", "user_id"}),
+])
+def test_scan_prunes_columns(spark, name, table, needed):
+    """The parquet scan must read ONLY the referenced columns (column
+    pruning) — a scan that reads all columns for a narrow projection
+    multiplies 100 TB of IO for nothing. Parsed from the FileScan output
+    column list (ReadSchema truncates in toString)."""
+    df = entrymod.queries()[name](spark, SF)
+    plan = _plan(df)
+    _release(df)
+    import re
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert scans, f"no parquet FileScan found in {name}"
+    read_cols = {re.sub(r"#\d+L?", "", c.strip())
+                 for s in scans for c in s.split(",") if c.strip()}
+    # every needed column read, and nothing outside the needed set from
+    # the probed table (other tables' columns may appear for join entries)
+    assert needed <= read_cols | {"*"}, f"{name}: missing {needed - read_cols}"
+    table_prefix = {"lineitem": "l_", "documents": "", "events": ""}[table]
+    extra = {c for c in read_cols
+             if c.startswith(table_prefix) and c not in needed}
+    assert not extra, f"{name} reads unneeded columns: {extra}"
+
+
+def test_dim_joins_are_broadcast(spark):
+    """Snowflake entries must broadcast the small dimension tables, not
+    shuffle the fact table against them."""
+    df = entrymod.queries()["region_nation_revenue"](spark, SF)
+    plan = _plan(df)
+    _release(df)
+    assert "BroadcastHashJoin" in plan, "dims not broadcast:\n" + plan[:2000]
+    assert "SortMergeJoin" not in plan, "fact-side shuffle join appeared"
+
+
+def test_entry_filters_are_pushed_down(spark):
+    """A filter expressible on the scan must reach PushedFilters."""
+    t = entrymod.load_tables(spark, SF)
+    df = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "o_orderpriority" in plan.split("PushedFilters:")[1][:200], \
+        "filter not pushed to the parquet scan"
