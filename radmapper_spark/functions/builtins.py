@@ -238,7 +238,16 @@ def _replace(ip, env, s=NOMATCH, pat=None, repl=None, limit=None):
         n = count if count else -1
         return s.replace(pat, repl, n) if isinstance(repl, str) else s
     if isinstance(repl, str):
-        py_repl = re.sub(r"\$(\d+)", r"\\\1", repl.replace("\\", "\\\\"))
+        # JSONata template: $N = group ref, $$ = literal dollar; translate
+        # token-wise so the '$' produced by '$$' can't fuse with a digit
+        def _tr(m):
+            tok = m.group(0)
+            if tok == "$$":
+                return "$"
+            if tok.startswith("$"):
+                return "\\" + tok[1:]
+            return tok.replace("\\", "\\\\")
+        py_repl = re.sub(r"\$\$|\$\d+|[^$\\]+|.", _tr, repl, flags=re.S)
         return rx.sub(py_repl, s, count=count)
     # function replacement: called with the match object
     def do(m):
@@ -379,20 +388,51 @@ def _format_base(ip, env, n=NOMATCH, radix=10):
     return ("-" if neg else "") + out
 
 
-def _picture_format(n: float, picture: str) -> str:
+def _picture_format(n: float, picture: str, opts: dict | None = None) -> str:
     """Subset of the XPath/DecimalFormat picture syntax used by
-    $formatNumber (reference builtin.cljc:777-808)."""
-    pct = picture.endswith("%")
-    if pct:
-        n = n * 100
-        picture = picture[:-1]
+    $formatNumber (reference builtin.cljc:777-808): optional fraction and
+    grouping, percent / per-mille multipliers, scientific 'E' pictures,
+    and the decimal-format options map (minus-sign, per-mille,
+    decimal-separator, grouping-separator, percent)."""
+    import math
+    o = {str(k): str(v) for k, v in (opts or {}).items()}
+    minus = o.get("minus-sign", "-")
+    dec_sep = o.get("decimal-separator", ".")
+    grp_sep = o.get("grouping-separator", ",")
+    pct_sym = o.get("percent", "%")
+    pm_sym = o.get("per-mille", "‰")
+    suffix = ""
+    if picture.endswith(pct_sym):
+        n, picture, suffix = n * 100, picture[: -len(pct_sym)], pct_sym
+    elif picture.endswith(pm_sym):
+        n, picture, suffix = n * 1000, picture[: -len(pm_sym)], pm_sym
+    neg = n < 0
+    n = abs(n)
+
+    if "E" in picture:
+        mant_pic, exp_pic = picture.split("E", 1)
+        if "." in mant_pic:
+            mi, mf = mant_pic.split(".", 1)
+        else:
+            mi, mf = mant_pic, ""
+        int_digits = max(1, sum(c in "0#" for c in mi))
+        exp = 0 if n == 0 else math.floor(math.log10(n)) - (int_digits - 1)
+        mant = n / (10.0 ** exp)
+        ms = f"{mant:.{len(mf)}f}" if mf else str(int(round(mant)))
+        # rounding can carry the mantissa past its digit budget (9.99->10.0)
+        if float(ms) >= 10.0 ** int_digits:
+            exp += 1
+            mant = n / (10.0 ** exp)
+            ms = f"{mant:.{len(mf)}f}" if mf else str(int(round(mant)))
+        es = str(abs(exp)).zfill(exp_pic.count("0"))
+        res = ms.replace(".", dec_sep) + "e" + ("-" if exp < 0 else "") + es
+        return (minus if neg else "") + res + suffix
+
     if "." in picture:
         int_pic, frac_pic = picture.split(".", 1)
     else:
         int_pic, frac_pic = picture, ""
     frac_digits = len(frac_pic)
-    neg = n < 0
-    n = abs(n)
     s = f"{n:.{frac_digits}f}" if frac_digits else str(int(round(n)))
     if frac_digits:
         int_part, frac_part = s.split(".")
@@ -405,18 +445,17 @@ def _picture_format(n: float, picture: str) -> str:
         grp = len(int_pic.rsplit(",", 1)[1].replace(".", ""))
         out = ""
         while len(int_part) > grp:
-            out = "," + int_part[-grp:] + out
+            out = grp_sep + int_part[-grp:] + out
             int_part = int_part[:-grp]
         int_part = int_part + out
-    res = int_part + ("." + frac_part if frac_digits else "")
-    if pct:
-        res += "%"
-    return ("-" if neg else "") + res
+    res = int_part + (dec_sep + frac_part if frac_digits else "")
+    return (minus if neg else "") + res + suffix
 
 
 @builtin("$formatNumber", 2, ctx_default=True)
 def _format_number(ip, env, n=NOMATCH, picture="", opts=None):
-    return _picture_format(_n(n, "$formatNumber"), _s(picture, "$formatNumber"))
+    return _picture_format(_n(n, "$formatNumber"), _s(picture, "$formatNumber"),
+                           opts if isinstance(opts, dict) else None)
 
 
 _ONES = ["zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
@@ -445,7 +484,9 @@ for _i in range(20):
     _WORD_VALS[_ONES[_i]] = _i
 for _i in range(2, 10):
     _WORD_VALS[_TENS[_i]] = _i * 10
-_WORD_VALS.update({"hundred": 100, "thousand": 1000, "million": 10 ** 6, "billion": 10 ** 9})
+_WORD_VALS.update({"hundred": 100, "thousand": 1000, "million": 10 ** 6,
+                   "billion": 10 ** 9, "trillion": 10 ** 12,
+                   "quadrillion": 10 ** 15})
 
 
 def _roman(n: int) -> str:
@@ -489,12 +530,12 @@ def _parse_integer(ip, env, s=NOMATCH, picture=""):
     s = _s(s, "$parseInteger")
     pic = _s(picture, "$parseInteger")
     if pic in ("w", "W", "Ww"):
-        # English words -> int (reference util.cljc:262-280)
+        # English words -> int (reference util.cljc:262-280). 'and' is a
+        # filler word — drop it as a TOKEN only (a substring replace would
+        # corrupt 'thousand' -> 'thous')
         total, current = 0, 0
-        for w in re.split(r"[\s,-]+", s.lower().replace("and", " ").strip()):
-            if not w:
-                continue
-            if w == "minus":
+        for w in re.split(r"[\s,-]+", s.lower().strip()):
+            if not w or w in ("and", "minus"):
                 continue
             v = _WORD_VALS.get(w)
             if v is None:
@@ -832,9 +873,11 @@ def _translate_picture(pic: str) -> str:
         ("[M01]", "%m"), ("[M]", "%m"),
         ("[D01]", "%d"), ("[D]", "%d"),
         ("[H01]", "%H"), ("[H]", "%H"),
+        ("[h01]", "%I"), ("[h#1]", "%I"), ("[h]", "%I"),
         ("[m01]", "%M"), ("[m]", "%M"),
         ("[s01]", "%S"), ("[s]", "%S"),
-        ("[f001]", "%f"), ("[P]", "%p"),
+        ("[f001]", "%f"), ("[P]", "%p"), ("[p]", "%p"),
+        ("[z]", "%z"), ("[Z]", "%z"),
         ("[FNn]", "%A"), ("[MNn]", "%B"), ("[MN]", "%b"),
     ]
     out = pic
@@ -843,11 +886,23 @@ def _translate_picture(pic: str) -> str:
     return out
 
 
+def _parse_tz(tz: str):
+    """'+HHMM' / '-HH:MM' offset string -> tzinfo."""
+    import datetime as dt
+    m = re.fullmatch(r"([+-])(\d{2}):?(\d{2})", tz.strip())
+    if not m:
+        raise RMFnError(f"$fromMillis: bad timezone {tz!r}")
+    sign = 1 if m.group(1) == "+" else -1
+    delta = dt.timedelta(hours=int(m.group(2)), minutes=int(m.group(3)))
+    return dt.timezone(sign * delta)
+
+
 @builtin("$fromMillis", 1, ctx_default=True)
 def _from_millis(ip, env, ms=NOMATCH, picture=None, tz=None):
     import datetime as dt
     ms = _n(ms, "$fromMillis")
-    t = dt.datetime.fromtimestamp(ms / 1000.0, dt.timezone.utc)
+    zone = _parse_tz(_s(tz, "$fromMillis")) if tz is not None else dt.timezone.utc
+    t = dt.datetime.fromtimestamp(ms / 1000.0, zone)
     if picture is None:
         s = t.strftime("%Y-%m-%dT%H:%M:%S")
         frac = int(ms % 1000)
