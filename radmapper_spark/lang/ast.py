@@ -128,6 +128,13 @@ class PredPattern(Node):
 
 
 @dataclass
+class PatternSplice(Node):
+    """query{$qIdent($data)} — an expression in pattern position whose
+    value (a query fn or pattern list) splices into the :where."""
+    expr: Node
+
+
+@dataclass
 class QueryDef(Node):
     params: list        # parameter var names
     patterns: list      # TriplePattern | PredPattern | RuleCall

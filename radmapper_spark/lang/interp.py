@@ -251,7 +251,24 @@ class Interp:
         return Closure(n.params, n.body, env)
 
     def _eval_QueryDef(self, n: A.QueryDef, env: Env):
-        return QueryFnV(n.params, n.patterns, n.options, env)
+        patterns = n.patterns
+        if any(isinstance(p, A.PatternSplice) for p in patterns):
+            expanded = []
+            for p in patterns:
+                if not isinstance(p, A.PatternSplice):
+                    expanded.append(p)
+                    continue
+                v = self.eval(p.expr, env)
+                if isinstance(v, QueryFnV):
+                    expanded.extend(v.patterns)  # query{$qIdent($data)}
+                elif isinstance(v, (list, JSeq)) and all(
+                        isinstance(x, A.Node) for x in v):
+                    expanded.extend(v)
+                else:
+                    raise RMError(
+                        "query{} splice must produce a query or patterns")
+            patterns = expanded
+        return QueryFnV(n.params, patterns, n.options, env)
 
     def _eval_RuleDef(self, n: A.RuleDef, env: Env):
         rv = RuleV(n.name, n.args, n.clauses, env)
@@ -261,6 +278,13 @@ class Interp:
         return rv
 
     def _eval_ExpressDef(self, n: A.ExpressDef, env: Env):
+        if isinstance(n.body, A.Call):
+            # express{$eIdent($data)}: the call's VALUE supplies the
+            # template (reference query_test.cljc:1056-1062 ident-code)
+            v = self.eval(n.body, env)
+            if isinstance(v, ExpressFnV):
+                return ExpressFnV(n.params or v.params, v.body,
+                                  {**v.options, **n.options}, env)
         return ExpressFnV(n.params, n.body, n.options, env)
 
     def _eval_KeyCall(self, n: A.KeyCall, env: Env):

@@ -15,8 +15,8 @@ from __future__ import annotations
 
 from .ast import (
     ArrayLit, Assign, BinOp, Block, Call, Cond, ExpressDef, FieldRef, FunDef,
-    KeyCall, Lit, Node, ObjLit, Path, PathStep, PredPattern, QVar, QueryDef,
-    RegexLit, RuleCall, RuleDef, TriplePattern, UnOp, Var,
+    KeyCall, Lit, Node, ObjLit, Path, PathStep, PatternSplice, PredPattern,
+    QVar, QueryDef, RegexLit, RuleCall, RuleDef, TriplePattern, UnOp, Var,
 )
 from .tokens import Tok, tokenize
 
@@ -375,7 +375,13 @@ class Parser:
         self.expect_op("{")
         patterns = []
         while not self.at_op("}"):
-            patterns.append(self.parse_pattern())
+            if self.at_op("["):
+                patterns.append(self.parse_pattern())
+            else:
+                # expression in pattern position: its VALUE supplies the
+                # patterns — query{$qIdent($data)} (reference
+                # query_test.cljc:1056-1062 ident-code)
+                patterns.append(PatternSplice(self.parse_expr(0)))
             if self.at_op(","):
                 self.next()
         self.expect_op("}")

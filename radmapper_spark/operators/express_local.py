@@ -161,13 +161,37 @@ def _strip_wrappers(v):
 
 
 def reduce_express(ip, bsets, e):
-    """$reduce(bsets, expressFn): merge per-bset instantiations."""
+    """$reduce(bsets, expressFn): merge per-bset instantiations.
+
+    A TOP-LEVEL Type-1 body (literal keys with a direct key() mark, not
+    wrapped in an array) groups by its key() qvar values: one output
+    document per distinct key tuple, a VECTOR (sorted by key) when there
+    is more than one group (reference query_test.cljc:1013-1024 'produces
+    a vector'; the single-group case stays a bare map)."""
     from .spark_bridge import SparkBindingSets
     if isinstance(bsets, SparkBindingSets):
         from .express_spark import reduce_express_spark
         return reduce_express_spark(ip, bsets, e)
     from ..lang.values import as_array
     items = as_array(bsets)
+    top_keys = [v for _k, v in e.body.pairs
+                if isinstance(v, A.KeyCall)] if isinstance(e.body, A.ObjLit) else []
+    if top_keys:
+        groups: dict = {}
+        for b in items:
+            if not isinstance(b, dict):
+                continue
+            env = _bset_env(ip, e, b)
+            kt = tuple(_hashable(jflatten(ip.eval(kc.expr, env)))
+                       for kc in top_keys)
+            doc = instantiate_body(ip, e, b, keyed=True)
+            groups[kt] = doc if kt not in groups else _merge(groups[kt], doc)
+        if not groups:
+            return NOMATCH
+        if len(groups) == 1:
+            return _strip_wrappers(next(iter(groups.values())))
+        return [_strip_wrappers(groups[k])
+                for k in sorted(groups, key=lambda t: tuple(_sort_key(x) for x in t))]
     acc = None
     for b in items:
         if not isinstance(b, dict):

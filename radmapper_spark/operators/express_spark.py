@@ -211,20 +211,43 @@ class _Builder:
         raise ValueError(f"not a scalar spec {spec}")
 
 
+def _top_keys(spec) -> list:
+    """Key qvars of a TOP-LEVEL Type-1 body (direct key() marks)."""
+    if not isinstance(spec, StaticObj):
+        return []
+    return [s.qvar for _n, s in spec.entries
+            if isinstance(s, Field) and s.is_key]
+
+
 def reduce_express_frame(ip, bsets: SparkBindingSets, e) -> DataFrame:
-    """The $reduce groupBy-cascade plan WITHOUT collecting: a one-row
-    DataFrame holding the assembled document (for sinks/driver checks)."""
+    """The $reduce groupBy-cascade plan WITHOUT collecting: a DataFrame
+    holding the assembled document(s) — one row per top-level key group
+    for a Type-1 keyed body (mirrors express_local.reduce_express), one
+    row otherwise."""
     spec = analyze(e.body)
     b = _Builder(bsets.df)
     frame, vcol = b.build(spec, [])
+    keys = _top_keys(spec)
+    if keys:
+        return (frame.select(*keys, vcol).distinct().orderBy(*keys)
+                .select(F.col(vcol).alias("doc")))
     return frame.select(F.col(vcol).alias("doc"))
 
 
 def reduce_express_spark(ip, bsets: SparkBindingSets, e):
-    """$reduce(binding-set DataFrame, express) -> one nested document."""
+    """$reduce(binding-set DataFrame, express) -> nested document(s):
+    a vector of documents when a top-level Type-1 keyed body has more
+    than one distinct key tuple (reference query_test.cljc:1013-1024)."""
     spec = analyze(e.body)
     b = _Builder(bsets.df)
     frame, vcol = b.build(spec, [])
+    keys = _top_keys(spec)
+    if keys:
+        rows = frame.select(*keys, vcol).distinct().orderBy(*keys).collect()
+        docs = [_plain(r[vcol]) for r in rows]
+        if not docs:
+            return None
+        return docs[0] if len(docs) == 1 else docs
     rows = frame.select(vcol).collect()
     if not rows:
         return None
