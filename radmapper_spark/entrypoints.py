@@ -613,6 +613,26 @@ def stream_tumbling_sql() -> str:
     """
 
 
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch shape of the sliding-window agg (2h window, 1h slide): each
+    event lands in two windows; the oracle enumerates both via a lateral
+    offset join."""
+    t = load_tables(spark, sf_dir)
+    out = W.sliding_counts(t["events"], window="2 hours", slide="1 hour")
+    return out.select(
+        F.unix_timestamp("window_start").alias("ws"),
+        "event_type", "n_events")
+
+
+def stream_sliding_sql() -> str:
+    return """
+    SELECT epoch(date_trunc('hour', ts::TIMESTAMP) - INTERVAL (o.off) HOUR)::BIGINT AS ws,
+           event_type, count(*) AS n_events
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+    GROUP BY 1, 2
+    """
+
+
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     out = W.session_windows(t["events"], gap="30 minutes")
@@ -757,6 +777,7 @@ ENTRIES: dict = {
     "text_fingerprint": (text_fingerprint, None),
     # streaming (batch shapes of the streaming plans)
     "stream_tumbling": (stream_tumbling, stream_tumbling_sql),
+    "stream_sliding": (stream_sliding, stream_sliding_sql),
     "stream_session": (stream_session, stream_session_sql),
     "stream_running_totals": (stream_running_totals, stream_running_totals_sql),
     "stream_dedup": (stream_dedup, stream_dedup_sql),
