@@ -401,6 +401,16 @@ def _picture_format(n: float, picture: str, opts: dict | None = None) -> str:
     grp_sep = o.get("grouping-separator", ",")
     pct_sym = o.get("percent", "%")
     pm_sym = o.get("per-mille", "‰")
+    if ";" in picture:
+        # DecimalFormat subpictures: positive;negative — the negative
+        # subpicture carries its own affixes (e.g. parentheses), no minus
+        pos_pic, neg_pic = picture.split(";", 1)
+        if n < 0:
+            body = re.sub(r"[^0#.,E]", "", neg_pic)
+            pre = neg_pic[: neg_pic.index(body[0])] if body else neg_pic
+            post = neg_pic[neg_pic.index(body[0]) + len(body):] if body else ""
+            return pre + _picture_format(abs(n), body, opts) + post
+        picture = pos_pic
     suffix = ""
     if picture.endswith(pct_sym):
         n, picture, suffix = n * 100, picture[: -len(pct_sym)], pct_sym

@@ -197,3 +197,6 @@ def test_exceeds_reference_on_its_own_nyi_cases():
         "  $replace('temperature = 68F today', /(\\d+)F/, $convert) )"
     ) == "temperature = 20C today"
     assert run("$formatInteger(123, 'w')") == "one hundred twenty-three"
+    # DecimalFormat negative subpictures (reference expects '#?')
+    assert run("$formatNumber(-34.555, '#0.00;(#0.00)')") == "(34.55)"
+    assert run("$formatNumber(34.555, '#0.00;(#0.00)')") == "34.55"
