@@ -613,6 +613,65 @@ def stream_tumbling_sql() -> str:
     """
 
 
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe join: lineitem (big, skewed side) x orders via
+    salted_join — orders replicated across 4 salts so a hot orderkey's
+    rows spread over 4 reducers — then revenue per order priority. The
+    oracle is the PLAIN join: salting must be semantically invisible."""
+    from .operators.skew import salted_join
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = t["orders"].select(F.col("o_orderkey").alias("l_orderkey"),
+                                "o_orderpriority")
+    joined = salted_join(li, orders, on="l_orderkey", num_salts=4)
+    rev = F.sum((F.col("l_extendedprice").cast(DEC)
+                 * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))))
+    return (joined.groupBy("o_orderpriority")
+            .agg(rev.cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("o_orderpriority"))
+
+
+def skew_salted_join_sql() -> str:
+    return """
+    SELECT o_orderpriority,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        count(*) AS n_lines
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the events table: per event_type
+    sums/counts plus the distinct user set — the collect_set is the agg
+    whose single-reducer combine a hot key would bottleneck."""
+    from .operators.skew import salted_two_phase_agg
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "user_id",
+                            F.col("value").cast(DEC).alias("v"))
+    out = salted_two_phase_agg(
+        ev, "event_type",
+        {"n_events": ("count", "user_id"),
+         "sum_value": ("sum", "v"),
+         "users": ("collect_set", "user_id")},
+        num_salts=4)
+    return out.select(
+        "event_type", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.size("users").alias("n_users")).orderBy("event_type")
+
+
+def skew_salted_agg_sql() -> str:
+    return """
+    SELECT event_type, count(user_id) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
+
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch shape of the sliding-window agg (2h window, 1h slide): each
     event lands in two windows; the oracle enumerates both via a lateral
@@ -776,6 +835,8 @@ ENTRIES: dict = {
     "text_quality": (text_quality, text_quality_sql),
     "text_fingerprint": (text_fingerprint, None),
     # streaming (batch shapes of the streaming plans)
+    "skew_salted_join": (skew_salted_join, skew_salted_join_sql),
+    "skew_salted_agg": (skew_salted_agg, skew_salted_agg_sql),
     "stream_tumbling": (stream_tumbling, stream_tumbling_sql),
     "stream_sliding": (stream_sliding, stream_sliding_sql),
     "stream_session": (stream_session, stream_session_sql),

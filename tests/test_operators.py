@@ -519,3 +519,46 @@ def test_dedup_groups_labels_every_doc(spark, tables):
     assert out.count() == docs.count()
     # group count == number of distinct normalized texts
     assert out.select("component").distinct().count() == norm.select("t").distinct().count()
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must be semantically invisible (inner and left), spread a
+    hot key across salts, and refuse join types that would duplicate the
+    replicated side."""
+    import pytest
+    from radmapper_spark.operators import skew
+    # hot key: 900 of 1000 rows share key 7
+    big = spark.createDataFrame(
+        [(7 if i < 900 else i % 50, i) for i in range(1000)], ["k", "payload"])
+    other = spark.createDataFrame([(i, f"v{i}") for i in range(40)], ["k", "val"])
+    plain = big.join(other, "k").groupBy("k").count()
+    salted = skew.salted_join(big, other, "k", num_salts=4).groupBy("k").count()
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join: unmatched big rows survive exactly once
+    pl = big.join(other, "k", "left").count()
+    sl = skew.salted_join(big, other, "k", num_salts=4, how="left").count()
+    assert sl == pl
+    # the hot key's rows really do land in multiple salt groups
+    from pyspark.sql import functions as F
+    n_salts = (big.withColumn(skew.SALT, F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(4)))
+        .filter(F.col("k") == 7).select(skew.SALT).distinct().count())
+    assert n_salts > 1
+    with pytest.raises(ValueError):
+        skew.salted_join(big, other, "k", how="full")
+
+
+def test_salted_two_phase_agg_matches_plain(spark):
+    from radmapper_spark.operators import skew
+    df = spark.createDataFrame(
+        [("a" if i < 80 else "b", i % 10, float(i)) for i in range(100)],
+        ["g", "u", "v"])
+    out = {r["g"]: (r["n"], r["s"], list(r["users"])) for r in
+           skew.salted_two_phase_agg(
+               df, "g", {"n": ("count", "u"), "s": ("sum", "v"),
+                         "users": ("collect_set", "u")}, num_salts=3).collect()}
+    want = {r["g"]: (r["n"], r["s"], sorted(r["users"])) for r in
+            df.groupBy("g").agg(
+                F.count("u").alias("n"), F.sum("v").alias("s"),
+                F.sort_array(F.collect_set("u")).alias("users")).collect()}
+    assert out == want
