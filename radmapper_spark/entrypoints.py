@@ -537,13 +537,17 @@ def text_lang_id_sql() -> str:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return textstats.token_count(t["documents"]).select(
-        "doc_id", "n_tokens_ws", "n_tokens_bpe_est")
+        "doc_id", "n_tokens_ws", "n_tokens_bpe_rx", "n_tokens_bpe_est")
 
 
 def text_token_count_sql() -> str:
-    return """
+    # same lookahead-free BPE pattern as textstats.BPE_PATTERN; the
+    # leading apostrophe (contractions) is doubled for the SQL literal
+    pat = textstats.BPE_PATTERN.replace("'", "''")
+    return f"""
     SELECT doc_id,
         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens_ws,
+        len(regexp_extract_all(text, '{pat}'))::INT AS n_tokens_bpe_rx,
         ceil(length(text) / 4.0)::BIGINT AS n_tokens_bpe_est
     FROM documents
     """

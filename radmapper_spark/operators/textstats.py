@@ -41,13 +41,23 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", pred)
 
 
+# GPT-2-style pre-tokenizer pattern, LOOKAHEAD-FREE so the same pattern
+# runs in Java regex (Spark) and RE2 (DuckDB oracle): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokens + a BPE-ish subword estimate (~chars/4, the usual
-    byte-pair heuristic) per document."""
+    """Whitespace tokens, a BPE-ish REGEX tokenization count (GPT-2-style
+    pre-tokenizer pattern, counted JVM-side with regexp_count), and the
+    chars/4 estimate — per document, all whole-stage-codegen."""
     ws = F.size(_tokens(F.col(text_col)))
     chars = F.length(F.col(text_col))
-    return docs.withColumn("n_tokens_ws", ws).withColumn(
-        "n_tokens_bpe_est", F.ceil(chars / F.lit(4.0)).cast("bigint"))
+    return (docs.withColumn("n_tokens_ws", ws)
+            .withColumn("n_tokens_bpe_rx",
+                        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)))
+            .withColumn("n_tokens_bpe_est",
+                        F.ceil(chars / F.lit(4.0)).cast("bigint")))
 
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
