@@ -246,9 +246,9 @@ class ColumnCompiler:
         r = self._c(n.right, ctx)
         op = n.op
         if op in self.NUM_OPS:
-            out_t = T.DoubleType() if op == "/" else (
-                l.dtype if isinstance(l.dtype, T.DoubleType) or
-                isinstance(r.dtype, T.DoubleType) else T.LongType())
+            out_t = T.DoubleType() if op == "/" or isinstance(
+                l.dtype, (T.DoubleType, T.FloatType)) or isinstance(
+                r.dtype, (T.DoubleType, T.FloatType)) else T.LongType()
             col = {"+": l.col + r.col, "-": l.col - r.col, "*": l.col * r.col,
                    "/": l.col.cast("double") / r.col.cast("double"),
                    "%": l.col % r.col}[op]
@@ -269,13 +269,25 @@ class ColumnCompiler:
             out_t = self._common_dtype(l.dtype, r.dtype)
             return CV(F.when(self._truthy(l), l.col).otherwise(r.col), out_t)
         if op == "&":
-            return CV(F.concat(l.col.cast("string"), r.col.cast("string")),
+            return CV(F.concat(self._str_col(l), self._str_col(r)),
                       T.StringType())
         if op == "in":
             return CV(F.array_contains(r.col, l.col), T.BooleanType())
         if op == "..":
             return CV(F.sequence(l.col, r.col), T.ArrayType(T.LongType()), True)
         raise ColumnCompileError(f"unsupported operator {op}")
+
+    @staticmethod
+    def _str_col(cv: CV) -> Column:
+        """JSONata number rendering for $string and `&`: integral floats
+        drop the decimal part ($string(2.0) = '2'), matching the driver's
+        to_string (functions/builtins.py:74)."""
+        if isinstance(cv.dtype, (T.DoubleType, T.FloatType)):
+            d = cv.col.cast("double")
+            return F.when(d == F.floor(d),
+                          d.cast("decimal(38,0)").cast("string")) \
+                .otherwise(d.cast("string"))
+        return cv.col.cast("string")
 
     @staticmethod
     def _common_dtype(a, b):
@@ -558,7 +570,7 @@ class ColumnCompiler:
         if name == "$number":
             return CV(a(0).col.cast("double"), T.DoubleType())
         if name == "$string":
-            return CV(a(0).col.cast("string"), T.StringType())
+            return CV(self._str_col(a(0)), T.StringType())
         if name == "$boolean":
             return CV(a(0).col.cast("boolean"), T.BooleanType())
         if name == "$not":

@@ -1,0 +1,121 @@
+"""Property-based differential testing: hypothesis generates random RM
+scalar expressions; the driver evaluator and the Catalyst column compiler
+must agree on every one. Two independent backends, one semantics — any
+divergence is a bug in one of them (this is how the column-mode and/or
+truthiness and $pad arg-order bugs would have been caught mechanically).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from radmapper_spark import run
+from radmapper_spark.lang.columns import ColumnCompileError, rm_column
+
+# -------------------------------------------------------- expression gen
+
+NUMS = st.one_of(
+    st.integers(min_value=-100, max_value=100),
+    st.floats(min_value=-100, max_value=100, allow_nan=False,
+              allow_infinity=False).map(lambda f: round(f, 3)),
+)
+WORDS = st.sampled_from(["abc", "Hello World", "x,y;z", "", "42", "déjà vu"])
+
+
+def lit(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "\\'") + "'"
+    if isinstance(v, float) and v == int(v):
+        return f"{v:.1f}"
+    return repr(v)
+
+
+@st.composite
+def num_expr(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        return lit(draw(NUMS))
+    op = draw(st.sampled_from(["+", "-", "*"]))
+    a = draw(num_expr(depth + 1))
+    b = draw(num_expr(depth + 1))
+    return f"({a} {op} {b})"
+
+
+@st.composite
+def str_expr(draw, depth=0):
+    if depth >= 2:
+        return lit(draw(WORDS))
+    kind = draw(st.sampled_from(["lit", "concat", "upper", "lower", "trim",
+                                 "substr", "fn"]))
+    if kind == "lit":
+        return lit(draw(WORDS))
+    if kind == "concat":
+        return f"({draw(str_expr(depth + 1))} & {draw(str_expr(depth + 1))})"
+    if kind == "upper":
+        return f"$uppercase({draw(str_expr(depth + 1))})"
+    if kind == "lower":
+        return f"$lowercase({draw(str_expr(depth + 1))})"
+    if kind == "trim":
+        return f"$trim({draw(str_expr(depth + 1))})"
+    if kind == "substr":
+        start = draw(st.integers(min_value=-5, max_value=5))
+        ln = draw(st.integers(min_value=0, max_value=6))
+        return f"$substring({draw(str_expr(depth + 1))}, {start}, {ln})"
+    n = draw(num_expr(2))
+    return f"$string($abs({n}))"
+
+
+@st.composite
+def scalar_expr(draw):
+    kind = draw(st.sampled_from(["num", "str", "cmp", "cond", "agg"]))
+    if kind == "num":
+        return draw(num_expr())
+    if kind == "str":
+        return draw(str_expr())
+    if kind == "cmp":
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "!="]))
+        return f"({draw(num_expr(1))} {op} {draw(num_expr(1))})"
+    if kind == "cond":
+        c = draw(st.sampled_from(["<", ">", "="]))
+        return (f"(({draw(num_expr(2))} {c} {draw(num_expr(2))}) ? "
+                f"{draw(num_expr(2))} : {draw(num_expr(2))})")
+    vals = draw(st.lists(NUMS, min_size=1, max_size=5))
+    fn = draw(st.sampled_from(["$sum", "$max", "$min", "$count"]))
+    return f"{fn}([{', '.join(lit(v) for v in vals)}])"
+
+
+def _agree(a, b) -> bool:
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) == math.isnan(b)
+        return abs(float(a) - float(b)) <= 1e-6 * max(1.0, abs(float(a)))
+    return a == b
+
+
+@pytest.fixture(scope="module")
+def one_row_df(spark):
+    return spark.createDataFrame([(1,)], ["id"])
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(src=scalar_expr())
+def test_column_twin_agrees_with_driver(one_row_df, src):
+    try:
+        want = run(src)
+    except Exception:
+        # driver rejects the program (e.g. arithmetic domain error):
+        # nothing to compare — column behavior on invalid programs is
+        # allowed to differ in error class
+        return
+    try:
+        col = rm_column(one_row_df, src)
+    except ColumnCompileError:
+        pytest.fail(f"driver runs but column mode refuses: {src}")
+    got = one_row_df.select(col.alias("r")).head()["r"]
+    assert _agree(got, want), f"{src}: column={got!r} driver={want!r}"
