@@ -471,8 +471,21 @@ class ColumnCompiler:
         if name == "$append":
             return CV(F.concat(a(0).col, a(1).col), a(0).dtype, True)
         if name == "$join":
-            sep = a(1).col if len(args) > 1 else F.lit("")
-            return CV(F.array_join(a(0).col, sep), T.StringType())
+            # array_join takes a PYTHON string delimiter; a dynamic
+            # separator joins via an aggregate fold instead
+            arr = a(0).col
+            if len(args) <= 1:
+                return CV(F.array_join(arr, ""), T.StringType())
+            sep_node = n.args[-1]
+            if isinstance(sep_node, A.Lit):
+                return CV(F.array_join(arr, str(sep_node.value)),
+                          T.StringType())
+            sep = args[-1].col
+            col = F.when(F.size(arr) == 0, F.lit("")).otherwise(
+                F.aggregate(F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+                            F.element_at(arr, 1).cast("string"),
+                            lambda acc, x: F.concat(acc, sep, x.cast("string"))))
+            return CV(col, T.StringType())
         if name == "$split":
             return CV(F.split(a(0).col, a(1).col), T.ArrayType(T.StringType()), True)
         if name == "$zip":

@@ -70,7 +70,9 @@ def str_expr(draw, depth=0):
 
 @st.composite
 def scalar_expr(draw):
-    kind = draw(st.sampled_from(["num", "str", "cmp", "cond", "agg"]))
+    kind = draw(st.sampled_from(
+        ["num", "str", "cmp", "cond", "agg", "round", "pad", "contains",
+         "splitjoin", "logic", "not"]))
     if kind == "num":
         return draw(num_expr())
     if kind == "str":
@@ -82,6 +84,23 @@ def scalar_expr(draw):
         c = draw(st.sampled_from(["<", ">", "="]))
         return (f"(({draw(num_expr(2))} {c} {draw(num_expr(2))}) ? "
                 f"{draw(num_expr(2))} : {draw(num_expr(2))})")
+    if kind == "round":
+        prec = draw(st.integers(min_value=0, max_value=4))
+        return f"$round({draw(num_expr(1))}, {prec})"
+    if kind == "pad":
+        w = draw(st.integers(min_value=-8, max_value=8))
+        return f"$pad({draw(str_expr(1))}, {w})"
+    if kind == "contains":
+        return f"$contains({draw(str_expr(1))}, {lit(draw(WORDS))})"
+    if kind == "splitjoin":
+        sep = draw(st.sampled_from([",", ";", " "]))
+        return (f"$join($split({draw(str_expr(1))}, {lit(sep)}), "
+                f"{lit(draw(st.sampled_from(['-', ''])))})")
+    if kind == "logic":
+        op = draw(st.sampled_from(["and", "or"]))
+        return f"({draw(num_expr(2))} {op} {draw(num_expr(2))})"
+    if kind == "not":
+        return f"$not({draw(num_expr(2))} > {draw(num_expr(2))})"
     vals = draw(st.lists(NUMS, min_size=1, max_size=5))
     fn = draw(st.sampled_from(["$sum", "$max", "$min", "$count"]))
     return f"{fn}([{', '.join(lit(v) for v in vals)}])"
