@@ -21,6 +21,16 @@ from .streaming import windows as W
 
 DEC = "decimal(18,2)"
 
+
+def _carry_release(src: DataFrame, out: DataFrame) -> DataFrame:
+    """Entry projections build NEW DataFrame objects, which would drop the
+    `rm_release_cache` handle an operator attached — re-attach it so the
+    bench/driver can unpersist operator caches after each run."""
+    release = getattr(src, "rm_release_cache", None)
+    if release is not None:
+        out.rm_release_cache = release
+    return out
+
 LANGS = sorted(textstats.LANG_PROFILES.keys())  # de, en, es, fr
 
 
@@ -404,17 +414,106 @@ def dedup_groups_sql() -> str:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded minhash-LSH near-dup pairs in PORTABLE hash mode: every hash
+    (md5-prefix base, Carter-Wegman family, polynomial band combine) is
+    bit-identical in DuckDB SQL, so the oracle verifies actual minhash
+    estimates — same plan shape as the xxhash64 production default."""
     t = load_tables(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5) \
-        .select("id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard"))
+    pairs = dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5,
+                                    hash_mode="portable")
+    return _carry_release(pairs, pairs.select(
+        "id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")))
+
+
+def dedup_minhash_lsh_sql() -> str:
+    """Exact DuckDB twin of the portable-mode minhash entry: 32 affine
+    hashes over 28-bit md5-prefix shingle hashes, 8 bands x 4 rows via
+    polynomial combine, estimated Jaccard >= 0.5."""
+    from .functions import portable_hash as PH
+
+    nh, bands, rpb, k = 32, 8, 4, 5
+    coeffs = PH.affine_coeffs(nh)
+    mins = ",\n        ".join(
+        f"list_min(list_transform(hs, h -> {PH.duck_affine('h', a, b)})) AS m{i}"
+        for i, (a, b) in enumerate(coeffs))
+    banded = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{PH.duck_poly([f'm{b * rpb + r}' for r in range(rpb)])} AS bhash FROM sig"
+        for b in range(bands))
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(nh))
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS words
+        FROM documents),
+    sh AS (
+        SELECT doc_id, CASE WHEN len(words) >= {k}
+            THEN list_transform(range(1, len(words) - {k} + 2),
+                                i -> array_to_string(words[i:i+{k - 1}], ' '))
+            ELSE [array_to_string(words, ' ')] END AS shingles
+        FROM w),
+    base AS (
+        SELECT doc_id, list_transform(shingles, s -> {PH.duck_ph28('s')}) AS hs
+        FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM base),
+    banded AS ({banded}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, round(({matches}) / 32.0, 6) AS est_jaccard
+    FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+    WHERE ({matches}) / 32.0 >= 0.5
+    """
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-simhash near-dup pairs (4×16-bit tables, exact popcount
-    verify) — the Manku-style scale path; flat (id_a, id_b, hamming)
-    rows are driver-canonicalizable."""
+    """Banded-simhash near-dup pairs (4×15-bit tables over a 60-bit
+    PORTABLE fingerprint, exact popcount verify) — the Manku-style scale
+    path; pigeonhole completeness for hamming<=3 needs only bands >
+    max_hamming, so 4x15 bits is as complete as the xxhash64 default's
+    4x16. Portable mode makes every fingerprint DuckDB-reproducible."""
     t = load_tables(spark, sf_dir)
-    return dedup.simhash_pairs(t["documents"], max_hamming=3)
+    pairs = dedup.simhash_pairs(t["documents"], max_hamming=3, bands=4,
+                                band_bits=15, nbits=60, hash_mode="portable")
+    return _carry_release(pairs, pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")))
+
+
+def dedup_simhash_sql() -> str:
+    """Exact DuckDB twin of the portable-mode simhash entry: 60-bit
+    md5-prefix token hashes, per-bit +1/-1 votes, 4x15-bit band join,
+    popcount verify at hamming <= 3."""
+    from .functions import portable_hash as PH
+
+    nbits, bands, bb, maxh = 60, 4, 15, 3
+    mask = (1 << bb) - 1
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(nbits))
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(nbits))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+        FROM documents),
+    th AS (SELECT doc_id, {PH.duck_ph60('tok')} AS h FROM toks),
+    votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp} AS simhash FROM votes),
+    banded AS (
+        SELECT doc_id, band, (simhash >> (band * {bb})) & {mask} AS bval
+        FROM fp CROSS JOIN (SELECT unnest([{", ".join(str(b) for b in range(bands))}]) AS band)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, bit_count(xor(fa.simhash, fb.simhash))::BIGINT AS hamming
+    FROM cand JOIN fp fa ON fa.doc_id = id_a JOIN fp fb ON fb.doc_id = id_b
+    WHERE bit_count(xor(fa.simhash, fb.simhash)) <= {maxh}
+    """
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,9 +525,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the candidate join volume is ~b*n^2/512 — 8x below the old shape
     that trended near-quadratic at 100 TB."""
     t = load_tables(spark, sf_dir)
-    return dedup.embedding_cosine_pairs(
-        t["embeddings"], threshold=0.45, bands=64, planes_per_band=8) \
-        .select("id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine"))
+    pairs = dedup.embedding_cosine_pairs(
+        t["embeddings"], threshold=0.45, bands=64, planes_per_band=8)
+    return _carry_release(pairs, pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")))
 
 
 def dedup_embedding_cosine_sql() -> str:
@@ -590,9 +690,36 @@ def text_quality_sql() -> str:
 
 
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint in PORTABLE hash mode (md5-prefix token
+    hashes + polynomial window combine), so the DuckDB oracle verifies the
+    actual fingerprint values — same plan as the xxhash64 default."""
     t = load_tables(spark, sf_dir)
-    return textstats.fingerprint(t["documents"]).select(
+    return textstats.fingerprint(t["documents"], hash_mode="portable").select(
         "doc_id", "fp_hash", "fp_min_window")
+
+
+def text_fingerprint_sql() -> str:
+    """Exact DuckDB twin of the portable-mode fingerprint entry."""
+    from .functions import portable_hash as PH
+
+    k = 8
+    wh = PH.duck_poly([f"hs[i + {j}]" for j in range(k)])
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+        FROM documents),
+    th AS (
+        SELECT doc_id, norm,
+               list_transform(string_split(norm, ' '), tok -> {PH.duck_ph28('tok')}) AS hs
+        FROM t)
+    SELECT doc_id,
+           {PH.duck_ph60('norm')} AS fp_hash,
+           CASE WHEN len(hs) >= {k}
+               THEN list_min(list_transform(range(1, len(hs) - {k} + 2), i -> {wh}))
+               ELSE {PH.duck_ph60('norm')} END AS fp_min_window
+    FROM th
+    """
 
 
 # =============================================================== streaming
@@ -827,8 +954,8 @@ ENTRIES: dict = {
     "dedup_exact": (dedup_exact, dedup_exact_sql),
     "dedup_token_jaccard": (dedup_token_jaccard, dedup_token_jaccard_sql),
     "dedup_groups": (dedup_groups, dedup_groups_sql),
-    "dedup_minhash_lsh": (dedup_minhash_lsh, None),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_sql),
+    "dedup_simhash": (dedup_simhash, dedup_simhash_sql),
     "dedup_embedding_cosine": (dedup_embedding_cosine, dedup_embedding_cosine_sql),
     # similarity
     "ann_bruteforce_topk": (ann_bruteforce_topk, ann_bruteforce_topk_sql),
@@ -837,7 +964,7 @@ ENTRIES: dict = {
     "text_lang_id": (text_lang_id, text_lang_id_sql),
     "text_token_count": (text_token_count, text_token_count_sql),
     "text_quality": (text_quality, text_quality_sql),
-    "text_fingerprint": (text_fingerprint, None),
+    "text_fingerprint": (text_fingerprint, text_fingerprint_sql),
     # streaming (batch shapes of the streaming plans)
     "skew_salted_join": (skew_salted_join, skew_salted_join_sql),
     "skew_salted_agg": (skew_salted_agg, skew_salted_agg_sql),

@@ -69,49 +69,85 @@ def _shingles(col, k: int = 5):
 # -------------------------------------------------------------- minhash
 
 def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int = 32,
-                      shingle_k: int = 5) -> DataFrame:
-    """num_hashes minhash values per doc: min over xxhash64(shingle, seed_i).
+                      shingle_k: int = 5, hash_mode: str = "xxhash64") -> DataFrame:
+    """num_hashes minhash values per doc: min over h_i(shingle).
     Vectorized entirely in Catalyst: transform+array_min per hash — no UDF,
     no explode, no shuffle (beyond an input spread when the source arrives
     under-partitioned: a small parquet file scans as ONE task, and the
     per-doc hash loop is the hot part — at real scale the input is already
-    wide and the spread is a no-op)."""
+    wide and the spread is a no-op).
+
+    hash_mode: "xxhash64" (production default — shingle hashed once, the
+    num_hashes functions derived by rehashing the 8-byte base) or
+    "portable" (md5-prefix base + Carter-Wegman affine family from
+    functions.portable_hash, bit-identical in DuckDB SQL so the driver
+    oracle can verify minhash values exactly)."""
+    from ..functions import portable_hash as PH
+
     npart = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < npart:
         docs = docs.repartition(npart)
     sh = _shingles(F.col(text_col), shingle_k)
     # hash each shingle STRING once (the expensive part), then derive the
-    # num_hashes functions from the 8-byte base hash — ~len(text)/8 fewer
+    # num_hashes functions from the small base hash — ~len(text)/8 fewer
     # bytes hashed per function
-    base = F.transform(sh, lambda s: F.xxhash64(s))
-    sig = F.array(*[
-        F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
-        for i in range(num_hashes)
-    ])
+    if hash_mode == "portable":
+        base = F.transform(sh, lambda s: PH.ph28(s))
+
+        def affine(a, b):
+            # unary closure: pyspark's transform() dispatches on lambda
+            # arity, so default-arg binding would make it look binary
+            return lambda h: PH.affine_col(h, a, b)
+
+        sig = F.array(*[
+            F.array_min(F.transform(base, affine(a, b)))
+            for a, b in PH.affine_coeffs(num_hashes)
+        ])
+    else:
+        base = F.transform(sh, lambda s: F.xxhash64(s))
+        sig = F.array(*[
+            F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+            for i in range(num_hashes)
+        ])
     return docs.withColumn("minhash", sig)
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_hashes: int = 32, bands: int = 8, shingle_k: int = 5,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      hash_mode: str = "xxhash64") -> DataFrame:
     """Candidate near-dup pairs via banded LSH, verified with estimated
     Jaccard (= fraction of matching minhashes).
 
     Plan shape: docs -> signatures (narrow) -> explode to (band, hash)
     [rows x bands] -> self-equi-join on (band, band_hash) -> distinct pairs
     -> verify. At 100 TB the bucket join is the only shuffle and AQE's
-    skew-join handles hot buckets (boilerplate text)."""
+    skew-join handles hot buckets (boilerplate text).
+
+    hash_mode "portable" makes every hash (base, family, band) an
+    md5/affine/polynomial construction DuckDB reproduces bit-for-bit
+    (see functions.portable_hash) — plan shape is IDENTICAL; only the
+    leaf hash expressions change."""
+    from ..functions import portable_hash as PH
+
     rows_per_band = num_hashes // bands
     # persist the (small: id + num_hashes longs per doc) signature frame so
     # the self-join's two sides don't recompute the shingling
-    sigs = minhash_signature(docs, text_col, num_hashes, shingle_k).select(
+    sigs = minhash_signature(docs, text_col, num_hashes, shingle_k,
+                             hash_mode=hash_mode).select(
         F.col(id_col).alias("id"), "minhash").persist()
+
+    def band_hash(b):
+        vals = [F.col("minhash")[b * rows_per_band + r]
+                for r in range(rows_per_band)]
+        if hash_mode == "portable":
+            return PH.poly_col(vals)
+        return F.xxhash64(*vals)
+
     banded = sigs.select(
         "id",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("minhash")[b * rows_per_band + r]
-                                  for r in range(rows_per_band)]).alias("bhash"))
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bhash"))
             for b in range(bands)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bhash")
@@ -147,30 +183,44 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
 # -------------------------------------------------------------- simhash
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            nbits: int = 64) -> DataFrame:
-    """64-bit SimHash: per-token 64-bit hash; each bit votes +1/-1; the sign
-    of the vote is the fingerprint bit. Pure Catalyst expressions
-    (aggregate over the token array with a BIGINT-array accumulator)."""
-    # Scalable formulation: explode tokens -> one 64-bit hash per token ->
-    # 64 conditional sums in ONE groupBy(doc). Partial aggregation happens
-    # map-side, shuffle carries 64 longs per doc; codegen stays linear in
-    # nbits (a single giant per-row lambda blows up the expression tree).
+            nbits: int = 64, hash_mode: str = "xxhash64") -> DataFrame:
+    """SimHash: per-token hash; each bit votes +1/-1; the sign of the vote
+    is the fingerprint bit. Pure Catalyst expressions (aggregate over the
+    token array with a BIGINT-array accumulator).
+
+    hash_mode "xxhash64" (default): 64-bit token hash, fingerprint packs
+    nbits into a signed bigint (top bit = sign bit when nbits == 64).
+    hash_mode "portable": md5-prefix 60-bit token hash (nbits <= 60),
+    fingerprint stays non-negative — both reproducible in DuckDB SQL."""
+    from ..functions import portable_hash as PH
+
+    # Scalable formulation: explode tokens -> one hash per token ->
+    # nbits conditional sums in ONE groupBy(doc). Partial aggregation
+    # happens map-side, shuffle carries nbits longs per doc; codegen stays
+    # linear in nbits (a single giant per-row lambda blows up the
+    # expression tree).
     npart = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < npart:
         # spread the map-side vote aggregation: a small parquet file scans
         # as one task; at real scale the input is already wide (no-op)
         docs = docs.repartition(npart)
+    if hash_mode == "portable":
+        assert nbits <= 60, "portable token hash is 60-bit"
+        tok_hash = PH.ph60(F.col("tok"))
+        bit_vals = [1 << i for i in range(nbits)]  # non-negative fingerprint
+    else:
+        tok_hash = F.xxhash64(F.col("tok"))
+        bit_vals = [1 << i for i in range(nbits - 1)] + [-(1 << (nbits - 1))]
     toks = docs.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64(F.col("tok")))
+    ).withColumn("h", tok_hash)
     vote_cols = [
         F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
               .otherwise(-1)).alias(f"v{i}")
         for i in range(nbits)
     ]
     votes = toks.groupBy(id_col).agg(*vote_cols)
-    bit_vals = [1 << i for i in range(nbits - 1)] + [-(1 << (nbits - 1))]
     fingerprint = None
     for i in range(nbits):
         piece = F.when(F.col(f"v{i}") > 0,
@@ -208,7 +258,8 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, bands: int = 4,
-                  band_bits: int = 16) -> DataFrame:
+                  band_bits: int = 16, nbits: int = 64,
+                  hash_mode: str = "xxhash64") -> DataFrame:
     """Near-duplicate pairs by banded SimHash — the scale path.
 
     Classic multi-table construction (Manku et al., WWW'07 "Detecting
@@ -223,8 +274,9 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     and persisted (id + 1 long per doc), candidate join carries only
     (band, band_val, id), pair dedup before the verify re-join.
     """
-    assert bands * band_bits <= 64
-    sh = simhash(docs, text_col, id_col).select(
+    assert bands * band_bits <= nbits
+    sh = simhash(docs, text_col, id_col, nbits=nbits,
+                 hash_mode=hash_mode).select(
         F.col(id_col).alias("id"), "simhash").persist()
     mask = (1 << band_bits) - 1
     bandvals = sh.select(

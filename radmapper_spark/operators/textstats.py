@@ -90,40 +90,50 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                hash_mode: str = "xxhash64") -> DataFrame:
     """Document fingerprint: 64-bit content hash of normalized text plus a
     rolling-window hash set (winnowing-style min over 8-gram hashes) for
     partial-overlap detection.
 
     Each token is hashed ONCE (materialized as its own column so
     CollapseProject cannot inline the token-hash array 8x into the window
-    lambda); a window hash is the XOR of its 8 token hashes rotated by
-    position, re-mixed through xxhash64 — order-sensitive, all bitwise
-    (overflow-free under ANSI mode), and ~8x less byte traffic than the
-    old per-window array_join(slice) string rebuild."""
+    lambda). hash_mode "xxhash64" (default): a window hash is the XOR of
+    its 8 token hashes rotated by position, re-mixed through xxhash64 —
+    order-sensitive, all bitwise (overflow-free under ANSI mode), ~8x less
+    byte traffic than a per-window array_join(slice) string rebuild.
+    hash_mode "portable": md5-prefix token hashes combined with an
+    order-sensitive polynomial mod 2^31-1 — same plan shape, every value
+    reproducible in DuckDB SQL (functions.portable_hash)."""
+    from ..functions import portable_hash as PH
+
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    toks = F.split(norm, " ")
     k = 8
+    portable = hash_mode == "portable"
 
     def rotl(c, r):
         return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
 
     def window_hash(th, i):
+        if portable:
+            return PH.poly_col([F.element_at(th, i + 1 + j) for j in range(k)])
         h = F.element_at(th, i + 1)
         for j in range(1, k):
             h = h.bitwiseXOR(rotl(F.element_at(th, i + 1 + j), 7 * j))
         return F.xxhash64(h)
 
+    tok_hash = PH.ph28 if portable else F.xxhash64
+    doc_hash = PH.ph60 if portable else F.xxhash64
     with_th = docs.withColumn("_fp_norm", norm).withColumn(
         "_fp_th", F.transform(F.split(F.col("_fp_norm"), " "),
-                              lambda tok: F.xxhash64(tok)))
+                              lambda tok: tok_hash(tok)))
     n = F.size(F.col("_fp_th"))
     window_hashes = F.when(n >= k, F.transform(
         F.sequence(F.lit(0), n - F.lit(k)),
         lambda i: window_hash(F.col("_fp_th"), i),
-    )).otherwise(F.array(F.xxhash64(F.col("_fp_norm"))))
+    )).otherwise(F.array(doc_hash(F.col("_fp_norm"))))
     return (
-        with_th.withColumn("fp_hash", F.xxhash64(F.col("_fp_norm")))
+        with_th.withColumn("fp_hash", doc_hash(F.col("_fp_norm")))
         .withColumn("fp_min_window", F.array_min(window_hashes))
         .drop("_fp_norm", "_fp_th")
     )

@@ -207,6 +207,68 @@ def test_fingerprint_stability(spark):
     assert fp[1] != fp[3]
 
 
+# ---------------------------------------------------------- portable hashes
+
+def test_portable_hash_matches_python_md5(spark):
+    """ph60/ph28 must equal int(md5(s)[:n], 16) — the contract that makes
+    the DuckDB oracles exact."""
+    import hashlib
+
+    from radmapper_spark.functions import portable_hash as PH
+
+    vals = ["hello", "", "café au lait", "123", "a b  c"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = df.select("s", PH.ph60(F.col("s")).alias("h60"),
+                    PH.ph28(F.col("s")).alias("h28")).collect()
+    for r in got:
+        hx = hashlib.md5(r["s"].encode("utf-8")).hexdigest()
+        assert r["h60"] == int(hx[:15], 16)
+        assert r["h28"] == int(hx[:7], 16)
+
+
+def test_portable_minhash_finds_duplicated_docs(spark, tables):
+    """Portable hash mode keeps the LSH recall property (exact dups found
+    at threshold ~1) — same plan, different leaf hashes."""
+    docs = tables["documents"].limit(20)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    pairs = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.99,
+                                    hash_mode="portable")
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    ids = [r["doc_id"] for r in docs.collect()]
+    missing = [(i, i + 100000) for i in ids if (i, i + 100000) not in found]
+    assert not missing, f"portable LSH missed exact duplicates {missing[:3]}"
+
+
+def test_portable_simhash_pairs_recall_vs_bruteforce(spark, tables):
+    """4x15-bit banded tables over the 60-bit portable fingerprint keep the
+    pigeonhole completeness guarantee for hamming<=3."""
+    docs = tables["documents"].limit(60)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    fps = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(both, nbits=60, hash_mode="portable").collect()}
+    assert all(v >= 0 for v in fps.values())  # portable fingerprints stay non-negative
+    truth = {(a, b) for a in fps for b in fps
+             if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3}
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.simhash_pairs(both, max_hamming=3, bands=4,
+                                        band_bits=15, nbits=60,
+                                        hash_mode="portable").collect()}
+    assert truth, "test corpus has no hamming<=3 pair (exact dups expected)"
+    assert got == truth, f"missed={truth - got} extra={got - truth}"
+
+
+def test_portable_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"])
+    out = textstats.fingerprint(df, hash_mode="portable").collect()
+    fp = {r["doc_id"]: r["fp_hash"] for r in out}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+
+
 def test_multimodal_feature_shape(spark):
     media = multimodal.synthesize_media(spark, 16)
     feats = multimodal.extract_features(media)
