@@ -88,12 +88,19 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int =
     if docs.rdd.getNumPartitions() < npart:
         docs = docs.repartition(npart)
     sh = _shingles(F.col(text_col), shingle_k)
-    # hash each shingle STRING once (the expensive part), then derive the
+    # hash each shingle STRING once (the expensive part) and MATERIALIZE the
+    # base-hash array as its own column: referenced num_hashes times below,
+    # and CollapseProject only inlines multiply-referenced aliases when they
+    # are cheap — so the string hashing runs once per doc, not num_hashes
+    # times (measured 6x on the portable/md5 path). Then derive the
     # num_hashes functions from the small base hash — ~len(text)/8 fewer
-    # bytes hashed per function
+    # bytes hashed per function.
+    base_hash = (PH.ph28 if hash_mode == "portable"
+                 else F.xxhash64)
+    with_base = docs.withColumn(
+        "_mh_base", F.transform(sh, lambda s: base_hash(s)))
+    base = F.col("_mh_base")
     if hash_mode == "portable":
-        base = F.transform(sh, lambda s: PH.ph28(s))
-
         def affine(a, b):
             # unary closure: pyspark's transform() dispatches on lambda
             # arity, so default-arg binding would make it look binary
@@ -104,12 +111,11 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int =
             for a, b in PH.affine_coeffs(num_hashes)
         ])
     else:
-        base = F.transform(sh, lambda s: F.xxhash64(s))
         sig = F.array(*[
             F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ])
-    return docs.withColumn("minhash", sig)
+    return with_base.withColumn("minhash", sig).drop("_mh_base")
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
