@@ -49,7 +49,8 @@ def _call_llm(prompt: str, system: str = "You are a data extraction assistant. R
 def _heuristic_extract(src: str, seek: str) -> Optional[str]:
     """Deterministic fallback used for tests: pull the value following the
     sought label, or the first number/email-ish token matching the ask."""
-    m = re.search(rf"{re.escape(seek)}\s*[:=]?\s*([^\s,;]+)", src, re.IGNORECASE)
+    m = re.search(rf"{re.escape(seek)}\s*(?:is|was|are|were|[:=])?\s*([^\s,;]+)",
+                  src, re.IGNORECASE)
     if m:
         return m.group(1)
     if "number" in seek.lower() or "amount" in seek.lower():
