@@ -71,7 +71,9 @@ def affine_col(h, a: int, b: int):
 
 
 def duck_affine(expr: str, a: int, b: int) -> str:
-    return f"(({a} * ({expr}) + {b}) % {P31})"
+    # constants cast to BIGINT explicitly: DuckDB keeps INT32 for small
+    # literals and range-checks INT32 arithmetic instead of promoting
+    return f"(({a}::BIGINT * ({expr}) + {b}::BIGINT) % {P31})"
 
 
 def poly_col(parts):
@@ -84,7 +86,7 @@ def poly_col(parts):
 
 
 def duck_poly(exprs: list) -> str:
-    acc = f"(({exprs[0]}) % {P31})"
+    acc = f"(({exprs[0]})::BIGINT % {P31})"
     for x in exprs[1:]:
-        acc = f"(({acc} * {POLY_B} + ({x})) % {P31})"
+        acc = f"(({acc} * {POLY_B}::BIGINT + ({x})) % {P31})"
     return acc
