@@ -84,9 +84,10 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int =
     oracle can verify minhash values exactly)."""
     from ..functions import portable_hash as PH
 
-    npart = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < npart:
-        docs = docs.repartition(npart)
+    if not docs.isStreaming:  # .rdd probe is batch-only; a stream is
+        npart = docs.sparkSession.sparkContext.defaultParallelism  # already
+        if docs.rdd.getNumPartitions() < npart:                    # micro-
+            docs = docs.repartition(npart)                         # batched
     sh = _shingles(F.col(text_col), shingle_k)
     # hash each shingle STRING once (the expensive part) and MATERIALIZE the
     # base-hash array as its own column: referenced num_hashes times below,

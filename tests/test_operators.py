@@ -367,6 +367,61 @@ def test_streaming_end_to_end(spark):
     assert n >= 0  # the query ran, produced finalized windows (append mode)
 
 
+def test_stream_neardup_matches_batch_lsh(spark, tmp_path):
+    """Stream-native minhash-LSH near-dup: duplicates arriving in a LATER
+    micro-batch than their originals must be matched against state carried
+    across batches, and the full emitted pair set must equal the batch
+    operator's pairs at the same threshold (cap not binding)."""
+    from radmapper_spark.session import load_tables
+    from radmapper_spark.streaming import neardup as ND
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    docs = t["documents"].select("doc_id", "text").limit(40).cache()
+    dups = docs.withColumn("doc_id", F.col("doc_id") + 100000)
+    src = str(tmp_path / "nd_in")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)       # batch 1
+    dups.coalesce(1).write.mode("append").parquet(src)          # batch 2
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = ND.neardup_stream(stream, jaccard_threshold=0.9, max_bucket=1000)
+    q = (out.writeStream.format("memory").queryName("rm_stream_neardup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["id_a"], r["id_b"]) for r in
+           spark.sql("SELECT DISTINCT id_a, id_b FROM rm_stream_neardup").collect()}
+    both = docs.unionByName(dups)
+    batch = dedup.minhash_lsh_pairs(both, jaccard_threshold=0.9)
+    want = {(r["id_a"], r["id_b"]) for r in batch.collect()}
+    rel = getattr(batch, "rm_release_cache", None)
+    if rel:
+        rel()
+    docs.unpersist()
+    assert want, "no batch pairs — dup injection broken"
+    assert got == want, f"missed={want - got} extra={got - want}"
+
+
+def test_stream_neardup_bounded_bucket_state(spark, tmp_path):
+    """max_bucket=1 bounds per-bucket state to the most recent member —
+    the hot-bucket guarantee; the operator must still run end to end."""
+    from radmapper_spark.streaming import neardup as ND
+    df = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated verbatim here") for i in range(8)],
+        ["doc_id", "text"])
+    src = str(tmp_path / "nd_hot")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = ND.neardup_stream(stream, jaccard_threshold=0.9, max_bucket=1)
+    q = (out.writeStream.format("memory").queryName("rm_stream_neardup_hot")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             spark.sql("SELECT DISTINCT id_a, id_b "
+                       "FROM rm_stream_neardup_hot").collect()}
+    # with state capped at 1, doc i can only match its immediate
+    # predecessor: consecutive pairs only, and all of them are found
+    assert pairs == {(i, i + 1) for i in range(7)}, pairs
+
+
 def test_llm_extract_column_batched(spark):
     """Arrow-batched extraction UDF over a text column (LLM stubbed with
     the deterministic heuristic)."""
