@@ -86,7 +86,14 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for c in TS_NANO_COLS.get(name, ()):
-            if dict(df.dtypes).get(c) == "bigint":
+            dt = dict(df.dtypes).get(c)
+            if dt == "bigint":
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            elif dt == "timestamp_ntz":
+                # Newer driver parquet stores TIMESTAMP(MICROS) without UTC
+                # adjustment, which Spark surfaces as TIMESTAMP_NTZ. The
+                # session runs in UTC, so the cast is wall-clock-identical;
+                # LTZ is required by withWatermark and the datetime builtins.
+                df = df.withColumn(c, F.col(c).cast("timestamp"))
         out[name] = df
     return out

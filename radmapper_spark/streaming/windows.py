@@ -119,6 +119,8 @@ def dedup_events(events: DataFrame, key_cols=("event_id",),
     property plain dropDuplicates lacks). Batch twin: dropDuplicates, the
     map-side-combine exact dedup."""
     if streaming:
+        if dict(events.dtypes).get("ts") == "timestamp_ntz":
+            events = events.withColumn("ts", F.col("ts").cast("timestamp"))
         return (events.withWatermark("ts", watermark)
                 .dropDuplicatesWithinWatermark(list(key_cols)))
     return events.dropDuplicates(list(key_cols))
