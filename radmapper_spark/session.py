@@ -82,6 +82,10 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
     # The driver may hand us a session built without our configs; this conf
     # is runtime-settable and required to read the TIMESTAMP(NANOS) parquet.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->LTZ cast below is wall-clock-identical only when the session
+    # timezone is UTC; pin it so driver-provided sessions match the
+    # bigint epoch-micros path exactly.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

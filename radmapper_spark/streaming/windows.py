@@ -21,6 +21,16 @@ from pyspark.sql import functions as F
 DEC = "decimal(18,2)"
 
 
+def _ensure_ltz(df: DataFrame, col: str = "ts") -> DataFrame:
+    """withWatermark requires a TIMESTAMP (LTZ) event-time column. Newer
+    driver parquet surfaces micros-no-UTC-adjust as TIMESTAMP_NTZ; the
+    session runs UTC (session.py pins it), so the cast is wall-clock
+    identical. Applied in every streaming path before withWatermark."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def tumbling_counts(events: DataFrame, window: str = "1 hour",
                     watermark: str = "2 hours", streaming: bool = False) -> DataFrame:
     """Tumbling-window per-type counts + value sums. On a stream, the
@@ -28,7 +38,7 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
     are finalized and dropped."""
     src = events
     if streaming:
-        src = src.withWatermark("ts", watermark)
+        src = _ensure_ltz(src).withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -41,7 +51,8 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
 
 def sliding_counts(events: DataFrame, window: str = "2 hours", slide: str = "1 hour",
                    watermark: str = "4 hours", streaming: bool = False) -> DataFrame:
-    src = events.withWatermark("ts", watermark) if streaming else events
+    src = (_ensure_ltz(events).withWatermark("ts", watermark)
+           if streaming else events)
     return (
         src.groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -53,7 +64,8 @@ def sliding_counts(events: DataFrame, window: str = "2 hours", slide: str = "1 h
 def session_windows(events: DataFrame, gap: str = "30 minutes",
                     watermark: str = "2 hours", streaming: bool = False) -> DataFrame:
     """Per-user session windows (gap-based)."""
-    src = events.withWatermark("ts", watermark) if streaming else events
+    src = (_ensure_ltz(events).withWatermark("ts", watermark)
+           if streaming else events)
     return (
         src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"),
@@ -119,9 +131,7 @@ def dedup_events(events: DataFrame, key_cols=("event_id",),
     property plain dropDuplicates lacks). Batch twin: dropDuplicates, the
     map-side-combine exact dedup."""
     if streaming:
-        if dict(events.dtypes).get("ts") == "timestamp_ntz":
-            events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-        return (events.withWatermark("ts", watermark)
+        return (_ensure_ltz(events).withWatermark("ts", watermark)
                 .dropDuplicatesWithinWatermark(list(key_cols)))
     return events.dropDuplicates(list(key_cols))
 
