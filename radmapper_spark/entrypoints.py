@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from . import headline
 from .lang.interp import Interp
-from .operators import dedup, multimodal, similarity, textstats
+from .operators import dedup, multimodal, similarity, temporal, textstats
 from .session import load_tables
 from .streaming import windows as W
 
@@ -926,6 +926,99 @@ def multimodal_features_sql() -> str:
     """
 
 
+# =============================================================== temporal
+
+def temporal_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join between two event streams: for each purchase,
+    the same user's most recent click at-or-before it (inclusive; NULLs
+    when the user never clicked before). Union+window plan: ONE shuffle on
+    user_id, no join explosion — the scalable shape Spark lacks natively
+    (a naive formulation is a BroadcastNestedLoopJoin)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts")
+    out = temporal.asof_join(purchases, clicks, on="user_id",
+                             right_cols=("click_id",))
+    return out.select(
+        "purchase_id", "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("click_id_right").alias("click_id"),
+        F.col("ts_right").alias("click_ts"))
+
+
+def temporal_asof_join_sql() -> str:
+    return """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.click_id, c.ts AS click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """
+
+
+def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-range join (NO equi key): per order, lineitems (any
+    order) shipped within [o_orderdate, +3 days). Bucketed equi-join plan:
+    candidate volume O(|right| + |left| * days/bucket) instead of the
+    |left| x |right| BroadcastNestedLoopJoin Spark would pick for the raw
+    inequality predicate; left semantics restored by joining the aggregate
+    back onto orders."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].select("o_orderkey", "o_orderdate")
+    li = t["lineitem"].select("l_shipdate", "l_quantity")
+    j = temporal.range_join_bucketed(
+        orders, li,
+        left_start=F.col("o_orderdate"),
+        left_end=F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"),
+        right_ts="l_shipdate", bucket_sec=3 * 86400)
+    agg = (j.groupBy("o_orderkey")
+           .agg(F.count(F.lit(1)).alias("n_shipped"),
+                F.sum(F.col("l_quantity").cast(DEC)).alias("_s")))
+    return (orders.join(agg, "o_orderkey", "left")
+            .select("o_orderkey",
+                    F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+                    F.round(F.coalesce(F.col("_s"), F.lit(0).cast(DEC))
+                            .cast("double"), 2).alias("qty_shipped")))
+
+
+def temporal_range_join_sql() -> str:
+    return """
+    SELECT o.o_orderkey, count(l.l_shipdate) AS n_shipped,
+           round(coalesce(sum(l.l_quantity::DECIMAL(18,2)), 0)::DOUBLE, 2)
+               AS qty_shipped
+    FROM orders o LEFT JOIN lineitem l
+      ON l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 3 DAY
+    GROUP BY o.o_orderkey
+    """
+
+
+def temporal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical hour->day->week continuous-aggregate rollup of events:
+    raw scanned once, day reduces hourly partials, week reduces daily
+    partials; decimal partial sums keep every grain exact."""
+    return temporal.time_rollup(load_tables(spark, sf_dir)["events"])
+
+
+def temporal_rollup_sql() -> str:
+    return """
+    WITH h AS (SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+                      count(*) AS n_events, sum(value::DECIMAL(18,2)) AS s
+               FROM events GROUP BY 1, 2)
+    SELECT 'hour' AS granularity, bucket_start, event_type, n_events,
+           round(s::DOUBLE, 2) AS sum_value FROM h
+    UNION ALL
+    SELECT 'day', date_trunc('day', bucket_start), event_type,
+           sum(n_events), round(sum(s)::DOUBLE, 2) FROM h GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', date_trunc('week', bucket_start), event_type,
+           sum(n_events), round(sum(s)::DOUBLE, 2) FROM h GROUP BY 2, 3
+    """
+
+
 # =============================================================== registry
 
 ENTRIES: dict = {
@@ -975,4 +1068,8 @@ ENTRIES: dict = {
     "stream_dedup": (stream_dedup, stream_dedup_sql),
     # multimodal
     "multimodal_features": (multimodal_features, multimodal_features_sql),
+    # temporal joins / rollups
+    "temporal_asof_join": (temporal_asof_join, temporal_asof_join_sql),
+    "temporal_range_join": (temporal_range_join, temporal_range_join_sql),
+    "temporal_rollup": (temporal_rollup, temporal_rollup_sql),
 }

@@ -1,0 +1,143 @@
+"""Temporal join + rollup operators (training-data/feature-pipeline
+extensions; the reference has no temporal operators — SURVEY.md §2 scope
+is extended here the same way as dedup/ANN/streaming).
+
+Spark lacks a native as-of join and executes non-equi time-range joins as
+BroadcastNestedLoopJoin (quadratic). Both are re-expressed as compositions
+of shuffle-friendly primitives:
+
+- ``asof_join``: the union+window formulation — tag both sides, union,
+  single shuffle on the key, sort by (ts, side) within partitions, carry
+  the most recent right row forward with ``last(..., ignorenulls=True)``.
+  O(n log n) per partition, no join explosion, state O(1) per row. At
+  100 TB this is one shuffle of left+right and AQE handles key skew.
+- ``range_join_bucketed``: map each right row to ONE time bucket and
+  explode each left interval to the buckets it covers, equi-join on the
+  bucket, then refine with the exact range predicate. Each matching pair
+  meets in exactly one bucket (the one containing the right timestamp), so
+  no post-join dedup is needed. Candidate volume is
+  O(|right| + |left| * interval/bucket) instead of |left| x |right|.
+- ``time_rollup``: hierarchical multi-granularity aggregation — hour from
+  raw, day from the hourly partials, week from the daily partials. The raw
+  table is scanned ONCE; coarser grains reduce the (tiny) finer partials.
+  Decimal partial sums keep the reduction exact and order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: tuple = (), suffix: str = "_right",
+              tolerance_sec: int | None = None) -> DataFrame:
+    """Backward as-of join: for every left row, attach the most recent
+    right row with ``right.ts <= left.ts`` for the same key (inclusive).
+
+    Returns the left rows plus ``<right_ts><suffix>`` and each requested
+    right column renamed ``<col><suffix>``; unmatched left rows keep NULLs
+    (left-join semantics). When several right rows share (key, ts), the
+    one with the greatest (ts, *right_cols order of arrival*) wins via the
+    sort's stable tail — pass a unique tiebreak column in right_cols for
+    full determinism.
+
+    Implementation: union both sides with a side tag (right=0, left=1) so
+    a right row at exactly the left timestamp sorts FIRST and is visible
+    to the carry-forward (inclusive semantics), then one window pass.
+    """
+    carry = [right_ts] + list(right_cols)
+    l_payload = [c for c in left.columns if c not in (on, left_ts)]
+    lrows = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).alias("_t"), F.lit(1).alias("_side"),
+        *[F.col(c) for c in l_payload],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in carry],
+    )
+    rrows = right.select(
+        F.col(on).alias("_k"), F.col(right_ts).alias("_t"), F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_payload],
+        *[F.col(c).alias(f"_r_{c}") for c in carry],
+    )
+    w = (Window.partitionBy("_k").orderBy(F.col("_t").asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = lrows.unionByName(rrows).select(
+        "*", *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
+               .alias(f"_m_{c}") for c in carry])
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_sec is not None:
+        in_tol = (F.unix_timestamp(F.col("_t"))
+                  - F.unix_timestamp(F.col(f"_m_{right_ts}"))) <= F.lit(tolerance_sec)
+        out = out.select(
+            "_k", "_t", *l_payload,
+            *[F.when(in_tol, F.col(f"_m_{c}")).alias(f"_m_{c}") for c in carry])
+    return out.select(
+        F.col("_k").alias(on), F.col("_t").alias(left_ts), *l_payload,
+        *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in carry])
+
+
+def range_join_bucketed(left: DataFrame, right: DataFrame,
+                        left_start, left_end, right_ts: str,
+                        bucket_sec: int) -> DataFrame:
+    """Non-equi time-range join ``right.ts in [left.start, left.end)``
+    without a cross product: equi-join on a time bucket, then refine.
+
+    left_start / left_end: Column expressions over `left` (end exclusive).
+    ``bucket_sec`` should be ~the typical interval length: each left row
+    explodes to ``interval/bucket_sec + 1`` bucket rows; each right row
+    maps to exactly one bucket, and every qualifying pair meets in exactly
+    one bucket — no dedup needed. Output: all left columns + the matching
+    right rows' columns (inner semantics; aggregate + join back onto the
+    left table for left semantics).
+    """
+    b = F.lit(int(bucket_sec)).cast("long")
+    ls = F.unix_timestamp(left_start).cast("long")
+    le = F.unix_timestamp(left_end).cast("long")
+    lb = left.select(
+        "*", ls.alias("_start_s"), le.alias("_end_s"),
+        F.explode(F.sequence(F.floor(ls / b),
+                             F.floor((le - F.lit(1)) / b))).alias("_bucket"))
+    rb = right.select(
+        "*", F.unix_timestamp(F.col(right_ts)).cast("long").alias("_ts_s"),
+        F.floor(F.unix_timestamp(F.col(right_ts)).cast("long") / b).alias("_bucket"))
+    joined = lb.join(rb, "_bucket").filter(
+        (F.col("_ts_s") >= F.col("_start_s")) & (F.col("_ts_s") < F.col("_end_s")))
+    return joined.drop("_bucket", "_start_s", "_end_s", "_ts_s")
+
+
+def time_rollup(events: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
+                value_col: str = "value") -> DataFrame:
+    """Hierarchical hour -> day -> week rollup of counts + exact decimal
+    sums per key. Raw rows are scanned once (hourly agg); day reduces the
+    hourly partials, week reduces the daily partials — the
+    continuous-aggregate pattern at 100 TB: coarse grains never touch raw.
+
+    Returns the union of the three grains with a ``granularity`` column;
+    sums surface as rounded doubles (stable across partitioning because
+    the reduction is decimal all the way)."""
+    hourly = (
+        events.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("bucket_start"),
+                       F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col(value_col).cast(DEC)).alias("_sum"))
+    )
+
+    def _coarsen(df: DataFrame, grain: str) -> DataFrame:
+        return (df.groupBy(F.date_trunc(grain, F.col("bucket_start")).alias("bucket_start"),
+                           F.col(key_col))
+                .agg(F.sum("n_events").alias("n_events"),
+                     F.sum("_sum").alias("_sum")))
+
+    daily = _coarsen(hourly, "day")
+    weekly = _coarsen(daily, "week")
+
+    def _out(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.lit(name).alias("granularity"), "bucket_start",
+                         F.col(key_col),
+                         "n_events",
+                         F.round(F.col("_sum").cast("double"), 2).alias("sum_value"))
+
+    return _out(hourly, "hour").unionByName(_out(daily, "day")).unionByName(
+        _out(weekly, "week"))
