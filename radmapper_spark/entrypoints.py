@@ -1019,6 +1019,45 @@ def temporal_rollup_sql() -> str:
     """
 
 
+# =============================================================== sampling
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split of the corpus by
+    portable hash of doc_id — map-only (no shuffle), append-stable, and
+    bit-identical in the DuckDB oracle."""
+    from .operators import sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    return sampling.hash_split(docs, "doc_id").select("doc_id", "bucket", "split")
+
+
+def dataset_split_sql() -> str:
+    from .operators import sampling
+    b = sampling.duck_bucket_sql("doc_id", "split", 1000)
+    case = sampling.duck_split_case(b)
+    return f"SELECT doc_id, {b} AS bucket, {case} AS split FROM documents"
+
+
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsample: at most 50 docs per language, chosen by
+    hash order (uniform within group, reproducible, append-stable)."""
+    from .operators import sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    return sampling.cap_per_group(docs, "lang", "doc_id", 50).select(
+        "doc_id", "lang", "sample_rank")
+
+
+def sample_per_group_sql() -> str:
+    from .functions import portable_hash as PH
+    h = PH.duck_ph60("'cap:' || doc_id::VARCHAR")
+    return f"""
+    SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang ORDER BY ({h} % {1 << 40}) ASC, doc_id ASC
+    ) AS sample_rank
+    FROM documents
+    QUALIFY sample_rank <= 50
+    """
+
+
 # =============================================================== registry
 
 ENTRIES: dict = {
@@ -1072,4 +1111,7 @@ ENTRIES: dict = {
     "temporal_asof_join": (temporal_asof_join, temporal_asof_join_sql),
     "temporal_range_join": (temporal_range_join, temporal_range_join_sql),
     "temporal_rollup": (temporal_rollup, temporal_rollup_sql),
+    # deterministic sampling / splits
+    "dataset_split": (dataset_split, dataset_split_sql),
+    "sample_per_group": (sample_per_group, sample_per_group_sql),
 }

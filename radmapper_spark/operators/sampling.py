@@ -1,0 +1,92 @@
+"""Deterministic sampling / dataset-splitting operators (training-data
+extensions, same tier as dedup/ANN: what a 100 TB corpus pipeline needs).
+
+All decisions are pure functions of a row's id via the portable md5 hash
+family (functions/portable_hash.py), so:
+
+- results are reproducible across runs, engines, and cluster sizes — no
+  ``rand()``, no seed-per-partition trap, and the DuckDB oracle can
+  recompute every assignment bit-for-bit;
+- ``hash_split`` / ``deterministic_sample`` are MAP-ONLY: no shuffle, no
+  state — at 100 TB the split is free (a projection fused into the scan);
+- adding data never reassigns existing rows (the hash ignores row count),
+  the property that keeps train/test splits stable as a corpus grows —
+  a random or row_number split reshuffles everything on every append.
+
+``cap_per_group`` (stratified downsampling to N rows per group) is the
+one op that needs a shuffle: a window rank over (group, hash). Hash-order
+makes the kept subset a uniform-without-replacement sample of the group,
+stable under appends in the sense that a kept row is evicted only when a
+lower-hash row arrives.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import portable_hash as PH
+
+
+def _bucket(id_col, salt: str, buckets: int):
+    """Deterministic bucket in [0, buckets): portable 60-bit hash of
+    '<salt>:<id>' — identical in DuckDB SQL (see duck_bucket_sql)."""
+    return PH.ph60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) \
+        % F.lit(int(buckets)).cast("long")
+
+
+def duck_bucket_sql(id_expr: str, salt: str, buckets: int) -> str:
+    """DuckDB text computing the same bucket as _bucket."""
+    h = PH.duck_ph60(f"'{salt}:' || ({id_expr})::VARCHAR")
+    return f"({h} % {int(buckets)})"
+
+
+def hash_split(df: DataFrame, id_col: str, splits: dict | None = None,
+               salt: str = "split", buckets: int = 1000) -> DataFrame:
+    """Assign each row to a named split by hash bucket. splits maps name ->
+    fraction (fractions sum to <= 1; remainder falls into the last split).
+    Map-only: adds `bucket` and `split` columns, no shuffle."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = df.withColumn("bucket", _bucket(id_col, salt, buckets))
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = F.col("bucket") < F.lit(int(round(acc * buckets)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return out.withColumn("split", expr)
+
+
+def duck_split_case(bucket_expr: str, splits: dict | None = None,
+                    buckets: int = 1000) -> str:
+    """DuckDB CASE expression mirroring hash_split's assignment."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(splits)
+    acc, arms = 0.0, []
+    for name in names[:-1]:
+        acc += splits[name]
+        arms.append(f"WHEN {bucket_expr} < {int(round(acc * buckets))} THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float,
+                         salt: str = "sample", buckets: int = 100_000) -> DataFrame:
+    """Keep ~rate of rows, decided per-row by hash — reproducible,
+    append-stable, map-only (the filter pushes into the scan)."""
+    return df.filter(_bucket(id_col, salt, buckets)
+                     < F.lit(int(round(rate * buckets))))
+
+
+def cap_per_group(df: DataFrame, group_cols, id_col: str, n: int,
+                  salt: str = "cap") -> DataFrame:
+    """Uniform downsample to at most n rows per group: rank rows within
+    each group by (hash, id) and keep the n smallest. One shuffle on the
+    group key; AQE splits skewed (hot) groups. Adds `sample_rank`."""
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(
+        _bucket(id_col, salt, 1 << 40).asc(), F.col(id_col).asc())
+    return (df.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= n))

@@ -1,0 +1,92 @@
+"""Deterministic sampling/split operators: reproducibility, append
+stability, stratified caps, and the map-only plan property."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from radmapper_spark.operators import sampling
+
+
+def _py_bucket(salt: str, ident, buckets: int) -> int:
+    """Python twin of the portable 60-bit bucket hash (engine-independent
+    expected values)."""
+    return int(hashlib.md5(f"{salt}:{ident}".encode()).hexdigest()[:15], 16) % buckets
+
+
+def test_split_disjoint_exhaustive_and_expected(tables):
+    docs = tables["documents"]
+    out = sampling.hash_split(docs, "doc_id").select("doc_id", "bucket", "split")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["bucket"] == _py_bucket("split", r["doc_id"], 1000)
+        expected = ("train" if r["bucket"] < 800
+                    else "val" if r["bucket"] < 900 else "test")
+        assert r["split"] == expected
+
+
+def test_split_append_stable(tables):
+    """Assignments must not depend on which other rows are present."""
+    docs = tables["documents"]
+    full = {r["doc_id"]: r["split"]
+            for r in sampling.hash_split(docs, "doc_id").collect()}
+    subset = {r["doc_id"]: r["split"]
+              for r in sampling.hash_split(
+                  docs.filter(F.col("doc_id") % 7 == 0), "doc_id").collect()}
+    for k, v in subset.items():
+        assert full[k] == v
+
+
+def test_split_map_only_plan(tables):
+    """hash_split must add NO exchange: at 100 TB the split is a free
+    projection fused into the scan."""
+    plan = (sampling.hash_split(tables["documents"], "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_deterministic_sample_reproducible(tables):
+    docs = tables["documents"]
+    a = sorted(r["doc_id"] for r in
+               sampling.deterministic_sample(docs, "doc_id", 0.3).collect())
+    b = sorted(r["doc_id"] for r in
+               sampling.deterministic_sample(docs, "doc_id", 0.3).collect())
+    assert a == b
+    n = docs.count()
+    assert 0.15 * n < len(a) < 0.45 * n  # ~rate, loose bound for small n
+
+
+def test_sample_rate_monotone(tables):
+    """A row kept at rate r must be kept at any rate r' > r (nested
+    samples — the property hash-bucket sampling has and rand() lacks)."""
+    docs = tables["documents"]
+    small = set(r["doc_id"] for r in
+                sampling.deterministic_sample(docs, "doc_id", 0.2).collect())
+    big = set(r["doc_id"] for r in
+              sampling.deterministic_sample(docs, "doc_id", 0.5).collect())
+    assert small <= big
+
+
+def test_cap_per_group(tables):
+    docs = tables["documents"]
+    out = sampling.cap_per_group(docs, "lang", "doc_id", 10)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    orig = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(10, orig[lang])
+    # kept set = the n smallest by (hash, id) — verify against python twin
+    kept = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    all_rows = docs.select("lang", "doc_id").collect()
+    by_lang: dict = {}
+    for r in all_rows:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    expected = set()
+    for lang, ids in by_lang.items():
+        ranked = sorted(ids, key=lambda i: (_py_bucket("cap", i, 1 << 40), i))
+        expected |= {(lang, i) for i in ranked[:10]}
+    assert kept == expected
