@@ -1019,6 +1019,62 @@ def temporal_rollup_sql() -> str:
     """
 
 
+# =============================================================== vocabulary / tf-idf
+
+_DUCK_TOKS = ("SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),"
+              " '[^a-z]+'), t -> t <> '')) AS term FROM documents")
+
+
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 terms by total count, with doc frequency
+    and idf. Explode + map-side partial agg; the global top-n reduces
+    |vocab| rows, not the corpus."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return textstats.vocabulary(docs, top_n=200)
+
+
+def text_vocabulary_sql() -> str:
+    return f"""
+    WITH toks AS ({_DUCK_TOKS}),
+         tc AS (SELECT term, count(*) AS n_total,
+                       count(DISTINCT doc_id) AS n_docs
+                FROM toks GROUP BY term)
+    SELECT row_number() OVER (ORDER BY n_total DESC, term ASC) AS rank,
+           term, n_total, n_docs,
+           round(ln(((SELECT count(*) FROM documents) + 1.0)
+                    / (n_docs + 1.0)), 6) AS idf
+    FROM tc
+    QUALIFY rank <= 200
+    """
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document; integer-only ranking
+    (n_in_doc desc, n_docs asc, term asc) so the cut is engine-exact, with
+    the float tf-idf score surfaced rounded."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return textstats.tf_idf_topk(docs, k=3)
+
+
+def text_tfidf_sql() -> str:
+    return f"""
+    WITH toks AS ({_DUCK_TOKS}),
+         pd AS (SELECT doc_id, term, count(*) AS n_in_doc
+                FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(n_in_doc) AS doc_len FROM pd GROUP BY 1),
+         dfq AS (SELECT term, count(*) AS n_docs FROM pd GROUP BY 1)
+    SELECT pd.doc_id,
+           row_number() OVER (PARTITION BY pd.doc_id
+               ORDER BY n_in_doc DESC, n_docs ASC, pd.term ASC) AS term_rank,
+           pd.term, n_in_doc, n_docs,
+           round((n_in_doc::DOUBLE / doc_len)
+                 * ln(((SELECT count(*) FROM documents) + 1.0)
+                      / (n_docs + 1.0)), 6) AS tfidf
+    FROM pd JOIN dfq USING (term) JOIN dl USING (doc_id)
+    QUALIFY term_rank <= 3
+    """
+
+
 # =============================================================== sampling
 
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,4 +1170,7 @@ ENTRIES: dict = {
     # deterministic sampling / splits
     "dataset_split": (dataset_split, dataset_split_sql),
     "sample_per_group": (sample_per_group, sample_per_group_sql),
+    # vocabulary / tf-idf
+    "text_vocabulary": (text_vocabulary, text_vocabulary_sql),
+    "text_tfidf": (text_tfidf, text_tfidf_sql),
 }

@@ -137,3 +137,63 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         .withColumn("fp_min_window", F.array_min(window_hashes))
         .drop("_fp_norm", "_fp_th")
     )
+
+
+# ----------------------------------------------------------- vocabulary
+
+def vocabulary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               top_n: int = 200) -> DataFrame:
+    """Corpus vocabulary: top_n terms by total count with doc frequency and
+    idf. Plan: explode alpha tokens -> groupBy(term) with MAP-SIDE partial
+    agg (count + exact distinct-doc count) -> global top-n. The only wide
+    exchange carries (term, id) pairs; the top-n reduce sees |vocab| rows,
+    orders of magnitude below the corpus. Ties at the cut are impossible:
+    rank is (n_total desc, term asc) and terms are unique."""
+    n_docs_total = docs.count()  # one cheap count-star jobs; a literal in the plan
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda t: t != "")
+    exploded = docs.select(F.col(id_col).alias("_id"),
+                           F.explode(toks).alias("term"))
+    from pyspark.sql import Window
+    stats = (exploded.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("n_total"),
+                  F.countDistinct("_id").alias("n_docs")))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_total").desc(), F.col("term").asc()))
+    return (stats.withColumn("rank", rk).filter(F.col("rank") <= top_n)
+            .withColumn("idf", F.round(
+                F.log((F.lit(n_docs_total) + 1.0)
+                      / (F.col("n_docs") + 1.0)), 6))
+            .select("rank", "term", "n_total", "n_docs", "idf"))
+
+
+def tf_idf_topk(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document, tf-idf flavored with an
+    ALL-INTEGER ranking (n_in_doc desc, n_docs asc, term asc) so the rank
+    is bit-deterministic across engines — the float tf*idf score is
+    surfaced (rounded) but never ranked on. Plan: explode -> per-(doc,term)
+    counts -> shuffle join on term against the doc-frequency table (NOT
+    broadcast: at 100 TB the vocabulary is itself large) -> per-doc window
+    top-k."""
+    from pyspark.sql import Window
+    n_docs_total = docs.count()
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda t: t != "")
+    exploded = docs.select(F.col(id_col).alias("doc_id"),
+                           F.explode(toks).alias("term"))
+    per_doc = exploded.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("n_in_doc"))
+    doc_len = per_doc.groupBy("doc_id").agg(
+        F.sum("n_in_doc").alias("_doc_len"))
+    df_stats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    joined = per_doc.join(df_stats, "term").join(doc_len, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_in_doc").desc(), F.col("n_docs").asc(), F.col("term").asc())
+    tfidf = (F.col("n_in_doc") / F.col("_doc_len")) * F.log(
+        (F.lit(n_docs_total) + 1.0) / (F.col("n_docs") + 1.0))
+    return (joined.withColumn("term_rank", F.row_number().over(w))
+            .filter(F.col("term_rank") <= k)
+            .select("doc_id", "term_rank", "term", "n_in_doc", "n_docs",
+                    F.round(tfidf, 6).alias("tfidf")))
