@@ -1019,6 +1019,80 @@ def temporal_rollup_sql() -> str:
     """
 
 
+# =============================================================== corpus pipeline
+
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus cleaning pipeline as ONE composed DataFrame plan:
+    quality scoring -> language ID -> filter (quality >= 0.6, identified
+    language) -> exact near-form dedup (first doc per normalized text) ->
+    per-(source, lang) stats. Every stage is the already-tested operator;
+    the point is that the composition stays a single lazy plan — one scan,
+    stages fused by Catalyst, the dedup window the only wide exchange
+    until the final (tiny) aggregate."""
+    from pyspark.sql import Window
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = textstats.lang_id(textstats.quality_score(docs))
+    filtered = scored.filter((F.col("quality") >= 0.6)
+                             & (F.col("lang_pred") != "und"))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy(norm).orderBy(F.col("doc_id").asc())
+    kept = (filtered.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    return (kept.groupBy("source", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(n_tok.cast("long")).alias("n_tokens"),
+                 F.sum(F.col("quality").cast(DEC)).alias("_qsum"))
+            .select("source", "lang_pred", "n_docs", "n_tokens",
+                    F.round(F.col("_qsum").cast("double") / F.col("n_docs"),
+                            6).alias("avg_quality")))
+
+
+def pipeline_corpus_clean_sql() -> str:
+    stop = ", ".join(f"'{w}'" for w in textstats.LANG_PROFILES["en"])
+    h = {lang: _sql_hits(lang) for lang in LANGS}
+    return f"""
+    WITH t AS (
+        SELECT doc_id, text, source,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks,
+            length(text) AS chars
+        FROM documents),
+         m AS (
+        SELECT doc_id, text, source, toks,
+            (chars - len(toks) + 1)::DOUBLE / len(toks) AS mwl,
+            (chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                / greatest(chars, 1) AS pr,
+            (chars - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                / greatest(chars, 1) AS dr,
+            len(list_filter(toks, x -> list_contains([{stop}], x)))::DOUBLE
+                / greatest(len(toks), 1) AS sr,
+            CASE WHEN greatest({h['de']}, {h['en']}, {h['es']}, {h['fr']}) = 0 THEN 'und'
+                 WHEN {h['fr']} >= {h['es']} AND {h['fr']} >= {h['en']} AND {h['fr']} >= {h['de']} THEN 'fr'
+                 WHEN {h['es']} >= {h['en']} AND {h['es']} >= {h['de']} THEN 'es'
+                 WHEN {h['en']} >= {h['de']} THEN 'en'
+                 ELSE 'de' END AS lang_pred
+        FROM t),
+         scored AS (
+        SELECT doc_id, text, source, toks, lang_pred,
+            round(CASE WHEN mwl >= 3 AND mwl <= 10 THEN 0.4 ELSE 0.0 END
+                + CASE WHEN pr < 0.2 THEN 0.2 ELSE 0.0 END
+                + CASE WHEN dr < 0.3 THEN 0.2 ELSE 0.0 END
+                + CASE WHEN sr > 0.01 THEN 0.2 ELSE 0.0 END, 2)::DOUBLE AS quality
+        FROM m),
+         kept AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+            ORDER BY doc_id ASC) AS rn
+        FROM scored
+        WHERE quality >= 0.6 AND lang_pred <> 'und')
+    SELECT source, lang_pred, count(*) AS n_docs,
+           sum(len(toks))::BIGINT AS n_tokens,
+           round(sum(quality::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_quality
+    FROM kept WHERE rn = 1
+    GROUP BY source, lang_pred
+    """
+
+
 # =============================================================== vocabulary / tf-idf
 
 _DUCK_TOKS = ("SELECT doc_id, unnest(list_filter(string_split_regex(lower(text),"
@@ -1173,4 +1247,6 @@ ENTRIES: dict = {
     # vocabulary / tf-idf
     "text_vocabulary": (text_vocabulary, text_vocabulary_sql),
     "text_tfidf": (text_tfidf, text_tfidf_sql),
+    # composed end-to-end cleaning pipeline
+    "pipeline_corpus_clean": (pipeline_corpus_clean, pipeline_corpus_clean_sql),
 }
