@@ -1019,6 +1019,41 @@ def temporal_rollup_sql() -> str:
     """
 
 
+# =============================================================== PQ ANN
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, oracle-gated on recall (same contract as
+    ann_ivf_topk): the entry emits the EXACT top-k rows for each query
+    whose PQ+rerank result achieves recall >= 0.85 vs brute force; the
+    oracle computes the exact top-k for ALL queries, so hashes match iff
+    every query clears the bar. PQ shape at 100 TB: corpus encoded once
+    into m one-byte codes (m=16 on these 64-dim float32 vectors: 16x
+    smaller — the ADC scan reads only codes), each query ships an m*ksub
+    lookup table, and the exact rerank touches rerank*k candidates per
+    query. Fixture params are high-resolution (dsub=4) because the
+    synthetic embeddings are near-uniform — the no-cluster-structure
+    regime where quantization error dominates; measured min recall 1.0 at
+    sf0.001 and 0.9 at sf0.01 with rerank=8 (rerank=12 for margin;
+    candidates are a superset, so recall is monotone in rerank)."""
+    t = load_tables(spark, sf_dir)
+    q = _query_vectors(t)
+    k = 10
+    pq = similarity.pq_topk(t["embeddings"], q, k=k, m=16, ksub=16,
+                            rerank=12).select("qid", "cid")
+    exact = similarity.brute_force_topk(t["embeddings"], q, k=k)
+    hits = (exact.select("qid", "cid")
+            .join(pq.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")
+            .groupBy("qid")
+            .agg((F.sum("hit") / F.count(F.lit(1))).alias("recall")))
+    good = hits.filter(F.col("recall") >= 0.85).select("qid")
+    return exact.join(F.broadcast(good), "qid") \
+        .select("qid", "cid", "cosine", "rank")
+
+
+def ann_pq_topk_sql() -> str:
+    return ann_ivf_topk_sql()
+
+
 # =============================================================== corpus pipeline
 
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1222,6 +1257,7 @@ ENTRIES: dict = {
     # similarity
     "ann_bruteforce_topk": (ann_bruteforce_topk, ann_bruteforce_topk_sql),
     "ann_ivf_topk": (ann_ivf_topk, ann_ivf_topk_sql),
+    "ann_pq_topk": (ann_pq_topk, ann_pq_topk_sql),
     # text analysis
     "text_lang_id": (text_lang_id, text_lang_id_sql),
     "text_token_count": (text_token_count, text_token_count_sql),

@@ -148,3 +148,140 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------- PQ
+
+def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
+                       m: int = 4, ksub: int = 16, iters: int = 5,
+                       seed: int = 42, max_sample: int = 4096):
+    """Product-quantization codebooks: split the (L2-normalized) vector
+    into m subvectors and k-means each subspace on a bounded uniform
+    driver-side sample — same sampling discipline as train_centroids.
+    Returns an (m, ksub, dim/m) float64 array."""
+    import numpy as np
+    n = corpus.count()
+    frac = min(1.0, (max_sample * 1.2) / max(n, 1))
+    sample = np.array(
+        [r["v"] for r in
+         corpus.select(_to_double(F.col(vec_col)).alias("v"))
+         .sample(fraction=frac, seed=seed).limit(max_sample).collect()],
+        dtype="float64")
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    dim = sample.shape[1]
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)]
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for i in range(len(cents)):
+                pts = sub[assign == i]
+                if len(pts):
+                    cents[i] = pts.mean(axis=0)
+        books.append(cents)
+    return np.stack(books)  # (m, ksub, dsub)
+
+
+def _pq_encode_udf(books):
+    """Arrow-batched PQ encoder: normalize the row vector, argmin L2 per
+    subspace -> array<int> of m codes. Codebooks ship by value in the
+    closure (executor workers cannot import this package)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bk = np.asarray(books, dtype="float64")          # (m, ksub, dsub)
+    m, ksub, dsub = bk.shape
+
+    @pandas_udf("array<int>")
+    def encode(batch):
+        import numpy as np
+        import pandas as pd
+        x = np.array(batch.tolist(), dtype="float64")
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), m), dtype="int32")
+        for j in range(m):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2; argmin over c
+            d = (-2.0 * sub @ bk[j].T) + (bk[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def _pq_lut_udf(books):
+    """Arrow-batched ADC lookup-table builder for QUERY vectors: flat
+    array of m*ksub inner products <q_subvec_j, centroid_{j,i}> against
+    the normalized query. approx_cos(q, c) = sum_j lut[j*ksub+code_j]."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bk = np.asarray(books, dtype="float64")
+    m, ksub, dsub = bk.shape
+
+    @pandas_udf("array<double>")
+    def lut(batch):
+        import numpy as np
+        import pandas as pd
+        x = np.array(batch.tolist(), dtype="float64")
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(x), m * ksub), dtype="float64")
+        for j in range(m):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            out[:, j * ksub:(j + 1) * ksub] = sub @ bk[j].T
+        return pd.Series(list(out))
+
+    return lut
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            qid_col: str = "qid", m: int = 4, ksub: int = 16,
+            rerank: int = 4) -> DataFrame:
+    """Approximate cosine top-k via product quantization + exact rerank.
+
+    Scale shape: the corpus is encoded ONCE into m small codes (m bytes at
+    ksub<=256 — a 100 TB float corpus becomes ~TBs of codes; the ADC scan
+    reads ONLY codes), each query ships a tiny m*ksub lookup table, the
+    approximate score is m array lookups per (query, row) in Catalyst, and
+    the exact rerank touches just rerank*k candidates per query.
+
+    approx_cos(q, c) = sum_j lut_q[j*ksub + code_c[j]] — the ADC estimate
+    of the cosine between the normalized vectors."""
+    books = train_pq_codebooks(corpus, vec_col, m=m, ksub=ksub)
+    npart = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < npart:
+        corpus = corpus.repartition(npart)
+    encode = _pq_encode_udf(books)
+    lutf = _pq_lut_udf(books)
+    c = corpus.select(F.col(id_col).alias("cid"),
+                      _to_double(F.col(vec_col)).alias("cv"))
+    codes = c.select("cid", encode(F.col("cv")).alias("codes"))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       _to_double(F.col(vec_col)).alias("qv"))
+    qlut = q.select("qid", lutf(F.col("qv")).alias("lut"))
+    approx = None
+    for j in range(m):
+        term = F.element_at(F.col("lut"),
+                            F.lit(j * ksub) + F.col("codes")[j] + 1)
+        approx = term if approx is None else approx + term
+    scored = codes.crossJoin(F.broadcast(qlut)).select(
+        "qid", "cid", approx.alias("approx"))
+    wa = Window.partitionBy("qid").orderBy(F.col("approx").desc(), F.col("cid"))
+    cand = (scored.withColumn("arank", F.row_number().over(wa))
+            .filter(F.col("arank") <= rerank * k)
+            .select("qid", "cid"))
+    # exact rerank of the small candidate set
+    c2 = c.withColumn("cnrm", _norm(F.col("cv")))
+    q2 = q.withColumn("qnrm", _norm(F.col("qv")))
+    cos = _dot(F.col("cv"), F.col("qv")) / (F.col("cnrm") * F.col("qnrm"))
+    rescored = (cand.join(c2, "cid").join(F.broadcast(q2), "qid")
+                .select("qid", "cid", F.round(cos, 6).alias("cosine")))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "cid", "cosine", "rank"))

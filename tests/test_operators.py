@@ -179,6 +179,35 @@ def test_ivf_recall_vs_brute_force(spark, tables):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_pq_recall_and_code_shape(spark, tables):
+    emb = tables["embeddings"]
+    q = emb.orderBy("vec_id").limit(5).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = similarity.brute_force_topk(emb, q, k=10)
+    approx = similarity.pq_topk(emb, q, k=10, m=16, ksub=16, rerank=12)
+    e = {(r["qid"], r["cid"]) for r in exact.collect()}
+    a = {(r["qid"], r["cid"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.85, f"PQ recall too low: {recall}"
+    # the encoded representation is m small codes (the 100 TB story:
+    # the ADC scan reads 16 bytes/row, not 256)
+    books = similarity.train_pq_codebooks(emb, m=16, ksub=16)
+    assert books.shape == (16, 16, 4)
+    codes = emb.select(
+        similarity._pq_encode_udf(books)(
+            similarity._to_double(F.col("embedding"))).alias("codes"))
+    row = codes.first()
+    assert len(row["codes"]) == 16
+    assert all(0 <= c < 16 for c in row["codes"])
+
+
+def test_pq_deterministic(spark, tables):
+    emb = tables["embeddings"]
+    q = emb.orderBy("vec_id").limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+    a = sorted(map(tuple, similarity.pq_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, similarity.pq_topk(emb, q, k=5).collect()))
+    assert a == b
+
+
 def test_lang_id_on_planted_text(spark):
     df = spark.createDataFrame(
         [(1, "the cat and the dog is in the house"),
