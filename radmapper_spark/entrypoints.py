@@ -1019,6 +1019,47 @@ def temporal_rollup_sql() -> str:
     """
 
 
+# =============================================================== profiling
+
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distribution profile: count, min/max, exact
+    interpolated quantiles (p25/p50/p75/p95). Exact percentile is
+    deterministic (a property double-summed moments lack), so the DuckDB
+    quantile_cont oracle hash-matches; at 100 TB the same call site takes
+    the mergeable approx_percentile sketch via exact=False."""
+    from .operators import profiling
+    ev = load_tables(spark, sf_dir)["events"]
+    return profiling.group_quantiles(ev, "event_type", "value")
+
+
+def stats_profile_sql() -> str:
+    return """
+    SELECT event_type, count(*) AS n,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """
+
+
+def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — pure map-side agg."""
+    from .operators import profiling
+    ev = load_tables(spark, sf_dir)["events"]
+    return profiling.histogram(ev, "event_type", "value", bin_width=25.0)
+
+
+def stats_histogram_sql() -> str:
+    return """
+    SELECT event_type, floor(value / 25.0)::BIGINT AS bin,
+           round(floor(value / 25.0) * 25.0, 6) AS bin_lo, count(*) AS n
+    FROM events GROUP BY 1, 2, 3
+    """
+
+
 # =============================================================== PQ ANN
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1285,4 +1326,7 @@ ENTRIES: dict = {
     "text_tfidf": (text_tfidf, text_tfidf_sql),
     # composed end-to-end cleaning pipeline
     "pipeline_corpus_clean": (pipeline_corpus_clean, pipeline_corpus_clean_sql),
+    # distribution profiling
+    "stats_profile": (stats_profile, stats_profile_sql),
+    "stats_histogram": (stats_histogram, stats_histogram_sql),
 }

@@ -1,0 +1,52 @@
+"""Column profiling operators: exact quantiles and fixed-width histograms
+per group (the distribution-stats step of a data pipeline: outlier
+thresholds, drift checks, bin summaries).
+
+Scale notes:
+- ``group_quantiles`` uses Spark's exact ``percentile`` aggregate
+  (interpolated, same definition as SQL ``quantile_cont``): per-group
+  sort-based, deterministic — unlike double-summed moments, quantiles of
+  a fixed multiset are partition-order independent, so they hash-match an
+  oracle bit-for-bit after rounding. For 100 TB profiles where an exact
+  per-group sort is too hot, the same call sites take
+  ``approx_percentile`` (t-digest-style sketch, mergeable, single pass) —
+  exposed via ``exact=False``; the entry pins ``exact=True`` because the
+  correctness gate needs determinism.
+- ``histogram`` is a pure map-side agg: bin = floor(value/width), then
+  groupBy(group, bin) count — one shuffle of (group, bin) partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_quantiles(df: DataFrame, group_col: str, value_col: str,
+                    quantiles=(0.25, 0.5, 0.75, 0.95),
+                    exact: bool = True) -> DataFrame:
+    """Per-group min/max/count plus the requested quantiles (exact by
+    default; sketch-based when exact=False)."""
+    qarr = "array(" + ", ".join(str(float(q)) for q in quantiles) + ")"
+    fn = "percentile" if exact else "approx_percentile"
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(value_col), 6).alias("min_value"),
+        F.round(F.max(value_col), 6).alias("max_value"),
+        F.expr(f"{fn}({value_col}, {qarr})").alias("_qs"),
+    )
+    qcols = [F.round(F.col("_qs")[i], 6).alias(f"p{int(q * 100)}")
+             for i, q in enumerate(quantiles)]
+    return agg.select(group_col, "n", "min_value", "max_value", *qcols)
+
+
+def histogram(df: DataFrame, group_col: str, value_col: str,
+              bin_width: float) -> DataFrame:
+    """Fixed-width histogram per group: bin index, inclusive lower edge,
+    count. Map-side partial agg; output is O(groups x bins)."""
+    b = F.floor(F.col(value_col) / F.lit(float(bin_width))).cast("long")
+    return (df.groupBy(F.col(group_col), b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(group_col, "bin",
+                    F.round(F.col("bin") * F.lit(float(bin_width)), 6)
+                    .alias("bin_lo"), "n"))
