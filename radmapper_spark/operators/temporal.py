@@ -110,9 +110,11 @@ def range_join_bucketed(left: DataFrame, right: DataFrame,
 def time_rollup(events: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
                 value_col: str = "value") -> DataFrame:
     """Hierarchical hour -> day -> week rollup of counts + exact decimal
-    sums per key. Raw rows are scanned once (hourly agg); day reduces the
-    hourly partials, week reduces the daily partials — the
-    continuous-aggregate pattern at 100 TB: coarse grains never touch raw.
+    sums per key. Day reduces the hourly partials, week reduces the daily
+    partials — the continuous-aggregate pattern at 100 TB: coarse grains
+    never touch raw. At runtime AQE's ReusedExchange dedupes the shared
+    hourly shuffle across the union branches (test-asserted), so raw is
+    physically scanned once without an explicit persist.
 
     Returns the union of the three grains with a ``granularity`` column;
     sums surface as rounded doubles (stable across partitioning because

@@ -158,9 +158,14 @@ def vocabulary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     stats = (exploded.groupBy("term")
              .agg(F.count(F.lit(1)).alias("n_total"),
                   F.countDistinct("_id").alias("n_docs")))
+    # top-n as orderBy+limit -> TakeOrderedAndProject (per-partition
+    # partial top-n, driver merges n*partitions rows) instead of a global
+    # single-partition window sort over the whole vocabulary; the rank
+    # window then runs over <= top_n rows.
+    top = stats.orderBy(F.col("n_total").desc(), F.col("term").asc()).limit(top_n)
     rk = F.row_number().over(
         Window.orderBy(F.col("n_total").desc(), F.col("term").asc()))
-    return (stats.withColumn("rank", rk).filter(F.col("rank") <= top_n)
+    return (top.withColumn("rank", rk)
             .withColumn("idf", F.round(
                 F.log((F.lit(n_docs_total) + 1.0)
                       / (F.col("n_docs") + 1.0)), 6))

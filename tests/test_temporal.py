@@ -70,9 +70,8 @@ def test_asof_single_shuffle_plan(spark, asof_frames):
     """The union+window plan must contain NO join operator at all — one
     exchange on the key and a sort, which is what survives 100 TB."""
     left, right = asof_frames
-    plan = temporal.asof_join(left, right, on="k").queryExecution() \
-        if False else temporal.asof_join(left, right, on="k") \
-        ._jdf.queryExecution().executedPlan().toString()
+    plan = (temporal.asof_join(left, right, on="k")
+            ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
     assert "Window" in plan
 
@@ -139,3 +138,13 @@ def test_rollup_single_raw_scan(spark, tables):
     # one Relation per union branch at most -- i.e. no branch joins raw
     # back in; the important property (no join, pure agg tree):
     assert "Join" not in plan
+
+
+def test_rollup_reuses_hourly_exchange(spark, tables):
+    """At runtime AQE must reuse the hourly shuffle for the day/week
+    branches (raw effectively scanned once — the continuous-aggregate
+    property the operator is designed around)."""
+    rl = temporal.time_rollup(tables["events"])
+    rl.collect()
+    plan = rl._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 1
