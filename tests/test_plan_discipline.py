@@ -19,6 +19,7 @@ SF = "/root/testdata/sf0.001"
 ARROW_ALLOWED = {
     "dedup_embedding_cosine",  # sign-LSH signature matmul
     "ann_ivf_topk",            # IVF cell-assignment matmul
+    "ann_pq_topk",             # PQ encode + ADC lookup-table matmuls
     "multimodal_features",     # binary decode boundary (mapInPandas)
 }
 
