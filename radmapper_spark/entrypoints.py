@@ -960,28 +960,26 @@ def temporal_asof_join_sql() -> str:
 
 
 def temporal_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure time-range join (NO equi key): per order, lineitems (any
-    order) shipped within [o_orderdate, +3 days). Bucketed equi-join plan:
-    candidate volume O(|right| + |left| * days/bucket) instead of the
-    |left| x |right| BroadcastNestedLoopJoin Spark would pick for the raw
-    inequality predicate; left semantics restored by joining the aggregate
-    back onto orders."""
+    """Pure time-range join (NO equi key), aggregation-shaped: per order,
+    count + quantity-sum of lineitems (any order) shipped within
+    [o_orderdate, +3 days). Uses range_agg_bucketed: the right side is
+    pre-aggregated into per-day partials (tiny, broadcast), each order
+    joins its 3 fully-covered day buckets, and raw rows are touched only
+    for unaligned edge buckets (none here — dates are day-aligned). The
+    pair-producing formulation (range_join_bucketed) is quadratic per
+    bucket and measured 35x slower at sf0.1; at 100 TB only the partial
+    table grows with the time span, and the left side never shuffles."""
     t = load_tables(spark, sf_dir)
     orders = t["orders"].select("o_orderkey", "o_orderdate")
     li = t["lineitem"].select("l_shipdate", "l_quantity")
-    j = temporal.range_join_bucketed(
-        orders, li,
+    agg = temporal.range_agg_bucketed(
+        orders, li, id_col="o_orderkey",
         left_start=F.col("o_orderdate"),
         left_end=F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"),
-        right_ts="l_shipdate", bucket_sec=3 * 86400)
-    agg = (j.groupBy("o_orderkey")
-           .agg(F.count(F.lit(1)).alias("n_shipped"),
-                F.sum(F.col("l_quantity").cast(DEC)).alias("_s")))
-    return (orders.join(agg, "o_orderkey", "left")
-            .select("o_orderkey",
-                    F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
-                    F.round(F.coalesce(F.col("_s"), F.lit(0).cast(DEC))
-                            .cast("double"), 2).alias("qty_shipped")))
+        right_ts="l_shipdate", bucket_sec=86400, sum_col="l_quantity",
+        count_name="n_shipped", sum_name="_s")
+    return agg.select("o_orderkey", "n_shipped",
+                      F.round(F.col("_s").cast("double"), 2).alias("qty_shipped"))
 
 
 def temporal_range_join_sql() -> str:

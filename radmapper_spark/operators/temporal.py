@@ -107,6 +107,91 @@ def range_join_bucketed(left: DataFrame, right: DataFrame,
     return joined.drop("_bucket", "_start_s", "_end_s", "_ts_s")
 
 
+def range_agg_bucketed(left: DataFrame, right: DataFrame, id_col: str,
+                       left_start, left_end, right_ts: str,
+                       bucket_sec: int, sum_col: str | None = None,
+                       count_name: str = "n_matches",
+                       sum_name: str = "sum_match") -> DataFrame:
+    """Aggregation-shaped time-range join: per left row, count (and
+    decimal-sum) the right rows with ``ts in [start, end)`` — WITHOUT
+    materializing the pairs.
+
+    ``range_join_bucketed`` produces the actual matching pairs, which is
+    what you want when the pairs are the output — but when the query only
+    AGGREGATES the matches, the pair stream is pure waste: per bucket it
+    is |left_in_bucket| x |right_in_bucket| rows, quadratic in the data
+    per fixed time window (measured: 74 s vs 2 s at sf0.1 on the
+    orders-x-lineitem entry). This operator instead:
+
+    1. pre-aggregates the right side into per-bucket partials —
+       O(time_span/bucket) rows, tiny, broadcastable;
+    2. explodes each left interval to its FULLY-COVERED buckets and
+       broadcast-joins the partials (left never shuffles);
+    3. touches raw right rows only for the <= 2 partially-covered EDGE
+       buckets of each interval (empty when intervals are bucket-aligned,
+       as day-aligned dates with a day bucket are);
+    4. sums partial + edge contributions per left id.
+
+    Requires ``id_col`` to be unique in `left`. Returns
+    (id_col, count_name[, sum_name]) with zero rows preserved."""
+    b = int(bucket_sec)
+    bl = F.lit(b).cast("long")
+    ls = F.unix_timestamp(left_start).cast("long")
+    le = F.unix_timestamp(left_end).cast("long")
+    rsec = F.unix_timestamp(F.col(right_ts)).cast("long")
+
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if sum_col is not None:
+        aggs.append(F.sum(F.col(sum_col).cast(DEC)).alias("_sum"))
+    partials = right.groupBy(F.floor(rsec / bl).alias("_bucket")).agg(*aggs)
+
+    full0 = F.floor((ls + bl - F.lit(1)) / bl)       # ceil(start/b)
+    full1 = F.floor(le / bl)                          # full buckets [full0, full1)
+    lkeyed = left.select(F.col(id_col).alias("_lid"),
+                         ls.alias("_s"), le.alias("_e"),
+                         full0.alias("_f0"), full1.alias("_f1"))
+    full = lkeyed.select(
+        "_lid",
+        F.explode_outer(F.when(F.col("_f1") > F.col("_f0"),
+                               F.sequence(F.col("_f0"), F.col("_f1") - 1))
+                        ).alias("_bucket"))
+    fsel = ["_lid", F.coalesce(F.col("_cnt"), F.lit(0)).alias("_cnt")]
+    esel_zero = [F.lit(0).cast("long").alias("_cnt")]
+    if sum_col is not None:
+        fsel.append(F.coalesce(F.col("_sum"), F.lit(0).cast(DEC)).alias("_sum"))
+        esel_zero.append(F.lit(0).cast(DEC).alias("_sum"))
+    full_part = full.join(F.broadcast(partials), "_bucket", "left").select(*fsel)
+
+    # edge buckets: partially-covered start/end buckets (distinct, may
+    # coincide for sub-bucket intervals; absent when aligned) — computed
+    # over the materialized _s/_e columns of lkeyed, not the caller's
+    # expressions (which reference columns lkeyed no longer carries)
+    s_, e_ = F.col("_s"), F.col("_e")
+    start_edge = F.when(s_ % bl != 0, F.floor(s_ / bl))
+    end_edge = F.when((e_ % bl != 0) & (F.floor(e_ / bl) > F.floor(s_ / bl)),
+                      F.floor(e_ / bl))
+    edges = lkeyed.select(
+        "_lid", "_s", "_e",
+        F.explode(F.array_compact(F.array(start_edge, end_edge))).alias("_bucket"))
+    redge = right.select(rsec.alias("_ts_s"),
+                         F.floor(rsec / bl).alias("_bucket"),
+                         *([F.col(sum_col)] if sum_col is not None else []))
+    eaggs = [F.count(F.lit(1)).alias("_cnt")]
+    if sum_col is not None:
+        eaggs.append(F.sum(F.col(sum_col).cast(DEC)).alias("_sum"))
+    edge_part = (edges.join(redge, "_bucket")
+                 .filter((F.col("_ts_s") >= F.col("_s"))
+                         & (F.col("_ts_s") < F.col("_e")))
+                 .groupBy("_lid").agg(*eaggs))
+
+    combined = full_part.unionByName(edge_part)
+    out_aggs = [F.sum("_cnt").alias(count_name)]
+    if sum_col is not None:
+        out_aggs.append(F.sum("_sum").alias(sum_name))
+    return combined.groupBy("_lid").agg(*out_aggs) \
+        .withColumnRenamed("_lid", id_col)
+
+
 def time_rollup(events: DataFrame, ts_col: str = "ts", key_col: str = "event_type",
                 value_col: str = "value") -> DataFrame:
     """Hierarchical hour -> day -> week rollup of counts + exact decimal

@@ -148,3 +148,60 @@ def test_rollup_reuses_hourly_exchange(spark, tables):
     rl.collect()
     plan = rl._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 1
+
+
+def test_range_agg_matches_naive_aligned(spark, tables):
+    """range_agg_bucketed (partial-aggregate path) == naive inequality
+    join + group on the day-aligned orders x lineitem shape."""
+    orders = tables["orders"].select("o_orderkey", "o_orderdate").limit(300)
+    li = tables["lineitem"].select("l_shipdate", "l_quantity")
+    fast = temporal.range_agg_bucketed(
+        orders, li, id_col="o_orderkey",
+        left_start=F.col("o_orderdate"),
+        left_end=F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS"),
+        right_ts="l_shipdate", bucket_sec=86400, sum_col="l_quantity",
+        count_name="n", sum_name="s")
+    naive = (orders.alias("o").join(
+        li.alias("l"),
+        (F.col("l.l_shipdate") >= F.col("o.o_orderdate"))
+        & (F.col("l.l_shipdate") < F.col("o.o_orderdate") + F.expr("INTERVAL 3 DAYS")),
+        "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l.l_shipdate").alias("n"),
+             F.coalesce(F.sum(F.col("l.l_quantity").cast("decimal(18,2)")),
+                        F.lit(0).cast("decimal(18,2)")).alias("s")))
+    f = sorted(map(tuple, fast.collect()))
+    n = sorted(map(tuple, naive.collect()))
+    assert f == n
+    assert len(f) == 300  # zero-match orders preserved
+
+
+def test_range_agg_unaligned_edges(spark):
+    """Intervals NOT aligned to the bucket exercise the edge-bucket raw
+    path: sub-bucket interval (both edges in one bucket), start-unaligned,
+    end-unaligned, and spanning."""
+    import datetime as dt
+    H = 3600
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(hours=6), base + dt.timedelta(hours=10)),
+         (2, base + dt.timedelta(hours=6), base + dt.timedelta(hours=30)),
+         (3, base, base + dt.timedelta(hours=30)),
+         (4, base + dt.timedelta(hours=6), base + dt.timedelta(hours=48)),
+         (5, base + dt.timedelta(hours=200), base + dt.timedelta(hours=210))],
+        "lid long, s timestamp, e timestamp")
+    right = spark.createDataFrame(
+        [(i, base + dt.timedelta(hours=i), float(i)) for i in range(0, 60, 2)],
+        "rid long, ts timestamp, v double")
+    fast = temporal.range_agg_bucketed(
+        left, right, id_col="lid", left_start=F.col("s"), left_end=F.col("e"),
+        right_ts="ts", bucket_sec=24 * H, sum_col="v",
+        count_name="n", sum_name="sv")
+    naive = (left.alias("l").join(
+        right.alias("r"),
+        (F.col("r.ts") >= F.col("l.s")) & (F.col("r.ts") < F.col("l.e")), "left")
+        .groupBy("lid")
+        .agg(F.count("r.ts").alias("n"),
+             F.coalesce(F.sum(F.col("r.v").cast("decimal(18,2)")),
+                        F.lit(0).cast("decimal(18,2)")).alias("sv")))
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
