@@ -1017,6 +1017,31 @@ def temporal_rollup_sql() -> str:
     """
 
 
+# =============================================================== stream join
+
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join: each purchase attributed to
+    the same user's clicks within 1 hour before it (inclusive). The
+    streaming form watermarks both sides and the range predicate bounds
+    the join state (clicks expire at watermark - lookback); the plan is
+    identical — this entry is the oracle-checkable shape."""
+    from .streaming import joins as J
+    ev = load_tables(spark, sf_dir)["events"]
+    return J.purchase_click_attribution(ev, lookback="1 hour")
+
+
+def stream_join_sql() -> str:
+    return """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts FROM events
+               WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id, p.ts AS p_ts, c.click_id, c.ts AS c_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """
+
+
 # =============================================================== profiling
 
 def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,6 +1335,7 @@ ENTRIES: dict = {
     "stream_session": (stream_session, stream_session_sql),
     "stream_running_totals": (stream_running_totals, stream_running_totals_sql),
     "stream_dedup": (stream_dedup, stream_dedup_sql),
+    "stream_join": (stream_join, stream_join_sql),
     # multimodal
     "multimodal_features": (multimodal_features, multimodal_features_sql),
     # temporal joins / rollups
