@@ -1299,6 +1299,11 @@ ENTRIES: dict = {
                               headline.region_nation_revenue_sql),
     "events_by_type": (lambda s, d: headline.events_by_type(load_tables(s, d)),
                        headline.events_by_type_sql),
+    "large_orders": (lambda s, d: headline.large_orders(load_tables(s, d)),
+                     headline.large_orders_sql),
+    "top_customer_per_nation": (
+        lambda s, d: headline.top_customer_per_nation(load_tables(s, d)),
+        headline.top_customer_per_nation_sql),
     # RM language on Spark
     "rm_datalog_join": (rm_datalog_join, rm_datalog_join_sql),
     "rm_qvar_project": (rm_qvar_project, rm_qvar_project_sql),

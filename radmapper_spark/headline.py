@@ -179,3 +179,65 @@ def events_by_type_sql() -> str:
     GROUP BY event_type
     ORDER BY event_type
     """
+
+
+def large_orders(t: dict) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total lineitem quantity exceeds a
+    threshold, with the customer attached.
+
+    Plan: lineitem groupBy(orderkey) with map-side partial sums -> HAVING
+    filter cuts the aggregate BEFORE any join (at 100 TB the filter
+    passes a tiny fraction, so the orders join probes a small build side)
+    -> join orders -> broadcast customer."""
+    qty = (t["lineitem"].groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
+           .filter(F.col("_q") > F.lit(150).cast(DEC)))
+    return (qty.join(t["orders"],
+                     qty.l_orderkey == t["orders"].o_orderkey)
+            .join(F.broadcast(t["customer"]),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select(F.col("c_name"), F.col("c_custkey"),
+                    F.col("o_orderkey"), F.col("o_totalprice"),
+                    F.col("_q").cast("double").alias("total_qty"))
+            .orderBy(F.col("total_qty").desc(), F.col("o_orderkey")))
+
+
+def large_orders_sql() -> str:
+    return """
+    SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+           CAST(q AS DOUBLE) AS total_qty
+    FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS q
+          FROM lineitem GROUP BY l_orderkey
+          HAVING q > CAST(150 AS DECIMAL(18,2))) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    """
+
+
+def top_customer_per_nation(t: dict) -> DataFrame:
+    """Argmax-per-group: each nation's highest-acctbal customer, with a
+    deterministic (acctbal, custkey) tie-break via max(struct(...)) — the
+    single-shuffle argmax pattern (no window sort over the whole table,
+    no self-join)."""
+    best = (t["customer"].groupBy("c_nationkey")
+            .agg(F.max(F.struct(F.col("c_acctbal"), F.col("c_custkey"),
+                                F.col("c_name"))).alias("b")))
+    return (best.join(F.broadcast(t["nation"]),
+                      best.c_nationkey == t["nation"].n_nationkey)
+            .select(F.col("n_name").alias("nation"),
+                    F.col("b.c_custkey").alias("c_custkey"),
+                    F.col("b.c_name").alias("c_name"),
+                    F.round(F.col("b.c_acctbal"), 2).alias("acctbal")))
+
+
+def top_customer_per_nation_sql() -> str:
+    return """
+    SELECT n_name AS nation, c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY c_nationkey
+              ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+          FROM customer) c
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE rn = 1
+    """
