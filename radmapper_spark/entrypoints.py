@@ -446,7 +446,8 @@ def dedup_minhash_lsh_sql() -> str:
     WITH w AS (
         SELECT doc_id,
                string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS words
-        FROM documents),
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''),
     sh AS (
         SELECT doc_id, CASE WHEN len(words) >= {k}
             THEN list_transform(range(1, len(words) - {k} + 2),
@@ -499,7 +500,8 @@ def dedup_simhash_sql() -> str:
     WITH toks AS (
         SELECT doc_id,
                unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS tok
-        FROM documents),
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''),
     th AS (SELECT doc_id, {PH.duck_ph60('tok')} AS h FROM toks),
     votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
     fp AS (SELECT doc_id, {fp} AS simhash FROM votes),
@@ -646,9 +648,13 @@ def text_token_count_sql() -> str:
     pat = textstats.BPE_PATTERN.replace("'", "''")
     return f"""
     SELECT doc_id,
-        len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens_ws,
-        len(regexp_extract_all(text, '{pat}'))::INT AS n_tokens_bpe_rx,
-        ceil(length(text) / 4.0)::BIGINT AS n_tokens_bpe_est
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+            AS n_tokens_ws,
+        CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+             ELSE len(regexp_extract_all(text, '{pat}'))::INT END
+            AS n_tokens_bpe_rx,
+        ceil(coalesce(length(text), 0) / 4.0)::BIGINT AS n_tokens_bpe_est
     FROM documents
     """
 

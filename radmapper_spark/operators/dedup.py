@@ -48,6 +48,16 @@ def exact_dedup_keep(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     return docs.join(reps, on=id_col, how="inner")
 
 
+def drop_blank_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Remove NULL / whitespace-only documents before near-dup pairing:
+    blank docs have no shingles or tokens, so any signature computed for
+    them is a hash of nothing — pairing them as "near-duplicates" is
+    noise, and at corpus scale every blank doc would land in the same LSH
+    bucket (a synthetic hot key). Applied by every pair generator."""
+    return docs.filter(F.col(text_col).isNotNull()
+                       & (F.trim(F.col(text_col)) != ""))
+
+
 # -------------------------------------------------------------- shingles
 
 def _shingles(col, k: int = 5):
@@ -138,6 +148,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
     from ..functions import portable_hash as PH
 
     rows_per_band = num_hashes // bands
+    docs = drop_blank_docs(docs, text_col)
     # persist the (small: id + num_hashes longs per doc) signature frame so
     # the self-join's two sides don't recompute the shingling
     sigs = minhash_signature(docs, text_col, num_hashes, shingle_k,
@@ -282,6 +293,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     (band, band_val, id), pair dedup before the verify re-join.
     """
     assert bands * band_bits <= nbits
+    docs = drop_blank_docs(docs, text_col)
     sh = simhash(docs, text_col, id_col, nbits=nbits,
                  hash_mode=hash_mode).select(
         F.col(id_col).alias("id"), "simhash").persist()

@@ -50,12 +50,17 @@ BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens, a BPE-ish REGEX tokenization count (GPT-2-style
     pre-tokenizer pattern, counted JVM-side with regexp_count), and the
-    chars/4 estimate — per document, all whole-stage-codegen."""
-    ws = F.size(_tokens(F.col(text_col)))
-    chars = F.length(F.col(text_col))
+    chars/4 estimate — per document, all whole-stage-codegen. NULL or
+    whitespace-only text counts as 0 tokens (real corpora contain both;
+    split('') would otherwise report 1 and NULL would propagate)."""
+    blank = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+    ws = F.when(blank, F.lit(0)).otherwise(F.size(_tokens(F.col(text_col))))
+    chars = F.coalesce(F.length(F.col(text_col)), F.lit(0))
     return (docs.withColumn("n_tokens_ws", ws)
             .withColumn("n_tokens_bpe_rx",
-                        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)))
+                        F.when(blank, F.lit(0)).otherwise(
+                            F.regexp_count(F.col(text_col),
+                                           F.lit(BPE_PATTERN))))
             .withColumn("n_tokens_bpe_est",
                         F.ceil(chars / F.lit(4.0)).cast("bigint")))
 
