@@ -1096,3 +1096,109 @@ def _llm_extract(ip, env, src=NOMATCH, seek=None):
 def _llm_match(ip, env, src=NOMATCH, tar=None, opts=None):
     from ..operators.llm import llm_match
     return llm_match(src, tar, opts)
+
+
+# ====================================================== table pipeline ops
+# Extension tier (beyond the reference, like streaming — SURVEY §2.11
+# pattern): the dedup/text/sampling/temporal operators exposed as RM
+# builtins over Spark-backed tables, so an RM program can drive the whole
+# training-data pipeline. Each takes/returns a SparkDB (lazy — plans
+# compose across calls; materialization happens only at the program
+# boundary like every other Spark value).
+
+def _table_df(v, who: str):
+    from ..operators.spark_bridge import SparkDB
+    if isinstance(v, SparkDB):
+        return v.df
+    try:
+        from pyspark.sql import DataFrame
+        if isinstance(v, DataFrame):
+            return v
+    except Exception:  # pragma: no cover
+        pass
+    raise RMFnError(f"{who} requires a Spark-backed table ($db over a "
+                    f"DataFrame); got {type(v).__name__}")
+
+
+def _as_sdb(df):
+    from ..operators.spark_bridge import SparkDB
+    return SparkDB(df)
+
+
+@builtin("$dedupExact", 1)
+def _t_dedup_exact(ip, env, table=NOMATCH):
+    from ..operators import dedup
+    return _as_sdb(dedup.exact_dedup(_table_df(table, "$dedupExact")))
+
+
+@builtin("$nearDupPairs", 1)
+def _t_neardup(ip, env, table=NOMATCH, threshold=0.5):
+    from ..operators import dedup
+    out = dedup.minhash_lsh_pairs(_table_df(table, "$nearDupPairs"),
+                                  jaccard_threshold=float(threshold))
+    sdb = _as_sdb(out)
+    sdb.df.rm_release_cache = getattr(out, "rm_release_cache", None)
+    return sdb
+
+
+@builtin("$langID", 1)
+def _t_lang_id(ip, env, table=NOMATCH):
+    from ..operators import textstats
+    return _as_sdb(textstats.lang_id(_table_df(table, "$langID")))
+
+
+@builtin("$tokenCount", 1)
+def _t_token_count(ip, env, table=NOMATCH):
+    from ..operators import textstats
+    return _as_sdb(textstats.token_count(_table_df(table, "$tokenCount")))
+
+
+@builtin("$qualityScore", 1)
+def _t_quality(ip, env, table=NOMATCH):
+    from ..operators import textstats
+    return _as_sdb(textstats.quality_score(_table_df(table, "$qualityScore")))
+
+
+@builtin("$hashSplit", 2)
+def _t_hash_split(ip, env, table=NOMATCH, id_col=NOMATCH):
+    from ..operators import sampling
+    return _as_sdb(sampling.hash_split(_table_df(table, "$hashSplit"),
+                                       _s(id_col, "$hashSplit")))
+
+
+@builtin("$samplePerGroup", 4)
+def _t_sample_per_group(ip, env, table=NOMATCH, group=NOMATCH,
+                        id_col=NOMATCH, n=NOMATCH):
+    from ..operators import sampling
+    return _as_sdb(sampling.cap_per_group(
+        _table_df(table, "$samplePerGroup"),
+        _s(group, "$samplePerGroup"),
+        _s(id_col, "$samplePerGroup"), int(_n(n, "$samplePerGroup"))))
+
+
+@builtin("$asofJoin", 3)
+def _t_asof(ip, env, left=NOMATCH, right=NOMATCH, key=NOMATCH,
+            left_ts="ts", right_ts="ts"):
+    from ..operators import temporal
+    return _as_sdb(temporal.asof_join(
+        _table_df(left, "$asofJoin"), _table_df(right, "$asofJoin"),
+        on=_s(key, "$asofJoin"),
+        left_ts=_s(left_ts, "$asofJoin"),
+        right_ts=_s(right_ts, "$asofJoin")))
+
+
+@builtin("$timeRollup", 1)
+def _t_rollup(ip, env, table=NOMATCH, ts_col="ts", key_col="event_type"):
+    from ..operators import temporal
+    return _as_sdb(temporal.time_rollup(
+        _table_df(table, "$timeRollup"),
+        ts_col=_s(ts_col, "$timeRollup"),
+        key_col=_s(key_col, "$timeRollup")))
+
+
+@builtin("$quantiles", 3)
+def _t_quantiles(ip, env, table=NOMATCH, group=NOMATCH, value=NOMATCH):
+    from ..operators import profiling
+    return _as_sdb(profiling.group_quantiles(
+        _table_df(table, "$quantiles"), _s(group, "$quantiles"),
+        _s(value, "$quantiles")))
