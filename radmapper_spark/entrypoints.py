@@ -1023,6 +1023,130 @@ def temporal_rollup_sql() -> str:
     """
 
 
+# =============================================================== session / window / pivot / cube
+
+def temporal_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min): lag + cumulative-sum windows,
+    one shuffle on user_id, no join. Dense per-user session_seq."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return temporal.sessionize(ev).select(
+        "event_id", "user_id", "ts", "session_seq")
+
+
+def temporal_sessionize_sql() -> str:
+    return """
+    SELECT event_id, user_id, ts,
+           sum(CASE WHEN prev IS NULL
+                    OR date_diff('second', prev, ts) > 1800
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM (SELECT event_id, user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev
+          FROM events)
+    """
+
+
+def window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function battery per user over event time:
+    lag/lead, dense_rank, ntile, cumulative count, and a 3-row moving
+    decimal sum — all in ONE window partitioning (single shuffle + sort)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    wrows = w.rowsBetween(-2, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.dense_rank().over(w).alias("rk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("n_so_far"),
+        F.round(F.sum(F.col("value").cast(DEC)).over(wrows).cast("double"),
+                2).alias("moving_sum3"))
+
+
+def window_battery_sql() -> str:
+    return """
+    SELECT event_id, user_id,
+        lag(event_id) OVER w AS prev_event,
+        lead(event_id) OVER w AS next_event,
+        dense_rank() OVER w AS rk,
+        ntile(4) OVER w AS quartile,
+        count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS n_so_far,
+        round((sum(value::DECIMAL(18,2)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::DOUBLE, 2)
+            AS moving_sum3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: daily event counts widened to one column per event type.
+    The pivot values are PINNED (the 5 known types), so the plan is a
+    single groupBy with conditional aggregation — no extra collect-
+    distinct pass, which is also the only scalable way to pivot (unpinned
+    pivots scan twice and explode the schema)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+            .pivot("event_type", types).count()
+            .na.fill(0, types))
+
+
+def events_pivot_sql() -> str:
+    arms = ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS {t}"
+        for t in ("click", "error", "purchase", "signup", "view"))
+    # ::TIMESTAMP: DuckDB's date_trunc('day') yields DATE, Spark's yields
+    # TIMESTAMP — align the oracle's type
+    return (f"SELECT date_trunc('day', ts)::TIMESTAMP AS day, {arms} "
+            f"FROM events GROUP BY 1")
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via rollup(region, nation): per-nation, per-region,
+    and grand-total revenue in one pass (partial aggs shared across
+    grouping sets), with explicit grouping flags for the super-aggregate
+    rows."""
+    t = load_tables(spark, sf_dir)
+    joined = (t["customer"]
+              .join(F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(t["region"]),
+                    F.col("n_regionkey") == F.col("r_regionkey")))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+                 .alias("total_acctbal"),
+                 F.grouping("r_name").alias("g_region"),
+                 F.grouping("n_name").alias("g_nation"))
+            .select(F.coalesce("r_name", F.lit("ALL")).alias("region"),
+                    F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+                    "n_customers", "total_acctbal", "g_region", "g_nation"))
+
+
+def sales_rollup_sql() -> str:
+    return """
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           count(*) AS n_customers,
+           sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS total_acctbal,
+           grouping(r_name) AS g_region, grouping(n_name) AS g_nation
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """
+
+
 # =============================================================== stream join
 
 def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1364,4 +1488,9 @@ ENTRIES: dict = {
     # distribution profiling
     "stats_profile": (stats_profile, stats_profile_sql),
     "stats_histogram": (stats_histogram, stats_histogram_sql),
+    # sessionization / analytic windows / pivot / grouping sets
+    "temporal_sessionize": (temporal_sessionize, temporal_sessionize_sql),
+    "window_battery": (window_battery, window_battery_sql),
+    "events_pivot": (events_pivot, events_pivot_sql),
+    "sales_rollup": (sales_rollup, sales_rollup_sql),
 }

@@ -228,3 +228,23 @@ def time_rollup(events: DataFrame, ts_col: str = "ts", key_col: str = "event_typ
 
     return _out(hourly, "hour").unionByName(_out(daily, "day")).unionByName(
         _out(weekly, "week"))
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_sec: int = 1800,
+               order_col: str = "event_id") -> DataFrame:
+    """Assign a session id to every event: a new session starts when the
+    gap since the user's previous event exceeds ``gap_sec``. The classic
+    lag + cumulative-sum formulation — ONE shuffle on the user key, two
+    window passes over the same partitioning (Catalyst runs them in one
+    sort), no join. session_id = (user_id, session_seq) with session_seq
+    dense per user starting at 1."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(),
+                                            F.col(order_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (prev.isNull()
+                | (F.unix_timestamp(F.col(ts_col))
+                   - F.unix_timestamp(prev) > gap_sec)).cast("int")
+    seq = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.withColumn("session_seq", seq)

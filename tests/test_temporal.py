@@ -205,3 +205,26 @@ def test_range_agg_unaligned_edges(spark):
              F.coalesce(F.sum(F.col("r.v").cast("decimal(18,2)")),
                         F.lit(0).cast("decimal(18,2)")).alias("sv")))
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_sessionize_gap_semantics(spark):
+    """New session exactly when gap > gap_sec (boundary: gap == gap_sec
+    stays in the session); seq dense per user from 1."""
+    import datetime as dt
+    b = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 1, b),
+         (2, 1, b + dt.timedelta(seconds=1800)),   # == gap -> same session
+         (3, 1, b + dt.timedelta(seconds=3601)),   # > gap  -> new session
+         (4, 2, b)],                               # other user starts at 1
+        "event_id long, user_id long, ts timestamp")
+    rows = {r["event_id"]: r["session_seq"] for r in
+            temporal.sessionize(ev, gap_sec=1800).collect()}
+    assert rows == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_covers_all_events(spark, tables):
+    ev = tables["events"]
+    out = temporal.sessionize(ev)
+    assert out.count() == ev.count()
+    assert out.filter(F.col("session_seq") < 1).count() == 0
