@@ -1147,6 +1147,59 @@ def sales_rollup_sql() -> str:
     """
 
 
+# =============================================================== json / anti join
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing at table scale: parse the JSON props
+    column with an explicit schema (from_json — no schema inference pass,
+    the only scalable shape) and aggregate the extracted field per event
+    type. Integer aggregates -> deterministic."""
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("k").alias("n_with_k"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
+def events_json_extract_sql() -> str:
+    return """
+    SELECT event_type, count(*) AS n,
+           count(k) AS n_with_k, sum(k) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k
+    FROM (SELECT event_type, (props::JSON ->> 'k')::BIGINT AS k FROM events)
+    GROUP BY event_type
+    """
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: customers with no URGENT order (the unfiltered
+    variant is vacuous on this data — every customer has an order; the
+    priority filter keeps the entry's result set real). The anti join shuffles
+    only the two key columns and short-circuits per probe row (first
+    match wins) — the scalable spelling of NOT EXISTS; never a
+    left-join + IS NULL filter over a materialized join."""
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (t["customer"]
+            .join(urgent,
+                  F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def customers_without_orders_sql() -> str:
+    return """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """
+
+
 # =============================================================== stream join
 
 def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1493,4 +1546,8 @@ ENTRIES: dict = {
     "window_battery": (window_battery, window_battery_sql),
     "events_pivot": (events_pivot, events_pivot_sql),
     "sales_rollup": (sales_rollup, sales_rollup_sql),
+    # semi-structured + anti join
+    "events_json_extract": (events_json_extract, events_json_extract_sql),
+    "customers_without_orders": (customers_without_orders,
+                                 customers_without_orders_sql),
 }
