@@ -64,6 +64,11 @@ def test_no_python_eval_outside_allowlist(spark):
       "l_discount", "l_tax", "l_shipdate"}),
     ("text_token_count", "documents", {"doc_id", "text"}),
     ("events_by_type", "events", {"event_type", "value", "user_id"}),
+    ("events_json_extract", "events", {"event_type", "props"}),
+    ("temporal_sessionize", "events", {"event_id", "user_id", "ts"}),
+    ("dataset_split", "documents", {"doc_id"}),
+    ("temporal_asof_join", "events",
+     {"event_id", "user_id", "ts", "event_type"}),
 ])
 def test_scan_prunes_columns(spark, name, table, needed):
     """The parquet scan must read ONLY the referenced columns (column
