@@ -584,6 +584,14 @@ def test_write_parquet_roundtrip(spark, tables, tmp_path):
     # partition pruning: filtering the partition column prunes directories
     import glob
     assert len(glob.glob(f"{out}/n_regionkey=*")) == 5
+    # ...and the plan proves it: the filter lands in PartitionFilters (a
+    # directory prune before any IO), not a post-scan Filter
+    pruned = back.filter(F.col("n_regionkey") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "n_regionkey" in pf.group(1), plan
+    assert pruned.count() == df.filter(F.col("n_regionkey") == 2).count()
 
 
 def test_write_document(tmp_path):
