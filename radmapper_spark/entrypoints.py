@@ -1200,6 +1200,27 @@ def customers_without_orders_sql() -> str:
     """
 
 
+def urgent_and_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (SURVEY §2.7): customers who placed BOTH an URGENT
+    and a LOW priority order, via INTERSECT (distinct set semantics; the
+    plan is an aggregate-dedup join on all columns, scaling like a
+    groupBy on the full row)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low).withColumnRenamed("o_custkey", "c_custkey")
+
+
+def urgent_and_low_customers_sql() -> str:
+    return """
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """
+
+
 # =============================================================== stream join
 
 def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1550,4 +1571,6 @@ ENTRIES: dict = {
     "events_json_extract": (events_json_extract, events_json_extract_sql),
     "customers_without_orders": (customers_without_orders,
                                  customers_without_orders_sql),
+    "urgent_and_low_customers": (urgent_and_low_customers,
+                                 urgent_and_low_customers_sql),
 }
