@@ -1200,6 +1200,50 @@ def customers_without_orders_sql() -> str:
     """
 
 
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval step of the pipeline: confusion matrix of predicted vs
+    labeled language over the corpus — groupBy(label, prediction) counts
+    (map-side partial agg; output O(langs^2))."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (textstats.lang_id(docs)
+            .groupBy(F.col("lang").alias("label"),
+                     F.col("lang_pred").alias("predicted"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def lang_id_eval_sql() -> str:
+    h = {lang: _sql_hits(lang) for lang in LANGS}
+    return f"""
+    SELECT lang AS label,
+        CASE WHEN greatest({h['de']}, {h['en']}, {h['es']}, {h['fr']}) = 0 THEN 'und'
+             WHEN {h['fr']} >= {h['es']} AND {h['fr']} >= {h['en']} AND {h['fr']} >= {h['de']} THEN 'fr'
+             WHEN {h['es']} >= {h['en']} AND {h['es']} >= {h['de']} THEN 'es'
+             WHEN {h['en']} >= {h['de']} THEN 'en'
+             ELSE 'de' END AS predicted,
+        count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """
+
+
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide daily-counts table back to long form via
+    DataFrame.unpivot — the stack() path, one narrow projection per value
+    column, no shuffle beyond the pivot's own aggregate. Roundtrip
+    property: unpivot(pivot(x)) == groupBy(x), which is exactly what the
+    oracle computes."""
+    wide = events_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (wide.unpivot("day", types, "event_type", "n")
+            .filter(F.col("n") > 0))
+
+
+def events_unpivot_sql() -> str:
+    return """
+    SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """
+
+
 def urgent_and_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation (SURVEY §2.7): customers who placed BOTH an URGENT
     and a LOW priority order, via INTERSECT (distinct set semantics; the
@@ -1573,4 +1617,6 @@ ENTRIES: dict = {
                                  customers_without_orders_sql),
     "urgent_and_low_customers": (urgent_and_low_customers,
                                  urgent_and_low_customers_sql),
+    "lang_id_eval": (lang_id_eval, lang_id_eval_sql),
+    "events_unpivot": (events_unpivot, events_unpivot_sql),
 }
