@@ -1200,6 +1200,43 @@ def customers_without_orders_sql() -> str:
     """
 
 
+def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped: discounted revenue per (supplier nation, part
+    brand) — lineitem joins part and supplier on their keys, both dims
+    broadcast (at full scale part outgrows the broadcast threshold and
+    AQE falls back to a shuffle join on stats; the plan needs no change).
+    Covers the two driver tables (part, supplier) no other entry touches;
+    decimal-exact sums."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    return (li.join(F.broadcast(t["part"]),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(t["supplier"]),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(t["nation"]),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.col("p_brand").alias("brand"))
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(rev).cast("double").alias("revenue")))
+
+
+def brand_revenue_sql() -> str:
+    return """
+    SELECT n_name AS nation, p_brand AS brand, count(*) AS n_items,
+           sum(l_extendedprice::DECIMAL(18,2)
+               * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE
+               AS revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, p_brand
+    """
+
+
 def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-eval step of the pipeline: confusion matrix of predicted vs
     labeled language over the corpus — groupBy(label, prediction) counts
@@ -1619,4 +1656,5 @@ ENTRIES: dict = {
                                  urgent_and_low_customers_sql),
     "lang_id_eval": (lang_id_eval, lang_id_eval_sql),
     "events_unpivot": (events_unpivot, events_unpivot_sql),
+    "brand_revenue": (brand_revenue, brand_revenue_sql),
 }
