@@ -569,9 +569,30 @@ class Interp:
         return self._pred_filter(ob, filt, env)
 
     def _filter_step(self, res, filt: A.Node, env: Env):
-        """Stand-alone [..] filter (reference builtin.cljc:213-243)."""
+        """Stand-alone [..] filter (reference builtin.cljc:213-243).
+
+        Extension: a filter on a Spark-backed table ($db over a
+        DataFrame) compiles the predicate through the Column compiler and
+        stays a lazy DataFrame filter — Catalyst pushes it into the scan.
+        (Previously this fell through to the driver-side row loop, which
+        silently produced [] for SparkDB values.)"""
         if is_nomatch(res):
             return NOMATCH
+        from ..operators.spark_bridge import SparkDB
+        if isinstance(res, SparkDB):
+            from .columns import ColumnCompileError, ColumnCompiler
+            from pyspark.sql import types as T
+            try:
+                cv = ColumnCompiler(res.df.schema).compile(filt)
+            except ColumnCompileError as e:
+                raise RMError(
+                    "a [filter] on a Spark table must be column-compilable "
+                    f"({e}); use query{{}} for general patterns") from e
+            if cv.dtype is not None and not isinstance(cv.dtype, T.BooleanType):
+                raise RMError("positional [index] on a Spark table is not "
+                              "supported; filter with a predicate or use "
+                              "query{}")
+            return SparkDB(res.df.filter(cv.col.cast("boolean")), res.name)
         ix = self._try_index(filt, res, env)
         if ix is not None:
             if isinstance(res, JSeq):

@@ -45,18 +45,29 @@ def test_asof_join_from_rm(spark, tables):
       $c := $db($events)[event_type = 'click'];
       $asofJoin($p, $c, 'user_id') )
     """
-    try:
-        out = _run(spark, src, **{"$events": tables["events"]})
-    except Exception:
-        # filter-on-db syntax may not produce a SparkDB: fall back to
-        # pre-filtered bindings (the operator path is what's under test)
-        from pyspark.sql import functions as F
-        ev = tables["events"]
-        out = _run(spark, "$asofJoin($db($p), $db($c), 'user_id')",
-                   **{"$p": ev.filter(F.col("event_type") == "purchase"),
-                      "$c": ev.filter(F.col("event_type") == "click")})
+    out = _run(spark, src, **{"$events": tables["events"]})
     assert isinstance(out, SparkDB)
     assert "ts_right" in out.df.columns
+
+
+def test_filter_step_on_spark_table_pushes_down(spark, tables):
+    """[pred] on a $db table compiles through the Column compiler, stays
+    a lazy DataFrame filter, and reaches the parquet scan as a pushed
+    filter."""
+    out = _run(spark, "$db($ev)[event_type = 'purchase']",
+               **{"$ev": tables["events"]})
+    assert isinstance(out, SparkDB)
+    from pyspark.sql import functions as F
+    expected = tables["events"].filter(F.col("event_type") == "purchase").count()
+    assert out.df.count() == expected
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(event_type,purchase)" in plan  # PushedFilters
+
+
+def test_filter_step_on_spark_table_rejects_index(spark, tables):
+    from radmapper_spark.lang.interp import RMError
+    with pytest.raises(RMError, match="positional"):
+        _run(spark, "$db($ev)[0]", **{"$ev": tables["events"]})
 
 
 def test_quantiles_and_sample_from_rm(spark, tables):
