@@ -473,11 +473,18 @@ class Interp:
         """Plain get-step semantics (reference builtin.cljc:245-263):
         map -> value; sequence -> per-element get with one-level array
         splice; otherwise no match."""
-        from ..operators.spark_bridge import SparkBindingSets
+        from ..operators.spark_bridge import SparkBindingSets, SparkDB
         if isinstance(obj, SparkBindingSets):
             # stay lazy: project the qvar column in Spark
             if name in obj.df.columns:
                 return obj.project(name)
+            return NOMATCH
+        if isinstance(obj, SparkDB):
+            # get-step on a Spark table = lazy column projection (the
+            # sequence-of-values semantics of .field over a table); the
+            # scan prunes to the one column. Previously NOMATCH (silent).
+            if name in obj.df.columns:
+                return SparkBindingSets(obj.df.select(name))
             return NOMATCH
         obj = jflatten(obj)
         if is_nomatch(obj):
@@ -518,7 +525,20 @@ class Interp:
         elif step.kind == "reduce":
             out = self._reduce_step(step.expr, res, env)
         else:  # map / get over computed expr
-            if isinstance(res, (JSeq, list)):
+            from ..operators.spark_bridge import SparkBindingSets, SparkDB
+            if isinstance(res, SparkDB):
+                # map-step over a Spark table: compile the expression to a
+                # Column (per-row, JVM-side) — the Spark twin of the
+                # driver row loop below.
+                from .columns import ColumnCompileError, ColumnCompiler
+                try:
+                    cv = ColumnCompiler(res.df.schema).compile(step.expr)
+                except ColumnCompileError as e:
+                    raise RMError(
+                        "a .(expr) map-step on a Spark table must be "
+                        f"column-compilable ({e})") from e
+                out = SparkBindingSets(res.df.select(cv.col.alias("value")))
+            elif isinstance(res, (JSeq, list)):
                 out = JSeq()
                 for e in containerize(res):
                     v = self._eval_with_ctx(step.expr, e, env)

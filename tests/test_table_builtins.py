@@ -83,3 +83,32 @@ def test_quantiles_and_sample_from_rm(spark, tables):
 def test_table_builtin_rejects_local_data(spark):
     with pytest.raises(RMFnError, match="Spark-backed"):
         _run(spark, "$dedupExact([{'a': 1}])")
+
+
+def test_get_step_on_spark_table(spark, tables):
+    """.field on a $db table projects lazily; $distinct/$sort force at
+    the boundary."""
+    out = _run(spark, "$distinct($db($ev).event_type) ~> $sort()",
+               **{"$ev": tables["events"]})
+    expected = sorted(r["event_type"] for r in
+                      tables["events"].select("event_type").distinct().collect())
+    assert out == expected
+
+
+def test_map_step_on_spark_table(spark, tables):
+    """.(expr) compiles to a per-row Column; aggregate equals the
+    DataFrame computation."""
+    from pyspark.sql import functions as F
+    got = _run(spark, "$sum($db($ev)[event_type='purchase'].(value * 2))",
+               **{"$ev": tables["events"]})
+    want = (tables["events"].filter(F.col("event_type") == "purchase")
+            .agg(F.sum(F.col("value") * 2)).collect()[0][0])
+    assert abs(got - want) < 1e-6
+
+
+def test_filter_then_get_counts(spark, tables):
+    from pyspark.sql import functions as F
+    got = _run(spark, "$db($ev)[value > 100].event_id ~> $count()",
+               **{"$ev": tables["events"]})
+    want = tables["events"].filter(F.col("value") > 100).count()
+    assert got == want
