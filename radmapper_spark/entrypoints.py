@@ -194,6 +194,26 @@ def rm_nested_docs_sql() -> str:
     """
 
 
+def rm_table_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RM path sublanguage (SURVEY §2.2) running END-TO-END over a
+    Spark table: filter-step -> map-step, both compiled through the
+    Column compiler into one pushed-down, column-pruned plan (no driver
+    row loop). The program is literally
+    ``$db($events)[event_type = 'purchase'].(value * 2 + 1)``."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ip = Interp(spark)
+    out = ip.run_raw("$db($e)[event_type = 'purchase'].(value * 2 + 1)",
+                     bindings={"$e": ev})
+    return out.df.select(F.round(F.col("value"), 6).alias("value"))
+
+
+def rm_table_paths_sql() -> str:
+    return """
+    SELECT round(value * 2 + 1, 6) AS value FROM events
+    WHERE event_type = 'purchase'
+    """
+
+
 # =============================================================== scalar fns
 
 def rm_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1596,6 +1616,7 @@ ENTRIES: dict = {
     "rm_express_map": (rm_express_map, rm_express_map_sql),
     "rm_express_reduce": (rm_express_reduce, rm_express_reduce_sql),
     "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
+    "rm_table_paths": (rm_table_paths, rm_table_paths_sql),
     # scalar function batteries
     "rm_scalar_battery": (rm_scalar_battery, rm_scalar_battery_sql),
     "rm_datetime_ops": (rm_datetime_ops, rm_datetime_ops_sql),
