@@ -132,6 +132,15 @@ def range_agg_bucketed(left: DataFrame, right: DataFrame, id_col: str,
        as day-aligned dates with a day bucket are);
     4. sums partial + edge contributions per left id.
 
+    Bucket sizing: for bucket-ALIGNED intervals pick the alignment grain
+    (edges are then empty and bucket size is free). For UNALIGNED
+    intervals pick bucket_sec ≈ interval/30..50, NOT ≈ interval: each
+    interval's <= 2 edge buckets join right_density * bucket_sec RAW rows,
+    so coarse buckets make the edge path dominate (measured 50 s at
+    bucket == interval vs 7.6 s at interval/36 on 100k x 2M; see
+    tests/test_scale_stress.py). Smaller buckets only grow the (tiny)
+    partials table and the per-interval explode, both linear and cheap.
+
     Requires ``id_col`` to be unique in `left`. Returns
     (id_col, count_name[, sum_name]) with zero rows preserved."""
     b = int(bucket_sec)

@@ -1,0 +1,98 @@
+"""Scale-stress harness: 20x the bench data, synthesized on the fly.
+
+Gated behind RM_SCALE_STRESS=1 (several minutes of CPU) — run manually:
+
+    RM_SCALE_STRESS=1 python -m pytest tests/test_scale_stress.py -q -s
+
+Purpose: evidence that the temporal/sessionization plans behave linearly
+well past the bench SF — the operators whose naive formulations blow up
+super-linearly (asof via BNLJ, range join via pair streams). Numbers are
+recorded in BASELINE.md round-5 addendum.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from radmapper_spark.operators import temporal
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("RM_SCALE_STRESS") != "1",
+    reason="set RM_SCALE_STRESS=1 to run the multi-minute scale stress")
+
+N_EVENTS = 2_000_000
+N_USERS = 5_000
+
+
+@pytest.fixture(scope="module")
+def big_events(spark, tmp_path_factory):
+    """2M synthetic events, deterministic, written to parquet so every
+    operator reads a realistic multi-file scan (not an in-memory range)."""
+    path = str(tmp_path_factory.mktemp("stress") / "events")
+    (spark.range(N_EVENTS).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.xxhash64("id"), N_USERS).alias("user_id"),
+        F.timestamp_micros(
+            (F.lit(1704067200_000000)
+             + F.pmod(F.xxhash64("id", F.lit(1)), 30 * 86400) * 1_000_000
+             + F.col("id") % 1_000_000)).alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("click", "error", "purchase", "signup", "view")]),
+            (F.pmod(F.xxhash64("id", F.lit(2)), 5) + 1).cast("int")).alias("event_type"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), 100000) / 100.0).alias("value"))
+     .repartition(32).write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
+def _timed(name, df, probe_col):
+    """Aggregate over a COMPUTED column — plain count() lets Catalyst
+    eliminate count-invariant operators (windows), timing nothing."""
+    t0 = time.monotonic()
+    n = df.agg(F.count(F.col(probe_col)).alias("n")).collect()[0]["n"]
+    dt = time.monotonic() - t0
+    print(f"  {name}: {n} non-null in {dt:.1f}s")
+    return dt
+
+
+def test_asof_join_2m(big_events):
+    p = big_events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts")
+    c = big_events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts")
+    out = temporal.asof_join(p, c, on="user_id", right_cols=("click_id",))
+    dt = _timed("asof_join 400k x 400k", out, "click_id_right")
+    assert dt < 120
+
+
+def test_sessionize_2m(big_events):
+    dt = _timed("sessionize 2M", temporal.sessionize(big_events),
+                "session_seq")
+    assert dt < 120
+
+
+def test_rollup_2m(big_events):
+    dt = _timed("time_rollup 2M", temporal.time_rollup(big_events),
+                "sum_value")
+    assert dt < 120
+
+
+def test_range_agg_2m(big_events):
+    """100k intervals against 2M right rows via per-bucket partials."""
+    left = big_events.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("lid"), F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("e"))
+    out = temporal.range_agg_bucketed(
+        left, big_events, id_col="lid", left_start=F.col("s"),
+        left_end=F.col("e"), right_ts="ts", bucket_sec=600,
+        sum_col="value", count_name="n", sum_name="sv")
+    # bucket_sec = interval/36, NOT == interval: with coarse buckets the
+    # <= 2 edge buckets per (unaligned) interval each contain
+    # right_density * bucket_sec raw rows, and the edge join dominates
+    # (measured 50 s at bucket == interval vs ~8 s at interval/36)
+    dt = _timed("range_agg 100k intervals x 2M", out, "sv")
+    assert dt < 120
