@@ -1,0 +1,56 @@
+"""Property-based differential test: asof_join vs a python reference
+model over randomized key/time layouts (duplicate left timestamps,
+boundary-equal matches, keys missing from either side, tolerance)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F  # noqa: F401 (parity with suite style)
+
+from radmapper_spark.operators import temporal
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, seconds) pairs; keys 0-2, times 0-50 with repeats likely
+_left = st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                 min_size=1, max_size=8)
+# right side: unique (key, ts) by construction (dict) for determinism
+_right = st.dictionaries(st.tuples(st.integers(0, 2), st.integers(0, 50)),
+                         st.just(None), min_size=0, max_size=8)
+
+
+def _model(left, right_keys, tol=None):
+    """Reference: for each left row, the max right ts <= left ts (same
+    key), inclusive; None if absent or outside tolerance."""
+    out = []
+    for i, (k, t) in enumerate(left):
+        cands = [rt for (rk, rt) in right_keys if rk == k and rt <= t]
+        best = max(cands) if cands else None
+        if best is not None and tol is not None and t - best > tol:
+            best = None
+        out.append((i, k, t, best))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(left=_left, right=_right, tol=st.one_of(st.none(), st.integers(0, 20)))
+def test_asof_matches_model(spark, left, right, tol):
+    right_keys = list(right.keys())
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(seconds=t)) for i, (k, t) in enumerate(left)],
+        "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(1000 + j, k, BASE + dt.timedelta(seconds=t))
+         for j, (k, t) in enumerate(right_keys)],
+        "rid long, k long, ts timestamp") if right_keys else \
+        spark.createDataFrame([], "rid long, k long, ts timestamp")
+    out = temporal.asof_join(ldf, rdf, on="k", right_cols=("rid",),
+                             tolerance_sec=tol)
+    got = sorted(
+        (r["lid"], r["k"], int((r["ts"] - BASE).total_seconds()),
+         None if r["ts_right"] is None
+         else int((r["ts_right"] - BASE).total_seconds()))
+        for r in out.collect())
+    assert got == _model(left, right_keys, tol)
