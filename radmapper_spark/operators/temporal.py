@@ -171,14 +171,23 @@ def range_agg_bucketed(left: DataFrame, right: DataFrame, id_col: str,
         esel_zero.append(F.lit(0).cast(DEC).alias("_sum"))
     full_part = full.join(F.broadcast(partials), "_bucket", "left").select(*fsel)
 
-    # edge buckets: partially-covered start/end buckets (distinct, may
-    # coincide for sub-bucket intervals; absent when aligned) — computed
-    # over the materialized _s/_e columns of lkeyed, not the caller's
-    # expressions (which reference columns lkeyed no longer carries)
+    # edge buckets: the first and last TOUCHED buckets, minus any that
+    # are fully covered. Deriving edges from alignment conditions alone
+    # is wrong: an interval that STARTS aligned but ends inside the same
+    # bucket (e.g. [0, 1) with bucket 3) touches a bucket that is neither
+    # full nor start/end-unaligned-edge under those conditions — found by
+    # the hypothesis differential (test_asof_fuzz.py). Computed over the
+    # materialized _s/_e columns of lkeyed, not the caller's expressions
+    # (which reference columns lkeyed no longer carries).
     s_, e_ = F.col("_s"), F.col("_e")
-    start_edge = F.when(s_ % bl != 0, F.floor(s_ / bl))
-    end_edge = F.when((e_ % bl != 0) & (F.floor(e_ / bl) > F.floor(s_ / bl)),
-                      F.floor(e_ / bl))
+    b_first = F.floor(s_ / bl)
+    b_last = F.floor((e_ - 1) / bl)
+
+    def _is_full(j):
+        return (j >= F.col("_f0")) & (j < F.col("_f1"))
+
+    start_edge = F.when(~_is_full(b_first), b_first)
+    end_edge = F.when((b_last != b_first) & ~_is_full(b_last), b_last)
     edges = lkeyed.select(
         "_lid", "_s", "_e",
         F.explode(F.array_compact(F.array(start_edge, end_edge))).alias("_bucket"))

@@ -54,3 +54,54 @@ def test_asof_matches_model(spark, left, right, tol):
          else int((r["ts_right"] - BASE).total_seconds()))
         for r in out.collect())
     assert got == _model(left, right_keys, tol)
+
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 100), st.integers(1, 40)),  # (start, length)
+    min_size=1, max_size=6, unique_by=lambda iv: iv)
+_points = st.lists(st.integers(0, 150), min_size=0, max_size=12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(intervals=_intervals, points=_points,
+       bucket=st.sampled_from([1, 3, 7, 10]))
+def test_range_agg_matches_model(spark, intervals, points, bucket):
+    """range_agg_bucketed's full/edge bucket split must equal a direct
+    per-interval count over arbitrary (unaligned) intervals and bucket
+    widths — including sub-bucket intervals and empty-overlap cases."""
+    ldf = spark.createDataFrame(
+        [(i, BASE + dt.timedelta(seconds=s),
+          BASE + dt.timedelta(seconds=s + ln))
+         for i, (s, ln) in enumerate(intervals)],
+        "lid long, s timestamp, e timestamp")
+    rdf = spark.createDataFrame(
+        [(j, BASE + dt.timedelta(seconds=p)) for j, p in enumerate(points)],
+        "rid long, ts timestamp") if points else \
+        spark.createDataFrame([], "rid long, ts timestamp")
+    out = temporal.range_agg_bucketed(
+        ldf, rdf, id_col="lid", left_start=F.col("s"), left_end=F.col("e"),
+        right_ts="ts", bucket_sec=bucket, count_name="n")
+    got = sorted((r["lid"], r["n"]) for r in out.collect())
+    want = sorted(
+        (i, sum(1 for p in points if s <= p < s + ln))
+        for i, (s, ln) in enumerate(intervals))
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(times=st.lists(st.integers(0, 200), min_size=1, max_size=12),
+       gap=st.sampled_from([5, 20, 60]))
+def test_sessionize_matches_model(spark, times, gap):
+    ev = spark.createDataFrame(
+        [(i, 1, BASE + dt.timedelta(seconds=t))
+         for i, t in enumerate(sorted(times))],
+        "event_id long, user_id long, ts timestamp")
+    got = {r["event_id"]: r["session_seq"] for r in
+           temporal.sessionize(ev, gap_sec=gap).collect()}
+    want, seq, prev = {}, 0, None
+    for i, t in enumerate(sorted(times)):
+        if prev is None or t - prev > gap:
+            seq += 1
+        want[i] = seq
+        prev = t
+    assert got == want
