@@ -1423,6 +1423,29 @@ def ann_pq_topk_sql() -> str:
     return ann_ivf_topk_sql()
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the 4x storage tier below PQ, deterministic and exactly
+    oracle-checkable (scale = max|x|/127, round-half-away matching both
+    engines)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.quantize_int8(emb)
+
+
+def embedding_quantize_sql() -> str:
+    return """
+    SELECT vec_id, round(scale, 9) AS scale,
+           list_transform(v, x -> round(x / scale)::INT) AS qvec
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+                 CASE WHEN list_max(list_transform(embedding::DOUBLE[],
+                                                   x -> abs(x))) > 0
+                      THEN list_max(list_transform(embedding::DOUBLE[],
+                                                   x -> abs(x))) / 127.0
+                      ELSE 1.0 END AS scale
+          FROM embeddings)
+    """
+
+
 # =============================================================== corpus pipeline
 
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1633,6 +1656,7 @@ ENTRIES: dict = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ann_bruteforce_topk_sql),
     "ann_ivf_topk": (ann_ivf_topk, ann_ivf_topk_sql),
     "ann_pq_topk": (ann_pq_topk, ann_pq_topk_sql),
+    "embedding_quantize": (embedding_quantize, embedding_quantize_sql),
     # text analysis
     "text_lang_id": (text_lang_id, text_lang_id_sql),
     "text_token_count": (text_token_count, text_token_count_sql),

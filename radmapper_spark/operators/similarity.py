@@ -285,3 +285,37 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (rescored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("qid", "cid", "cosine", "rank"))
+
+
+# ------------------------------------------------------------ quantization
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max(|x|)/127,
+    q_i = round(x_i / scale) clamped to [-127, 127] (half-up, matching
+    SQL round semantics in both engines). 4x smaller than float32 (16x
+    vs float64) with the scale kept per row for dequantization — the
+    storage tier below PQ (which is ~16 bytes/vector but lossy-ranked).
+    Pure Catalyst transform; deterministic, so exactly oracle-checkable.
+    Adds `scale` (rounded) and `qvec` (array<int> in [-127,127])."""
+    v = _to_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    qv = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    return emb.select(
+        F.col(id_col), F.round(scale, 9).alias("scale"), qv.alias("qvec"))
+
+
+def dequantize_error(emb: DataFrame, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Max absolute reconstruction error per vector after int8 round-trip
+    — the quantization-quality check (bounded by scale/2 for symmetric
+    round-to-nearest)."""
+    q = quantize_int8(emb, vec_col, id_col).withColumnRenamed(id_col, "_qid")
+    j = emb.join(q, F.col(id_col) == F.col("_qid"))
+    v = _to_double(F.col(vec_col))
+    err = F.array_max(F.zip_with(
+        v, F.col("qvec"),
+        lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale"))))
+    return j.select(F.col(id_col), F.round(err, 9).alias("max_err"),
+                    F.round(F.col("scale") / 2, 9).alias("bound"))

@@ -716,3 +716,14 @@ def test_salted_two_phase_agg_matches_plain(spark):
                 F.count("u").alias("n"), F.sum("v").alias("s"),
                 F.sort_array(F.collect_set("u")).alias("users")).collect()}
     assert out == want
+
+
+def test_quantize_int8_roundtrip_bound(spark, tables):
+    """int8 quantization: values in [-127,127], reconstruction error
+    bounded by scale/2 per vector."""
+    emb = tables["embeddings"]
+    q = similarity.quantize_int8(emb)
+    row = q.first()
+    assert all(-127 <= v <= 127 for v in row["qvec"])
+    err = similarity.dequantize_error(emb)
+    assert err.filter(F.col("max_err") > F.col("bound") * 1.001).count() == 0
