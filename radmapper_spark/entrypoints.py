@@ -1576,6 +1576,40 @@ def text_tfidf_sql() -> str:
     """
 
 
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-word collocations with PMI (integer-ranked cut,
+    PMI surfaced rounded)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return textstats.bigram_pmi(docs, min_count=3, top_n=100)
+
+
+def text_bigram_pmi_sql() -> str:
+    return f"""
+    WITH base AS (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS t
+        FROM documents),
+    uni AS (
+        SELECT unnest(t) AS w FROM base),
+    uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+    bi AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        FROM base WHERE len(t) >= 2),
+    bc AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_ab
+           FROM bi GROUP BY 1, 2 HAVING count(*) >= 3),
+    tot AS (SELECT (SELECT sum(c_w) FROM uc) AS n_uni,
+                   (SELECT sum(c_ab) FROM bc) AS n_bi)
+    SELECT row_number() OVER (ORDER BY c_ab DESC, w1 ASC, w2 ASC) AS rank,
+           w1, w2, c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+           round(ln((c_ab / n_bi::DOUBLE)
+                    / ((ua.c_w / n_uni::DOUBLE)
+                       * (ub.c_w / n_uni::DOUBLE))), 6) AS pmi
+    FROM bc JOIN uc ua ON ua.w = bc.w1 JOIN uc ub ON ub.w = bc.w2, tot
+    QUALIFY rank <= 100
+    """
+
+
 # =============================================================== sampling
 
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1683,6 +1717,7 @@ ENTRIES: dict = {
     # vocabulary / tf-idf
     "text_vocabulary": (text_vocabulary, text_vocabulary_sql),
     "text_tfidf": (text_tfidf, text_tfidf_sql),
+    "text_bigram_pmi": (text_bigram_pmi, text_bigram_pmi_sql),
     # composed end-to-end cleaning pipeline
     "pipeline_corpus_clean": (pipeline_corpus_clean, pipeline_corpus_clean_sql),
     # distribution profiling

@@ -48,6 +48,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     Implementation: union both sides with a side tag (right=0, left=1) so
     a right row at exactly the left timestamp sorts FIRST and is visible
     to the carry-forward (inclusive semantics), then one window pass.
+
+    Skew note: the window sorts each KEY's rows in one task, so a single
+    hot key (one user owning a large share of all rows) serializes on one
+    core — AQE's skew handling splits shuffle partitions, not window
+    groups. For hot-key workloads, pre-split the timeline per key into
+    coarse time slices, run the as-of within each slice, and patch slice
+    boundaries with a per-(key, slice) carry-in join of each slice's last
+    right row — O(slices) extra rows, restoring parallelism within a key.
+    Not implemented here: the fixture and typical key cardinalities keep
+    per-key volumes far below a task's capacity.
     """
     carry = [right_ts] + list(right_cols)
     l_payload = [c for c in left.columns if c not in (on, left_ts)]

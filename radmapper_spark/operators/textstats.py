@@ -207,3 +207,45 @@ def tf_idf_topk(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .filter(F.col("term_rank") <= k)
             .select("doc_id", "term_rank", "term", "n_in_doc", "n_docs",
                     F.round(tfidf, 6).alias("tfidf")))
+
+
+def bigram_pmi(docs: DataFrame, text_col: str = "text",
+               min_count: int = 3, top_n: int = 100) -> DataFrame:
+    """Collocation mining: top_n adjacent-word bigrams by count with
+    pointwise mutual information. PMI = ln((c_ab/N_bi) / ((c_a/N_uni) *
+    (c_b/N_uni))). One explode for unigrams, one for bigrams (built with
+    transform over the token array — no self-join), two map-side-partial
+    groupBys, a broadcast-sized join of bigrams to unigram counts, and a
+    TakeOrdered cut ranked on integers (c_ab desc, bigram asc) so the
+    cut is engine-exact; PMI surfaced rounded, never ranked on."""
+    from pyspark.sql import Window
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda t: t != "")
+    base = docs.select(toks.alias("_t"))
+    uni = (base.select(F.explode("_t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+    n = F.size(F.col("_t"))
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.struct(F.element_at(F.col("_t"), i + 1).alias("w1"),
+                           F.element_at(F.col("_t"), i + 2).alias("w2"))))
+    bi = (base.select(F.explode(bigrams).alias("b"))
+          .select("b.w1", "b.w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+          .filter(F.col("c_ab") >= min_count))
+    n_uni = uni.agg(F.sum("c_w")).collect()[0][0]
+    n_bi_row = bi.agg(F.sum("c_ab")).collect()[0][0]
+    n_bi = n_bi_row if n_bi_row else 1
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    joined = bi.join(u1, "w1").join(u2, "w2")
+    pmi = F.log((F.col("c_ab") / F.lit(float(n_bi)))
+                / ((F.col("c_a") / F.lit(float(n_uni)))
+                   * (F.col("c_b") / F.lit(float(n_uni)))))
+    top = (joined.orderBy(F.col("c_ab").desc(), F.col("w1").asc(),
+                          F.col("w2").asc()).limit(top_n))
+    rk = F.row_number().over(Window.orderBy(
+        F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc()))
+    return (top.withColumn("rank", rk)
+            .select("rank", "w1", "w2", "c_ab", "c_a", "c_b",
+                    F.round(pmi, 6).alias("pmi")))
