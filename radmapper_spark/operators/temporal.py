@@ -88,6 +88,81 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in carry])
 
 
+def sliced_asof_join(left: DataFrame, right: DataFrame, on: str,
+                     slice_sec: int, left_ts: str = "ts",
+                     right_ts: str = "ts", right_cols: tuple = (),
+                     suffix: str = "_right") -> DataFrame:
+    """Hot-key-safe backward as-of join: identical semantics to
+    ``asof_join`` (inclusive, left NULLs), but the per-key window runs
+    over (key, time-slice) so a key owning a huge share of the rows
+    parallelizes across its slices instead of serializing one task.
+
+    Boundary correctness: a left row whose slice contains an
+    at-or-before right row needs nothing else (an in-slice match is
+    always >= any earlier-slice right ts). Only left rows with NO
+    in-slice match take the carry-in — the last right row BEFORE their
+    slice start — computed from the tiny per-(key, slice) last-right
+    table with a running last over slice order (O(slices) rows per key,
+    not O(rows)), then broadcast-joined back. Two shuffles of the data
+    (slice window + carry join) instead of one: the price of breaking
+    the hot key, so prefer plain asof_join when keys are well-behaved.
+    """
+    sl = F.lit(int(slice_sec)).cast("long")
+    carry = [right_ts] + list(right_cols)
+    l_payload = [c for c in left.columns if c not in (on, left_ts)]
+    lrows = left.select(
+        F.col(on).alias("_k"), F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in l_payload],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
+          for c in carry])
+    rrows = right.select(
+        F.col(on).alias("_k"), F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_payload],
+        *[F.col(c).alias(f"_r_{c}") for c in carry])
+    both = lrows.unionByName(rrows).withColumn(
+        "_slice", F.floor(F.unix_timestamp(F.col("_t")).cast("long") / sl))
+    w = (Window.partitionBy("_k", "_slice")
+         .orderBy(F.col("_t").asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = both.select(
+        "*", *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
+               .alias(f"_m_{c}") for c in carry])
+    lefts = carried.filter(F.col("_side") == 1)
+
+    # per-(key, slice) last right row -> running last over earlier slices
+    last_in_slice = (rrows.withColumn(
+        "_slice", F.floor(F.unix_timestamp(F.col("_t")).cast("long") / sl))
+        .groupBy("_k", "_slice")
+        .agg(F.max(F.struct(F.col("_t"),
+                            *[F.col(f"_r_{c}") for c in carry])).alias("_b")))
+    # a right row in slice s is a candidate carry-in for any left slice
+    # > s; the max-struct aggregation below picks the latest one, so no
+    # running-last window is needed (the carry table is O(slices) rows)
+    carry_tab = last_in_slice.select(
+        "_k", (F.col("_slice") + 1).alias("_cslice"), F.col("_b").alias("_cb"))
+    unmatched = lefts.filter(F.col(f"_m_{right_ts}").isNull())
+    matched = lefts.filter(F.col(f"_m_{right_ts}").isNotNull())
+    um = (unmatched.alias("u")
+          .join(carry_tab.alias("ct"),
+                (F.col("u._k") == F.col("ct._k"))
+                & (F.col("ct._cslice") <= F.col("u._slice")), "left")
+          .groupBy(*[F.col(f"u.{c}") for c in
+                     ["_k", "_t", "_slice"] + l_payload])
+          .agg(F.max(F.col("ct._cb")).alias("_cb")))
+    um_sel = um.select(
+        "_k", "_t", *l_payload,
+        *[F.col("_cb").getField("_t" if c == right_ts else f"_r_{c}")
+          .alias(f"_m_{c}") for c in carry])
+    m_sel = matched.select("_k", "_t", *l_payload,
+                           *[F.col(f"_m_{c}") for c in carry])
+    out = m_sel.unionByName(um_sel)
+    return out.select(
+        F.col("_k").alias(on), F.col("_t").alias(left_ts), *l_payload,
+        *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in carry])
+
+
 def range_join_bucketed(left: DataFrame, right: DataFrame,
                         left_start, left_end, right_ts: str,
                         bucket_sec: int) -> DataFrame:

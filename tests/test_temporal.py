@@ -228,3 +228,20 @@ def test_sessionize_covers_all_events(spark, tables):
     out = temporal.sessionize(ev)
     assert out.count() == ev.count()
     assert out.filter(F.col("session_seq") < 1).count() == 0
+
+
+def test_sliced_asof_equals_plain(spark, tables):
+    """sliced_asof_join must be semantics-identical to asof_join at any
+    slice width (boundary carry-in exercised at narrow slices)."""
+    ev = tables["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id", "ts")
+    plain = sorted(map(tuple, temporal.asof_join(
+        p, c, on="user_id", right_cols=("cid",)).collect()))
+    for slice_sec in (600, 3600, 7 * 86400):
+        sliced = sorted(map(tuple, temporal.sliced_asof_join(
+            p, c, on="user_id", slice_sec=slice_sec,
+            right_cols=("cid",)).collect()))
+        assert sliced == plain, f"divergence at slice={slice_sec}"
