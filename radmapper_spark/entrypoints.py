@@ -542,13 +542,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH candidates verified with exact cosine; threshold
     chosen so the deterministic test embeddings actually exercise it
     (max true cosine ~0.51 at sf0.01), and band/plane params chosen so LSH
-    recall on those pairs is 100% — making the entry oracle-exact.
-    r=8 planes/band (vs the r1/r2 r=4): random-pair band collision 2^-8,
-    so the candidate join volume is ~b*n^2/512 — 8x below the old shape
-    that trended near-quadratic at 100 TB."""
+    recall on those pairs is 100% AT ALL THREE FIXTURE SFs — making the
+    entry oracle-exact (b=64 missed 10/144 near-threshold pairs at
+    sf0.1; b=192 finds all of them, verified at sf0.001/0.01/0.1).
+    r=8 planes/band: random-pair band collision 2^-8, so the candidate
+    join volume is ~b*n^2/256 — still far below the r=4 shape that
+    trended near-quadratic at 100 TB."""
     t = load_tables(spark, sf_dir)
     pairs = dedup.embedding_cosine_pairs(
-        t["embeddings"], threshold=0.45, bands=64, planes_per_band=8)
+        t["embeddings"], threshold=0.45, bands=192, planes_per_band=8)
     return _carry_release(pairs, pairs.select(
         "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")))
 
@@ -1402,13 +1404,14 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query. Fixture params are high-resolution (dsub=4) because the
     synthetic embeddings are near-uniform — the no-cluster-structure
     regime where quantization error dominates; measured min recall 1.0 at
-    sf0.001 and 0.9 at sf0.01 with rerank=8 (rerank=12 for margin;
-    candidates are a superset, so recall is monotone in rerank)."""
+    sf0.001 and 0.9 at sf0.01 with rerank=8; rerank=24 lifts min recall
+    to 1.0 at sf0.1 too (verified at all three fixture SFs — candidates
+    are a superset, so recall is monotone in rerank)."""
     t = load_tables(spark, sf_dir)
     q = _query_vectors(t)
     k = 10
     pq = similarity.pq_topk(t["embeddings"], q, k=k, m=16, ksub=16,
-                            rerank=12).select("qid", "cid")
+                            rerank=24).select("qid", "cid")
     exact = similarity.brute_force_topk(t["embeddings"], q, k=k)
     hits = (exact.select("qid", "cid")
             .join(pq.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")
