@@ -1303,6 +1303,37 @@ def events_unpivot_sql() -> str:
     """
 
 
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape ('orders above this customer's
+    average'), decorrelated into ONE window pass — no re-scan per outer
+    row, no self-join. The per-customer average is computed as an exact
+    decimal sum over the partition divided by its count, so the filter is
+    deterministic under any parallelism (a double avg is not)."""
+    from pyspark.sql import Window
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey")
+    avg = (F.sum(F.col("o_totalprice").cast(DEC)).over(w)
+           / F.count(F.lit(1)).over(w))
+    return (o.withColumn("_avg", avg)
+            .filter(F.col("o_totalprice").cast(DEC) > F.col("_avg"))
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    F.round(F.col("_avg").cast("double"), 6)
+                    .alias("cust_avg")))
+
+
+def orders_above_customer_avg_sql() -> str:
+    return """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(cavg::DOUBLE, 6) AS cust_avg
+    FROM (SELECT *,
+                 sum(o_totalprice::DECIMAL(18,2)) OVER w / count(*) OVER w
+                     AS cavg
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey))
+    WHERE o_totalprice::DECIMAL(18,2) > cavg
+    """
+
+
 def urgent_and_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation (SURVEY §2.7): customers who placed BOTH an URGENT
     and a LOW priority order, via INTERSECT (distinct set semantics; the
@@ -1737,6 +1768,8 @@ ENTRIES: dict = {
                                  customers_without_orders_sql),
     "urgent_and_low_customers": (urgent_and_low_customers,
                                  urgent_and_low_customers_sql),
+    "orders_above_customer_avg": (orders_above_customer_avg,
+                                  orders_above_customer_avg_sql),
     "lang_id_eval": (lang_id_eval, lang_id_eval_sql),
     "events_unpivot": (events_unpivot, events_unpivot_sql),
     "brand_revenue": (brand_revenue, brand_revenue_sql),
