@@ -122,8 +122,18 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", num_hashes: int =
             for a, b in PH.affine_coeffs(num_hashes)
         ])
     else:
+        def rehash(i):
+            # unary closure: pyspark's transform() dispatches on lambda
+            # ARITY — a default-arg lambda (h, i=i) looks binary, so the
+            # ARRAY INDEX gets passed as i, silently making all
+            # num_hashes "functions" the same position-dependent one
+            # (estimates then collapse to 0-or-1; found by the 50k-doc
+            # stress test, 92/2500 planted pairs missed = the 1/27
+            # probability the dup's extra shingle wins the min)
+            return lambda h: F.xxhash64(h, F.lit(i))
+
         sig = F.array(*[
-            F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+            F.array_min(F.transform(base, rehash(i)))
             for i in range(num_hashes)
         ])
     return with_base.withColumn("minhash", sig).drop("_mh_base")

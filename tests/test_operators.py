@@ -727,3 +727,23 @@ def test_quantize_int8_roundtrip_bound(spark, tables):
     assert all(-127 <= v <= 127 for v in row["qvec"])
     err = similarity.dequantize_error(emb)
     assert err.filter(F.col("max_err") > F.col("bound") * 1.001).count() == 0
+
+
+def test_minhash_functions_are_distinct_and_estimate_graded(spark):
+    """Regression for the transform-lambda arity trap: the num_hashes
+    rehash functions must be DISTINCT (a (h, i=i) default-arg lambda
+    looks binary to transform(), which then passes the array index as i
+    — every 'function' becomes the same position-dependent one and
+    est_jaccard collapses to 0-or-1). Two near-dup docs must get an
+    estimate strictly between 0 and 1, near the true Jaccard."""
+    words = " ".join(f"t{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, words), (2, words + " extra")], "doc_id long, text string")
+    sig = {r["doc_id"]: r["minhash"] for r in
+           dedup.minhash_signature(docs).select("doc_id", "minhash").collect()}
+    # distinct hash functions -> a doc's 32 minhash values are not all equal
+    assert len(set(sig[1])) > 1
+    matches = sum(1 for a, b in zip(sig[1], sig[2]) if a == b)
+    est = matches / len(sig[1])
+    assert 0.0 < est < 1.0, f"bimodal estimate {est} (arity trap regressed)"
+    assert abs(est - 26 / 27) < 0.25  # near the true shingle jaccard

@@ -119,3 +119,48 @@ def test_sliced_asof_hot_key(spark, big_events):
     # correctness: identical non-null match counts imply same semantics
     # (full row-equality checked at sf0.01 in test_temporal)
     assert t_sliced < 180 and t_plain < 600
+
+
+def test_dedup_stack_50k_docs(spark, tmp_path_factory):
+    """The dedup pipeline at 10x the bench corpus: 50k synthetic docs
+    with 2.5k planted near-duplicate pairs -> minhash-LSH pairs ->
+    connected components. Asserts recall on the planted pairs and wall
+    bounds; candidate volume stays bucketed (no all-pairs)."""
+    import time
+    from radmapper_spark.operators import dedup
+
+    n, n_dup = 50_000, 2_500
+    words = [f"w{i}" for i in range(800)]
+    path = str(tmp_path_factory.mktemp("stress") / "docs")
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.element_at(
+                F.array(*[F.lit(w) for w in words]),
+                (F.pmod(F.xxhash64("id", F.lit(j)), 800) + 1).cast("int"))
+            for j in range(30)]).alias("text"))
+    # plant dups: docs [0, n_dup) cloned to ids [n, n+n_dup) with one word
+    # changed (jaccard ~ 29/31 > 0.5 threshold)
+    dup = (base.filter(F.col("doc_id") < n_dup)
+           .select((F.col("doc_id") + n).alias("doc_id"),
+                   F.concat(F.col("text"), F.lit(" extra")).alias("text")))
+    base.unionByName(dup).repartition(32).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+
+    t0 = time.monotonic()
+    pairs = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    t_pairs = time.monotonic() - t0
+    planted = {(i, i + n) for i in range(n_dup)}
+    recall = len(found & planted) / n_dup
+    print(f"  minhash 52.5k docs: {len(found)} pairs in {t_pairs:.1f}s, "
+          f"planted recall {recall:.3f}")
+
+    t0 = time.monotonic()
+    groups = dedup.dedup_groups(docs, pairs)
+    n_groups = groups.select("component").distinct().count()
+    t_groups = time.monotonic() - t0
+    pairs.rm_release_cache()
+    print(f"  dedup_groups: {n_groups} components in {t_groups:.1f}s")
+    assert recall >= 0.97
+    assert t_pairs < 300 and t_groups < 300
