@@ -3,13 +3,17 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Per query: best-of-2 runs, plus ONE adaptive retry when the two runs
-disagree by more than 2x — the shared sandbox shows multi-second external
-load spikes, and a query whose both runs landed in a spike would otherwise
-record a phantom regression (first-run codegen warm-up and sandbox noise
-polluted round-over-round comparisons before). Any operator cache the
-entry attached via `rm_release_cache` is released after each run so
-persisted frames don't accumulate across the session.
+Timing design (rounds 2/3/5 each recorded phantom per-query regressions
+from sandbox load spikes, so this is deliberately spike-robust):
+- one untimed warm-up query first (JVM/codegen/classloader warm-up);
+- then TWO full interleaved PASSES over all queries (not back-to-back
+  repeats of each query: a multi-second external load spike then pollutes
+  at most one pass for any given query, whereas back-to-back best-of-2
+  landed both samples inside the same spike);
+- per-query result = min across passes, plus ONE adaptive extra sample
+  when the passes disagree by more than 1.5x.
+Any operator cache the entry attached via `rm_release_cache` is released
+after each run so persisted frames don't accumulate across the session.
 """
 
 from __future__ import annotations
@@ -52,25 +56,30 @@ def main() -> None:
     except Exception:
         pass
 
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        runs: list[float] = []
-        failed = False
-        for _ in range(max(1, RUNS_PER_QUERY)):
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    failed: set[str] = set()
+    for _ in range(max(1, RUNS_PER_QUERY)):
+        for name, fn in qs.items():
+            if name in failed:
+                continue
             try:
-                runs.append(_run_once(fn, spark, sf_dir))
+                samples[name].append(_run_once(fn, spark, sf_dir))
             except Exception as exc:  # keep the bench line parseable on failures
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
-                failed = True
-                break
-        if not failed and len(runs) >= 2 and max(runs) > 2 * min(runs):
-            # the runs disagree wildly: at least one hit an external load
+                failed.add(name)
+    for name, fn in qs.items():
+        runs = samples[name]
+        if name not in failed and len(runs) >= 2 and max(runs) > 1.5 * min(runs):
+            # the passes disagree: at least one hit an external load
             # spike — take one more sample so best-of reflects the plan
             try:
                 runs.append(_run_once(fn, spark, sf_dir))
             except Exception as exc:
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
-        timings[name] = round(min(runs), 4) if runs else -1.0
+
+    timings = {name: (round(min(runs), 4) if runs and name not in failed
+                      else -1.0)
+               for name, runs in samples.items()}
 
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 4)

@@ -610,8 +610,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     q = _query_vectors(t)
     k = 10
-    ivf = similarity.ivf_topk(t["embeddings"], q, k=k,
-                              ncentroids=8, nprobe=7).select("qid", "cid")
+    ivf = similarity.ivf_topk(t["embeddings"], q, k=k, ncentroids=8,
+                              nprobe=7, cache_key=sf_dir).select("qid", "cid")
     exact = similarity.brute_force_topk(t["embeddings"], q, k=k)
     hits = (exact.select("qid", "cid")
             .join(ivf.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")
@@ -1444,7 +1444,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vectors(t)
     k = 10
     pq = similarity.pq_topk(t["embeddings"], q, k=k, m=16, ksub=16,
-                            rerank=24).select("qid", "cid")
+                            rerank=24, cache_key=sf_dir).select("qid", "cid")
     exact = similarity.brute_force_topk(t["embeddings"], q, k=k)
     hits = (exact.select("qid", "cid")
             .join(pq.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")

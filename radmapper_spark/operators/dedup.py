@@ -551,11 +551,12 @@ def sign_lsh_base(emb: DataFrame, vec_col: str = "embedding",
         M = np.stack([np.asarray(v, dtype=np.float64) for v in s])
         W = np.random.default_rng(seed_).uniform(-0.5, 0.5, (tp_, M.shape[1]))
         bits = (M @ W.T) >= 0.0  # (n, total_planes)
-        # band sigs: r_ consecutive plane bits per band
-        sig = np.zeros((len(s), b_), dtype=np.int64)
-        for b in range(b_):
-            for j in range(r_):
-                sig[:, b] = (sig[:, b] << 1) | bits[:, b * r_ + j]
+        # band sigs: r_ consecutive plane bits per band, MSB first —
+        # packed as ONE reshape+matmul (the b_*r_ shift-or loop was
+        # 1536 tiny numpy calls per batch at b=192 and dominated the
+        # signature pass)
+        wts = (np.int64(1) << np.arange(r_ - 1, -1, -1, dtype=np.int64))
+        sig = bits[:, :b_ * r_].reshape(len(s), b_, r_).astype(np.int64) @ wts
         # sketch words: 64 consecutive plane bits per word, wrapped to int64
         packed = np.packbits(bits[:, :sk_], axis=1, bitorder="big")
         words = (packed.reshape(len(s), sk_ // 64, 8)
@@ -646,15 +647,21 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    # exact-cosine verify via zip_with+aggregate lambdas. NOTE (measured,
+    # round 6): unrolling the dot into dim flat element_at terms is 2x
+    # SLOWER here — the ~130-node-per-row expression tree blows past the
+    # codegen thresholds and evaluates interpreted anyway, with a much
+    # bigger tree; the higher-order-function form wins.
     norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
                               F.lit(0.0), lambda acc, x: acc + x))
+    dot = F.aggregate(F.zip_with(F.col("v_a"), F.col("v_b"),
+                                 lambda a, c: a * c),
+                      F.lit(0.0), lambda acc, x: acc + x)
     v = emb.select(F.col(id_col).alias("id"), vec.alias("v"), norm.alias("nrm"))
     va = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
                   F.col("nrm").alias("nrm_a"))
     vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
                   F.col("nrm").alias("nrm_b"))
-    dot = F.aggregate(F.zip_with(F.col("v_a"), F.col("v_b"), lambda a, c: a * c),
-                      F.lit(0.0), lambda acc, x: acc + x)
     cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
     out = (
         screened.join(va, on="id_a").join(vb, on="id_b")

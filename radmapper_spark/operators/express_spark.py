@@ -234,16 +234,41 @@ def reduce_express_frame(ip, bsets: SparkBindingSets, e) -> DataFrame:
     return frame.select(F.col(vcol).alias("doc"))
 
 
+import os as _os
+
+# reduce_express_spark assembles the reference's document-shaped result on
+# the DRIVER (that IS the semantics: $reduce returns a document, not a
+# table). The collect is bounded by the number of distinct top-key groups,
+# but a malformed template (e.g. keying on a near-unique column) could
+# collect millions of rows at scale — cap it with a clear error and point
+# at the distributed path. Overridable for callers that genuinely want
+# huge documents.
+MAX_REDUCE_DOCS = int(_os.environ.get("RM_MAX_REDUCE_DOCS", "100000"))
+
+
 def reduce_express_spark(ip, bsets: SparkBindingSets, e):
     """$reduce(binding-set DataFrame, express) -> nested document(s):
     a vector of documents when a top-level Type-1 keyed body has more
-    than one distinct key tuple (reference query_test.cljc:1013-1024)."""
+    than one distinct key tuple (reference query_test.cljc:1013-1024).
+
+    Driver-size guard: raises when the distinct top-key group count
+    exceeds MAX_REDUCE_DOCS (env RM_MAX_REDUCE_DOCS) — use
+    reduce_express_frame for the distributed document-per-row shape."""
     spec = analyze(e.body)
     b = _Builder(bsets.df)
     frame, vcol = b.build(spec, [])
     keys = _top_keys(spec)
     if keys:
-        rows = frame.select(*keys, vcol).distinct().orderBy(*keys).collect()
+        # limit+1 caps what can ever reach the driver: the collect itself
+        # is bounded, and one extra row proves the overflow
+        rows = (frame.select(*keys, vcol).distinct().orderBy(*keys)
+                .limit(MAX_REDUCE_DOCS + 1).collect())
+        if len(rows) > MAX_REDUCE_DOCS:
+            raise ValueError(
+                f"$reduce would assemble more than {MAX_REDUCE_DOCS} "
+                f"top-level key groups on the driver; use "
+                f"reduce_express_frame (document-per-row DataFrame) for "
+                f"results this large, or raise RM_MAX_REDUCE_DOCS")
         docs = [_plain(r[vcol]) for r in rows]
         if not docs:
             return None

@@ -34,6 +34,31 @@ def _to_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# Driver-side codebook cache. Training an IVF/PQ codebook costs a
+# corpus.count() + bounded sample collect + driver k-means (~2 s at sf0.1)
+# per call; the result is a tiny numpy array (<= ncentroids*dim float64),
+# so re-fitting it on every invocation over the same immutable table is
+# pure waste. Keyed by (caller cache_key, kind, training params) — the
+# caller's key should identify the corpus (e.g. its path); params in the
+# key mean a param change can never serve a stale codebook. Entries are
+# plain numpy arrays: no Spark resources held, release_codebooks() is the
+# explicit eviction handle.
+_CODEBOOK_CACHE: dict = {}
+
+
+def release_codebooks(cache_key=None) -> int:
+    """Evict cached codebooks; all of them when cache_key is None, else
+    just those trained under that key. Returns the eviction count."""
+    if cache_key is None:
+        n = len(_CODEBOOK_CACHE)
+        _CODEBOOK_CACHE.clear()
+        return n
+    drop = [k for k in _CODEBOOK_CACHE if k[0] == cache_key]
+    for k in drop:
+        del _CODEBOOK_CACHE[k]
+    return len(drop)
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      qid_col: str = "qid") -> DataFrame:
@@ -56,15 +81,25 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def train_centroids(corpus: DataFrame, vec_col: str = "embedding",
                     ncentroids: int = 16, iters: int = 5, seed: int = 42,
-                    max_sample: int = 4096):
+                    max_sample: int = 4096, cache_key=None):
     """Tiny k-means on a driver-side sample (the IVF codebook is small by
     construction; training data is a bounded sample, not the corpus).
 
     The sample is a genuine uniform row sample: fraction computed from the
     corpus count (with 20% overshoot, trimmed to max_sample) — a
     fraction=1.0 + limit() would just take the first partitions, biasing
-    the codebook toward whatever the file order correlates with."""
+    the codebook toward whatever the file order correlates with.
+
+    cache_key (e.g. the corpus table path): when given, the trained
+    codebook is memoized in _CODEBOOK_CACHE so repeat invocations skip the
+    count + sample collect + fit. Only pass a key for an immutable corpus."""
     import numpy as np
+    ck = None
+    if cache_key is not None:
+        ck = (cache_key, "ivf", vec_col, ncentroids, iters, seed, max_sample)
+        hit = _CODEBOOK_CACHE.get(ck)
+        if hit is not None:
+            return hit
     n = corpus.count()
     frac = min(1.0, (max_sample * 1.2) / max(n, 1))
     sample = np.array(
@@ -84,6 +119,8 @@ def train_centroids(corpus: DataFrame, vec_col: str = "embedding",
             pts = sample[assign == i]
             if len(pts):
                 cents[i] = pts.mean(axis=0)
+    if ck is not None:
+        _CODEBOOK_CACHE[ck] = cents
     return cents
 
 
@@ -120,9 +157,12 @@ def _nearest_centroid_udf(cents, n_take: int = 1):
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
-             qid_col: str = "qid", ncentroids: int = 16, nprobe: int = 4) -> DataFrame:
-    """Approximate top-k: probe only the nprobe nearest centroid cells."""
-    cents = train_centroids(corpus, vec_col, ncentroids)
+             qid_col: str = "qid", ncentroids: int = 16, nprobe: int = 4,
+             cache_key=None) -> DataFrame:
+    """Approximate top-k: probe only the nprobe nearest centroid cells.
+    cache_key memoizes the codebook fit for an immutable corpus (see
+    train_centroids)."""
+    cents = train_centroids(corpus, vec_col, ncentroids, cache_key=cache_key)
     npart = corpus.sparkSession.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < npart:
         # spread the per-row assignment math; a small parquet file
@@ -154,12 +194,22 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
                        m: int = 4, ksub: int = 16, iters: int = 5,
-                       seed: int = 42, max_sample: int = 4096):
+                       seed: int = 42, max_sample: int = 4096,
+                       cache_key=None):
     """Product-quantization codebooks: split the (L2-normalized) vector
     into m subvectors and k-means each subspace on a bounded uniform
     driver-side sample — same sampling discipline as train_centroids.
-    Returns an (m, ksub, dim/m) float64 array."""
+    Returns an (m, ksub, dim/m) float64 array. Requires dim % m == 0:
+    a silent remainder would drop trailing dimensions from every ADC
+    score and degrade recall with no warning. cache_key memoizes the fit
+    for an immutable corpus (see train_centroids)."""
     import numpy as np
+    ck = None
+    if cache_key is not None:
+        ck = (cache_key, "pq", vec_col, m, ksub, iters, seed, max_sample)
+        hit = _CODEBOOK_CACHE.get(ck)
+        if hit is not None:
+            return hit
     n = corpus.count()
     frac = min(1.0, (max_sample * 1.2) / max(n, 1))
     sample = np.array(
@@ -169,6 +219,11 @@ def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
         dtype="float64")
     sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ requires the vector dimension to be divisible by m: "
+            f"dim={dim}, m={m} leaves a {dim % m}-dim remainder that would "
+            f"be silently excluded from every distance computation")
     dsub = dim // m
     rng = np.random.RandomState(seed)
     books = []
@@ -183,7 +238,10 @@ def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",
                 if len(pts):
                     cents[i] = pts.mean(axis=0)
         books.append(cents)
-    return np.stack(books)  # (m, ksub, dsub)
+    out = np.stack(books)  # (m, ksub, dsub)
+    if ck is not None:
+        _CODEBOOK_CACHE[ck] = out
+    return out
 
 
 def _pq_encode_udf(books):
@@ -241,7 +299,7 @@ def _pq_lut_udf(books):
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
             qid_col: str = "qid", m: int = 4, ksub: int = 16,
-            rerank: int = 4) -> DataFrame:
+            rerank: int = 4, cache_key=None) -> DataFrame:
     """Approximate cosine top-k via product quantization + exact rerank.
 
     Scale shape: the corpus is encoded ONCE into m small codes (m bytes at
@@ -252,7 +310,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     approx_cos(q, c) = sum_j lut_q[j*ksub + code_c[j]] — the ADC estimate
     of the cosine between the normalized vectors."""
-    books = train_pq_codebooks(corpus, vec_col, m=m, ksub=ksub)
+    books = train_pq_codebooks(corpus, vec_col, m=m, ksub=ksub,
+                               cache_key=cache_key)
     npart = corpus.sparkSession.sparkContext.defaultParallelism
     if corpus.rdd.getNumPartitions() < npart:
         corpus = corpus.repartition(npart)

@@ -41,9 +41,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     Returns the left rows plus ``<right_ts><suffix>`` and each requested
     right column renamed ``<col><suffix>``; unmatched left rows keep NULLs
     (left-join semantics). When several right rows share (key, ts), the
-    one with the greatest (ts, *right_cols order of arrival*) wins via the
-    sort's stable tail — pass a unique tiebreak column in right_cols for
-    full determinism.
+    carried columns themselves are part of the window sort, so the row
+    with the greatest carried-column tuple wins — deterministic whenever
+    the carried columns distinguish the duplicates (and value-identical
+    otherwise). This matches sliced_asof_join's max-struct carry-in
+    tie-break exactly.
 
     Implementation: union both sides with a side tag (right=0, left=1) so
     a right row at exactly the left timestamp sorts FIRST and is visible
@@ -71,7 +73,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_payload],
         *[F.col(c).alias(f"_r_{c}") for c in carry],
     )
-    w = (Window.partitionBy("_k").orderBy(F.col("_t").asc(), F.col("_side").asc())
+    # carry columns in the sort: among right rows tied on (ts,), the
+    # greatest carried tuple sorts last and wins the carry-forward —
+    # deterministic tie resolution (left rows sort after ALL right rows
+    # at the same ts via _side, so inclusive semantics are unaffected)
+    w = (Window.partitionBy("_k")
+         .orderBy(F.col("_t").asc(), F.col("_side").asc(),
+                  *[F.col(f"_r_{c}").asc() for c in carry])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = lrows.unionByName(rrows).select(
         "*", *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
@@ -110,21 +118,30 @@ def sliced_asof_join(left: DataFrame, right: DataFrame, on: str,
     sl = F.lit(int(slice_sec)).cast("long")
     carry = [right_ts] + list(right_cols)
     l_payload = [c for c in left.columns if c not in (on, left_ts)]
+    # synthetic unique row id: the carry-in path groupBys unmatched left
+    # rows on (key, ts, slice, payload), which would collapse
+    # fully-duplicate left rows — the id keeps each physical row a group
     lrows = left.select(
         F.col(on).alias("_k"), F.col(left_ts).alias("_t"),
         F.lit(1).alias("_side"),
+        F.monotonically_increasing_id().alias("_rid"),
         *[F.col(c) for c in l_payload],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
           for c in carry])
     rrows = right.select(
         F.col(on).alias("_k"), F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("_rid"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_payload],
         *[F.col(c).alias(f"_r_{c}") for c in carry])
     both = lrows.unionByName(rrows).withColumn(
         "_slice", F.floor(F.unix_timestamp(F.col("_t")).cast("long") / sl))
+    # same deterministic tie ordering as asof_join: carried columns in the
+    # in-slice sort so duplicate (key, ts) right rows resolve to the max
+    # carried tuple — consistent with the carry-in max-struct below
     w = (Window.partitionBy("_k", "_slice")
-         .orderBy(F.col("_t").asc(), F.col("_side").asc())
+         .orderBy(F.col("_t").asc(), F.col("_side").asc(),
+                  *[F.col(f"_r_{c}").asc() for c in carry])
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = both.select(
         "*", *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
@@ -149,7 +166,7 @@ def sliced_asof_join(left: DataFrame, right: DataFrame, on: str,
                 (F.col("u._k") == F.col("ct._k"))
                 & (F.col("ct._cslice") <= F.col("u._slice")), "left")
           .groupBy(*[F.col(f"u.{c}") for c in
-                     ["_k", "_t", "_slice"] + l_payload])
+                     ["_k", "_t", "_slice", "_rid"] + l_payload])
           .agg(F.max(F.col("ct._cb")).alias("_cb")))
     um_sel = um.select(
         "_k", "_t", *l_payload,

@@ -154,7 +154,6 @@ def vocabulary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     exchange carries (term, id) pairs; the top-n reduce sees |vocab| rows,
     orders of magnitude below the corpus. Ties at the cut are impossible:
     rank is (n_total desc, term asc) and terms are unique."""
-    n_docs_total = docs.count()  # one cheap count-star jobs; a literal in the plan
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
                     lambda t: t != "")
     exploded = docs.select(F.col(id_col).alias("_id"),
@@ -170,9 +169,14 @@ def vocabulary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     top = stats.orderBy(F.col("n_total").desc(), F.col("term").asc()).limit(top_n)
     rk = F.row_number().over(
         Window.orderBy(F.col("n_total").desc(), F.col("term").asc()))
+    # corpus doc count folded into the lazy plan as a broadcast 1-row
+    # aggregate (NOT an eager .count(): the plan stays one job), applied
+    # after the top-n cut so it multiplies <= top_n rows
+    n_docs_total = docs.agg(F.count(F.lit(1)).alias("_n_docs_total"))
     return (top.withColumn("rank", rk)
+            .crossJoin(F.broadcast(n_docs_total))
             .withColumn("idf", F.round(
-                F.log((F.lit(n_docs_total) + 1.0)
+                F.log((F.col("_n_docs_total") + 1.0)
                       / (F.col("n_docs") + 1.0)), 6))
             .select("rank", "term", "n_total", "n_docs", "idf"))
 
@@ -187,7 +191,6 @@ def tf_idf_topk(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     broadcast: at 100 TB the vocabulary is itself large) -> per-doc window
     top-k."""
     from pyspark.sql import Window
-    n_docs_total = docs.count()
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
                     lambda t: t != "")
     exploded = docs.select(F.col(id_col).alias("doc_id"),
@@ -198,11 +201,15 @@ def tf_idf_topk(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.sum("n_in_doc").alias("_doc_len"))
     df_stats = per_doc.groupBy("term").agg(
         F.count(F.lit(1)).alias("n_docs"))
-    joined = per_doc.join(df_stats, "term").join(doc_len, "doc_id")
+    # doc count folded into the lazy plan (broadcast 1-row aggregate, no
+    # eager .count() job before the main plan)
+    n_docs_total = docs.agg(F.count(F.lit(1)).alias("_n_docs_total"))
+    joined = (per_doc.join(df_stats, "term").join(doc_len, "doc_id")
+              .crossJoin(F.broadcast(n_docs_total)))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("n_in_doc").desc(), F.col("n_docs").asc(), F.col("term").asc())
     tfidf = (F.col("n_in_doc") / F.col("_doc_len")) * F.log(
-        (F.lit(n_docs_total) + 1.0) / (F.col("n_docs") + 1.0))
+        (F.col("_n_docs_total") + 1.0) / (F.col("n_docs") + 1.0))
     return (joined.withColumn("term_rank", F.row_number().over(w))
             .filter(F.col("term_rank") <= k)
             .select("doc_id", "term_rank", "term", "n_in_doc", "n_docs",
@@ -233,15 +240,21 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
           .select("b.w1", "b.w2")
           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
           .filter(F.col("c_ab") >= min_count))
-    n_uni = uni.agg(F.sum("c_w")).collect()[0][0]
-    n_bi_row = bi.agg(F.sum("c_ab")).collect()[0][0]
-    n_bi = n_bi_row if n_bi_row else 1
+    # corpus totals stay INSIDE the lazy plan: a 1-row aggregate
+    # broadcast-crossed into every bigram row — no eager scalar collects
+    # (two driver jobs before the main plan broke the one-lazy-plan
+    # discipline and tripled the scan count), and coalesce(.., 1) guards
+    # the empty/blank-only corpus where the sums aggregate to NULL
+    totals = (uni.agg(F.sum("c_w").alias("_n_uni"))
+              .crossJoin(bi.agg(F.sum("c_ab").alias("_n_bi"))))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
-    joined = bi.join(u1, "w1").join(u2, "w2")
-    pmi = F.log((F.col("c_ab") / F.lit(float(n_bi)))
-                / ((F.col("c_a") / F.lit(float(n_uni)))
-                   * (F.col("c_b") / F.lit(float(n_uni)))))
+    joined = (bi.join(u1, "w1").join(u2, "w2")
+              .crossJoin(F.broadcast(totals)))
+    n_uni = F.coalesce(F.col("_n_uni"), F.lit(1)).cast("double")
+    n_bi = F.coalesce(F.col("_n_bi"), F.lit(1)).cast("double")
+    pmi = F.log((F.col("c_ab") / n_bi)
+                / ((F.col("c_a") / n_uni) * (F.col("c_b") / n_uni)))
     top = (joined.orderBy(F.col("c_ab").desc(), F.col("w1").asc(),
                           F.col("w2").asc()).limit(top_n))
     rk = F.row_number().over(Window.orderBy(

@@ -200,6 +200,35 @@ def test_pq_recall_and_code_shape(spark, tables):
     assert all(0 <= c < 16 for c in row["codes"])
 
 
+def test_codebook_cache_hit_and_release(spark, tables):
+    """With a cache_key, the second fit must be served from the cache
+    (identical object, no recount/sample/fit), and release_codebooks must
+    evict by key."""
+    emb = tables["embeddings"]
+    similarity.release_codebooks()
+    a = similarity.train_centroids(emb, ncentroids=4, cache_key="t1")
+    b = similarity.train_centroids(emb, ncentroids=4, cache_key="t1")
+    assert a is b, "second call should be a cache hit"
+    c = similarity.train_centroids(emb, ncentroids=8, cache_key="t1")
+    assert c is not a, "different params must not share a cache slot"
+    p1 = similarity.train_pq_codebooks(emb, m=16, ksub=8, cache_key="t1")
+    p2 = similarity.train_pq_codebooks(emb, m=16, ksub=8, cache_key="t1")
+    assert p1 is p2
+    n = similarity.release_codebooks("t1")
+    assert n == 3
+    d = similarity.train_centroids(emb, ncentroids=4, cache_key="t1")
+    assert d is not a, "released key must retrain"
+    similarity.release_codebooks()
+
+
+def test_pq_rejects_indivisible_dim(spark, tables):
+    """dim % m != 0 must fail loudly, not silently drop trailing dims."""
+    import pytest as _pytest
+    emb = tables["embeddings"]  # 64-dim fixtures
+    with _pytest.raises(ValueError, match="divisible"):
+        similarity.train_pq_codebooks(emb, m=6, ksub=8)
+
+
 def test_pq_deterministic(spark, tables):
     emb = tables["embeddings"]
     q = emb.orderBy("vec_id").limit(3).select(F.col("vec_id").alias("qid"), "embedding")

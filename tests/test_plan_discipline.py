@@ -111,3 +111,49 @@ def test_entry_filters_are_pushed_down(spark):
     assert "PushedFilters: [" in plan
     assert "o_orderpriority" in plan.split("PushedFilters:")[1][:200], \
         "filter not pushed to the parquet scan"
+
+
+# entries allowed driver-side jobs during CONSTRUCTION even on a repeat
+# call, with the bounded-by-construction reason
+EAGER_ALLOWED = {
+    # union-find fast path collects the (bounded, <=2M) edge set each call;
+    # the distributed large-star/small-star fallback covers bigger graphs
+    "dedup_groups",
+}
+
+
+def test_entries_construct_lazily(spark):
+    """Constructing an entry's DataFrame must not run Spark jobs beyond
+    the load_tables schema reads: eager scalar collects hide extra scans
+    the optimizer can't see or reuse (one entry tripled its scan count
+    this way). IVF/PQ codebook fits are allowed on FIRST construction
+    (bounded sample, memoized via cache_key), so each entry is built
+    twice and only the second construction is asserted lazy."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_during(key, fn):
+        sc.setJobGroup(key, key)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(key))
+
+    baseline = jobs_during("lazy_baseline", lambda: entrymod.load_tables(spark, SF))
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        if name in EAGER_ALLOWED:
+            continue
+
+        def build(f=fn):
+            df = f(spark, SF)
+            _release(df)
+
+        build()  # warm-up: codebook fits memoize here
+        n = jobs_during(f"lazy_{name}", build)
+        if n > baseline:
+            offenders.append((name, n - baseline))
+    assert not offenders, (
+        f"entries ran driver jobs at construction (beyond {baseline} "
+        f"load_tables schema reads): {offenders}")

@@ -212,3 +212,23 @@ def test_nested_eav_sibling_array_branches(spark):
     out = ip.run_raw("query{[?e :xs ?x] [?x :v ?v]}($d)", bindings={"$d": df})
     vals = sorted(r["v"] for r in out.df.collect())
     assert vals == sorted(f"x{i}.{j}" for i in range(3) for j in range(2))
+
+
+def test_express_reduce_driver_cap(spark, monkeypatch):
+    """The driver-side document assembly must refuse to collect more
+    top-key groups than MAX_REDUCE_DOCS and point at the distributed
+    reduce_express_frame path instead."""
+    from radmapper_spark.operators import express_spark
+    from radmapper_spark.operators.express_local import reduce_express
+    from radmapper_spark.operators.spark_bridge import SparkBindingSets
+    rows = [{"ownerName": f"owner{i}", "id": i} for i in range(10)]
+    ip = Interp(spark)
+    efn = ip.run_raw(
+        "express(){{'owner_id': key(?ownerName), 'id': ?id}}")
+    monkeypatch.setattr(express_spark, "MAX_REDUCE_DOCS", 5)
+    with pytest.raises(ValueError, match="reduce_express_frame"):
+        reduce_express(ip, SparkBindingSets(spark.createDataFrame(rows)), efn)
+    # under the cap: assembles normally
+    monkeypatch.setattr(express_spark, "MAX_REDUCE_DOCS", 100)
+    out = reduce_express(ip, SparkBindingSets(spark.createDataFrame(rows)), efn)
+    assert len(out) == 10

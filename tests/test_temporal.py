@@ -245,3 +245,44 @@ def test_sliced_asof_equals_plain(spark, tables):
             p, c, on="user_id", slice_sec=slice_sec,
             right_cols=("cid",)).collect()))
         assert sliced == plain, f"divergence at slice={slice_sec}"
+
+
+def test_sliced_asof_keeps_duplicate_left_rows(spark):
+    """Fully-duplicate left rows with NO in-slice match must each appear
+    in the output (the carry-in groupBy previously collapsed them: every
+    payload column equal -> one group). Regression for the round-5 ADVICE
+    finding."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-02T10:00:00"), "same"),
+         (1, _ts("2024-01-02T10:00:00"), "same"),   # exact duplicate row
+         (1, _ts("2024-01-02T10:00:00"), "same")],  # and a third
+        "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T08:00:00"), 7)],       # in an EARLIER slice
+        "k long, ts timestamp, rid long")
+    out = temporal.sliced_asof_join(left, right, on="k", slice_sec=3600,
+                                    right_cols=("rid",))
+    rows = out.collect()
+    assert len(rows) == 3, "duplicate left rows must not merge"
+    assert all(r["rid_right"] == 7 for r in rows)
+    plain = temporal.asof_join(left, right, on="k", right_cols=("rid",))
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, plain.collect()))
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    """Several right rows sharing (key, ts): the greatest carried tuple
+    must win, identically in asof_join and sliced_asof_join."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "x")],
+        "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 5),
+         (1, _ts("2024-01-01T09:00:00"), 9),   # tie on (k, ts)
+         (1, _ts("2024-01-01T09:00:00"), 2)],
+        "k long, ts timestamp, rid long")
+    for _ in range(3):  # deterministic across replans
+        out = temporal.asof_join(left, right, on="k", right_cols=("rid",))
+        assert out.collect()[0]["rid_right"] == 9
+        sl = temporal.sliced_asof_join(left, right, on="k", slice_sec=600,
+                                       right_cols=("rid",))
+        assert sl.collect()[0]["rid_right"] == 9

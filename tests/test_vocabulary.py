@@ -52,3 +52,35 @@ def test_tfidf_topk_shape_and_determinism(tables):
     # run twice -> identical (no nondeterministic ordering in the cut)
     again = sorted(map(tuple, out.collect()))
     assert sorted(map(tuple, rows)) == again
+
+
+def test_bigram_pmi_python_twin(spark, tables):
+    """PMI values against a pure-python twin on a tiny planted corpus."""
+    rows = [(1, "big data big data systems"),
+            (2, "big data pipelines move big data"),
+            (3, "small data")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["w1"], r["w2"]): r for r in
+           textstats.bigram_pmi(df, min_count=2, top_n=10).collect()}
+    # python twin
+    toks = [_py_tokens(t) for _, t in rows]
+    uni = Counter(w for ts in toks for w in ts)
+    bi = Counter((a, b) for ts in toks for a, b in zip(ts, ts[1:]))
+    bi = {k: v for k, v in bi.items() if v >= 2}
+    n_uni = sum(uni.values())
+    n_bi = sum(bi.values())
+    assert set(out) == set(bi)
+    for (a, b), c_ab in bi.items():
+        want = math.log((c_ab / n_bi) / ((uni[a] / n_uni) * (uni[b] / n_uni)))
+        assert abs(out[(a, b)]["pmi"] - round(want, 6)) < 1e-9
+
+
+def test_bigram_pmi_empty_corpus_no_crash(spark):
+    """Empty / blank-only corpus: the totals aggregate to NULL — must
+    return an empty frame, not raise (round-5 ADVICE: the old eager
+    float(n_uni) collect raised TypeError on None)."""
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "!!!")],
+                               ["doc_id", "text"])
+    assert textstats.bigram_pmi(df).count() == 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert textstats.bigram_pmi(empty).count() == 0
