@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 
 from . import headline
 from .lang.interp import Interp
-from .operators import dedup, multimodal, similarity, temporal, textstats
+from .operators import (decontam, dedup, multimodal, similarity, temporal,
+                        textstats)
 from .session import load_tables
 from .streaming import windows as W
 
@@ -1423,6 +1424,153 @@ def stats_histogram_sql() -> str:
     """
 
 
+# ==================================================== decontamination etc.
+
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id >= 20) flagged when
+    they share any word 4-gram with the benchmark set (doc_id < 20) —
+    the n-gram-overlap check every LLM training pipeline runs against its
+    eval sets. Benchmark n-grams are a broadcast; the corpus is one
+    scan + explode, shuffled only for the per-doc hit count. n=4 on the
+    fixture corpus separates 36 contaminated docs from 444 clean at
+    sf0.01 (production uses n=8-13; only the gram width changes)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    return decontam.decontaminate(corpus, bench, n=4)
+
+
+def decontam_ngram_sql() -> str:
+    return """
+    WITH w AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                                     '[^a-z0-9]+'),
+                                  x -> x <> '') AS w
+               FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w)-3),
+                                       i -> array_to_string(w[i:i+3], ' ')))
+                     AS ngram
+          FROM w WHERE len(w) >= 4),
+    bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id < 20),
+    hits AS (SELECT g.doc_id, count(*) AS n_hits
+             FROM g JOIN bench USING(ngram)
+             WHERE g.doc_id >= 20 GROUP BY g.doc_id)
+    SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 20) d
+    LEFT JOIN hits h USING(doc_id)
+    """
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-doc duplicate-bigram fraction
+    and top-word coverage with a keep flag — entirely row-local array
+    math (map-only single scan, zero shuffles)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return textstats.repetition_score(docs, n=2)
+
+
+def text_repetition_sql() -> str:
+    return """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                                     '[^a-z0-9]+'),
+                                  x -> x <> '') AS w
+               FROM documents),
+    g AS (SELECT doc_id, w,
+                 CASE WHEN len(w) >= 2
+                      THEN list_transform(generate_series(1, len(w)-1),
+                                          i -> array_to_string(w[i:i+1], ' '))
+                      ELSE [] END AS grams
+          FROM t)
+    SELECT doc_id,
+           round(CASE WHEN len(grams) > 0
+                      THEN (len(grams) - len(list_distinct(grams)))
+                           / len(grams)::DOUBLE
+                      ELSE 0 END, 6) AS dup_ngram_frac,
+           round(CASE WHEN len(w) > 0
+                      THEN list_max(list_transform(list_distinct(w),
+                               d -> len(list_filter(w, x -> x = d))))
+                           / len(w)::DOUBLE
+                      ELSE 0 END, 6) AS top_word_frac,
+           (CASE WHEN len(grams) > 0
+                 THEN (len(grams) - len(list_distinct(grams)))
+                      / len(grams)::DOUBLE ELSE 0 END) <= 0.30
+           AND (CASE WHEN len(w) > 0
+                     THEN list_max(list_transform(list_distinct(w),
+                              d -> len(list_filter(w, x -> x = d))))
+                          / len(w)::DOUBLE ELSE 0 END) <= 0.20 AS keep
+    FROM g
+    """
+
+
+def source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weights per source (docs, tokens, token share) —
+    the sampling-weight table of a mixture-weighted training pipeline."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    from .operators import profiling
+    return profiling.source_mixture(docs)
+
+
+def source_mixture_sql() -> str:
+    return """
+    WITH per AS (SELECT source, count(*) AS n_docs,
+                        sum(len(list_filter(string_split_regex(lower(text),
+                                                               '[^a-z0-9]+'),
+                                            x -> x <> ''))) AS n_tokens
+                 FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / (SELECT sum(n_tokens) FROM per)::DOUBLE, 9)
+               AS weight
+    FROM per
+    """
+
+
+def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist masking: whole-word blocklist hits counted and replaced
+    with [REDACTED] — one map-only regexp pass (the \\b anchors behave
+    identically in Java regex and RE2, so the scrubbed text itself is
+    oracle-exact, not just the counts)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return decontam.blocklist_scrub(docs, ["crash", "spark"])
+
+
+def blocklist_scrub_sql() -> str:
+    return r"""
+    SELECT doc_id,
+           len(string_split_regex(text, '\b(crash|spark)\b')) - 1
+               AS n_blocked,
+           regexp_replace(text, '\b(crash|spark)\b', '[REDACTED]', 'g')
+               AS clean_text
+    FROM documents
+    """
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine range search (radius query): all corpus vectors with
+    cosine >= 0.4 of each of the 5 query vectors — the fixed-threshold
+    sibling of top-k (retrieval dedup, near-neighbor expansion). Same
+    broadcast-queries plan as brute force, but no window: candidates are
+    filtered row-local, so the plan is shuffle-free."""
+    t = load_tables(spark, sf_dir)
+    return similarity.range_search(t["embeddings"], _query_vectors(t),
+                                   threshold=0.4)
+
+
+def ann_range_search_sql() -> str:
+    return """
+    WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+               FROM embeddings ORDER BY vec_id LIMIT 5)
+    SELECT q.qid, e.vec_id AS cid,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+               AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) >= 0.4
+      AND e.vec_id <> q.qid
+    """
+
+
 # =============================================================== PQ ANN
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1716,7 +1864,6 @@ ENTRIES: dict = {
     "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     "rm_table_paths": (rm_table_paths, rm_table_paths_sql),
     # dedup
-    "dedup_exact": (dedup_exact, dedup_exact_sql),
     "dedup_token_jaccard": (dedup_token_jaccard, dedup_token_jaccard_sql),
     "dedup_groups": (dedup_groups, dedup_groups_sql),
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_sql),
@@ -1727,11 +1874,6 @@ ENTRIES: dict = {
     "ann_ivf_topk": (ann_ivf_topk, ann_ivf_topk_sql),
     "ann_pq_topk": (ann_pq_topk, ann_pq_topk_sql),
     "embedding_quantize": (embedding_quantize, embedding_quantize_sql),
-    # text analysis
-    "text_lang_id": (text_lang_id, text_lang_id_sql),
-    "text_token_count": (text_token_count, text_token_count_sql),
-    "text_quality": (text_quality, text_quality_sql),
-    "text_fingerprint": (text_fingerprint, text_fingerprint_sql),
     # skew handling
     "skew_salted_join": (skew_salted_join, skew_salted_join_sql),
     "skew_salted_agg": (skew_salted_agg, skew_salted_agg_sql),
@@ -1769,11 +1911,22 @@ ENTRIES: dict = {
     "lang_id_eval": (lang_id_eval, lang_id_eval_sql),
     "events_unpivot": (events_unpivot, events_unpivot_sql),
     "brand_revenue": (brand_revenue, brand_revenue_sql),
+    # decontamination / repetition / mixture / blocklist / range search
+    "decontam_ngram": (decontam_ngram, decontam_ngram_sql),
+    "text_repetition": (text_repetition, text_repetition_sql),
+    "source_mixture": (source_mixture, source_mixture_sql),
+    "blocklist_scrub": (blocklist_scrub, blocklist_scrub_sql),
+    "ann_range_search": (ann_range_search, ann_range_search_sql),
     # --- long-stable entries (driver-green since rounds 2-3) kept LAST:
     # the driver's correctness gate checks the first 50 registered entries,
     # so the least-proven entries must sit inside that window. These 12
     # have green CORRECTNESS rows in r02-r05 and full local oracle gating
     # (tests/test_headline.py covers all entries regardless of order).
+    "dedup_exact": (dedup_exact, dedup_exact_sql),
+    "text_fingerprint": (text_fingerprint, text_fingerprint_sql),
+    "text_lang_id": (text_lang_id, text_lang_id_sql),
+    "text_token_count": (text_token_count, text_token_count_sql),
+    "text_quality": (text_quality, text_quality_sql),
     "rm_qvar_project": (rm_qvar_project, rm_qvar_project_sql),
     "rm_eav_wildcard": (rm_eav_wildcard, rm_eav_wildcard_sql),
     "rm_scalar_battery": (rm_scalar_battery, rm_scalar_battery_sql),

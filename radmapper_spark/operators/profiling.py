@@ -50,3 +50,23 @@ def histogram(df: DataFrame, group_col: str, value_col: str,
             .select(group_col, "bin",
                     F.round(F.col("bin") * F.lit(float(bin_width)), 6)
                     .alias("bin_lo"), "n"))
+
+
+def source_mixture(docs: DataFrame, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Domain-mixture table for training-data sampling: per source, doc
+    count, token count, and the source's share of all tokens (weights sum
+    to 1) — the input to mixture-weighted samplers. One scan with a
+    map-side token count, one tiny groupBy, totals folded in as a
+    broadcast 1-row aggregate (the plan stays a single lazy job)."""
+    ntok = F.size(F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                           lambda t: t != ""))
+    per = (docs.select(F.col(group_col), ntok.alias("_n"))
+           .groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("_n").alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    return (per.crossJoin(F.broadcast(tot))
+            .select(group_col, "n_docs", "n_tokens",
+                    F.round(F.col("n_tokens") / F.col("_tot"), 9)
+                    .alias("weight")))

@@ -190,6 +190,29 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def range_search(corpus: DataFrame, queries: DataFrame,
+                 threshold: float = 0.5, vec_col: str = "embedding",
+                 id_col: str = "vec_id", qid_col: str = "qid") -> DataFrame:
+    """Cosine range search: every corpus row within the given cosine
+    radius of each query (self-matches excluded). Unlike top-k there is
+    no window/rank — the threshold filter is row-local, so the plan is a
+    broadcast nested-loop over the (small) query set with NO shuffle at
+    all: the shape a fixed-radius retrieval scan wants at 100 TB.
+    Candidate pruning for huge query sets belongs in ivf_topk-style
+    cell routing; this is the exact baseline."""
+    c = corpus.select(F.col(id_col).alias("cid"),
+                      _to_double(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       _to_double(F.col(vec_col)).alias("qv"))
+    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * _norm(F.col("qv")))
+    return (c.crossJoin(F.broadcast(q))
+            .filter(F.col("cid") != F.col("qid"))
+            .withColumn("_cos", cos)
+            .filter(F.col("_cos") >= threshold)  # threshold on the RAW
+            # value (rounding after filtering, like the oracle)
+            .select("qid", "cid", F.round(F.col("_cos"), 6).alias("cosine")))
+
+
 # ---------------------------------------------------------------- PQ
 
 def train_pq_codebooks(corpus: DataFrame, vec_col: str = "embedding",

@@ -262,3 +262,49 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
     return (top.withColumn("rank", rk)
             .select("rank", "w1", "w2", "c_ab", "c_a", "c_b",
                     F.round(pmi, 6).alias("pmi")))
+
+
+def repetition_score(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 3,
+                     dup_ngram_max: float = 0.30,
+                     top_word_max: float = 0.20) -> DataFrame:
+    """Gopher-style repetition quality filter, per document:
+
+    - ``dup_ngram_frac``: fraction of the doc's word n-grams that are
+      repeats (1 - distinct/total) — catches boilerplate and loops;
+    - ``top_word_frac``: share of tokens taken by the single most common
+      word — catches keyword-stuffing;
+    - ``keep``: both measures under their thresholds (the published
+      heuristic shape: drop on duplicate 3-gram fraction / top-unigram
+      coverage).
+
+    Everything is array math over ONE row — transform/slice to build the
+    n-gram list, array_distinct + aggregate over the grouped token list —
+    so the plan is a map-only single scan: zero shuffles, the shape a
+    per-document quality pass must have at 100 TB."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                 lambda t: t != "")
+    docs = docs.select(F.col(id_col), w.alias("_w"))
+    nw = F.size("_w")
+    grams = F.when(nw >= n, F.transform(
+        F.sequence(F.lit(1), nw - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice("_w", i, n), " ")))
+    n_grams = F.coalesce(F.size(grams), F.lit(0))
+    n_dist = F.coalesce(F.size(F.array_distinct(grams)), F.lit(0))
+    dup_frac = F.when(n_grams > 0,
+                      (n_grams - n_dist) / n_grams.cast("double")) \
+        .otherwise(F.lit(0.0))
+    # top unigram count without an explode/groupBy: count each DISTINCT
+    # word's occurrences with a size(filter(...)) fold over the (small)
+    # per-doc distinct list — stays row-local
+    top_cnt = F.array_max(F.transform(
+        F.array_distinct("_w"),
+        lambda d: F.size(F.filter("_w", lambda x: x == d))))
+    top_frac = F.when(nw > 0, top_cnt / nw.cast("double")) \
+        .otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        F.round(dup_frac, 6).alias("dup_ngram_frac"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        ((dup_frac <= dup_ngram_max) & (top_frac <= top_word_max))
+        .alias("keep"))

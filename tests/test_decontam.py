@@ -1,0 +1,108 @@
+"""Decontamination / repetition / mixture / range-search operators:
+planted-value semantics plus plan-shape checks (broadcast benchmark,
+map-only scrub)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from radmapper_spark.operators import decontam, profiling, similarity, textstats
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontaminate_planted(spark):
+    corpus = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "a completely different document with no overlap at all"),
+         (102, "quick brown fox jumps padding quick brown fox jumps")],
+        ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(1, "watch the quick brown fox jumps today")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           decontam.decontaminate(corpus, bench, n=4).collect()}
+    assert out[100]["contaminated"] and out[100]["n_hits"] == 2
+    # 'the quick brown fox' + 'quick brown fox jumps'
+    assert not out[101]["contaminated"] and out[101]["n_hits"] == 0
+    assert out[102]["contaminated"] and out[102]["n_hits"] == 2
+    # the duplicated 'quick brown fox jumps' counts each occurrence
+
+
+def test_decontaminate_benchmark_is_broadcast(spark):
+    corpus = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(2, "c d e f g")], ["doc_id", "text"])
+    plan = _plan(decontam.decontaminate(corpus, bench, n=4))
+    assert "BroadcastHashJoin" in plan, \
+        "benchmark n-grams must broadcast, not shuffle the corpus"
+
+
+def test_blocklist_scrub_planted(spark):
+    docs = spark.createDataFrame(
+        [(1, "bad word and badly formed bad text"),
+         (2, "clean text entirely"),
+         (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           decontam.blocklist_scrub(docs, ["bad", "word"]).collect()}
+    # whole-word: 'badly' must NOT match
+    assert out[1]["n_blocked"] == 3
+    assert out[1]["clean_text"] == \
+        "[REDACTED] [REDACTED] and badly formed [REDACTED] text"
+    assert out[2]["n_blocked"] == 0
+    assert out[2]["clean_text"] == "clean text entirely"
+    assert out[3]["clean_text"] is None
+    with pytest.raises(ValueError):
+        decontam.blocklist_scrub(docs, [])
+
+
+def test_blocklist_scrub_is_map_only(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    plan = _plan(decontam.blocklist_scrub(docs, ["x"]))
+    assert "Exchange" not in plan, "scrub must not shuffle"
+
+
+def test_repetition_score_planted(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"),        # dup bigrams + top-word 1.0
+         (2, "all words here are unique"),  # no repetition
+         (3, "")],                          # empty
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           textstats.repetition_score(docs, n=2).collect()}
+    # doc 1: bigrams [spam spam] x3 -> distinct 1 -> dup 2/3
+    assert out[1]["dup_ngram_frac"] == round(2 / 3, 6)
+    assert out[1]["top_word_frac"] == 1.0
+    assert not out[1]["keep"]
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[2]["top_word_frac"] == 0.2
+    assert out[2]["keep"]
+    assert out[3]["dup_ngram_frac"] == 0.0 and out[3]["keep"]
+
+
+def test_source_mixture_weights_sum_to_one(spark, tables):
+    out = profiling.source_mixture(tables["documents"]).collect()
+    assert len(out) > 1
+    total = sum(r["weight"] for r in out)
+    assert abs(total - 1.0) < 1e-6
+    toks = sum(r["n_tokens"] for r in out)
+    docs = sum(r["n_docs"] for r in out)
+    assert docs == tables["documents"].count()
+    assert toks > docs  # multiple tokens per doc
+
+
+def test_range_search_matches_bruteforce_prefix(spark, tables):
+    """range_search at a radius must equal the >=threshold slice of the
+    exact scores (self excluded)."""
+    emb = tables["embeddings"]
+    q = (emb.orderBy("vec_id").limit(3)
+         .select(F.col("vec_id").alias("qid"), "embedding"))
+    got = {(r["qid"], r["cid"]): r["cosine"]
+           for r in similarity.range_search(emb, q, threshold=0.4).collect()}
+    exact = similarity.brute_force_topk(emb, q, k=10_000)
+    want = {(r["qid"], r["cid"]): r["cosine"]
+            for r in exact.collect()
+            if r["cosine"] >= 0.4 and r["qid"] != r["cid"]}
+    assert got == want
