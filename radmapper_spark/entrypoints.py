@@ -1571,6 +1571,71 @@ def ann_range_search_sql() -> str:
     """
 
 
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel, each stage within 24 h of
+    the previous one: staged min-over-window columns in ONE user
+    partitioning (single exchange, zero joins). 150 -> 60 -> 25 users at
+    sf0.01 — the tolerance makes the funnel actually discriminate on the
+    fixture's ~11 h inter-event gaps."""
+    from .operators import behavior
+    ev = load_tables(spark, sf_dir)["events"]
+    return behavior.funnel_stages(ev, ["view", "click", "purchase"],
+                                  tolerance_sec=86400)
+
+
+def event_funnel_sql() -> str:
+    return """
+    WITH u1 AS (SELECT user_id,
+                       min(ts) FILTER (WHERE event_type='view') AS t1
+                FROM events GROUP BY user_id),
+    u2 AS (SELECT e.user_id, any_value(u1.t1) AS t1,
+                  min(e.ts) FILTER (WHERE e.event_type='click'
+                                    AND e.ts > u1.t1
+                                    AND e.ts <= u1.t1 + INTERVAL 86400
+                                                        SECOND) AS t2
+           FROM events e JOIN u1 USING(user_id) GROUP BY e.user_id),
+    u3 AS (SELECT e.user_id, any_value(u2.t1) AS t1,
+                  any_value(u2.t2) AS t2,
+                  min(e.ts) FILTER (WHERE e.event_type='purchase'
+                                    AND e.ts > u2.t2
+                                    AND e.ts <= u2.t2 + INTERVAL 86400
+                                                        SECOND) AS t3
+           FROM events e JOIN u2 USING(user_id) GROUP BY e.user_id)
+    SELECT 1 AS stage, 'view' AS step, count(t1)::BIGINT AS n_users FROM u3
+    UNION ALL SELECT 2, 'click', count(t2)::BIGINT FROM u3
+    UNION ALL SELECT 3, 'purchase', count(t3)::BIGINT FROM u3
+    """
+
+
+def user_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event; per (cohort_start, period_offset) cell the distinct active
+    users and retention rate. First-activity bucket via min-over-window
+    (no user-dimension join-back); two shuffles total."""
+    from .operators import behavior
+    ev = load_tables(spark, sf_dir)["events"]
+    return behavior.cohort_retention(ev, bucket="week")
+
+
+def user_cohorts_sql() -> str:
+    return """
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_start
+               FROM events GROUP BY user_id),
+    a AS (SELECT e.user_id, f.cohort_start,
+                 (date_diff('second', f.cohort_start,
+                            date_trunc('week', e.ts)) // 604800)::BIGINT
+                     AS period_offset
+          FROM events e JOIN f USING(user_id)),
+    act AS (SELECT cohort_start, period_offset,
+                   count(DISTINCT user_id) AS n_active
+            FROM a GROUP BY 1, 2)
+    SELECT act.cohort_start::TIMESTAMP AS cohort_start, act.period_offset,
+           act.n_active, round(act.n_active / s.n0::DOUBLE, 6) AS retention
+    FROM act JOIN (SELECT cohort_start, n_active AS n0 FROM act
+                   WHERE period_offset = 0) s USING(cohort_start)
+    """
+
+
 # =============================================================== PQ ANN
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1846,12 +1911,8 @@ ENTRIES: dict = {
     # headline relational plans
     "pricing_summary": (lambda s, d: headline.pricing_summary(load_tables(s, d)),
                         headline.pricing_summary_sql),
-    "top_revenue_orders": (lambda s, d: headline.top_revenue_orders(load_tables(s, d)),
-                           headline.top_revenue_orders_sql),
     "region_nation_revenue": (lambda s, d: headline.region_nation_revenue(load_tables(s, d)),
                               headline.region_nation_revenue_sql),
-    "events_by_type": (lambda s, d: headline.events_by_type(load_tables(s, d)),
-                       headline.events_by_type_sql),
     "large_orders": (lambda s, d: headline.large_orders(load_tables(s, d)),
                      headline.large_orders_sql),
     "top_customer_per_nation": (
@@ -1917,11 +1978,18 @@ ENTRIES: dict = {
     "source_mixture": (source_mixture, source_mixture_sql),
     "blocklist_scrub": (blocklist_scrub, blocklist_scrub_sql),
     "ann_range_search": (ann_range_search, ann_range_search_sql),
+    # behavioral analytics
+    "event_funnel": (event_funnel, event_funnel_sql),
+    "user_cohorts": (user_cohorts, user_cohorts_sql),
     # --- long-stable entries (driver-green since rounds 2-3) kept LAST:
     # the driver's correctness gate checks the first 50 registered entries,
     # so the least-proven entries must sit inside that window. These 12
     # have green CORRECTNESS rows in r02-r05 and full local oracle gating
     # (tests/test_headline.py covers all entries regardless of order).
+    "top_revenue_orders": (lambda s, d: headline.top_revenue_orders(load_tables(s, d)),
+                           headline.top_revenue_orders_sql),
+    "events_by_type": (lambda s, d: headline.events_by_type(load_tables(s, d)),
+                       headline.events_by_type_sql),
     "dedup_exact": (dedup_exact, dedup_exact_sql),
     "text_fingerprint": (text_fingerprint, text_fingerprint_sql),
     "text_lang_id": (text_lang_id, text_lang_id_sql),

@@ -1,0 +1,102 @@
+"""Behavioral analytics: funnel ordering/tolerance semantics and cohort
+retention on planted event frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from radmapper_spark.operators import behavior
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def funnel_events(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, _ts("2024-01-01T10:00:00"), "view"),
+        (1, _ts("2024-01-01T11:00:00"), "click"),
+        (1, _ts("2024-01-01T12:00:00"), "purchase"),
+        # user 2: purchase BEFORE click -> stops at click stage
+        (2, _ts("2024-01-01T10:00:00"), "view"),
+        (2, _ts("2024-01-01T10:30:00"), "purchase"),
+        (2, _ts("2024-01-01T11:00:00"), "click"),
+        # user 3: never views -> reaches nothing
+        (3, _ts("2024-01-01T10:00:00"), "click"),
+        (3, _ts("2024-01-01T11:00:00"), "purchase"),
+        # user 4: view then click 3 days later (outside a 1-day tolerance)
+        (4, _ts("2024-01-01T10:00:00"), "view"),
+        (4, _ts("2024-01-04T10:00:00"), "click"),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                       "event_type string")
+
+
+def test_funnel_order_semantics(spark, funnel_events):
+    out = {r["stage"]: r for r in behavior.funnel_stages(
+        funnel_events, ["view", "click", "purchase"]).collect()}
+    assert out[1]["n_users"] == 3          # users 1, 2, 4 viewed
+    assert out[2]["n_users"] == 3          # all three clicked after view
+    assert out[3]["n_users"] == 1          # only user 1 purchased last
+    assert out[1]["step"] == "view" and out[3]["step"] == "purchase"
+
+
+def test_funnel_tolerance(spark, funnel_events):
+    out = {r["stage"]: r["n_users"] for r in behavior.funnel_stages(
+        funnel_events, ["view", "click", "purchase"],
+        tolerance_sec=86400).collect()}
+    assert out[1] == 3
+    assert out[2] == 2                     # user 4's click is 3 days out
+    assert out[3] == 1
+
+
+def test_funnel_single_exchange_no_join(spark, funnel_events):
+    """The staged window columns must share ONE user partitioning: no
+    joins, and a single exchange on user_id."""
+    df = behavior.funnel_stages(funnel_events,
+                                ["view", "click", "purchase"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "funnel must be join-free"
+    n_user_exchanges = plan.count("hashpartitioning(user_id")
+    assert n_user_exchanges <= 1, plan[:3000]
+
+
+def test_funnel_empty_steps_raises(spark, funnel_events):
+    with pytest.raises(ValueError):
+        behavior.funnel_stages(funnel_events, [])
+
+
+def test_cohort_retention_planted(spark):
+    rows = [
+        # cohort week of 2024-01-01: users 1,2 - user 1 returns next week
+        (1, _ts("2024-01-02T10:00:00"), "view"),
+        (1, _ts("2024-01-09T10:00:00"), "view"),
+        (2, _ts("2024-01-03T10:00:00"), "view"),
+        # cohort week of 2024-01-08: user 3 only
+        (3, _ts("2024-01-08T10:00:00"), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_type string")
+    out = {(r["cohort_start"], r["period_offset"]): r
+           for r in behavior.cohort_retention(ev).collect()}
+    c1 = _ts("2024-01-01T00:00:00")
+    c2 = _ts("2024-01-08T00:00:00")
+    assert out[(c1, 0)]["n_active"] == 2
+    assert out[(c1, 0)]["retention"] == 1.0
+    assert out[(c1, 1)]["n_active"] == 1
+    assert out[(c1, 1)]["retention"] == 0.5
+    assert out[(c2, 0)]["n_active"] == 1
+    assert len(out) == 3
+
+
+def test_cohort_bad_bucket_raises(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts("2024-01-02T10:00:00"), "view")],
+        "user_id long, ts timestamp, event_type string")
+    with pytest.raises(ValueError):
+        behavior.cohort_retention(ev, bucket="fortnight")
