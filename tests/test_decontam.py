@@ -31,6 +31,19 @@ def test_decontaminate_planted(spark):
     # the duplicated 'quick brown fox jumps' counts each occurrence
 
 
+def test_decontaminate_hashed_equals_strings(spark, tables):
+    """The hashed join path must report exactly the same counts as the
+    raw-string path on the real fixture corpus."""
+    docs = tables["documents"]
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    bench = docs.filter(F.col("doc_id") < 20)
+    a = sorted(map(tuple, decontam.decontaminate(
+        corpus, bench, n=4, hashed=True).collect()))
+    b = sorted(map(tuple, decontam.decontaminate(
+        corpus, bench, n=4, hashed=False).collect()))
+    assert a == b
+
+
 def test_decontaminate_benchmark_is_broadcast(spark):
     corpus = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
     bench = spark.createDataFrame([(2, "c d e f g")], ["doc_id", "text"])
