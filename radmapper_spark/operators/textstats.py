@@ -278,28 +278,46 @@ def repetition_score(docs: DataFrame, text_col: str = "text",
       heuristic shape: drop on duplicate 3-gram fraction / top-unigram
       coverage).
 
-    Everything is array math over ONE row — transform/slice to build the
-    n-gram list, array_distinct + aggregate over the grouped token list —
-    so the plan is a map-only single scan: zero shuffles, the shape a
-    per-document quality pass must have at 100 TB."""
+    Everything is array math over ONE row, on HASHED tokens: each word is
+    xxhash64'd once, n-grams are the hash of their n word hashes (no
+    per-gram string rebuild — the same trick that made decontamination
+    4.7x faster), and both the distinct-gram count and the top-word run
+    are computed over the hash arrays (identical values up to negligible
+    64-bit collisions). The plan is a map-only single scan: zero
+    shuffles, the shape a per-document quality pass must have at
+    100 TB."""
     w = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
                  lambda t: t != "")
-    docs = docs.select(F.col(id_col), w.alias("_w"))
-    nw = F.size("_w")
+    docs = docs.select(F.col(id_col),
+                       F.transform(w, lambda t: F.xxhash64(t)).alias("_th"))
+    nw = F.size("_th")
     grams = F.when(nw >= n, F.transform(
-        F.sequence(F.lit(1), nw - F.lit(n - 1)),
-        lambda i: F.array_join(F.slice("_w", i, n), " ")))
+        F.sequence(F.lit(0), nw - F.lit(n)),
+        lambda i: F.xxhash64(*[F.element_at(F.col("_th"), i + 1 + j)
+                               for j in range(n)])))
     n_grams = F.coalesce(F.size(grams), F.lit(0))
     n_dist = F.coalesce(F.size(F.array_distinct(grams)), F.lit(0))
     dup_frac = F.when(n_grams > 0,
                       (n_grams - n_dist) / n_grams.cast("double")) \
         .otherwise(F.lit(0.0))
-    # top unigram count without an explode/groupBy: count each DISTINCT
-    # word's occurrences with a size(filter(...)) fold over the (small)
-    # per-doc distinct list — stays row-local
-    top_cnt = F.array_max(F.transform(
-        F.array_distinct("_w"),
-        lambda d: F.size(F.filter("_w", lambda x: x == d))))
+    # top unigram count without an explode/groupBy: sort the token-hash
+    # array and fold once for the longest equal-run — O(n log n)
+    # row-local. (A transform(distinct, d -> count(filter == d)) is
+    # O(distinct * n): fine on a toy vocabulary, quadratic on real text
+    # where distinct ~ n.)
+    sw = F.array_sort("_th")
+    top_cnt = F.aggregate(
+        sw,
+        F.struct(F.lit(0).cast("long").alias("w"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("w"),
+            F.when(x == acc["w"], acc["run"] + 1).otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(acc["best"],
+                       F.when(x == acc["w"], acc["run"] + 1)
+                       .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
     top_frac = F.when(nw > 0, top_cnt / nw.cast("double")) \
         .otherwise(F.lit(0.0))
     return docs.select(

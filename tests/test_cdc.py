@@ -86,3 +86,48 @@ def test_merge_is_aggregate_not_window(spark, base_changes):
     assert "Window" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan, plan[:2000]
     assert plan.count("Exchange") <= 2  # key agg (+AQE coalesce at most)
+
+def test_pagerank_hand_computed_star(spark):
+    """3-node undirected star (center a): exact scaled-integer values
+    after 3 iterations, hand-derived."""
+    from radmapper_spark.operators import graph
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")], ["src", "dst"])
+    out = {r["node"]: r["rank"] for r in graph.pagerank(edges, 3).collect()}
+    assert out == {"a": 1_741_625_000_000,
+                   "b": 629_187_500_000,
+                   "c": 629_187_500_000}
+    # bit-identical on re-execution (integer arithmetic: no float drift)
+    out2 = {r["node"]: r["rank"] for r in graph.pagerank(edges, 3).collect()}
+    assert out2 == out
+
+
+def test_pagerank_rank_mass_bounded(spark, tables):
+    """On the real bipartite trade graph, ranks are positive and the
+    total rank mass stays near N*SCALE (conserved up to damping leak
+    and integer truncation)."""
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import graph
+    t = tables
+    pairs = (t["orders"].join(t["lineitem"],
+                              t["orders"].o_orderkey
+                              == t["lineitem"].l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(pairs.select(F.col("s").alias("src"),
+                                       F.col("c").alias("dst"))))
+    pr = graph.pagerank(edges, 3)
+    n = pr.count()
+    stats = pr.agg(F.min("rank").alias("mn"), F.sum("rank").alias("s")).first()
+    assert stats["mn"] > 0
+    assert abs(stats["s"] - n * graph.SCALE) / (n * graph.SCALE) < 0.02
+
+
+def test_pagerank_bad_damping(spark):
+    import pytest as _pytest
+    from radmapper_spark.operators import graph
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with _pytest.raises(ValueError):
+        graph.pagerank(edges, damping_pct=0)
