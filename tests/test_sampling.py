@@ -90,3 +90,29 @@ def test_cap_per_group(tables):
         ranked = sorted(ids, key=lambda i: (_py_bucket("cap", i, 1 << 40), i))
         expected |= {(lang, i) for i in ranked[:10]}
     assert kept == expected
+
+
+def test_mixture_sample_rates_and_determinism(spark, tables):
+    """mixture_sample keeps ~rate of each group, deterministically, and
+    drops groups missing from the rate table."""
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import sampling
+    docs = tables["documents"]
+    rates = spark.createDataFrame(
+        [("src0", 1.0), ("src1", 0.5), ("src2", 0.0)],
+        ["source", "rate"])
+    out = sampling.mixture_sample(docs, "source", rates, "doc_id")
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in
+              docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert set(per) <= {"src0", "src1"}          # src2 and others dropped
+    assert per["src0"] == totals["src0"]          # rate 1.0 keeps all
+    frac = per.get("src1", 0) / totals["src1"]
+    assert 0.2 < frac < 0.8                       # ~0.5, small-n tolerance
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               sampling.mixture_sample(docs, "source", rates,
+                                       "doc_id").collect())
+    assert a == b                                 # deterministic
