@@ -1202,3 +1202,63 @@ def _t_quantiles(ip, env, table=NOMATCH, group=NOMATCH, value=NOMATCH):
     return _as_sdb(profiling.group_quantiles(
         _table_df(table, "$quantiles"), _s(group, "$quantiles"),
         _s(value, "$quantiles")))
+
+
+@builtin("$decontaminate", 2)
+def _t_decontaminate(ip, env, corpus=NOMATCH, benchmark=NOMATCH, n=4):
+    from ..operators import decontam
+    return _as_sdb(decontam.decontaminate(
+        _table_df(corpus, "$decontaminate"),
+        _table_df(benchmark, "$decontaminate"),
+        n=int(_n(n, "$decontaminate"))))
+
+
+@builtin("$blocklistScrub", 2)
+def _t_blocklist(ip, env, table=NOMATCH, terms=NOMATCH):
+    from ..operators import decontam
+    if not isinstance(terms, (list, tuple)):
+        raise RMFnError("$blocklistScrub requires an array of terms")
+    return _as_sdb(decontam.blocklist_scrub(
+        _table_df(table, "$blocklistScrub"), [str(t) for t in terms]))
+
+
+@builtin("$repetitionScore", 1)
+def _t_repetition(ip, env, table=NOMATCH):
+    from ..operators import textstats
+    return _as_sdb(textstats.repetition_score(
+        _table_df(table, "$repetitionScore")))
+
+
+@builtin("$funnel", 2)
+def _t_funnel(ip, env, table=NOMATCH, steps=NOMATCH, tolerance_sec=None):
+    from ..operators import behavior
+    if not isinstance(steps, (list, tuple)) or not steps:
+        raise RMFnError("$funnel requires a non-empty array of step names")
+    tol = None if tolerance_sec is None else int(_n(tolerance_sec, "$funnel"))
+    return _as_sdb(behavior.funnel_stages(
+        _table_df(table, "$funnel"), [str(s) for s in steps],
+        tolerance_sec=tol))
+
+
+@builtin("$cohortRetention", 1)
+def _t_cohorts(ip, env, table=NOMATCH, bucket="week"):
+    from ..operators import behavior
+    return _as_sdb(behavior.cohort_retention(
+        _table_df(table, "$cohortRetention"), bucket=_s(bucket,
+                                                       "$cohortRetention")))
+
+
+@builtin("$mergeLatest", 4)
+def _t_merge_latest(ip, env, base=NOMATCH, changes=NOMATCH, key=NOMATCH,
+                    ts_col=NOMATCH):
+    from ..operators import cdc
+    return _as_sdb(cdc.merge_latest(
+        _table_df(base, "$mergeLatest"), _table_df(changes, "$mergeLatest"),
+        keys=[_s(key, "$mergeLatest")], ts_col=_s(ts_col, "$mergeLatest")))
+
+
+@builtin("$pageRank", 1)
+def _t_pagerank(ip, env, edges=NOMATCH, iters=3):
+    from ..operators import graph
+    return _as_sdb(graph.pagerank(_table_df(edges, "$pageRank"),
+                                  iters=int(_n(iters, "$pageRank"))))

@@ -112,3 +112,61 @@ def test_filter_then_get_counts(spark, tables):
                **{"$ev": tables["events"]})
     want = tables["events"].filter(F.col("value") > 100).count()
     assert got == want
+
+
+def test_decontaminate_from_rm(spark, tables):
+    src = """
+    ( $d := $db($docs);
+      $decontaminate($d[doc_id >= 20], $d[doc_id < 20], 4) )
+    """
+    out = _run(spark, src, **{"$docs": tables["documents"]})
+    assert isinstance(out, SparkDB)
+    assert set(out.df.columns) == {"doc_id", "n_hits", "contaminated"}
+    assert out.df.count() > 0
+
+
+def test_blocklist_scrub_from_rm(spark, tables):
+    out = _run(spark, "$blocklistScrub($db($docs), ['spark', 'crash'])",
+               **{"$docs": tables["documents"]})
+    assert isinstance(out, SparkDB)
+    assert "clean_text" in out.df.columns
+    with pytest.raises(RMFnError):
+        _run(spark, "$blocklistScrub($db($docs), 'spark')",
+             **{"$docs": tables["documents"]})
+
+
+def test_funnel_and_cohorts_from_rm(spark, tables):
+    out = _run(spark,
+               "$funnel($db($ev), ['view', 'click', 'purchase'], 86400)",
+               **{"$ev": tables["events"]})
+    assert isinstance(out, SparkDB)
+    rows = {r["stage"]: r["n_users"] for r in out.df.collect()}
+    assert rows[1] >= rows[2] >= rows[3]          # funnel is monotone
+    coh = _run(spark, "$cohortRetention($db($ev))",
+               **{"$ev": tables["events"]})
+    assert {"cohort_start", "period_offset", "n_active",
+            "retention"} <= set(coh.df.columns)
+
+
+def test_merge_latest_and_pagerank_from_rm(spark, tables):
+    from pyspark.sql import functions as F
+    chg = (tables["orders"].filter(F.col("o_orderkey") % 7 == 0)
+           .withColumn("_deleted", F.col("o_orderkey") % 3 == 0))
+    out = _run(spark,
+               "$mergeLatest($db($o), $db($chg), 'o_orderkey', "
+               "'o_orderdate')",
+               **{"$o": tables["orders"], "$chg": chg})
+    assert isinstance(out, SparkDB)
+    assert out.df.count() < tables["orders"].count()  # tombstones applied
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("c", "a")], ["src", "dst"])
+    pr = _run(spark, "$pageRank($db($e), 3)", **{"$e": edges})
+    ranks = {r["node"]: r["rank"] for r in pr.df.collect()}
+    assert ranks["a"] == 1_741_625_000_000
+
+
+def test_repetition_score_from_rm(spark, tables):
+    out = _run(spark, "$repetitionScore($db($docs))",
+               **{"$docs": tables["documents"]})
+    assert {"dup_ngram_frac", "top_word_frac", "keep"} <= set(out.df.columns)
