@@ -1682,18 +1682,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: top 20 nodes by rank."""
     from .operators import graph
     t = load_tables(spark, sf_dir)
-    pairs = (t["orders"].join(t["lineitem"],
-                              t["orders"].o_orderkey
-                              == t["lineitem"].l_orderkey)
-             .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-                     F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"))
-             .distinct())
+    # distinct on the INTEGER key pair (narrower shuffle), strings only
+    # after; the 2-column orders projection broadcasts into the join
+    okeys = F.broadcast(t["orders"].select("o_orderkey", "o_custkey"))
+    ipairs = (t["lineitem"].select("l_orderkey", "l_suppkey")
+              .join(okeys, F.col("l_orderkey") == F.col("o_orderkey"))
+              .select("o_custkey", "l_suppkey").distinct())
+    pairs = ipairs.select(
+        F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"))
     edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
              .unionByName(pairs.select(F.col("s").alias("src"),
                                        F.col("c").alias("dst"))))
     pr = graph.pagerank(edges, iters=3)
-    return (pr.orderBy(F.col("rank").desc(), F.col("node").asc())
-            .limit(20))
+    return _carry_release(
+        pr, pr.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20))
 
 
 def graph_pagerank_sql() -> str:
