@@ -671,3 +671,44 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
     )
     out.rm_release_cache = base.unpersist
     return out
+
+
+# -------------------------------------------------------- fuzzy string join
+
+def fuzzy_pairs_levenshtein(df: DataFrame, col: str,
+                            max_dist: int = 1) -> DataFrame:
+    """All DISTINCT value pairs within Levenshtein distance 1 (FastSS /
+    deletion-neighborhood banding): each string emits itself plus every
+    single-character deletion as signatures; any two strings at edit
+    distance <= 1 share at least one signature (substitution: delete the
+    differing position from both; insertion/deletion: the shorter string
+    IS a deletion of the longer; equality excluded by a < b). COMPLETE
+    for d=1 — the verify filter never loses a true pair. Candidate
+    volume is a bucketed equi-join on signatures (strings sharing a
+    deletion), never all-pairs; the exact levenshtein runs only on
+    candidates. Only max_dist=1 is supported (higher d needs the
+    multi-deletion neighborhood, which grows combinatorially — chain
+    this operator or use ngram_jaccard_pairs for looser matching)."""
+    if max_dist != 1:
+        raise ValueError("fuzzy_pairs_levenshtein supports max_dist=1 "
+                         "(deletion-neighborhood banding is complete "
+                         "exactly for d=1)")
+    vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull()) \
+        .distinct()
+    n = F.length("v")
+    sigs = F.concat(
+        F.array(F.col("v")),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(F.col("v").substr(F.lit(1), i - 1),
+                               F.col("v").substr(i + 1, n))))
+    exploded = vals.select("v", F.explode(sigs).alias("sig"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (a.join(b, (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.v") < F.col("b.v")))
+            .select(F.col("a.v").alias("name_a"),
+                    F.col("b.v").alias("name_b"))
+            .distinct())
+    return (cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+            .filter(F.col("dist") <= max_dist)
+            .select("name_a", "name_b", "dist"))

@@ -119,3 +119,28 @@ def test_range_search_matches_bruteforce_prefix(spark, tables):
             for r in exact.collect()
             if r["cosine"] >= 0.4 and r["qid"] != r["cid"]}
     assert got == want
+
+
+def test_fuzzy_pairs_fastss_complete_vs_bruteforce(spark, tables):
+    """Deletion-neighborhood banding must find EXACTLY the brute-force
+    edit-distance<=1 pairs over the real part names."""
+    part = tables["part"]
+    from radmapper_spark.operators import dedup
+    got = {(r["name_a"], r["name_b"]) for r in
+           dedup.fuzzy_pairs_levenshtein(part, "p_name").collect()}
+    names = [r["p_name"] for r in
+             part.select("p_name").distinct().collect()]
+    a = part.select(F.col("p_name").alias("x")).distinct()
+    b = part.select(F.col("p_name").alias("y")).distinct()
+    truth = {(r["x"], r["y"]) for r in
+             a.crossJoin(b).filter(F.col("x") < F.col("y"))
+             .filter(F.levenshtein("x", "y") <= 1).collect()}
+    assert got == truth, f"missed={truth - got} extra={got - truth}"
+    assert len(names) > 10
+
+
+def test_fuzzy_pairs_rejects_higher_distance(spark, tables):
+    import pytest as _pytest
+    from radmapper_spark.operators import dedup
+    with _pytest.raises(ValueError):
+        dedup.fuzzy_pairs_levenshtein(tables["part"], "p_name", max_dist=2)
