@@ -51,3 +51,47 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed_pair):
     agg = bl.groupBy("l_orderkey").agg(F.sum("l_quantity"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_cluster_by_produces_disjoint_file_ranges(spark, tables, tmp_path):
+    """cluster_by: each parquet file must cover a narrow value range of
+    the cluster key (footer min/max verified with pyarrow), so selective
+    reads skip most files; an unclustered write of the same data has
+    overlapping whole-range files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    ev = tables["events"].select("event_id", "ts", "user_id")
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_result(ev, clustered, cluster_by=["user_id"],
+                 cluster_partitions=8)
+    write_result(ev.repartition(8), plain)
+
+    def ranges(path):
+        out = []
+        for f in sorted(glob.glob(path + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(md.row_group(rg).column(i)
+                           for i in range(md.num_columns)
+                           if md.row_group(rg).column(i).path_in_schema
+                           == "user_id")
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    cr = sorted(ranges(clustered))
+    assert len(cr) > 1, "range repartition should produce several files"
+    # clustered: file ranges are non-overlapping (ends meet at most)
+    for (lo1, hi1), (lo2, hi2) in zip(cr, cr[1:]):
+        assert hi1 <= lo2, f"overlapping clustered ranges {cr}"
+    # plain: at least two files span overlapping ranges
+    pr = sorted(ranges(plain))
+    overlaps = sum(1 for (a, b), (c, d) in zip(pr, pr[1:]) if b > c)
+    assert overlaps > 0, "control write unexpectedly clustered"
+    # and the data is unchanged
+    assert spark.read.parquet(clustered).count() == ev.count()
