@@ -164,3 +164,88 @@ def test_dedup_stack_50k_docs(spark, tmp_path_factory):
     print(f"  dedup_groups: {n_groups} components in {t_groups:.1f}s")
     assert recall >= 0.97
     assert t_pairs < 300 and t_groups < 300
+
+
+def test_cdc_merge_2m(spark, big_events):
+    """2M-row latest-wins merge: the max-struct reduce must stay a single
+    key shuffle with map-side partials at 20x bench scale."""
+    from radmapper_spark.operators import cdc
+    base = big_events.select("event_id", "ts",
+                             F.col("event_type").alias("status"))
+    changes = (base.filter(F.col("event_id") % 5 == 0)
+               .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 DAY"))
+               .withColumn("status", F.lit("updated"))
+               .withColumn("_deleted", F.col("event_id") % 25 == 0))
+    t0 = time.time()
+    out = cdc.merge_latest(base, changes, keys=["event_id"], ts_col="ts")
+    n = out.count()
+    dt = time.time() - t0
+    print(f"\ncdc_merge 2M: {n} rows in {dt:.1f}s")
+    assert n == N_EVENTS - N_EVENTS // 25     # tombstones removed
+    assert dt < 120
+
+
+def test_funnel_2m(spark, big_events):
+    """Funnel at 2M events / 5k users: one user partitioning, join-free."""
+    from radmapper_spark.operators import behavior
+    t0 = time.time()
+    out = behavior.funnel_stages(
+        big_events, ["view", "click", "purchase"],
+        tolerance_sec=86400).collect()
+    dt = time.time() - t0
+    ns = {r["stage"]: r["n_users"] for r in out}
+    print(f"\nfunnel 2M: {ns} in {dt:.1f}s")
+    assert ns[1] >= ns[2] >= ns[3] > 0
+    assert dt < 120
+
+
+def test_pagerank_200k_edges(spark):
+    """PageRank on a 200k-edge synthetic graph: 3 iterations must stay
+    minutes-free (lineage persisted, broadcast rank table)."""
+    from radmapper_spark.operators import graph
+    n_edges, n_nodes = 200_000, 20_000
+    e = (spark.range(n_edges).select(
+        F.concat(F.lit("n"), F.pmod(F.xxhash64("id"), n_nodes))
+        .alias("src"),
+        F.concat(F.lit("n"), F.pmod(F.xxhash64("id", F.lit(1)), n_nodes))
+        .alias("dst"))
+        .filter(F.col("src") != F.col("dst")))
+    t0 = time.time()
+    pr = graph.pagerank(e, iters=3)
+    n = pr.count()
+    s = pr.agg(F.min("rank")).first()[0]
+    dt = time.time() - t0
+    rel = getattr(pr, "rm_release_cache", None)
+    if rel:
+        rel()
+    print(f"\npagerank 200k edges: {n} nodes, min rank {s}, {dt:.1f}s")
+    assert n > 0 and s > 0
+    assert dt < 120
+
+
+def test_decontam_200k_docs(spark, tmp_path_factory):
+    """Decontamination at 200k synthetic docs vs a 1k-doc benchmark:
+    hashed-gram broadcast join must stay linear in the corpus."""
+    from radmapper_spark.operators import decontam
+    path = str(tmp_path_factory.mktemp("decon") / "docs")
+    words = F.array(*[F.lit(w) for w in
+                      "alpha beta gamma delta epsilon zeta eta theta "
+                      "iota kappa lamda mu".split()])
+    (spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[
+            F.element_at(words,
+                         (F.pmod(F.xxhash64("id", F.lit(i)), 12) + 1)
+                         .cast("int"))
+            for i in range(30)]).alias("text"))
+     .write.mode("overwrite").parquet(path))
+    docs = spark.read.parquet(path)
+    bench = docs.filter(F.col("doc_id") < 1_000)
+    corpus = docs.filter(F.col("doc_id") >= 1_000)
+    t0 = time.time()
+    out = decontam.decontaminate(corpus, bench, n=8)
+    n_contam = out.filter(F.col("contaminated")).count()
+    dt = time.time() - t0
+    print(f"\ndecontam 200k docs: {n_contam} contaminated in {dt:.1f}s")
+    assert out.count() == 199_000
+    assert dt < 120
