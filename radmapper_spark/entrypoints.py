@@ -1416,6 +1416,34 @@ def stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.histogram(ev, "event_type", "value", bin_width=25.0)
 
 
+def stats_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Tukey-fence (1.5 IQR) outlier summary — exact
+    quartiles, broadcast bounds join, map-side outlier count."""
+    from .operators import profiling
+    ev = load_tables(spark, sf_dir)["events"]
+    return profiling.iqr_outliers(ev, "event_type", "value")
+
+
+def stats_outliers_sql() -> str:
+    return """
+    WITH b AS (SELECT event_type,
+                      quantile_cont(value, 0.25) AS q1,
+                      quantile_cont(value, 0.75) AS q3
+               FROM events GROUP BY event_type)
+    SELECT e.event_type, count(*) AS n,
+           sum(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                      OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           round(sum(CASE WHEN e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+                            OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+                          THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6)
+               AS outlier_frac,
+           round(any_value(b.q1), 6) AS q1, round(any_value(b.q3), 6) AS q3
+    FROM events e JOIN b USING(event_type)
+    GROUP BY e.event_type
+    """
+
+
 def stats_histogram_sql() -> str:
     return """
     SELECT event_type, floor(value / 25.0)::BIGINT AS bin,
@@ -2147,7 +2175,6 @@ ENTRIES: dict = {
         headline.top_customer_per_nation_sql),
     # RM language on Spark
     "rm_datalog_join": (rm_datalog_join, rm_datalog_join_sql),
-    "rm_express_reduce": (rm_express_reduce, rm_express_reduce_sql),
     "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     "rm_table_paths": (rm_table_paths, rm_table_paths_sql),
     # dedup
@@ -2176,6 +2203,7 @@ ENTRIES: dict = {
     # distribution profiling
     "stats_profile": (stats_profile, stats_profile_sql),
     "stats_histogram": (stats_histogram, stats_histogram_sql),
+    "stats_outliers": (stats_outliers, stats_outliers_sql),
     # sessionization / analytic windows / pivot / grouping sets
     "temporal_sessionize": (temporal_sessionize, temporal_sessionize_sql),
     "window_battery": (window_battery, window_battery_sql),
@@ -2220,6 +2248,7 @@ ENTRIES: dict = {
     "events_by_type": (lambda s, d: headline.events_by_type(load_tables(s, d)),
                        headline.events_by_type_sql),
     "rm_express_map": (rm_express_map, rm_express_map_sql),
+    "rm_express_reduce": (rm_express_reduce, rm_express_reduce_sql),
     "multimodal_features": (multimodal_features, multimodal_features_sql),
     "pipeline_corpus_clean": (pipeline_corpus_clean, pipeline_corpus_clean_sql),
     "dedup_token_jaccard": (dedup_token_jaccard, dedup_token_jaccard_sql),

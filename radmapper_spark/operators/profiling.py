@@ -70,3 +70,32 @@ def source_mixture(docs: DataFrame, group_col: str = "source",
             .select(group_col, "n_docs", "n_tokens",
                     F.round(F.col("n_tokens") / F.col("_tot"), 9)
                     .alias("weight")))
+
+
+def iqr_outliers(df: DataFrame, group_col: str, value_col: str,
+                 k: float = 1.5) -> DataFrame:
+    """Per-group IQR outlier summary: exact quartiles, Tukey fences at
+    k*IQR, and the count/fraction of rows outside them — the standard
+    distribution-drift tripwire. The tiny per-group bounds frame is
+    broadcast back onto the fact scan (one exact-percentile shuffle + one
+    map-side count; for 100 TB profiles swap percentile for the
+    approx_percentile sketch exactly as in group_quantiles)."""
+    bounds = (df.groupBy(group_col)
+              .agg(F.expr(f"percentile({value_col}, 0.25)").alias("_q1"),
+                   F.expr(f"percentile({value_col}, 0.75)").alias("_q3")))
+    lo = F.col("_q1") - k * (F.col("_q3") - F.col("_q1"))
+    hi = F.col("_q3") + k * (F.col("_q3") - F.col("_q1"))
+    b = bounds.select(group_col, lo.alias("_lo"), hi.alias("_hi"),
+                      "_q1", "_q3")
+    out = (df.join(F.broadcast(b), group_col)
+           .groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.when((F.col(value_col) < F.col("_lo"))
+                             | (F.col(value_col) > F.col("_hi")), 1)
+                      .otherwise(0)).alias("n_outliers"),
+                F.first("_q1").alias("q1d"), F.first("_q3").alias("q3d")))
+    return out.select(
+        group_col, "n", "n_outliers",
+        F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_frac"),
+        F.round(F.col("q1d"), 6).alias("q1"),
+        F.round(F.col("q3d"), 6).alias("q3"))

@@ -45,3 +45,16 @@ def test_histogram_mass_and_edges(tables):
               .filter((F.col("value") >= F.col("bin_lo"))
                       & (F.col("value") < F.col("bin_lo") + 25.0)))
     assert joined.select("event_id").distinct().count() == ev.count()
+
+
+def test_iqr_outliers_planted(spark):
+    """Planted distribution: quartiles and the single outlier are exact."""
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import profiling
+    rows = [("a", float(v)) for v in range(1, 12)] + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = profiling.iqr_outliers(df, "g", "v").collect()[0]
+    assert out["n"] == 12
+    assert out["n_outliers"] == 1           # the 1000.0
+    assert out["q1"] == 3.75 and out["q3"] == 9.25
+    assert abs(out["outlier_frac"] - round(1 / 12, 6)) < 1e-9
