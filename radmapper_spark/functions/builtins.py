@@ -1262,3 +1262,45 @@ def _t_pagerank(ip, env, edges=NOMATCH, iters=3):
     from ..operators import graph
     return _as_sdb(graph.pagerank(_table_df(edges, "$pageRank"),
                                   iters=int(_n(iters, "$pageRank"))))
+
+
+@builtin("$annTopK", 3)
+def _t_ann_topk(ip, env, corpus=NOMATCH, queries=NOMATCH, k=NOMATCH):
+    from ..operators import similarity
+    return _as_sdb(similarity.brute_force_topk(
+        _table_df(corpus, "$annTopK"), _table_df(queries, "$annTopK"),
+        k=int(_n(k, "$annTopK"))))
+
+
+@builtin("$rangeSearch", 3)
+def _t_range_search(ip, env, corpus=NOMATCH, queries=NOMATCH,
+                    threshold=NOMATCH):
+    from ..operators import similarity
+    return _as_sdb(similarity.range_search(
+        _table_df(corpus, "$rangeSearch"),
+        _table_df(queries, "$rangeSearch"),
+        threshold=float(_n(threshold, "$rangeSearch"))))
+
+
+@builtin("$mixtureSample", 4)
+def _t_mixture_sample(ip, env, table=NOMATCH, group=NOMATCH,
+                      rates=NOMATCH, id_col=NOMATCH):
+    from ..operators import sampling
+    return _as_sdb(sampling.mixture_sample(
+        _table_df(table, "$mixtureSample"), _s(group, "$mixtureSample"),
+        _table_df(rates, "$mixtureSample"), _s(id_col, "$mixtureSample")))
+
+
+@builtin("$iqrOutliers", 3)
+def _t_iqr_outliers(ip, env, table=NOMATCH, group=NOMATCH, value=NOMATCH):
+    from ..operators import profiling
+    return _as_sdb(profiling.iqr_outliers(
+        _table_df(table, "$iqrOutliers"), _s(group, "$iqrOutliers"),
+        _s(value, "$iqrOutliers")))
+
+
+@builtin("$fuzzyPairs", 2)
+def _t_fuzzy_pairs(ip, env, table=NOMATCH, col=NOMATCH):
+    from ..operators import dedup
+    return _as_sdb(dedup.fuzzy_pairs_levenshtein(
+        _table_df(table, "$fuzzyPairs"), _s(col, "$fuzzyPairs")))

@@ -170,3 +170,26 @@ def test_repetition_score_from_rm(spark, tables):
     out = _run(spark, "$repetitionScore($db($docs))",
                **{"$docs": tables["documents"]})
     assert {"dup_ngram_frac", "top_word_frac", "keep"} <= set(out.df.columns)
+
+
+def test_similarity_and_profiling_builtins(spark, tables):
+    q = ("( $e := $db($emb); $q := $db($qv); $annTopK($e, $q, 3) )")
+    from pyspark.sql import functions as F
+    qv = (tables["embeddings"].orderBy("vec_id").limit(2)
+          .select(F.col("vec_id").alias("qid"), "embedding"))
+    out = _run(spark, q, **{"$emb": tables["embeddings"], "$qv": qv})
+    assert out.df.count() == 6                  # 2 queries x k=3
+    rs = _run(spark, "$rangeSearch($db($emb), $db($qv), 0.4)",
+              **{"$emb": tables["embeddings"], "$qv": qv})
+    assert {"qid", "cid", "cosine"} == set(rs.df.columns)
+    oz = _run(spark, "$iqrOutliers($db($ev), 'event_type', 'value')",
+              **{"$ev": tables["events"]})
+    assert "outlier_frac" in oz.df.columns
+    fz = _run(spark, "$fuzzyPairs($db($part), 'p_name')",
+              **{"$part": tables["part"]})
+    assert {"name_a", "name_b", "dist"} == set(fz.df.columns)
+    rates = spark.createDataFrame([("src0", 1.0)], ["source", "rate"])
+    mx = _run(spark, "$mixtureSample($db($docs), 'source', $db($rates), "
+                     "'doc_id')",
+              **{"$docs": tables["documents"], "$rates": rates})
+    assert mx.df.select("source").distinct().count() == 1
