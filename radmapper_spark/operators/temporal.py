@@ -63,37 +63,42 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     """
     carry = [right_ts] + list(right_cols)
     l_payload = [c for c in left.columns if c not in (on, left_ts)]
+    rtypes = dict(right.dtypes)
+    null_struct = F.lit(None).cast(
+        "struct<" + ", ".join(f"{c}: {rtypes[c]}" for c in carry) + ">")
     lrows = left.select(
         F.col(on).alias("_k"), F.col(left_ts).alias("_t"), F.lit(1).alias("_side"),
         *[F.col(c) for c in l_payload],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in carry],
+        null_struct.alias("_r"),
     )
     rrows = right.select(
         F.col(on).alias("_k"), F.col(right_ts).alias("_t"), F.lit(0).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_payload],
-        *[F.col(c).alias(f"_r_{c}") for c in carry],
+        F.struct(*[F.col(c) for c in carry]).alias("_r"),
     )
-    # carry columns in the sort: among right rows tied on (ts,), the
-    # greatest carried tuple sorts last and wins the carry-forward —
-    # deterministic tie resolution (left rows sort after ALL right rows
-    # at the same ts via _side, so inclusive semantics are unaffected)
+    # the carried columns travel as ONE struct: the carry-forward picks a
+    # whole right ROW atomically (a per-column last(ignorenulls) could
+    # stitch fields from DIFFERENT tied right rows when some carried
+    # column is NULL). The struct is also in the sort: among right rows
+    # tied on ts, the greatest carried tuple sorts last and wins —
+    # deterministic, and exactly sliced_asof_join's max-struct tie-break
+    # (left rows sort after ALL right rows at the same ts via _side, so
+    # inclusive semantics are unaffected).
     w = (Window.partitionBy("_k")
-         .orderBy(F.col("_t").asc(), F.col("_side").asc(),
-                  *[F.col(f"_r_{c}").asc() for c in carry])
+         .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = lrows.unionByName(rrows).select(
-        "*", *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
-               .alias(f"_m_{c}") for c in carry])
+        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_m"))
     out = carried.filter(F.col("_side") == 1)
     if tolerance_sec is not None:
         in_tol = (F.unix_timestamp(F.col("_t"))
-                  - F.unix_timestamp(F.col(f"_m_{right_ts}"))) <= F.lit(tolerance_sec)
+                  - F.unix_timestamp(F.col("_m")[right_ts])) <= F.lit(tolerance_sec)
         out = out.select(
             "_k", "_t", *l_payload,
-            *[F.when(in_tol, F.col(f"_m_{c}")).alias(f"_m_{c}") for c in carry])
+            F.when(in_tol, F.col("_m")).alias("_m"))
     return out.select(
         F.col("_k").alias(on), F.col("_t").alias(left_ts), *l_payload,
-        *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in carry])
+        *[F.col("_m")[c].alias(f"{c}{suffix}") for c in carry])
 
 
 def sliced_asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -118,6 +123,9 @@ def sliced_asof_join(left: DataFrame, right: DataFrame, on: str,
     sl = F.lit(int(slice_sec)).cast("long")
     carry = [right_ts] + list(right_cols)
     l_payload = [c for c in left.columns if c not in (on, left_ts)]
+    rtypes = dict(right.dtypes)
+    null_struct = F.lit(None).cast(
+        "struct<" + ", ".join(f"{c}: {rtypes[c]}" for c in carry) + ">")
     # synthetic unique row id: the carry-in path groupBys unmatched left
     # rows on (key, ts, slice, payload), which would collapse
     # fully-duplicate left rows — the id keeps each physical row a group
@@ -126,58 +134,53 @@ def sliced_asof_join(left: DataFrame, right: DataFrame, on: str,
         F.lit(1).alias("_side"),
         F.monotonically_increasing_id().alias("_rid"),
         *[F.col(c) for c in l_payload],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
-          for c in carry])
+        null_struct.alias("_r"))
     rrows = right.select(
         F.col(on).alias("_k"), F.col(right_ts).alias("_t"),
         F.lit(0).alias("_side"),
         F.lit(None).cast("long").alias("_rid"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in l_payload],
-        *[F.col(c).alias(f"_r_{c}") for c in carry])
+        F.struct(*[F.col(c) for c in carry]).alias("_r"))
     both = lrows.unionByName(rrows).withColumn(
         "_slice", F.floor(F.unix_timestamp(F.col("_t")).cast("long") / sl))
-    # same deterministic tie ordering as asof_join: carried columns in the
-    # in-slice sort so duplicate (key, ts) right rows resolve to the max
-    # carried tuple — consistent with the carry-in max-struct below
+    # the carried columns travel as ONE struct (atomic whole-row pick,
+    # same as asof_join) and the struct is in the in-slice sort, so
+    # duplicate (key, ts) right rows resolve to the max carried tuple —
+    # consistent with the carry-in max-struct below
     w = (Window.partitionBy("_k", "_slice")
-         .orderBy(F.col("_t").asc(), F.col("_side").asc(),
-                  *[F.col(f"_r_{c}").asc() for c in carry])
+         .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = both.select(
-        "*", *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w)
-               .alias(f"_m_{c}") for c in carry])
+        "*", F.last(F.col("_r"), ignorenulls=True).over(w).alias("_m"))
     lefts = carried.filter(F.col("_side") == 1)
 
     # per-(key, slice) last right row -> running last over earlier slices
+    # (the struct's first field IS right_ts, so max(_r) orders by ts
+    # first — identical tie-break to the in-slice window)
     last_in_slice = (rrows.withColumn(
         "_slice", F.floor(F.unix_timestamp(F.col("_t")).cast("long") / sl))
         .groupBy("_k", "_slice")
-        .agg(F.max(F.struct(F.col("_t"),
-                            *[F.col(f"_r_{c}") for c in carry])).alias("_b")))
+        .agg(F.max(F.col("_r")).alias("_b")))
     # a right row in slice s is a candidate carry-in for any left slice
     # > s; the max-struct aggregation below picks the latest one, so no
     # running-last window is needed (the carry table is O(slices) rows)
     carry_tab = last_in_slice.select(
         "_k", (F.col("_slice") + 1).alias("_cslice"), F.col("_b").alias("_cb"))
-    unmatched = lefts.filter(F.col(f"_m_{right_ts}").isNull())
-    matched = lefts.filter(F.col(f"_m_{right_ts}").isNotNull())
+    unmatched = lefts.filter(F.col("_m").isNull())
+    matched = lefts.filter(F.col("_m").isNotNull())
     um = (unmatched.alias("u")
           .join(carry_tab.alias("ct"),
                 (F.col("u._k") == F.col("ct._k"))
                 & (F.col("ct._cslice") <= F.col("u._slice")), "left")
           .groupBy(*[F.col(f"u.{c}") for c in
                      ["_k", "_t", "_slice", "_rid"] + l_payload])
-          .agg(F.max(F.col("ct._cb")).alias("_cb")))
-    um_sel = um.select(
-        "_k", "_t", *l_payload,
-        *[F.col("_cb").getField("_t" if c == right_ts else f"_r_{c}")
-          .alias(f"_m_{c}") for c in carry])
-    m_sel = matched.select("_k", "_t", *l_payload,
-                           *[F.col(f"_m_{c}") for c in carry])
+          .agg(F.max(F.col("ct._cb")).alias("_m")))
+    um_sel = um.select("_k", "_t", *l_payload, "_m")
+    m_sel = matched.select("_k", "_t", *l_payload, "_m")
     out = m_sel.unionByName(um_sel)
     return out.select(
         F.col("_k").alias(on), F.col("_t").alias(left_ts), *l_payload,
-        *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in carry])
+        *[F.col("_m")[c].alias(f"{c}{suffix}") for c in carry])
 
 
 def range_join_bucketed(left: DataFrame, right: DataFrame,

@@ -286,3 +286,47 @@ def test_asof_duplicate_right_ts_deterministic(spark):
         sl = temporal.sliced_asof_join(left, right, on="k", slice_sec=600,
                                        right_cols=("rid",))
         assert sl.collect()[0]["rid_right"] == 9
+
+
+def test_asof_tied_right_rows_never_stitch_columns(spark):
+    """Tied (key, ts) right rows with NULLs in some carried column: the
+    carry must pick ONE whole row (max carried tuple), never stitch
+    fields from different tied rows (the per-column last(ignorenulls)
+    failure mode)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "x")],
+        "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 5, None),
+         (1, _ts("2024-01-01T09:00:00"), 3, 7)],
+        "k long, ts timestamp, rid long, val long")
+    out = temporal.asof_join(left, right, on="k",
+                             right_cols=("rid", "val")).collect()[0]
+    # max carried tuple (ts, rid, val) is (.., 5, NULL): rid 5 wins the
+    # tie, and val MUST be the same row's NULL — not the other row's 7
+    assert out["rid_right"] == 5
+    assert out["val_right"] is None
+
+
+def test_sliced_asof_tied_rows_never_stitch_columns(spark):
+    """Same atomic-carry guarantee for the sliced variant, both the
+    in-slice window and the cross-slice carry-in path."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "in-slice"),
+         (1, _ts("2024-01-02T10:00:00"), "carry-in")],
+        "k long, ts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 5, None),
+         (1, _ts("2024-01-01T09:00:00"), 3, 7)],
+        "k long, ts timestamp, rid long, val long")
+    out = {r["tag"]: r for r in temporal.sliced_asof_join(
+        left, right, on="k", slice_sec=86400,
+        right_cols=("rid", "val")).collect()}
+    for tag in ("in-slice", "carry-in"):
+        assert out[tag]["rid_right"] == 5, tag
+        assert out[tag]["val_right"] is None, tag
+    plain = {r["tag"]: r for r in temporal.asof_join(
+        left, right, on="k", right_cols=("rid", "val")).collect()}
+    for tag in ("in-slice", "carry-in"):
+        assert out[tag]["rid_right"] == plain[tag]["rid_right"]
+        assert out[tag]["val_right"] == plain[tag]["val_right"]
