@@ -100,3 +100,44 @@ def test_cohort_bad_bucket_raises(spark):
         "user_id long, ts timestamp, event_type string")
     with pytest.raises(ValueError):
         behavior.cohort_retention(ev, bucket="fortnight")
+
+
+def test_funnel_matches_python_twin_randomized(spark):
+    """Differential vs a pure-python twin over seeded random event
+    frames: staged-min greedy semantics, with and without tolerance."""
+    import random
+
+    base = dt.datetime(2024, 1, 1)
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        rows = [(rng.randrange(6),
+                 base + dt.timedelta(minutes=rng.randrange(10_000)),
+                 rng.choice(["view", "click", "purchase", "error"]))
+                for _ in range(400)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                         "event_type string")
+        for tol in (None, 3600 * 24):
+            got = {r["stage"]: r["n_users"] for r in behavior.funnel_stages(
+                df, ["view", "click", "purchase"],
+                tolerance_sec=tol).collect()}
+
+            def twin():
+                byu = {}
+                for u, ts, tp in rows:
+                    byu.setdefault(u, []).append((ts, tp))
+                counts = [0, 0, 0]
+                for evs in byu.values():
+                    evs.sort()
+                    prev = None
+                    for k, step in enumerate(["view", "click", "purchase"]):
+                        cand = [t for t, tp in evs if tp == step
+                                and (prev is None or t > prev)
+                                and (prev is None or tol is None
+                                     or (t - prev).total_seconds() <= tol)]
+                        if not cand:
+                            break
+                        prev = min(cand)
+                        counts[k] += 1
+                return {i + 1: c for i, c in enumerate(counts)}
+
+            assert got == twin(), f"seed={seed} tol={tol}"
