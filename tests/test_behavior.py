@@ -141,3 +141,38 @@ def test_funnel_matches_python_twin_randomized(spark):
                 return {i + 1: c for i, c in enumerate(counts)}
 
             assert got == twin(), f"seed={seed} tol={tol}"
+
+
+def test_cohorts_match_python_twin_randomized(spark):
+    """Cohort retention vs a pure-python twin on seeded random frames."""
+    import random
+
+    base = dt.datetime(2024, 1, 1)  # a Monday: week buckets align
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        rows = [(rng.randrange(8),
+                 base + dt.timedelta(hours=rng.randrange(24 * 35)),
+                 "view")
+                for _ in range(300)]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                         "event_type string")
+        got = {(r["cohort_start"], r["period_offset"]):
+               (r["n_active"], r["retention"])
+               for r in behavior.cohort_retention(df).collect()}
+
+        def wk(t):
+            d = t.date() - dt.timedelta(days=t.weekday())
+            return dt.datetime(d.year, d.month, d.day)
+
+        first = {}
+        for u, t, _ in rows:
+            first[u] = min(first.get(u, t), t)
+        cells = {}
+        for u, t, _ in rows:
+            c = wk(first[u])
+            off = int((wk(t) - c).total_seconds() // (7 * 86400))
+            cells.setdefault((c, off), set()).add(u)
+        sizes = {c: len(us) for (c, off), us in cells.items() if off == 0}
+        want = {(c, off): (len(us), round(len(us) / sizes[c], 6))
+                for (c, off), us in cells.items()}
+        assert got == want, f"seed={seed}"
