@@ -1050,6 +1050,49 @@ def temporal_rollup_sql() -> str:
 
 # =============================================================== session / window / pivot / cube
 
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-WEIGHTED average of the event value (the metric a
+    plain mean gets wrong under irregular sampling): each reading is
+    weighted by how long it was current (seconds until the user's next
+    event; the last reading has no duration and drops out). One window
+    pass on user_id + one aggregate; weighted sums run in DECIMAL with
+    integer second weights, so the result is exact and
+    partition-order-independent."""
+    from pyspark.sql import Window
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    dt_s = (F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp(F.col("ts")))
+    base = (ev.select("user_id", "value", dt_s.alias("_dt"))
+            .filter(F.col("_dt").isNotNull()))
+    agg = (base.groupBy("user_id")
+           .agg(F.sum(F.col("value").cast(DEC) * F.col("_dt"))
+                .alias("_wsum"),
+                F.sum("_dt").alias("_tsum"),
+                F.count(F.lit(1)).alias("n_intervals")))
+    return agg.select(
+        "user_id", "n_intervals",
+        F.round(F.col("_wsum").cast("double")
+                / F.col("_tsum").cast("double"), 6).alias("twap"))
+
+
+def events_twap_sql() -> str:
+    return """
+    WITH d AS (SELECT user_id, value,
+                      date_diff('second', ts,
+                                lead(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                          AS dt
+               FROM events)
+    SELECT user_id, count(*) AS n_intervals,
+           round(sum(value::DECIMAL(18,2) * dt)::DOUBLE
+                 / sum(dt)::DOUBLE, 6) AS twap
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id
+    """
+
+
 def temporal_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min): lag + cumulative-sum windows,
     one shuffle on user_id, no join. Dense per-user session_seq."""
@@ -2175,7 +2218,6 @@ ENTRIES: dict = {
         headline.top_customer_per_nation_sql),
     # RM language on Spark
     "rm_datalog_join": (rm_datalog_join, rm_datalog_join_sql),
-    "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     "rm_table_paths": (rm_table_paths, rm_table_paths_sql),
     # dedup
     "dedup_groups": (dedup_groups, dedup_groups_sql),
@@ -2231,6 +2273,8 @@ ENTRIES: dict = {
     "user_cohorts": (user_cohorts, user_cohorts_sql),
     # lakehouse upsert
     "cdc_merge": (cdc_merge, cdc_merge_sql),
+    # time-weighted analytics
+    "events_twap": (events_twap, events_twap_sql),
     # iterative graph
     "graph_pagerank": (graph_pagerank, graph_pagerank_sql),
     # mixture-weighted sampling
@@ -2243,6 +2287,7 @@ ENTRIES: dict = {
     # so the least-proven entries must sit inside that window. These 12
     # have green CORRECTNESS rows in r02-r05 and full local oracle gating
     # (tests/test_headline.py covers all entries regardless of order).
+    "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     "top_revenue_orders": (lambda s, d: headline.top_revenue_orders(load_tables(s, d)),
                            headline.top_revenue_orders_sql),
     "events_by_type": (lambda s, d: headline.events_by_type(load_tables(s, d)),

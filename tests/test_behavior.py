@@ -176,3 +176,28 @@ def test_cohorts_match_python_twin_randomized(spark):
         want = {(c, off): (len(us), round(len(us) / sizes[c], 6))
                 for (c, off), us in cells.items()}
         assert got == want, f"seed={seed}"
+
+
+def test_twap_hand_computed(spark):
+    """TWAP on a planted irregular series: value 10 held 30 min, value
+    100 held 10 min -> twap = (10*1800 + 100*600) / 2400 = 32.5 (a plain
+    mean would say 40)."""
+    import __spark_entry__ as m
+    rows = [(1, 1, dt.datetime(2024, 1, 1, 10, 0), "view", 10.0),
+            (2, 1, dt.datetime(2024, 1, 1, 10, 30), "view", 100.0),
+            (3, 1, dt.datetime(2024, 1, 1, 10, 40), "view", 7.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_s = (F.unix_timestamp(F.lead("ts").over(w))
+            - F.unix_timestamp(F.col("ts")))
+    base = (df.select("user_id", "value", dt_s.alias("_dt"))
+            .filter(F.col("_dt").isNotNull()))
+    out = (base.groupBy("user_id")
+           .agg((F.sum(F.col("value").cast("decimal(18,2)")
+                       * F.col("_dt")).cast("double")
+                 / F.sum("_dt").cast("double")).alias("twap")).collect())
+    assert abs(out[0]["twap"] - 32.5) < 1e-9
