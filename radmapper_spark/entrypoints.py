@@ -2203,22 +2203,341 @@ def sample_per_group_sql() -> str:
     """
 
 
+# ==================================== training-prep / analytics round 6b
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token windows, 8 overlap):
+    the transform between clean corpus and token shards. Map-only plan —
+    single scan + posexplode, no shuffle (see chunking.chunk_documents)."""
+    from .operators import chunking
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = chunking.chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_seq").cast("long").alias("chunk_seq"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        "chunk_text")
+
+
+def doc_chunks_sql() -> str:
+    # stride = 32 - 8 = 24; DuckDB list slice l[a:b] is 1-based inclusive,
+    # matching Spark's slice(toks, start+1, 32)
+    return r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(range(0, len(toks), 24)) AS chunk_start
+      FROM t)
+    SELECT doc_id,
+           (chunk_start / 24 + 1)::BIGINT AS chunk_seq,
+           chunk_start::BIGINT AS chunk_start,
+           len(toks[chunk_start + 1 : chunk_start + 32])::BIGINT
+               AS n_chunk_tokens,
+           array_to_string(toks[chunk_start + 1 : chunk_start + 32], ' ')
+               AS chunk_text
+    FROM e
+    """
+
+
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order packing of documents into 256-token context bins,
+    per source. Prefix-sequential recurrence as a row-local fold per
+    group (see chunking.pack_sequences); the oracle is the same greedy
+    recurrence as a recursive CTE."""
+    from .operators import chunking
+    docs = load_tables(spark, sf_dir)["documents"]
+    blank = F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    with_n = docs.select(
+        "source", "doc_id",
+        F.when(blank, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long").alias("n_tokens"))
+    return chunking.pack_sequences(with_n, capacity=256)
+
+
+def seq_pack_sql() -> str:
+    return r"""
+    WITH RECURSIVE toks AS (
+      SELECT source, doc_id,
+             least(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+                   256)::BIGINT AS n
+      FROM documents),
+    g AS (
+      SELECT source, doc_id, n,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM toks),
+    p AS (
+      SELECT source, doc_id, n, rn, 1::BIGINT AS pack_id, n AS pack_fill
+      FROM g WHERE rn = 1
+      UNION ALL
+      SELECT g.source, g.doc_id, g.n, g.rn,
+             CASE WHEN p.pack_fill + g.n <= 256 THEN p.pack_id
+                  ELSE p.pack_id + 1 END,
+             CASE WHEN p.pack_fill + g.n <= 256 THEN p.pack_fill + g.n
+                  ELSE g.n END
+      FROM g JOIN p ON g.source = p.source AND g.rn = p.rn + 1)
+    SELECT source, doc_id, n AS n_used, pack_id, pack_fill FROM p
+    """
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counting + redaction (emails / IPv4 / phone-shaped runs) with
+    an md5 witness of the scrubbed text — regex-engine parity between
+    Java regex and RE2 is exactly what the oracle checks here."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return textstats.pii_scrub(docs)
+
+
+def text_pii_scrub_sql() -> str:
+    em, ip, ph = textstats.PII_EMAIL, textstats.PII_IPV4, textstats.PII_PHONE
+    return f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{em}'))::INT AS n_emails,
+           len(regexp_extract_all(text, '{ip}'))::INT AS n_ipv4,
+           len(regexp_extract_all(text, '{ph}'))::INT AS n_phones,
+           length(regexp_replace(regexp_replace(regexp_replace(
+               text, '{em}', '[EMAIL]', 'g'),
+               '{ip}', '[IPV4]', 'g'),
+               '{ph}', '[PHONE]', 'g')) AS scrub_len,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text, '{em}', '[EMAIL]', 'g'),
+               '{ip}', '[IPV4]', 'g'),
+               '{ph}', '[PHONE]', 'g')) AS scrub_hash
+    FROM documents
+    """
+
+
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: per term, doc frequency + capped ascending posting
+    list (first 20 doc ids, comma-joined). One explode + one groupBy."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return textstats.inverted_index(docs, min_df=2, postings_cap=20)
+
+
+def text_inverted_index_sql() -> str:
+    return """
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       t -> t <> '')) AS term
+            FROM documents)),
+    agg AS (
+      SELECT term, count(*)::BIGINT AS n_docs,
+             list_sort(list(doc_id)) AS post
+      FROM pairs GROUP BY term)
+    SELECT term, n_docs,
+           array_to_string(list_transform(post[1:20], d -> d::VARCHAR), ',')
+               AS postings
+    FROM agg WHERE n_docs >= 2
+    """
+
+
+BM25_QUERY = ["spark", "join", "filter", "vector"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for a fixed query-term bag. Integer micro-score
+    ranking (each per-term partial rounded once, summed as BIGINT) makes
+    the top-k cut engine-exact; see textstats.bm25_score."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return textstats.bm25_score(docs, BM25_QUERY, k1=BM25_K1, b=BM25_B,
+                                top_k=20)
+
+
+def text_bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         t -> t <> '') AS toks
+      FROM documents),
+    tf AS (
+      SELECT doc_id, dl, term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+      WHERE term IN ({terms})
+      GROUP BY doc_id, dl, term),
+    dfreq AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf
+      GROUP BY term),
+    corpus AS (
+      SELECT count(*)::BIGINT AS n, sum(len(toks))::BIGINT AS tok_total
+      FROM base),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((corpus.n::DOUBLE - dfreq.df + 0.5) / (dfreq.df + 0.5)
+                  + 1.0)
+               * (tf.tf::DOUBLE * ({BM25_K1} + 1.0))
+               / (tf.tf::DOUBLE + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                  * tf.dl::DOUBLE
+                  / (corpus.tok_total::DOUBLE / corpus.n::DOUBLE)))
+               * 1e6) AS BIGINT) AS micro
+      FROM tf JOIN dfreq USING (term) CROSS JOIN corpus),
+    per_doc AS (
+      SELECT doc_id, sum(micro)::BIGINT AS tot_micro,
+             count(*)::BIGINT AS n_terms_hit
+      FROM scored GROUP BY doc_id)
+    SELECT row_number() OVER (ORDER BY tot_micro DESC, doc_id ASC)
+               AS rank,
+           doc_id, n_terms_hit, tot_micro::DOUBLE / 1e6 AS bm25
+    FROM per_doc
+    ORDER BY tot_micro DESC, doc_id ASC
+    LIMIT 20
+    """
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd assignment step over the embeddings table
+    (centroids = vec_id < 8), integer-scaled squared-L2 distances; the
+    hot per-iteration plan of distributed k-means (broadcast centroids,
+    map-side min-struct). See similarity.kmeans_assign."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return similarity.kmeans_assign(emb, k=8)
+
+
+def embedding_kmeans_sql() -> str:
+    return """
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(
+                 list_zip(e.embedding, c.cvec),
+                 p -> CAST(floor((p[1]::DOUBLE - p[2]::DOUBLE)
+                                 * (p[1]::DOUBLE - p[2]::DOUBLE)
+                                 * 1e9) AS BIGINT)))::BIGINT AS dist
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist ASC, cid ASC) AS rn
+      FROM d)
+    SELECT vec_id, cid AS cluster, dist AS dist_scaled
+    FROM best WHERE rn = 1
+    """
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily grid with zero-filled day totals and exact
+    decimal cumulative totals (see temporal.gapfill_daily)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return temporal.gapfill_daily(ev)
+
+
+def events_gapfill_sql() -> str:
+    return """
+    WITH obs AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             count(*)::BIGINT AS n_events,
+             sum(value::DECIMAL(18,2)) AS s
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM span),
+    f AS (
+      SELECT g.user_id, g.day,
+             coalesce(o.n_events, 0) AS n_events,
+             coalesce(o.s, 0::DECIMAL(18,2)) AS s
+      FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.day = o.day)
+    SELECT user_id, day, n_events,
+           round(s::DOUBLE, 2) AS day_total,
+           round(sum(s) OVER (PARTITION BY user_id ORDER BY day
+                              ROWS UNBOUNDED PRECEDING)::DOUBLE, 2)
+               AS cum_total
+    FROM f
+    """
+
+
+def event_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (see behavior.event_transitions)."""
+    from .operators import behavior
+    ev = load_tables(spark, sf_dir)["events"]
+    return behavior.event_transitions(ev)
+
+
+def event_markov_sql() -> str:
+    return """
+    WITH p AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    c AS (
+      SELECT from_type, to_type, count(*)::BIGINT AS n
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           round(n::DOUBLE / sum(n) OVER (PARTITION BY from_type)::DOUBLE,
+                 6) AS prob
+    FROM c
+    """
+
+
+def events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags against the previous 20 events per
+    user, integer-sum rolling stats (see behavior.rolling_anomalies)."""
+    from .operators import behavior
+    ev = load_tables(spark, sf_dir)["events"]
+    return behavior.rolling_anomalies(ev, lookback=20, z_threshold=3.0)
+
+
+def events_anomalies_sql() -> str:
+    return """
+    WITH b AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(floor(value * 1e6) AS BIGINT) AS sv
+      FROM events),
+    s AS (
+      SELECT event_id, user_id, ts, value, sv,
+             count(sv) OVER w AS n,
+             sum(sv) OVER w AS s1,
+             sum(sv::DECIMAL(38,0) * sv) OVER w AS s2
+      FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+    z AS (
+      SELECT event_id, user_id, ts, value,
+             round((sv::DOUBLE - s1::DOUBLE / n)
+                   / sqrt(greatest(s2::DOUBLE / n
+                                   - (s1::DOUBLE / n) * (s1::DOUBLE / n),
+                                   0.0)), 6) AS zscore
+      FROM s
+      WHERE n >= 2 AND s2 * n <> s1::DECIMAL(38,0) * s1)
+    SELECT event_id, user_id, ts, value, zscore
+    FROM z WHERE abs(zscore) > 3.0
+    """
+
+
 # =============================================================== registry
 
 ENTRIES: dict = {
     # headline relational plans
     "pricing_summary": (lambda s, d: headline.pricing_summary(load_tables(s, d)),
                         headline.pricing_summary_sql),
-    "region_nation_revenue": (lambda s, d: headline.region_nation_revenue(load_tables(s, d)),
-                              headline.region_nation_revenue_sql),
-    "large_orders": (lambda s, d: headline.large_orders(load_tables(s, d)),
-                     headline.large_orders_sql),
-    "top_customer_per_nation": (
-        lambda s, d: headline.top_customer_per_nation(load_tables(s, d)),
-        headline.top_customer_per_nation_sql),
-    # RM language on Spark
-    "rm_datalog_join": (rm_datalog_join, rm_datalog_join_sql),
-    "rm_table_paths": (rm_table_paths, rm_table_paths_sql),
+    # training-prep round 6b (newest first inside the driver's window)
+    "doc_chunks": (doc_chunks, doc_chunks_sql),
+    "seq_pack": (seq_pack, seq_pack_sql),
+    "text_pii_scrub": (text_pii_scrub, text_pii_scrub_sql),
+    "text_inverted_index": (text_inverted_index, text_inverted_index_sql),
+    "text_bm25": (text_bm25, text_bm25_sql),
+    "embedding_kmeans": (embedding_kmeans, embedding_kmeans_sql),
+    "events_gapfill": (events_gapfill, events_gapfill_sql),
+    "event_markov": (event_markov, event_markov_sql),
+    "events_anomalies": (events_anomalies, events_anomalies_sql),
     # dedup
     "dedup_groups": (dedup_groups, dedup_groups_sql),
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_sql),
@@ -2229,21 +2548,15 @@ ENTRIES: dict = {
     "ann_ivf_topk": (ann_ivf_topk, ann_ivf_topk_sql),
     "ann_pq_topk": (ann_pq_topk, ann_pq_topk_sql),
     "embedding_quantize": (embedding_quantize, embedding_quantize_sql),
-    # skew handling
-    "skew_salted_join": (skew_salted_join, skew_salted_join_sql),
-    "skew_salted_agg": (skew_salted_agg, skew_salted_agg_sql),
     # temporal joins / rollups
     "temporal_asof_join": (temporal_asof_join, temporal_asof_join_sql),
     "temporal_range_join": (temporal_range_join, temporal_range_join_sql),
     "temporal_rollup": (temporal_rollup, temporal_rollup_sql),
-    # deterministic sampling / splits
-    "dataset_split": (dataset_split, dataset_split_sql),
     # vocabulary / tf-idf
     "text_vocabulary": (text_vocabulary, text_vocabulary_sql),
     "text_tfidf": (text_tfidf, text_tfidf_sql),
     "text_bigram_pmi": (text_bigram_pmi, text_bigram_pmi_sql),
     # distribution profiling
-    "stats_profile": (stats_profile, stats_profile_sql),
     "stats_histogram": (stats_histogram, stats_histogram_sql),
     "stats_outliers": (stats_outliers, stats_outliers_sql),
     # sessionization / analytic windows / pivot / grouping sets
@@ -2282,11 +2595,25 @@ ENTRIES: dict = {
     # fuzzy matching / customer value tiers
     "fuzzy_part_names": (fuzzy_part_names, fuzzy_part_names_sql),
     "customer_deciles": (customer_deciles, customer_deciles_sql),
-    # --- long-stable entries (driver-green since rounds 2-3) kept LAST:
+    # --- long-stable entries (driver-green for 2+ rounds) kept LAST:
     # the driver's correctness gate checks the first 50 registered entries,
-    # so the least-proven entries must sit inside that window. These 12
-    # have green CORRECTNESS rows in r02-r05 and full local oracle gating
-    # (tests/test_headline.py covers all entries regardless of order).
+    # so the least-proven entries must sit inside that window. Everything
+    # below has green CORRECTNESS rows in r02-r05 and full local oracle
+    # gating (tests/test_headline.py covers all entries regardless of
+    # order).
+    "region_nation_revenue": (lambda s, d: headline.region_nation_revenue(load_tables(s, d)),
+                              headline.region_nation_revenue_sql),
+    "large_orders": (lambda s, d: headline.large_orders(load_tables(s, d)),
+                     headline.large_orders_sql),
+    "top_customer_per_nation": (
+        lambda s, d: headline.top_customer_per_nation(load_tables(s, d)),
+        headline.top_customer_per_nation_sql),
+    "rm_datalog_join": (rm_datalog_join, rm_datalog_join_sql),
+    "rm_table_paths": (rm_table_paths, rm_table_paths_sql),
+    "skew_salted_join": (skew_salted_join, skew_salted_join_sql),
+    "skew_salted_agg": (skew_salted_agg, skew_salted_agg_sql),
+    "dataset_split": (dataset_split, dataset_split_sql),
+    "stats_profile": (stats_profile, stats_profile_sql),
     "rm_nested_docs": (rm_nested_docs, rm_nested_docs_sql),
     "top_revenue_orders": (lambda s, d: headline.top_revenue_orders(load_tables(s, d)),
                            headline.top_revenue_orders_sql),

@@ -98,3 +98,78 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
             .select("cohort_start", "period_offset", "n_active",
                     F.round(F.col("n_active") / F.col("_n0"), 6)
                     .alias("retention")))
+
+
+def event_transitions(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type, to_type) pair of CONSECUTIVE events
+    of the same user, the transition count and row-normalized
+    probability.  The sequence order is (ts, event_id) — the id
+    tiebreak makes simultaneous events deterministic.
+
+    Plan: one window shuffle on user (lead) -> one map-side-partial
+    groupBy on the pair -> the per-from totals folded back with a
+    second small aggregate joined on from_type (|event types| rows —
+    broadcast).  The probability is a single integer division rounded
+    once, so it is bit-identical across engines.
+    """
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    pairs = (events
+             .select(F.col(type_col).alias("from_type"),
+                     F.lead(type_col).over(w).alias("to_type"))
+             .filter(F.col("to_type").isNotNull()))
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n").alias("_tot"))
+    return (counts.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("_tot"), 6).alias("prob")))
+
+
+def rolling_anomalies(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", val_col: str = "value",
+                      id_col: str = "event_id", lookback: int = 20,
+                      z_threshold: float = 3.0) -> DataFrame:
+    """Rolling z-score anomaly flags: each event's value against the
+    mean/std of the user's previous ``lookback`` events (the current row
+    EXCLUDED — an anomaly must not dilute its own baseline).  Rows with
+    fewer than 2 prior events have no defined std and are never flagged.
+
+    Determinism at the bit level: the rolling mean/variance are computed
+    from integer sums — each value is scaled to micro-units with
+    floor(v * 1e6) (floor, not round: no rounding-mode divergence
+    between engines) and the window sums run over BIGINT /
+    DECIMAL(38,0), so the double math happens exactly once per row on
+    exact integer inputs.  One window shuffle on user; emits only the
+    flagged rows.
+    """
+    w = (Window.partitionBy(user_col)
+         .orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+         .rowsBetween(-lookback, -1))
+    sv = F.floor(F.col(val_col) * 1e6).cast("long")
+    base = events.select(
+        F.col(id_col), F.col(user_col), F.col(ts_col), F.col(val_col),
+        sv.alias("_sv"),
+        (sv.cast("decimal(38,0)") * sv).alias("_sv2"))
+    n = F.count("_sv").over(w)
+    s1 = F.sum("_sv").over(w)
+    s2 = F.sum("_sv2").over(w)
+    stats = base.select(
+        id_col, user_col, ts_col, val_col,
+        "_sv", n.alias("_n"), s1.alias("_s1"), s2.alias("_s2"))
+    nn = F.col("_n").cast("double")
+    mean = F.col("_s1").cast("double") / nn
+    var = (F.col("_s2").cast("double") / nn) - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("_sv").cast("double") - mean) / std
+    return (stats
+            .filter((F.col("_n") >= 2) & (F.col("_s2") * F.col("_n")
+                                          != F.col("_s1").cast("decimal(38,0)")
+                                          * F.col("_s1")))
+            .select(id_col, user_col, ts_col, val_col,
+                    F.round(z / 1.0, 6).alias("zscore"))
+            .filter(F.abs(F.col("zscore")) > z_threshold))

@@ -455,3 +455,46 @@ def dequantize_error(emb: DataFrame, vec_col: str = "embedding",
         lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale"))))
     return j.select(F.col(id_col), F.round(err, 9).alias("max_err"),
                     F.round(F.col("scale") / 2, 9).alias("bound"))
+
+
+def kmeans_assign(emb: DataFrame, k: int = 8,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """One deterministic Lloyd assignment step: centroids are the k
+    vectors with the smallest ids (a fixed, engine-independent seeding —
+    the point of this entry is the ASSIGNMENT plan, which is the hot
+    per-iteration step of distributed k-means), every vector goes to its
+    nearest centroid by squared L2.
+
+    Cross-engine determinism: each squared per-dimension difference is
+    scaled to an integer with floor(d * 1e9) and the distance is the
+    BIGINT sum of those — no float accumulation order anywhere; argmin
+    breaks ties on the lower centroid id via a min-over-struct on
+    (dist, centroid).
+
+    Plan: the k centroid rows are a broadcast side of a crossJoin (k
+    rows — a Lloyd iteration at 100 TB broadcasts its centroid table
+    exactly like this); the corpus scan computes k integer distances
+    per row and ONE map-side min-struct groupBy per vector. Output:
+    (vec_id, cluster, dist_scaled).
+    """
+    cents = (emb.filter(F.col(id_col) < k)
+             .select(F.col(id_col).alias("_cid"),
+                     F.col(vec_col).alias("_cvec")))
+    dist = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("_cvec"),
+                   lambda x, y: F.floor(
+                       (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double")) * 1e9)
+                   .cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = (emb.select(id_col, vec_col)
+              .crossJoin(F.broadcast(cents))
+              .select(F.col(id_col),
+                      F.struct(dist.alias("d"),
+                               F.col("_cid").alias("c")).alias("_dc")))
+    best = scored.groupBy(id_col).agg(F.min("_dc").alias("_best"))
+    return best.select(
+        F.col(id_col),
+        F.col("_best.c").alias("cluster"),
+        F.col("_best.d").alias("dist_scaled"))

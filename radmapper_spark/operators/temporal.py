@@ -371,3 +371,48 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
     seq = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return events.withColumn("session_seq", seq)
+
+
+def gapfill_daily(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", val_col: str = "value") -> DataFrame:
+    """Regularize an irregular event stream onto a dense per-user DAILY
+    grid: every day between the user's first and last event gets a row,
+    with the day's event count, the day's decimal value total (0 on gap
+    days), and the running cumulative total.
+
+    Plan shape: one groupBy on (user, day) for the observed totals ->
+    one tiny per-user min/max aggregate -> the grid generated with
+    ``sequence`` + explode (the generator runs distributed, one row per
+    user BEFORE the explode — no driver loop, no cross join against a
+    calendar table) -> left join observed onto the grid (both sides
+    pre-partitioned on user from their aggregates) -> cumulative window.
+    All sums are DECIMAL, so gap-filled cumulative totals are exact and
+    partition-order-independent.  Scale: output is |users| x |days| —
+    at 100 TB you bound the grid with an explicit date range; grid rows
+    carry only (user, day) so the explode is bytes-cheap.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    observed = (events
+                .groupBy(F.col(user_col).alias("user_id"),
+                         day.alias("day"))
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.sum(F.col(val_col).cast(DEC)).alias("_day_sum")))
+    span = observed.groupBy("user_id").agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("_d0"), F.col("_d1"),
+            F.expr("INTERVAL 1 DAY"))).alias("day"))
+    filled = (grid.join(observed, ["user_id", "day"], "left")
+              .select("user_id", "day",
+                      F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                      F.coalesce(F.col("_day_sum"),
+                                 F.lit(0).cast(DEC)).alias("_day_sum")))
+    w = (Window.partitionBy("user_id").orderBy(F.col("day").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return filled.select(
+        "user_id", "day", "n_events",
+        F.round(F.col("_day_sum").cast("double"), 2).alias("day_total"),
+        F.round(F.sum("_day_sum").over(w).cast("double"), 2)
+        .alias("cum_total"))

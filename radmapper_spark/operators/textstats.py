@@ -326,3 +326,135 @@ def repetition_score(docs: DataFrame, text_col: str = "text",
         F.round(top_frac, 6).alias("top_word_frac"),
         ((dup_frac <= dup_ngram_max) & (top_frac <= top_word_max))
         .alias("keep"))
+
+
+# ----------------------------------------------------------- PII scrub
+
+# Patterns chosen to be lookahead-free so the SAME pattern runs in Java
+# regex (Spark) and RE2 (DuckDB oracle). Order of application matters and
+# is fixed: emails first (their digits must not feed the phone pattern),
+# then IPv4 (dotted digits), then phone runs (no dots in the class, so a
+# redacted [IPV4] cannot re-match).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """PII redaction pass: count and redact emails, IPv4 addresses and
+    phone-number-shaped digit runs.  Counts are taken on the ORIGINAL
+    text; replacements are applied in the fixed order documented above.
+    Emits (doc_id, n_emails, n_ipv4, n_phones, scrub_len, scrub_hash)
+    where scrub_hash is the md5 of the scrubbed text — enough for an
+    engine-exact equality check without hauling full text through the
+    comparator.  Map-only single scan, all regexes JVM-side."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "[EMAIL]"),
+            PII_IPV4, "[IPV4]"),
+        PII_PHONE, "[PHONE]")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ipv4"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.length(scrubbed).alias("scrub_len"),
+        F.md5(scrubbed.cast("binary")).alias("scrub_hash"))
+
+
+# ----------------------------------------------------- inverted index
+
+def inverted_index(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", min_df: int = 2,
+                   postings_cap: int = 20) -> DataFrame:
+    """Search-style inverted index: per term, the document frequency and
+    the posting list — the first ``postings_cap`` doc ids in ascending
+    order, serialized to a comma-joined string (comparator-friendly and
+    the honest at-scale shape: full posting lists for stopwords would be
+    corpus-sized rows; real systems shard them).
+
+    Plan: explode distinct (term, doc) pairs -> ONE groupBy(term) that
+    computes both df and the capped posting list. collect_set is
+    unordered by contract, so the list is sort_array'ed then sliced —
+    the cap bounds the row size but the set itself is the term's full
+    doc set; terms below ``min_df`` are dropped AFTER aggregation (the
+    filter is on the agg output, no second pass)."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda t: t != "")
+    pairs = (docs.select(F.col(id_col).alias("_id"),
+                         F.explode(F.array_distinct(toks)).alias("term")))
+    agg = (pairs.groupBy("term")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.slice(F.sort_array(F.collect_set("_id")), 1,
+                        postings_cap).alias("_post")))
+    return (agg.filter(F.col("n_docs") >= min_df)
+            .select("term", "n_docs",
+                    F.array_join(F.transform(
+                        F.col("_post"), lambda d: d.cast("string")), ",")
+                    .alias("postings")))
+
+
+# ---------------------------------------------------------------- BM25
+
+def bm25_score(docs: DataFrame, query_terms: list,
+               text_col: str = "text", id_col: str = "doc_id",
+               k1: float = 1.2, b: float = 0.75,
+               top_k: int = 20) -> DataFrame:
+    """BM25 ranking of the corpus against a bag of query terms.
+
+    Cross-engine determinism: the float math is confined to ONE rounded
+    value per (doc, term) — each term's partial score is rounded to 6
+    decimals and scaled to an INTEGER micro-score; the per-doc total is
+    a sum of integers (order-independent), and the top-k rank orders on
+    (total_micro desc, doc_id asc) — integers only, so the cut is
+    bit-identical in any engine.  The ranked float score is surfaced as
+    micro/1e6.
+
+    Plan: explode tokens filtered TO THE QUERY TERMS at the scan (the
+    IN filter prunes before the shuffle: only query-term tokens leave
+    the map side) -> per-(doc, term) tf -> join the |query_terms|-row
+    df/idf table (broadcast) -> integer top-k via TakeOrderedAndProject.
+    Doc lengths come from a full-token count computed in the same scan
+    (no second pass)."""
+    if not query_terms:
+        raise ValueError("bm25_score needs at least one query term")
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda t: t != "")
+    qarr = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.size(toks).alias("_dl"),
+                       F.filter(toks,
+                                lambda t: F.array_contains(qarr, t))
+                       .alias("_qt"))
+    tf = (base.select("doc_id", "_dl", F.explode("_qt").alias("term"))
+          .groupBy("doc_id", "_dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    corpus = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.size(toks)).alias("_tok_total"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(corpus)))
+    avgdl = F.col("_tok_total").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        (F.col("_n").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5) + 1.0)
+    tfd = F.col("tf").cast("double")
+    part = idf * (tfd * (k1 + 1.0)) / (
+        tfd + k1 * (1.0 - b + b * F.col("_dl").cast("double") / avgdl))
+    micro = F.round(part * 1e6).cast("long")
+    per_doc = (scored.select("doc_id", micro.alias("_micro"))
+               .groupBy("doc_id")
+               .agg(F.sum("_micro").alias("_tot_micro"),
+                    F.count(F.lit(1)).alias("n_terms_hit")))
+    from pyspark.sql import Window
+    top = (per_doc.orderBy(F.col("_tot_micro").desc(),
+                           F.col("doc_id").asc()).limit(top_k))
+    rk = F.row_number().over(Window.orderBy(
+        F.col("_tot_micro").desc(), F.col("doc_id").asc()))
+    return (top.withColumn("rank", rk)
+            .select("rank", "doc_id", "n_terms_hit",
+                    (F.col("_tot_micro").cast("double") / 1e6)
+                    .alias("bm25")))

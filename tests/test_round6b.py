@@ -1,0 +1,308 @@
+"""Unit + randomized-differential tests for the round-6b operators:
+chunking, sequence packing, PII scrub, inverted index, BM25, k-means
+assignment, gap-fill, Markov transitions, rolling anomalies.
+
+Each randomized test compares the Spark operator against an independent
+pure-Python twin on generated data — the same strategy the asof/funnel
+fuzz suites use (seeded, so failures reproduce)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from radmapper_spark.operators import behavior, chunking, similarity, temporal
+from radmapper_spark.operators import textstats
+
+
+# ----------------------------------------------------------- chunking
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = _mk_docs(spark, [(1, "a b c")])
+    out = chunking.chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.chunk_seq, r.chunk_start, r.n_chunk_tokens, r.chunk_text) == \
+        (1, 0, 3, "a b c")
+
+
+def test_chunk_blank_and_null_drop(spark):
+    df = _mk_docs(spark, [(1, ""), (2, "   "), (3, None), (4, "x")])
+    out = chunking.chunk_documents(df).collect()
+    assert [r.doc_id for r in out] == [4]
+
+
+def test_chunk_exact_coverage_and_overlap(spark):
+    # 80 tokens, windows of 32 every 24: starts 0,24,48,72 -> last short
+    toks = [f"t{i}" for i in range(80)]
+    df = _mk_docs(spark, [(1, " ".join(toks))])
+    out = sorted(chunking.chunk_documents(df, 32, 8).collect(),
+                 key=lambda r: r.chunk_seq)
+    assert [r.chunk_start for r in out] == [0, 24, 48, 72]
+    assert [r.n_chunk_tokens for r in out] == [32, 32, 32, 8]
+    # every token covered, consecutive chunks agree on the overlap
+    covered = set()
+    for r in out:
+        words = r.chunk_text.split(" ")
+        assert words == toks[r.chunk_start:r.chunk_start + 32]
+        covered.update(range(r.chunk_start, r.chunk_start + len(words)))
+    assert covered == set(range(80))
+
+
+def test_chunk_overlap_must_be_smaller(spark):
+    df = _mk_docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        chunking.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+# ------------------------------------------------------------- packing
+
+def _greedy_pack(items, cap):
+    """Python twin: items = [(id, n)] sorted by id; returns
+    {id: (n_used, bin, fill_after)} with 1-based bins."""
+    out, b, fill = {}, 0, 0
+    for i, n in items:
+        n = min(n, cap)
+        if b > 0 and fill + n <= cap:
+            fill += n
+        else:
+            b, fill = b + 1, n
+        out[i] = (n, b, fill)
+    return out
+
+
+def test_pack_matches_python_greedy_randomized(spark):
+    rng = random.Random(60_001)
+    rows = []
+    for g in range(6):
+        for i in range(rng.randint(0, 40)):
+            rows.append((f"g{g}", g * 1000 + i, rng.randint(0, 300)))
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    got = {(r.source, r.doc_id): (r.n_used, r.pack_id, r.pack_fill)
+           for r in chunking.pack_sequences(df, capacity=256).collect()}
+    want = {}
+    for g in sorted({r[0] for r in rows}):
+        items = sorted((i, n) for s, i, n in rows if s == g)
+        for i, (n, b, fill) in _greedy_pack(items, 256).items():
+            want[(g, i)] = (n, b, fill)
+    assert got == want
+
+
+def test_pack_bin_invariants(spark):
+    rng = random.Random(60_002)
+    rows = [("s", i, rng.randint(1, 300)) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = sorted(chunking.pack_sequences(df, capacity=256).collect(),
+                 key=lambda r: r.doc_id)
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault(r.pack_id, []).append(r)
+    for b, members in by_bin.items():
+        total = sum(m.n_used for m in members)
+        assert total <= 256
+        assert members[-1].pack_fill == total
+    # bins are dense 1..max and in doc order
+    assert sorted(by_bin) == list(range(1, max(by_bin) + 1))
+    assert [r.pack_id for r in out] == sorted(r.pack_id for r in out)
+
+
+# ----------------------------------------------------------- PII scrub
+
+def test_pii_scrub_crafted(spark):
+    rows = [
+        (1, "mail me at jo.doe+spam@ex-ample.co.uk or call +1 (555) 123-4567"),
+        (2, "server 192.168.0.1 and 10.0.0.255 went down"),
+        (3, "no pii here, just words and the number 7"),
+        (4, "two mails: a@b.io c@d.org; phone 0049 171 1234567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.pii_scrub(df).collect()}
+    assert (out[1].n_emails, out[1].n_ipv4, out[1].n_phones) == (1, 0, 1)
+    assert (out[2].n_emails, out[2].n_ipv4, out[2].n_phones) == (0, 2, 0)
+    assert (out[3].n_emails, out[3].n_ipv4, out[3].n_phones) == (0, 0, 0)
+    assert (out[4].n_emails, out[4].n_ipv4, out[4].n_phones) == (2, 0, 1)
+    # scrub hash witnesses the exact redacted text
+    expect1 = "mail me at [EMAIL] or call [PHONE]"
+    assert out[1].scrub_hash == hashlib.md5(expect1.encode()).hexdigest()
+    assert out[1].scrub_len == len(expect1)
+    expect2 = "server [IPV4] and [IPV4] went down"
+    assert out[2].scrub_hash == hashlib.md5(expect2.encode()).hexdigest()
+
+
+# ------------------------------------------------------ inverted index
+
+def test_inverted_index_small(spark):
+    rows = [(1, "alpha beta gamma"), (2, "beta gamma"), (3, "gamma alpha"),
+            (4, "beta beta beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: r for r in
+           textstats.inverted_index(df, min_df=2, postings_cap=2).collect()}
+    assert set(out) == {"alpha", "beta", "gamma"}
+    assert (out["alpha"].n_docs, out["alpha"].postings) == (2, "1,3")
+    # df counts distinct docs (doc 4 repeats beta in-doc)
+    assert (out["beta"].n_docs, out["beta"].postings) == (3, "1,2")
+    assert (out["gamma"].n_docs, out["gamma"].postings) == (3, "1,2")
+
+
+# ----------------------------------------------------------------- BM25
+
+def _bm25_python(docs, query, k1=1.2, b=0.75):
+    import re
+    toks = {i: [t for t in re.split(r"[^a-z]+", txt.lower()) if t]
+            for i, txt in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    scores = {}
+    for term in sorted(set(query)):
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for i, t in toks.items():
+            tf = t.count(term)
+            if tf == 0:
+                continue
+            part = idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(t) / avgdl))
+            micro = round(part * 1e6)
+            hits, tot = scores.get(i, (0, 0))
+            scores[i] = (hits + 1, tot + micro)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))
+    return [(rank + 1, i, hits, tot / 1e6)
+            for rank, (i, (hits, tot)) in enumerate(ranked)]
+
+
+def test_bm25_matches_python_randomized(spark):
+    rng = random.Random(60_003)
+    vocab = ["spark", "join", "filter", "vector", "scan", "row", "agg"]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 30))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r.rank, r.doc_id, r.n_terms_hit, r.bm25) for r in
+           textstats.bm25_score(df, ["spark", "join", "vector"],
+                                top_k=15).collect()]
+    want = _bm25_python(docs, ["spark", "join", "vector"])[:15]
+    assert sorted(got) == [(r, i, h, pytest.approx(s, abs=2e-6))
+                           for r, i, h, s in want]
+
+
+# --------------------------------------------------------- k-means step
+
+def test_kmeans_assign_matches_numpy(spark):
+    import numpy as np
+    rng = random.Random(60_004)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.cluster, r.dist_scaled)
+           for r in similarity.kmeans_assign(df, k=5).collect()}
+    cents = {i: np.array(v, dtype=np.float32).astype(np.float64)
+             for i, v in vecs if i < 5}
+    for i, v in vecs:
+        x = np.array(v, dtype=np.float32).astype(np.float64)
+        dists = {c: int(sum(math.floor(d * d * 1e9)
+                            for d in (x - cv)))
+                 for c, cv in cents.items()}
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+        assert got[i] == best
+
+
+# ------------------------------------------------------------- gapfill
+
+def test_gapfill_dense_grid_and_cumsum(spark):
+    rows = [
+        (1, 10, "2024-01-01 10:00:00", 5.0),
+        (2, 10, "2024-01-01 15:00:00", 2.5),
+        (3, 10, "2024-01-04 09:00:00", 1.0),
+        (4, 20, "2024-02-01 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(temporal.gapfill_daily(df).collect(),
+                 key=lambda r: (r.user_id, r.day))
+    u10 = [r for r in out if r.user_id == 10]
+    assert [str(r.day)[:10] for r in u10] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    assert [r.n_events for r in u10] == [2, 0, 0, 1]
+    assert [r.day_total for r in u10] == [7.5, 0.0, 0.0, 1.0]
+    assert [r.cum_total for r in u10] == [7.5, 7.5, 7.5, 8.5]
+    u20 = [r for r in out if r.user_id == 20]
+    assert len(u20) == 1 and u20[0].cum_total == 7.0
+
+
+# ------------------------------------------------------- markov chains
+
+def test_event_transitions_hand_computed(spark):
+    rows = [(i, 1, f"2024-01-01 00:0{i}:00", t) for i, t in
+            enumerate(["a", "b", "a", "b", "c"])]
+    rows += [(10, 2, "2024-01-01 00:00:00", "a"),
+             (11, 2, "2024-01-01 00:01:00", "a")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.from_type, r.to_type): (r.n, r.prob)
+           for r in behavior.event_transitions(df).collect()}
+    # user1: a->b, b->a, a->b, b->c ; user2: a->a
+    assert out[("a", "b")] == (2, pytest.approx(2 / 3))
+    assert out[("a", "a")] == (1, pytest.approx(1 / 3))
+    assert out[("b", "a")] == (1, 0.5)
+    assert out[("b", "c")] == (1, 0.5)
+
+
+# ---------------------------------------------------- rolling anomalies
+
+def _anomaly_python(rows, lookback=20, thresh=3.0):
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for eid, u, ts, v in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        per_user[u].append((eid, ts, v))
+    flagged = []
+    for u, seq in per_user.items():
+        svs = [math.floor(v * 1e6) for _, _, v in seq]
+        for i, (eid, ts, v) in enumerate(seq):
+            win = svs[max(0, i - lookback):i]
+            n = len(win)
+            if n < 2:
+                continue
+            s1, s2 = sum(win), sum(x * x for x in win)
+            if s2 * n == s1 * s1:
+                continue
+            mean = s1 / n
+            var = s2 / n - mean * mean
+            z = round((svs[i] - mean) / math.sqrt(max(var, 0.0)), 6)
+            if abs(z) > thresh:
+                flagged.append((eid, z))
+    return dict(flagged)
+
+
+def test_rolling_anomalies_matches_python_randomized(spark):
+    rng = random.Random(60_005)
+    rows = []
+    eid = 0
+    for u in range(5):
+        for i in range(rng.randint(10, 80)):
+            v = rng.gauss(100, 5)
+            if rng.random() < 0.05:
+                v += rng.choice([-1, 1]) * rng.uniform(50, 200)
+            rows.append((eid, u, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+                         round(v, 3)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_id: r.zscore
+           for r in behavior.rolling_anomalies(df).collect()}
+    want = _anomaly_python(rows)
+    assert set(got) == set(want)
+    for eid, z in want.items():
+        assert got[eid] == pytest.approx(z, abs=1e-9)
+    assert len(want) > 0  # the test actually exercised flags
