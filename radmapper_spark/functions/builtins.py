@@ -1304,3 +1304,79 @@ def _t_fuzzy_pairs(ip, env, table=NOMATCH, col=NOMATCH):
     from ..operators import dedup
     return _as_sdb(dedup.fuzzy_pairs_levenshtein(
         _table_df(table, "$fuzzyPairs"), _s(col, "$fuzzyPairs")))
+
+
+@builtin("$chunkDocs", 1)
+def _t_chunk_docs(ip, env, table=NOMATCH, chunk_tokens=32, overlap=8):
+    from ..operators import chunking
+    return _as_sdb(chunking.chunk_documents(
+        _table_df(table, "$chunkDocs"),
+        chunk_tokens=int(_n(chunk_tokens, "$chunkDocs")),
+        overlap=int(_n(overlap, "$chunkDocs"))))
+
+
+@builtin("$packSequences", 1)
+def _t_pack_sequences(ip, env, table=NOMATCH, capacity=256,
+                      group="source", n_tokens_col="n_tokens"):
+    from ..operators import chunking
+    return _as_sdb(chunking.pack_sequences(
+        _table_df(table, "$packSequences"),
+        capacity=int(_n(capacity, "$packSequences")),
+        group_col=_s(group, "$packSequences"),
+        n_tokens_col=_s(n_tokens_col, "$packSequences")))
+
+
+@builtin("$piiScrub", 1)
+def _t_pii_scrub(ip, env, table=NOMATCH):
+    from ..operators import textstats
+    return _as_sdb(textstats.pii_scrub(_table_df(table, "$piiScrub")))
+
+
+@builtin("$invertedIndex", 1)
+def _t_inverted_index(ip, env, table=NOMATCH, min_df=2, postings_cap=20):
+    from ..operators import textstats
+    return _as_sdb(textstats.inverted_index(
+        _table_df(table, "$invertedIndex"),
+        min_df=int(_n(min_df, "$invertedIndex")),
+        postings_cap=int(_n(postings_cap, "$invertedIndex"))))
+
+
+@builtin("$bm25", 2)
+def _t_bm25(ip, env, table=NOMATCH, terms=NOMATCH, top_k=20):
+    from ..operators import textstats
+    if not isinstance(terms, (list, tuple)) or not terms:
+        raise RMFnError("$bm25 requires a non-empty array of query terms")
+    return _as_sdb(textstats.bm25_score(
+        _table_df(table, "$bm25"), [str(t) for t in terms],
+        top_k=int(_n(top_k, "$bm25"))))
+
+
+@builtin("$kmeansAssign", 2)
+def _t_kmeans_assign(ip, env, table=NOMATCH, k=NOMATCH):
+    from ..operators import similarity
+    return _as_sdb(similarity.kmeans_assign(
+        _table_df(table, "$kmeansAssign"),
+        k=int(_n(k, "$kmeansAssign"))))
+
+
+@builtin("$gapfillDaily", 1)
+def _t_gapfill_daily(ip, env, table=NOMATCH):
+    from ..operators import temporal
+    return _as_sdb(temporal.gapfill_daily(_table_df(table, "$gapfillDaily")))
+
+
+@builtin("$transitions", 1)
+def _t_transitions(ip, env, table=NOMATCH):
+    from ..operators import behavior
+    return _as_sdb(behavior.event_transitions(
+        _table_df(table, "$transitions")))
+
+
+@builtin("$rollingAnomalies", 1)
+def _t_rolling_anomalies(ip, env, table=NOMATCH, lookback=20,
+                         z_threshold=3.0):
+    from ..operators import behavior
+    return _as_sdb(behavior.rolling_anomalies(
+        _table_df(table, "$rollingAnomalies"),
+        lookback=int(_n(lookback, "$rollingAnomalies")),
+        z_threshold=float(_n(z_threshold, "$rollingAnomalies"))))

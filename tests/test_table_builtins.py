@@ -193,3 +193,44 @@ def test_similarity_and_profiling_builtins(spark, tables):
                      "'doc_id')",
               **{"$docs": tables["documents"], "$rates": rates})
     assert mx.df.select("source").distinct().count() == 1
+
+
+def test_round6b_builtins_from_rm(spark, tables):
+    """The nine round-6b operators driven from RM programs: lazy SparkDB
+    out, expected columns, composition with filter steps."""
+    docs, events = tables["documents"], tables["events"]
+    cases = [
+        ("$chunkDocs($db($docs))", {"$docs": docs},
+         {"doc_id", "chunk_seq", "chunk_text"}),
+        ("$piiScrub($db($docs))", {"$docs": docs},
+         {"doc_id", "n_emails", "scrub_hash"}),
+        ("$invertedIndex($db($docs))", {"$docs": docs},
+         {"term", "n_docs", "postings"}),
+        ("$bm25($db($docs), ['spark', 'join'])", {"$docs": docs},
+         {"rank", "doc_id", "bm25"}),
+        ("$gapfillDaily($db($ev))", {"$ev": events},
+         {"user_id", "day", "cum_total"}),
+        ("$transitions($db($ev))", {"$ev": events},
+         {"from_type", "to_type", "prob"}),
+        ("$rollingAnomalies($db($ev))", {"$ev": events},
+         {"event_id", "zscore"}),
+    ]
+    for src, bindings, cols in cases:
+        out = _run(spark, src, **bindings)
+        assert isinstance(out, SparkDB), src
+        assert cols <= set(out.df.columns), src
+        assert out.df.count() >= 0
+
+    out = _run(spark, "$kmeansAssign($db($emb), 4)",
+               **{"$emb": tables["embeddings"]})
+    assert isinstance(out, SparkDB)
+    assert set(out.df.columns) == {"vec_id", "cluster", "dist_scaled"}
+    assert out.df.select("cluster").distinct().count() <= 4
+
+    src = """
+    ( $t := $tokenCount($db($docs));
+      $packSequences($t, 128, 'source', 'n_tokens_ws') )
+    """
+    out = _run(spark, src, **{"$docs": tables["documents"]})
+    assert isinstance(out, SparkDB)
+    assert {"doc_id", "pack_id", "pack_fill"} <= set(out.df.columns)
