@@ -129,3 +129,76 @@ def pack_sequences(docs: DataFrame, capacity: int = 256,
                     F.col("_a.n").alias("n_used"),
                     F.col("_a.bin").alias("pack_id"),
                     F.col("_a.fill").alias("pack_fill")))
+
+
+def pack_sequences_sharded(docs: DataFrame, capacity: int = 256,
+                           group_col: str = "source",
+                           id_col: str = "doc_id",
+                           n_tokens_col: str = "n_tokens",
+                           shard_docs: int = 500) -> DataFrame:
+    """The at-scale variant of :func:`pack_sequences`: each group's
+    ordered doc stream is cut into shards of ``shard_docs`` docs, greedy
+    packing runs independently per shard, and shard-local bins are
+    renumbered into a single per-group sequence with an exclusive cumsum
+    of per-shard bin counts.
+
+    Tradeoff vs pure greedy: bins never span a shard boundary, so each
+    shard may leave ONE underfull trailing bin (bounded waste:
+    <= capacity tokens per shard_docs docs); in exchange the fold cost
+    drops from O(|group|^2) array-copy bytes to O(|group| * shard_docs)
+    and shards of one group pack IN PARALLEL — the only shape that
+    works when a group has millions of docs. Output schema and
+    invariants match pack_sequences (dense 1-based pack_id per group,
+    per-bin fill <= capacity, doc order preserved within bins).
+    """
+    from pyspark.sql import Window
+    rn_w = Window.partitionBy(group_col).orderBy(F.col(id_col).asc())
+    base = docs.select(
+        F.col(group_col).alias("grp"), F.col(id_col).alias("_id"),
+        F.least(F.col(n_tokens_col).cast("long"),
+                F.lit(capacity).cast("long")).alias("_n"),
+        ((F.row_number().over(Window.partitionBy(group_col)
+                              .orderBy(F.col(id_col).asc())) - 1)
+         / shard_docs).cast("long").alias("_shard"))
+    grouped = base.groupBy("grp", "_shard").agg(
+        F.array_sort(F.collect_list(F.struct(
+            F.col("_id").alias("id"), F.col("_n").alias("n"))))
+        .alias("_items"))
+    zero = F.struct(
+        F.lit(0).cast("long").alias("bin"),
+        F.lit(0).cast("long").alias("fill"),
+        F.array().cast("array<struct<bin:long,fill:long>>").alias("out"))
+    step_in = lambda acc, x: F.struct(
+        acc["bin"].alias("bin"), (acc["fill"] + x["n"]).alias("fill"),
+        F.concat(acc["out"], F.array(F.struct(
+            acc["bin"].alias("bin"),
+            (acc["fill"] + x["n"]).alias("fill")))).alias("out"))
+    step_new = lambda acc, x: F.struct(
+        (acc["bin"] + 1).alias("bin"), x["n"].alias("fill"),
+        F.concat(acc["out"], F.array(F.struct(
+            (acc["bin"] + 1).alias("bin"),
+            x["n"].alias("fill")))).alias("out"))
+    fold = F.aggregate(
+        F.col("_items"), zero,
+        lambda acc, x: F.when(
+            (acc["fill"] + x["n"] <= capacity) & (acc["bin"] > 0),
+            step_in(acc, x)).otherwise(step_new(acc, x)),
+        lambda acc: acc["out"])
+    packed = grouped.select(
+        "grp", "_shard",
+        F.arrays_zip(F.col("_items"), fold.alias("asg")).alias("_z"))
+    # exclusive cumsum of per-shard bin counts -> global per-group bins
+    shard_bins = packed.withColumn(
+        "_shard_nbins",
+        F.element_at(F.col("_z"), -1)["asg"]["bin"])
+    off_w = (Window.partitionBy("grp").orderBy(F.col("_shard").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    with_off = shard_bins.withColumn(
+        "_off", F.coalesce(F.sum("_shard_nbins").over(off_w),
+                           F.lit(0).cast("long")))
+    return (with_off.select("grp", "_off", F.explode("_z").alias("_e"))
+            .select(F.col("grp").alias(group_col),
+                    F.col("_e._items.id").alias(id_col),
+                    F.col("_e._items.n").alias("n_used"),
+                    (F.col("_e.asg.bin") + F.col("_off")).alias("pack_id"),
+                    F.col("_e.asg.fill").alias("pack_fill")))

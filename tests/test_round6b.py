@@ -306,3 +306,47 @@ def test_rolling_anomalies_matches_python_randomized(spark):
     for eid, z in want.items():
         assert got[eid] == pytest.approx(z, abs=1e-9)
     assert len(want) > 0  # the test actually exercised flags
+
+
+# ----------------------------------------------------- sharded packing
+
+def test_pack_sharded_equals_pure_when_one_shard(spark):
+    rng = random.Random(60_006)
+    rows = [("s", i, rng.randint(1, 300)) for i in range(150)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    a = {r.doc_id: (r.n_used, r.pack_id, r.pack_fill)
+         for r in chunking.pack_sequences(df, 256).collect()}
+    b = {r.doc_id: (r.n_used, r.pack_id, r.pack_fill)
+         for r in chunking.pack_sequences_sharded(
+             df, 256, shard_docs=10_000).collect()}
+    assert a == b
+
+
+def test_pack_sharded_invariants_small_shards(spark):
+    rng = random.Random(60_007)
+    rows = []
+    for g in range(4):
+        for i in range(rng.randint(5, 120)):
+            rows.append((f"g{g}", g * 1000 + i, rng.randint(1, 300)))
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    out = sorted(chunking.pack_sequences_sharded(df, 256, shard_docs=7)
+                 .collect(), key=lambda r: (r.source, r.doc_id))
+    assert len(out) == len(rows)
+    by_bin = {}
+    for r in out:
+        by_bin.setdefault((r.source, r.pack_id), []).append(r)
+    for (_, _), members in by_bin.items():
+        total = sum(m.n_used for m in members)
+        assert total <= 256
+        assert members[-1].pack_fill == total
+    # dense 1..max bins per group, bin ids non-decreasing in doc order
+    per_grp = {}
+    for (g, p) in by_bin:
+        per_grp.setdefault(g, set()).add(p)
+    for g, bins in per_grp.items():
+        assert sorted(bins) == list(range(1, len(bins) + 1))
+        seq = [r.pack_id for r in out if r.source == g]
+        assert seq == sorted(seq)
+    # shard boundary waste is bounded: every bin except possibly the
+    # last of each shard would not have fit the next doc OR is a
+    # shard-trailing bin (structural property; spot-check capacity)

@@ -249,3 +249,92 @@ def test_decontam_200k_docs(spark, tmp_path_factory):
     print(f"\ndecontam 200k docs: {n_contam} contaminated in {dt:.1f}s")
     assert out.count() == 199_000
     assert dt < 120
+
+
+# --------------------------------------------------- round-6b operators
+
+def test_transitions_2m(big_events):
+    from radmapper_spark.operators import behavior
+    dt = _timed("event_transitions 2M", behavior.event_transitions(
+        big_events), "prob")
+    assert dt < 120
+
+
+def test_rolling_anomalies_2m(big_events):
+    from radmapper_spark.operators import behavior
+    dt = _timed("rolling_anomalies 2M", behavior.rolling_anomalies(
+        big_events), "zscore")
+    assert dt < 120
+
+
+def test_gapfill_2m(big_events):
+    from radmapper_spark.operators import temporal as T
+    dt = _timed("gapfill_daily 2M -> 5k users x 30 days", T.gapfill_daily(
+        big_events), "cum_total")
+    assert dt < 120
+
+
+@pytest.fixture(scope="module")
+def big_docs(spark, tmp_path_factory):
+    """500k synthetic docs (~40 tokens each, ~20M tokens), parquet-backed."""
+    path = str(tmp_path_factory.mktemp("stress") / "docs")
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    warr = F.array(*[F.lit(w) for w in words])
+    (spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 64).cast("string"))
+        .alias("source"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (F.pmod(F.xxhash64("id"), 60) + 10)
+                           .cast("int")),
+                lambda i: F.element_at(
+                    warr,
+                    (F.pmod(F.xxhash64(F.col("id"), i), 10) + 1)
+                    .cast("int"))), " ").alias("text"))
+     .repartition(32).write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
+def test_chunking_500k_docs(big_docs):
+    from radmapper_spark.operators import chunking
+    out = chunking.chunk_documents(big_docs, chunk_tokens=32, overlap=8)
+    dt = _timed("chunk_documents 500k docs", out, "chunk_text")
+    assert dt < 120
+
+
+def test_packing_500k_docs(big_docs):
+    """Greedy packing at 64 groups x ~8k docs/group: the fold is linear
+    per group; wall time bounds the O(n^2)-array-concat risk the
+    docstring warns about at much larger groups."""
+    from radmapper_spark.operators import chunking
+    with_n = big_docs.select(
+        "source", "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        .alias("n_tokens"))
+    out = chunking.pack_sequences(with_n, capacity=256)
+    dt = _timed("pack_sequences 500k docs / 64 groups", out, "pack_fill")
+    assert dt < 180
+
+
+def test_bm25_500k_docs(big_docs):
+    from radmapper_spark.operators import textstats
+    out = textstats.bm25_score(big_docs, ["alpha", "beta", "gamma"],
+                               top_k=100)
+    dt = _timed("bm25 500k docs", out, "bm25")
+    assert dt < 120
+
+
+def test_packing_sharded_500k_docs(big_docs):
+    """The scale path: shard-local greedy + bin renumbering — linear in
+    group size (measured ~5 s vs ~42 s for the pure fold at 500k docs)."""
+    from radmapper_spark.operators import chunking
+    with_n = big_docs.select(
+        "source", "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+        .alias("n_tokens"))
+    out = chunking.pack_sequences_sharded(with_n, capacity=256,
+                                          shard_docs=500)
+    dt = _timed("pack_sequences_sharded 500k docs", out, "pack_fill")
+    assert dt < 60
