@@ -2525,6 +2525,48 @@ def events_anomalies_sql() -> str:
     """
 
 
+def doc_chunks_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (boundary after tokens whose portable
+    hash is 0 mod 16): edit-stable chunk boundaries for chunk-level
+    dedup — see chunking.chunk_content_defined."""
+    from .operators import chunking
+    docs = load_tables(spark, sf_dir)["documents"]
+    return chunking.chunk_content_defined(docs, mod=16)
+
+
+def doc_chunks_cdc_sql() -> str:
+    from .functions import portable_hash as PH
+    h = PH.duck_ph28("toks[p+1]")
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''),
+    b AS (
+      SELECT doc_id, toks,
+             list_filter(range(0, len(toks)),
+                         p -> {h} % 16 = 0) AS bpos
+      FROM t),
+    sp AS (
+      SELECT doc_id, toks,
+             [0] || list_transform(bpos, p -> p + 1) AS starts,
+             list_transform(bpos, p -> p + 1) || [len(toks)] AS ends
+      FROM b),
+    e AS (
+      SELECT doc_id, toks, starts, ends,
+             unnest(range(1, len(starts) + 1)) AS k
+      FROM sp)
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY k)::BIGINT
+               AS chunk_seq,
+           starts[k]::BIGINT AS chunk_start,
+           (ends[k] - starts[k])::BIGINT AS n_chunk_tokens,
+           array_to_string(toks[starts[k] + 1 : ends[k]], ' ')
+               AS chunk_text
+    FROM e WHERE starts[k] < ends[k]
+    """
+
+
 # =============================================================== registry
 
 ENTRIES: dict = {
@@ -2645,4 +2687,5 @@ ENTRIES: dict = {
     "stream_running_totals": (stream_running_totals, stream_running_totals_sql),
     "stream_dedup": (stream_dedup, stream_dedup_sql),
     "stream_join": (stream_join, stream_join_sql),
+    "doc_chunks_cdc": (doc_chunks_cdc, doc_chunks_cdc_sql),
 }

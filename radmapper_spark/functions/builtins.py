@@ -1380,3 +1380,10 @@ def _t_rolling_anomalies(ip, env, table=NOMATCH, lookback=20,
         _table_df(table, "$rollingAnomalies"),
         lookback=int(_n(lookback, "$rollingAnomalies")),
         z_threshold=float(_n(z_threshold, "$rollingAnomalies"))))
+
+
+@builtin("$chunkCDC", 1)
+def _t_chunk_cdc(ip, env, table=NOMATCH, mod=16):
+    from ..operators import chunking
+    return _as_sdb(chunking.chunk_content_defined(
+        _table_df(table, "$chunkCDC"), mod=int(_n(mod, "$chunkCDC"))))

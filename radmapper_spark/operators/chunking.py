@@ -202,3 +202,56 @@ def pack_sequences_sharded(docs: DataFrame, capacity: int = 256,
                     F.col("_e._items.n").alias("n_used"),
                     (F.col("_e.asg.bin") + F.col("_off")).alias("pack_id"),
                     F.col("_e.asg.fill").alias("pack_fill")))
+
+
+def chunk_content_defined(docs: DataFrame, mod: int = 16,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          hash_mode: str = "portable") -> DataFrame:
+    """Content-defined chunking: a chunk boundary falls AFTER every token
+    whose hash is 0 mod ``mod`` (expected chunk length = ``mod`` tokens).
+    Unlike fixed sliding windows, boundaries depend only on LOCAL content
+    — editing a document's head re-chunks only up to the first surviving
+    boundary, so downstream chunk-level dedup stays stable under
+    insertions (the rsync/LBFS property; no min/max clamp here, which
+    keeps the operator a pure per-row expression).
+
+    hash_mode "portable" uses the md5-prefix family DuckDB reproduces
+    bit-for-bit (the oracle path); "xxhash64" is the fast production
+    path (boundary = xxhash64(token) % mod == 0, rows-only checkable).
+    Map-only single scan, zero shuffles. Output: (doc_id, chunk_seq,
+    chunk_start, n_chunk_tokens, chunk_text).
+    """
+    from ..functions import portable_hash as PH
+    if mod < 2:
+        raise ValueError("mod must be >= 2")
+    tok_hash = PH.ph28 if hash_mode == "portable" else (
+        lambda c: F.pmod(F.xxhash64(c), F.lit(1 << 28)))
+    blank = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (docs.filter(~blank)
+            .select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+            .withColumn("_th", F.transform(F.col("_toks"),
+                                           lambda t: tok_hash(t))))
+    n = F.size("_toks")
+    bpos = F.filter(F.sequence(F.lit(0), n - 1),
+                    lambda p: F.element_at(F.col("_th"), p + 1)
+                    % mod == 0)
+    starts = F.concat(F.array(F.lit(0)),
+                      F.transform(bpos, lambda p: p + 1))
+    ends = F.concat(F.transform(bpos, lambda p: p + 1),
+                    F.array(n))
+    spans = F.filter(F.arrays_zip(starts.alias("s"), ends.alias("e")),
+                     lambda z: z["s"] < z["e"])
+    return (base
+            .select("doc_id", "_toks",
+                    F.posexplode(spans).alias("chunk_seq", "_sp"))
+            .select("doc_id",
+                    (F.col("chunk_seq") + 1).cast("long").alias("chunk_seq"),
+                    F.col("_sp.s").cast("long").alias("chunk_start"),
+                    (F.col("_sp.e") - F.col("_sp.s")).cast("long")
+                    .alias("n_chunk_tokens"),
+                    F.array_join(
+                        F.slice(F.col("_toks"), F.col("_sp.s") + 1,
+                                F.col("_sp.e") - F.col("_sp.s")), " ")
+                    .alias("chunk_text")))
