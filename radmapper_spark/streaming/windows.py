@@ -160,3 +160,63 @@ def streaming_smoke(spark, seconds: int = 3) -> int:
     n = spark.sql("select count(*) from rm_stream_smoke").collect()[0][0]
     q.stop()
     return int(n)
+
+
+def rolling_anomalies_stream(events_stream: DataFrame, lookback: int = 20,
+                             z_threshold: float = 3.0) -> DataFrame:
+    """STREAMING rolling z-score anomalies: the per-user ring buffer of
+    the last ``lookback`` integer-scaled values lives in the state store
+    (applyInPandasWithState), so flags stream out as events arrive —
+    state is O(users * lookback) bigints, hash-partitioned by key like
+    every stateful operator here.
+
+    Exact twin of operators.behavior.rolling_anomalies (same floor-
+    scaled micro-units, same integer sums, same round/threshold): on an
+    event-time-ordered stream the flagged set is IDENTICAL to the batch
+    operator — asserted by the differential test. Out-of-order arrivals
+    are scored against the state at arrival (documented deviation:
+    late data would need a watermarked reorder buffer upstream).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        out = {"event_id": [], "user_id": [], "ts": [], "value": [],
+               "zscore": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, ts, v in zip(pdf["event_id"], pdf["ts"],
+                                  pdf["value"]):
+                sv = math.floor(float(v) * 1e6)
+                n = len(buf)
+                if n >= 2:
+                    s1 = sum(buf)
+                    s2 = sum(x * x for x in buf)
+                    if s2 * n != s1 * s1:
+                        mean = s1 / n
+                        var = s2 / n - mean * mean
+                        z = round((sv - mean)
+                                  / math.sqrt(max(var, 0.0)), 6)
+                        if abs(z) > z_threshold:
+                            out["event_id"].append(int(eid))
+                            out["user_id"].append(int(key[0]))
+                            out["ts"].append(ts)
+                            out["value"].append(float(v))
+                            out["zscore"].append(z)
+                buf.append(sv)
+                if len(buf) > lookback:
+                    buf.pop(0)
+        state.update((buf,))
+        yield pd.DataFrame(out)
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("event_id bigint, user_id bigint, ts timestamp, "
+                          "value double, zscore double"),
+        stateStructType="svs array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

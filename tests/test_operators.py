@@ -794,3 +794,34 @@ def test_ivf_index_persist_roundtrip(spark, tables, tmp_path):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters:")[1][:200]
     assert "cell" in seg, f"cells scan not partition-pruned: {seg}"
+
+
+def test_rolling_anomalies_stream_matches_batch(spark, tmp_path):
+    """Streaming z-score flags == batch operator on an ordered stream:
+    per-user ring-buffer state carries across 3 micro-batches."""
+    from radmapper_spark.operators import behavior
+    from radmapper_spark.session import load_tables
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    ev = (t["events"].select("event_id", "ts", "user_id", "value")
+          .orderBy("ts", "event_id").limit(600).cache())
+    rows = ev.collect()
+    src = str(tmp_path / "anom_stream_in")
+    for i in range(3):
+        chunk = rows[i * 200:(i + 1) * 200]
+        spark.createDataFrame(chunk, ev.schema).coalesce(1) \
+            .write.mode("append" if i else "overwrite").parquet(src)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = W.rolling_anomalies_stream(stream, lookback=10, z_threshold=2.5)
+    q = (out.writeStream.format("memory").queryName("rm_anom_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["event_id"]: r["zscore"]
+           for r in spark.sql("SELECT * FROM rm_anom_stream").collect()}
+    want = {r.event_id: r.zscore for r in behavior.rolling_anomalies(
+        ev, lookback=10, z_threshold=2.5).collect()}
+    assert set(got) == set(want)
+    for eid, z in want.items():
+        assert abs(got[eid] - z) < 1e-9
+    assert len(want) > 0
+    ev.unpersist()
