@@ -401,3 +401,68 @@ def test_cdc_xxhash_mode_same_shape(spark):
     assert " ".join(r.chunk_text for r in
                     sorted(out, key=lambda r: r.chunk_seq)) \
         == "a b c d e f g h i j"
+
+
+# ------------------------------------- randomized python-twin coverage
+
+def test_chunk_matches_python_randomized(spark):
+    rng = random.Random(60_010)
+    rows = []
+    for i in range(60):
+        n = rng.randint(0, 90)
+        rows.append((i, " ".join(f"x{rng.randrange(100)}"
+                                 for _ in range(n)) if n else ""))
+    df = _mk_docs(spark, rows)
+    ct, ov = 32, 8
+    got = {}
+    for r in chunking.chunk_documents(df, ct, ov).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_seq, r.chunk_start, r.n_chunk_tokens, r.chunk_text))
+    want = {}
+    for i, txt in rows:
+        toks = txt.split(" ") if txt.strip() else []
+        if not toks:
+            continue
+        chunks = []
+        for seq, s in enumerate(range(0, len(toks), ct - ov)):
+            win = toks[s:s + ct]
+            chunks.append((seq + 1, s, len(win), " ".join(win)))
+        want[i] = chunks
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == want
+
+
+def test_gapfill_matches_python_randomized(spark):
+    import datetime
+    from collections import defaultdict
+    rng = random.Random(60_011)
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 3, 1)
+    for u in range(8):
+        for _ in range(rng.randint(1, 25)):
+            ts = base + datetime.timedelta(
+                days=rng.randint(0, 20), seconds=rng.randrange(86400))
+            rows.append((eid, u, ts, round(rng.uniform(-50, 50), 2)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {(r.user_id, str(r.day)[:10]):
+           (r.n_events, r.day_total, r.cum_total)
+           for r in temporal.gapfill_daily(df).collect()}
+    from decimal import Decimal
+    per_day = defaultdict(lambda: (0, Decimal(0)))
+    for _, u, ts, v in rows:
+        d = ts.date()
+        n, s = per_day[(u, d)]
+        per_day[(u, d)] = (n + 1, s + Decimal(str(v)).quantize(Decimal("0.01")))
+    want = {}
+    for u in {r[1] for r in rows}:
+        days = sorted(d for (uu, d) in per_day if uu == u)
+        cum = Decimal(0)
+        d = days[0]
+        while d <= days[-1]:
+            n, s = per_day.get((u, d), (0, Decimal(0)))
+            cum += s
+            want[(u, str(d))] = (n, float(round(s, 2)), float(round(cum, 2)))
+            d += datetime.timedelta(days=1)
+    assert got == want
