@@ -2567,6 +2567,51 @@ def doc_chunks_cdc_sql() -> str:
     """
 
 
+def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations (assign -> centroid update -> assign) in
+    scaled-integer arithmetic: iterative distributed ML with bit-exact
+    cross-engine results — see similarity.kmeans_lloyd."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = similarity.kmeans_lloyd(emb, k=8, iters=2)
+    return _carry_release(out, out)
+
+
+def embedding_kmeans_lloyd_sql() -> str:
+    assign = """
+    SELECT id, sv, cid, dist,
+           row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+    FROM (SELECT p.id, p.sv, c.cid,
+                 list_sum(list_transform(
+                     list_zip(p.sv, c.cv),
+                     z -> (z[1] - z[2]) * (z[1] - z[2])))::BIGINT AS dist
+          FROM pts p CROSS JOIN {cents} c)
+    """
+    return f"""
+    WITH pts AS (
+      SELECT vec_id AS id,
+             list_transform(embedding,
+                            x -> CAST(floor(x::DOUBLE * 1e6) AS BIGINT))
+                 AS sv
+      FROM embeddings),
+    c0 AS (SELECT id AS cid, sv AS cv FROM pts WHERE id < 8),
+    a1 AS ({assign.format(cents="c0")}),
+    a1b AS (SELECT id, sv, cid FROM a1 WHERE rn = 1),
+    c1 AS (
+      SELECT cid, list(cval ORDER BY pos) AS cv
+      FROM (SELECT cid, pos,
+                   CAST(floor(sum(val)::DOUBLE / count(*)) AS BIGINT)
+                       AS cval
+            FROM (SELECT cid, unnest(sv) AS val,
+                         generate_subscripts(sv, 1) AS pos
+                  FROM a1b)
+            GROUP BY cid, pos)
+      GROUP BY cid),
+    a2 AS ({assign.format(cents="c1")})
+    SELECT id AS vec_id, cid AS cluster, dist AS dist_scaled
+    FROM a2 WHERE rn = 1
+    """
+
+
 # =============================================================== registry
 
 ENTRIES: dict = {
@@ -2688,4 +2733,6 @@ ENTRIES: dict = {
     "stream_dedup": (stream_dedup, stream_dedup_sql),
     "stream_join": (stream_join, stream_join_sql),
     "doc_chunks_cdc": (doc_chunks_cdc, doc_chunks_cdc_sql),
+    "embedding_kmeans_lloyd": (embedding_kmeans_lloyd,
+                               embedding_kmeans_lloyd_sql),
 }

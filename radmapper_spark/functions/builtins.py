@@ -1387,3 +1387,11 @@ def _t_chunk_cdc(ip, env, table=NOMATCH, mod=16):
     from ..operators import chunking
     return _as_sdb(chunking.chunk_content_defined(
         _table_df(table, "$chunkCDC"), mod=int(_n(mod, "$chunkCDC"))))
+
+
+@builtin("$kmeans", 2)
+def _t_kmeans_lloyd(ip, env, table=NOMATCH, k=NOMATCH, iters=2):
+    from ..operators import similarity
+    return _as_sdb(similarity.kmeans_lloyd(
+        _table_df(table, "$kmeans"), k=int(_n(k, "$kmeans")),
+        iters=int(_n(iters, "$kmeans"))))

@@ -498,3 +498,78 @@ def kmeans_assign(emb: DataFrame, k: int = 8,
         F.col(id_col),
         F.col("_best.c").alias("cluster"),
         F.col("_best.d").alias("dist_scaled"))
+
+
+def kmeans_lloyd(emb: DataFrame, k: int = 8, iters: int = 2,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Full fixed-iteration Lloyd k-means in SCALED-INTEGER arithmetic —
+    iterative ML with bit-exact cross-engine semantics (the same
+    property the scaled-integer PageRank has):
+
+    - coordinates are floor(x * 1e6) BIGINTs; distances are exact
+      integer sums of squared diffs (order-independent);
+    - centroid updates are floor(sum/count) per dimension — one IEEE
+      double division on exact <2^53 integers, deterministic in any
+      engine;
+    - ties argmin on the lower centroid id. Clusters that lose all
+      members simply drop out of the next iteration (documented —
+      mirrors the oracle's inner-join semantics).
+
+    Seeding: centroids = the k smallest ids (same deterministic contract
+    as kmeans_assign).  Per iteration: ONE broadcast of the k scaled
+    centroid vectors into a map-only distance pass + min-struct argmin,
+    then the centroid update as a (cluster, dim) shuffle of n*dim
+    (id, val) pairs with map-side partial sums — the canonical
+    distributed-k-means iteration shape. Centroid tables are persisted
+    per iteration (node-sized) to keep the lineage linear in iters.
+    Returns the final assignment (vec_id, cluster, dist_scaled).
+    """
+    sx = F.transform(F.col(vec_col),
+                     lambda x: F.floor(x.cast("double") * 1e6)
+                     .cast("long"))
+    pts = emb.select(F.col(id_col).alias("id"), sx.alias("sv")).persist()
+    cents = pts.filter(F.col("id") < k).select(
+        F.col("id").alias("cid"), F.col("sv").alias("cv"))
+    cached = [pts]
+    assigned = None
+    for i in range(iters):
+        dist = F.aggregate(
+            F.zip_with(F.col("sv"), F.col("cv"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        scored = (pts.crossJoin(F.broadcast(cents))
+                  .select("id", "sv",
+                          F.struct(dist.alias("d"),
+                                   F.col("cid").alias("c")).alias("_dc")))
+        assigned = (scored.groupBy("id")
+                    .agg(F.min("_dc").alias("_best"),
+                         F.first("sv").alias("sv")))
+        if i < iters - 1:
+            dims = assigned.select(
+                F.col("_best.c").alias("cid"),
+                F.posexplode("sv").alias("pos", "val"))
+            upd = (dims.groupBy("cid", "pos")
+                   .agg(F.floor(F.sum("val").cast("double")
+                                / F.count(F.lit(1))).cast("long")
+                        .alias("cval")))
+            cents = (upd.groupBy("cid")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("pos").alias("p"),
+                                      F.col("cval").alias("v")))),
+                         lambda s: s["v"]).alias("cv"))
+                     .persist())
+            cached.append(cents)
+    out = assigned.select(
+        "id",
+        F.col("_best.c").alias("cluster"),
+        F.col("_best.d").alias("dist_scaled")) \
+        .withColumnRenamed("id", id_col)
+
+    def _release(frames=tuple(cached)):
+        for f in frames:
+            f.unpersist()
+
+    out.rm_release_cache = _release
+    return out

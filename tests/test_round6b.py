@@ -466,3 +466,63 @@ def test_gapfill_matches_python_randomized(spark):
             want[(u, str(d))] = (n, float(round(s, 2)), float(round(cum, 2)))
             d += datetime.timedelta(days=1)
     assert got == want
+
+
+# ------------------------------------------------ Lloyd k-means (full)
+
+def _lloyd_python(vecs, k, iters):
+    import numpy as np
+    sv = {i: [math.floor(float(np.float32(x)) * 1e6) for x in v]
+          for i, v in vecs}
+    cents = {i: list(sv[i]) for i, _ in vecs if i < k}
+    assign = {}
+    for it in range(iters):
+        assign = {}
+        for i, s in sv.items():
+            best = min(((sum((a - b) * (a - b)
+                             for a, b in zip(s, cv)), c)
+                        for c, cv in cents.items()))
+            assign[i] = (best[1], best[0])
+        if it < iters - 1:
+            new = {}
+            for c in set(c for c, _ in assign.values()):
+                members = [sv[i] for i, (ci, _) in assign.items()
+                           if ci == c]
+                new[c] = [math.floor(sum(col) / len(members))
+                          for col in zip(*members)]
+            cents = new
+    return assign
+
+
+def test_kmeans_lloyd_matches_python(spark):
+    rng = random.Random(60_012)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(12)]) for i in range(80)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>")
+    out = similarity.kmeans_lloyd(df, k=6, iters=2)
+    got = {r.vec_id: (r.cluster, r.dist_scaled) for r in out.collect()}
+    rel = getattr(out, "rm_release_cache", None)
+    rel and rel()
+    want = _lloyd_python(vecs, k=6, iters=2)
+    assert got == want
+
+
+def test_kmeans_lloyd_improves_distortion(spark):
+    rng = random.Random(60_013)
+    vecs = [(i, [rng.gauss(i % 4, 0.1) for _ in range(8)])
+            for i in range(100)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>")
+
+    def distortion(iters):
+        out = similarity.kmeans_lloyd(df, k=4, iters=iters)
+        tot = sum(r.dist_scaled for r in out.collect())
+        rel = getattr(out, "rm_release_cache", None)
+        rel and rel()
+        return tot
+
+    d1, d2 = distortion(1), distortion(2)
+    # Lloyd monotonicity (up to integer-floor centroid rounding slack)
+    assert d2 <= d1 * 1.001
