@@ -583,7 +583,8 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", threshold: float = 0.45,
                            bands: int = 64, planes_per_band: int = 8,
                            sketch_planes: int = 512,
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42,
+                           verify_mode: str = "arrow") -> DataFrame:
     """Near-duplicate pairs by embedding cosine via BANDED sign-LSH
     (OR-construction over AND-bands, like the minhash path) plus a packed
     sign-SKETCH prefilter: each band is `planes_per_band` random-hyperplane
@@ -652,23 +653,59 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
     # SLOWER here — the ~130-node-per-row expression tree blows past the
     # codegen thresholds and evaluates interpreted anyway, with a much
     # bigger tree; the higher-order-function form wins.
-    norm = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x),
-                              F.lit(0.0), lambda acc, x: acc + x))
-    dot = F.aggregate(F.zip_with(F.col("v_a"), F.col("v_b"),
-                                 lambda a, c: a * c),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    v = emb.select(F.col(id_col).alias("id"), vec.alias("v"), norm.alias("nrm"))
-    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-                  F.col("nrm").alias("nrm_a"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-                  F.col("nrm").alias("nrm_b"))
-    cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
-    out = (
-        screened.join(va, on="id_a").join(vb, on="id_b")
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+    v = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    paired = screened.join(va, on="id_a").join(vb, on="id_b")
+    # exact-cosine verify over the (typically ~100x-overscreened)
+    # candidate set. Arrow-batched numpy is the default: the aggregate()
+    # HOF dot does NOT whole-stage-codegen (lambda evaluation is
+    # interpreted), and at 206k surviving candidates the interpreted dot
+    # was the single biggest slice of the entry (~1.9 s of 4.3 s at
+    # sf0.1); the einsum batch kernel does the same double math in
+    # C order (measured value-identical at 6-decimal rounding across all
+    # three fixture SFs). This entry is one of the documented Arrow
+    # kernels in the plan-discipline allowlist. verify_mode="catalyst"
+    # keeps the pure-JVM HOF path (NOTE, measured round 6: unrolling the
+    # dot into dim flat element_at terms is 2x SLOWER than the HOF —
+    # the ~130-node tree blows past codegen thresholds and evaluates
+    # interpreted anyway).
+    if verify_mode == "arrow":
+        thr = float(threshold)
+
+        def _verify(batches):
+            import numpy as np
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                a = np.stack(pdf["v_a"].to_numpy())
+                b = np.stack(pdf["v_b"].to_numpy())
+                dots = np.einsum("ij,ij->i", a, b)
+                cosv = dots / (np.sqrt(np.einsum("ij,ij->i", a, a))
+                               * np.sqrt(np.einsum("ij,ij->i", b, b)))
+                keep = cosv >= thr
+                yield pdf.loc[keep, ["id_a", "id_b"]].assign(
+                    cosine=cosv[keep])
+
+        out = paired.mapInPandas(
+            _verify, schema="id_a long, id_b long, cosine double")
+    elif verify_mode == "catalyst":
+        def _sqnorm(c):
+            return F.aggregate(F.transform(c, lambda x: x * x),
+                               F.lit(0.0), lambda acc, x: acc + x)
+
+        dot = F.aggregate(F.zip_with(F.col("v_a"), F.col("v_b"),
+                                     lambda a, c: a * c),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        cos = dot / (F.sqrt(_sqnorm(F.col("v_a")))
+                     * F.sqrt(_sqnorm(F.col("v_b"))))
+        out = (paired.withColumn("cosine", cos)
+               .filter(F.col("cosine") >= threshold)
+               .select("id_a", "id_b", "cosine"))
+    else:
+        raise ValueError(f"unknown verify_mode {verify_mode!r} "
+                         f"(arrow|catalyst)")
     out.rm_release_cache = base.unpersist
     return out
 
