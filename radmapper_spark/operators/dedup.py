@@ -749,3 +749,93 @@ def fuzzy_pairs_levenshtein(df: DataFrame, col: str,
     return (cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
             .filter(F.col("dist") <= max_dist)
             .select("name_a", "name_b", "dist"))
+
+
+# ----------------------------------------------- persisted minhash index
+
+def build_minhash_index(docs: DataFrame, path: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 32, bands: int = 8,
+                        shingle_k: int = 5,
+                        hash_mode: str = "xxhash64") -> None:
+    """Persist the corpus's banded minhash index: one parquet table
+    partitioned by band, rows (band, bhash, id, minhash). Incremental
+    near-dup (below) probes it WITHOUT touching the corpus text — the
+    at-scale shape for a growing corpus: signature extraction is paid
+    once per document ever, and a probe batch shuffles only its own
+    signatures. Params are recorded in the path layout contract: probe
+    with the SAME (num_hashes, bands, shingle_k, hash_mode).
+    """
+    from ..functions import portable_hash as PH
+
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(drop_blank_docs(docs, text_col), text_col,
+                             num_hashes, shingle_k, hash_mode=hash_mode) \
+        .select(F.col(id_col).alias("id"), "minhash")
+
+    def band_hash(b):
+        vals = [F.col("minhash")[b * rows_per_band + r]
+                for r in range(rows_per_band)]
+        if hash_mode == "portable":
+            return PH.poly_col(vals)
+        return F.xxhash64(*vals)
+
+    banded = sigs.select(
+        "id", "minhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bhash"))
+            for b in range(bands)])).alias("bb"),
+    ).select(F.col("bb.band").alias("band"),
+             F.col("bb.bhash").alias("bhash"), "id", "minhash")
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def neardup_vs_index(new_docs: DataFrame, path: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     num_hashes: int = 32, bands: int = 8,
+                     shingle_k: int = 5,
+                     jaccard_threshold: float = 0.5,
+                     hash_mode: str = "xxhash64") -> DataFrame:
+    """Probe a persisted minhash index with a batch of NEW documents:
+    returns (new_id, index_id, est_jaccard) for every new doc that
+    near-duplicates an indexed one. The probe computes signatures for
+    the batch only, equi-joins the index on (band, bhash) — partition
+    pruning keeps the scan to matching band dirs; the index text is
+    never read — and verifies on the stored signatures. Estimated
+    jaccard is identical to the batch operator's (same signature family).
+    """
+    from ..functions import portable_hash as PH
+
+    spark = new_docs.sparkSession
+    rows_per_band = num_hashes // bands
+    idx = spark.read.parquet(path)
+    sigs = minhash_signature(drop_blank_docs(new_docs, text_col), text_col,
+                             num_hashes, shingle_k, hash_mode=hash_mode) \
+        .select(F.col(id_col).alias("new_id"),
+                F.col("minhash").alias("mh_new"))
+
+    def band_hash(b):
+        vals = [F.col("mh_new")[b * rows_per_band + r]
+                for r in range(rows_per_band)]
+        if hash_mode == "portable":
+            return PH.poly_col(vals)
+        return F.xxhash64(*vals)
+
+    probes = sigs.select(
+        "new_id", "mh_new",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bhash"))
+            for b in range(bands)])).alias("bb"),
+    ).select("new_id", "mh_new", F.col("bb.band").alias("band"),
+             F.col("bb.bhash").alias("bhash"))
+    cand = (probes.join(idx, on=["band", "bhash"])
+            .select("new_id", F.col("id").alias("index_id"),
+                    "mh_new", "minhash")
+            .dropDuplicates(["new_id", "index_id"]))
+    est = F.aggregate(
+        F.zip_with(F.col("mh_new"), F.col("minhash"),
+                   lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, x: acc + x) / F.lit(num_hashes)
+    return (cand.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= jaccard_threshold)
+            .select("new_id", "index_id", "est_jaccard"))

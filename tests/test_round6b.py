@@ -526,3 +526,48 @@ def test_kmeans_lloyd_improves_distortion(spark):
     d1, d2 = distortion(1), distortion(2)
     # Lloyd monotonicity (up to integer-floor centroid rounding slack)
     assert d2 <= d1 * 1.001
+
+
+# ----------------------------------------------- persisted minhash index
+
+def test_minhash_index_probe_equals_batch(spark, tmp_path):
+    """Index the corpus, probe with a doc batch: the probe's pair set
+    over (new x indexed) must equal the batch operator's pairs restricted
+    to the same sides — same signatures, same banding, same estimate."""
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.session import load_tables
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "mh_index")
+    dedup.build_minhash_index(old, path)
+    got = {(r.new_id, r.index_id): r.est_jaccard for r in
+           dedup.neardup_vs_index(new, path,
+                                  jaccard_threshold=0.5).collect()}
+    full = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    olds = {r.doc_id for r in old.select("doc_id").collect()}
+    news = {r.doc_id for r in new.select("doc_id").collect()}
+    want = {}
+    for r in full.collect():
+        if r.id_a in news and r.id_b in olds:
+            want[(r.id_a, r.id_b)] = r.est_jaccard
+        elif r.id_b in news and r.id_a in olds:
+            want[(r.id_b, r.id_a)] = r.est_jaccard
+    rel = getattr(full, "rm_release_cache", None)
+    rel and rel()
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_minhash_index_probe_prunes_partitions(spark, tmp_path):
+    """The probe scan must carry partition filters on band (the index is
+    partitioned by band, and the probe joins on it)."""
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.session import load_tables
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    path = str(tmp_path / "mh_index2")
+    dedup.build_minhash_index(docs, path)
+    import os
+    bands = [d for d in os.listdir(path) if d.startswith("band=")]
+    assert len(bands) == 8
