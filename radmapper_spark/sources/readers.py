@@ -36,6 +36,23 @@ def rm_get(ip, target, opts=None):
                 raise ValueError("$get(.parquet) needs a SparkSession")
             ip.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             return SparkDB(ip.spark.read.parquet(target))
+        if target.endswith(".jsonl") or target.endswith(".ndjson"):
+            # line-delimited corpus files are a DISTRIBUTED read: one
+            # JSON document per line is the standard crawl/corpus
+            # interchange shape, and driver-side parsing would serialize
+            # a 100 TB ingest through one process
+            if ip.spark is None:
+                raise ValueError("$get(.jsonl) needs a SparkSession")
+            return SparkDB(ip.spark.read.json(target))
+        if target.endswith(".csv") and (opts or {}).get("table"):
+            # opts {'table': true}: distributed CSV -> SparkDB (header
+            # row names the columns; values stay strings unless the
+            # caller casts — inference is explicitly NOT used, schema
+            # drift between files must fail loudly, not guess)
+            if ip.spark is None:
+                raise ValueError("$get(.csv, table) needs a SparkSession")
+            return SparkDB(ip.spark.read.option("header", "true")
+                           .csv(target))
         if target.endswith(".json"):
             with open(target) as f:
                 return json.load(f)

@@ -177,3 +177,31 @@ def test_spreadsheet_xlsx_cells_without_refs(tmp_path):
                    '</sheetData></worksheet>')
     r = run(f"$getSpreadsheet('{p}')")
     assert r == [{"a": 1, "b": 2}]
+
+
+def test_get_jsonl_distributed(spark, tmp_path):
+    """$get('*.jsonl') is a distributed read -> SparkDB."""
+    import json as _json
+    from radmapper_spark.lang.interp import Interp
+    from radmapper_spark.operators.spark_bridge import SparkDB
+    p = tmp_path / "corpus.jsonl"
+    with open(p, "w") as f:
+        for i in range(20):
+            f.write(_json.dumps({"doc_id": i, "text": f"doc {i}"}) + "\n")
+    out = Interp(spark).run_raw(f"$get('{p}')")
+    assert isinstance(out, SparkDB)
+    assert out.df.count() == 20
+    assert set(out.df.columns) == {"doc_id", "text"}
+
+
+def test_get_csv_table_mode(spark, tmp_path):
+    """$get('*.csv', {'table': true}) -> distributed SparkDB with header
+    columns, values kept as strings (no silent inference)."""
+    from radmapper_spark.lang.interp import Interp
+    from radmapper_spark.operators.spark_bridge import SparkDB
+    p = tmp_path / "t.csv"
+    p.write_text("id,name\n1,a\n2,b\n")
+    out = Interp(spark).run_raw(f"$get('{p}', {{'table': true}})")
+    assert isinstance(out, SparkDB)
+    rows = {r.id: r.name for r in out.df.collect()}
+    assert rows == {"1": "a", "2": "b"}
