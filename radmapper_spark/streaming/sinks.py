@@ -63,3 +63,38 @@ def start_cdc_apply(changes: DataFrame, base_path: str, out_path: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def start_neardup_probe(docs_stream: DataFrame, index_path: str,
+                        out_path: str, checkpoint: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_hashes: int = 32, bands: int = 8,
+                        shingle_k: int = 5,
+                        jaccard_threshold: float = 0.5,
+                        hash_mode: str = "xxhash64"):
+    """Streaming near-dup admission control: each micro-batch of incoming
+    documents is probed against the PERSISTED minhash index
+    (dedup.neardup_vs_index — signatures computed for the batch only,
+    equi-join on the banded index, corpus text never read) and the hits
+    are appended to out_path. The checkpoint dedupes batches across
+    restarts; the probe itself is a pure function of (batch, index), so
+    replays append identical rows at worst into distinct batch files.
+
+    This is the ingest-pipeline shape: new crawl data streams in, the
+    index answers "have we seen this before" incrementally, and the
+    index itself is refreshed out-of-band (build_minhash_index) on
+    whatever cadence the corpus grows."""
+    from ..operators.dedup import neardup_vs_index
+
+    def probe_batch(batch_df, batch_id):
+        hits = neardup_vs_index(
+            batch_df, index_path, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold, hash_mode=hash_mode)
+        hits.write.mode("append").parquet(out_path)
+
+    return (docs_stream.writeStream
+            .foreachBatch(probe_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

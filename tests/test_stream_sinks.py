@@ -95,3 +95,36 @@ def test_stream_cdc_apply_matches_batch_merge(spark, tables, tmp_path):
     # rerun with no new change files: checkpoint makes it a no-op
     run_once()
     assert sorted(map(tuple, spark.read.parquet(out).collect())) == want
+
+
+def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
+    """Stream 2 micro-batches of docs against a persisted index; the
+    appended hits equal the batch probe over the full doc set."""
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.session import load_tables
+    from radmapper_spark.streaming import sinks
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0) \
+        .select("doc_id", "text").cache()
+    idx = str(tmp_path / "idx")
+    dedup.build_minhash_index(old, idx)
+    src = str(tmp_path / "in")
+    rows = new.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(chunk, new.schema).coalesce(1) \
+            .write.mode("append" if i else "overwrite").parquet(src)
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "hits")
+    q = sinks.start_neardup_probe(
+        stream, idx, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {(r.new_id, r.index_id): r.est_jaccard
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.new_id, r.index_id): r.est_jaccard
+            for r in dedup.neardup_vs_index(new, idx).collect()}
+    assert got == want
+    new.unpersist()
