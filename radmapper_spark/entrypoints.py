@@ -2612,6 +2612,84 @@ def embedding_kmeans_lloyd_sql() -> str:
     """
 
 
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over the star schema: key
+    uniqueness, referential integrity (anti-join orphan counts), null
+    and domain checks — one tiny report row per check regardless of
+    input size (operators/quality.py)."""
+    from .operators import quality as Q
+    t = load_tables(spark, sf_dir)
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    return Q.run_checks([
+        Q.unique_key_check(o, ["o_orderkey"], "orders"),
+        Q.unique_key_check(li, ["l_orderkey", "l_linenumber"], "lineitem"),
+        Q.foreign_key_check(li, "l_orderkey", o, "o_orderkey", "lineitem"),
+        Q.foreign_key_check(o, "o_custkey", c, "c_custkey", "orders"),
+        Q.not_null_check(li, "l_quantity", "lineitem"),
+        Q.domain_check(li, (F.col("l_discount") >= 0)
+                       & (F.col("l_discount") <= 1),
+                       "domain(l_discount in [0,1])", "lineitem"),
+        Q.domain_check(o, F.col("o_totalprice") > 0,
+                       "domain(o_totalprice > 0)", "orders"),
+    ])
+
+
+def dq_checks_sql() -> str:
+    return """
+    SELECT 'unique(o_orderkey)' AS check, 'orders' AS table_name,
+           (count(*) - count(DISTINCT o_orderkey))::BIGINT AS n_violations,
+           count(*)::BIGINT AS n_checked,
+           count(*) = count(DISTINCT o_orderkey) AS ok
+    FROM orders
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)', 'lineitem',
+           (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT,
+           count(*)::BIGINT,
+           count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+    FROM lineitem
+    UNION ALL
+    SELECT 'fk(l_orderkey->o_orderkey)', 'lineitem',
+           (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)::BIGINT,
+           (SELECT count(*) FROM lineitem)::BIGINT,
+           (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL) = 0
+    UNION ALL
+    SELECT 'fk(o_custkey->c_custkey)', 'orders',
+           (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)::BIGINT,
+           (SELECT count(*) FROM orders)::BIGINT,
+           (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL) = 0
+    UNION ALL
+    SELECT 'not_null(l_quantity)', 'lineitem',
+           count(*) FILTER (WHERE l_quantity IS NULL)::BIGINT,
+           count(*)::BIGINT,
+           count(*) FILTER (WHERE l_quantity IS NULL) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'domain(l_discount in [0,1])', 'lineitem',
+           count(*) FILTER (WHERE NOT coalesce(
+               l_discount >= 0 AND l_discount <= 1, false))::BIGINT,
+           count(*)::BIGINT,
+           count(*) FILTER (WHERE NOT coalesce(
+               l_discount >= 0 AND l_discount <= 1, false)) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'domain(o_totalprice > 0)', 'orders',
+           count(*) FILTER (WHERE NOT coalesce(
+               o_totalprice > 0, false))::BIGINT,
+           count(*)::BIGINT,
+           count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0,
+                                               false)) = 0
+    FROM orders
+    """
+
+
 # =============================================================== registry
 
 ENTRIES: dict = {
@@ -2735,4 +2813,5 @@ ENTRIES: dict = {
     "doc_chunks_cdc": (doc_chunks_cdc, doc_chunks_cdc_sql),
     "embedding_kmeans_lloyd": (embedding_kmeans_lloyd,
                                embedding_kmeans_lloyd_sql),
+    "dq_checks": (dq_checks, dq_checks_sql),
 }

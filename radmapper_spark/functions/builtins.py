@@ -1395,3 +1395,21 @@ def _t_kmeans_lloyd(ip, env, table=NOMATCH, k=NOMATCH, iters=2):
     return _as_sdb(similarity.kmeans_lloyd(
         _table_df(table, "$kmeans"), k=int(_n(k, "$kmeans")),
         iters=int(_n(iters, "$kmeans"))))
+
+
+@builtin("$uniqueCheck", 2)
+def _t_unique_check(ip, env, table=NOMATCH, key=NOMATCH):
+    from ..operators import quality as Q
+    keys = key if isinstance(key, (list, tuple)) else [key]
+    return _as_sdb(Q.unique_key_check(
+        _table_df(table, "$uniqueCheck"),
+        [_s(k, "$uniqueCheck") for k in keys], "table"))
+
+
+@builtin("$fkCheck", 4)
+def _t_fk_check(ip, env, fact=NOMATCH, fact_key=NOMATCH, dim=NOMATCH,
+                dim_key=NOMATCH):
+    from ..operators import quality as Q
+    return _as_sdb(Q.foreign_key_check(
+        _table_df(fact, "$fkCheck"), _s(fact_key, "$fkCheck"),
+        _table_df(dim, "$fkCheck"), _s(dim_key, "$fkCheck"), "table"))

@@ -234,3 +234,20 @@ def test_round6b_builtins_from_rm(spark, tables):
     out = _run(spark, src, **{"$docs": tables["documents"]})
     assert isinstance(out, SparkDB)
     assert {"doc_id", "pack_id", "pack_fill"} <= set(out.df.columns)
+
+
+def test_kmeans_and_chunk_cdc_builtins(spark, tables):
+    out = _run(spark, "$kmeans($db($emb), 4, 2)",
+               **{"$emb": tables["embeddings"]})
+    assert isinstance(out, SparkDB)
+    assert set(out.df.columns) == {"vec_id", "cluster", "dist_scaled"}
+    rel = getattr(out.df, "rm_release_cache", None)
+    n = out.df.select("cluster").distinct().count()
+    rel and rel()
+    assert n <= 4
+
+    out = _run(spark, "$chunkCDC($db($docs), 8)",
+               **{"$docs": tables["documents"]})
+    assert isinstance(out, SparkDB)
+    assert {"doc_id", "chunk_seq", "chunk_text"} <= set(out.df.columns)
+    assert out.df.count() > 0
