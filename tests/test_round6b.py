@@ -604,3 +604,26 @@ def test_dq_checks_all_green_on_clean_table(spark):
         Q.domain_check(t, F.col("v") > 0, "domain(v>0)", "t"),
     ]).collect()
     assert all(r.ok and r.n_violations == 0 for r in rep)
+
+
+# -------------------------------------- repeat-invocation determinism
+
+@pytest.mark.parametrize("name", [
+    "ann_ivf_topk", "ann_pq_topk", "embedding_kmeans_lloyd",
+    "graph_pagerank", "dedup_embedding_cosine", "dedup_minhash_lsh"])
+def test_entry_repeat_invocation_identical(spark, name):
+    """Entries that carry caches (codebooks, persisted signature/rank
+    frames) must return IDENTICAL results on a second invocation in the
+    same session — a stale or cross-contaminated cache shows up here."""
+    import __spark_entry__ as entrymod
+    fn = entrymod.queries()[name]
+    sf = "/root/testdata/sf0.001"
+
+    def run_once():
+        df = fn(spark, sf)
+        rows = sorted(tuple(r) for r in df.collect())
+        rel = getattr(df, "rm_release_cache", None)
+        rel and rel()
+        return rows
+
+    assert run_once() == run_once()
