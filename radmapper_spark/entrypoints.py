@@ -2731,12 +2731,12 @@ ENTRIES: dict = {
     "event_markov": (event_markov, event_markov_sql),
     "events_anomalies": (events_anomalies, events_anomalies_sql),
     # dedup
-    "dedup_groups": (dedup_groups, dedup_groups_sql),
+    "doc_chunks_cdc": (doc_chunks_cdc, doc_chunks_cdc_sql),
+    "embedding_kmeans_lloyd": (embedding_kmeans_lloyd,
+                               embedding_kmeans_lloyd_sql),
+    "dq_checks": (dq_checks, dq_checks_sql),
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_sql),
-    "dedup_simhash": (dedup_simhash, dedup_simhash_sql),
     "dedup_embedding_cosine": (dedup_embedding_cosine, dedup_embedding_cosine_sql),
-    # similarity
-    "ann_bruteforce_topk": (ann_bruteforce_topk, ann_bruteforce_topk_sql),
     "ann_ivf_topk": (ann_ivf_topk, ann_ivf_topk_sql),
     "ann_pq_topk": (ann_pq_topk, ann_pq_topk_sql),
     "embedding_quantize": (embedding_quantize, embedding_quantize_sql),
@@ -2834,8 +2834,7 @@ ENTRIES: dict = {
     "stream_running_totals": (stream_running_totals, stream_running_totals_sql),
     "stream_dedup": (stream_dedup, stream_dedup_sql),
     "stream_join": (stream_join, stream_join_sql),
-    "doc_chunks_cdc": (doc_chunks_cdc, doc_chunks_cdc_sql),
-    "embedding_kmeans_lloyd": (embedding_kmeans_lloyd,
-                               embedding_kmeans_lloyd_sql),
-    "dq_checks": (dq_checks, dq_checks_sql),
+    "dedup_groups": (dedup_groups, dedup_groups_sql),
+    "dedup_simhash": (dedup_simhash, dedup_simhash_sql),
+    "ann_bruteforce_topk": (ann_bruteforce_topk, ann_bruteforce_topk_sql),
 }
