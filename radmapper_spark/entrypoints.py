@@ -2714,6 +2714,32 @@ def dq_checks_sql() -> str:
     """
 
 
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 10 docs per source,
+    weight = n_chars (Efraimidis-Spirakis with a portable-hash draw —
+    see sampling.weighted_sample_per_group)."""
+    from .operators import sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    return sampling.weighted_sample_per_group(
+        docs, "source", "doc_id", "n_chars", k=10)
+
+
+def weighted_sample_sql() -> str:
+    from .functions import portable_hash as PH
+    u = f"(({PH.duck_ph60(chr(39) + 'ws:' + chr(39) + ' || doc_id::VARCHAR')}) + 1)::DOUBLE / {float(1 << 60)}"
+    return f"""
+    SELECT source, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY CASE WHEN n_chars::DOUBLE > 0
+                             THEN ln({u}) / n_chars::DOUBLE
+                             ELSE '-infinity'::DOUBLE END DESC,
+                        doc_id ASC) AS sample_rank
+    FROM documents
+    QUALIFY sample_rank <= 10
+    """
+
+
 # =============================================================== registry
 
 ENTRIES: dict = {
@@ -2837,4 +2863,5 @@ ENTRIES: dict = {
     "dedup_groups": (dedup_groups, dedup_groups_sql),
     "dedup_simhash": (dedup_simhash, dedup_simhash_sql),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ann_bruteforce_topk_sql),
+    "weighted_sample": (weighted_sample, weighted_sample_sql),
 }

@@ -1413,3 +1413,13 @@ def _t_fk_check(ip, env, fact=NOMATCH, fact_key=NOMATCH, dim=NOMATCH,
     return _as_sdb(Q.foreign_key_check(
         _table_df(fact, "$fkCheck"), _s(fact_key, "$fkCheck"),
         _table_df(dim, "$fkCheck"), _s(dim_key, "$fkCheck"), "table"))
+
+
+@builtin("$weightedSample", 4)
+def _t_weighted_sample(ip, env, table=NOMATCH, group=NOMATCH,
+                       weight=NOMATCH, k=NOMATCH, id_col="doc_id"):
+    from ..operators import sampling
+    return _as_sdb(sampling.weighted_sample_per_group(
+        _table_df(table, "$weightedSample"), _s(group, "$weightedSample"),
+        _s(id_col, "$weightedSample"), _s(weight, "$weightedSample"),
+        k=int(_n(k, "$weightedSample"))))

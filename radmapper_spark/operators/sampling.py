@@ -106,3 +106,33 @@ def mixture_sample(df: DataFrame, group_col: str, rates: DataFrame,
     return (df.join(F.broadcast(rates), group_col)
             .filter(_bucket(id_col, salt, buckets) < cut)
             .drop("rate"))
+
+
+def weighted_sample_per_group(df: DataFrame, group_col: str, id_col: str,
+                              weight_col: str, k: int,
+                              salt: str = "ws") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k per group
+    (Efraimidis–Spirakis A-ES): each row draws u in (0,1] from its
+    portable id-hash and ranks on ln(u)/w — the top-k rows per group are
+    exactly a weighted sample without replacement. Deterministic,
+    append-stable (a kept row is evicted only by a stronger newcomer),
+    and engine-reproducible: u comes from the 60-bit md5 hash and the
+    key is two IEEE ops (log, divide) on identical inputs, so the
+    DuckDB oracle computes the identical ordering. Zero-or-negative
+    weights never win (key -> -inf).
+
+    One shuffle (the per-group rank window); the key is computed in the
+    scan projection. Output: (group, id, weight, sample_rank).
+    """
+    u = (PH.ph60(F.concat(F.lit(f"{salt}:"),
+                          F.col(id_col).cast("string")))
+         + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
+    ranked = df.select(
+        F.col(group_col), F.col(id_col), F.col(weight_col),
+        F.row_number().over(
+            Window.partitionBy(group_col)
+            .orderBy(key.desc(), F.col(id_col).asc()))
+        .alias("sample_rank"))
+    return ranked.filter(F.col("sample_rank") <= k)

@@ -116,3 +116,46 @@ def test_mixture_sample_rates_and_determinism(spark, tables):
                sampling.mixture_sample(docs, "source", rates,
                                        "doc_id").collect())
     assert a == b                                 # deterministic
+
+
+def test_weighted_sample_statistical_bias(spark):
+    """Heavier rows must be sampled more often: plant one group where a
+    few rows carry 100x weight; over the deterministic draw they should
+    dominate the selection."""
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import sampling
+    rows = [("g", i, 1000 if i < 20 else 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    out = sampling.weighted_sample_per_group(
+        df, "source", "doc_id", "w", k=20).collect()
+    heavy = sum(1 for r in out if r.doc_id < 20)
+    assert len(out) == 20
+    # 20 rows at 100x weight vs 380 at 1x: expected heavy share >> half
+    assert heavy >= 12
+
+
+def test_weighted_sample_zero_weight_never_wins(spark):
+    from radmapper_spark.operators import sampling
+    rows = [("g", i, 0 if i % 2 else 5) for i in range(40)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    out = sampling.weighted_sample_per_group(
+        df, "source", "doc_id", "w", k=15).collect()
+    assert all(r.w > 0 for r in out)
+
+
+def test_weighted_sample_append_stability(spark):
+    """Adding rows never reshuffles the survivors arbitrarily: every
+    evicted row is replaced only by a newcomer with a stronger key
+    (subset property of A-ES under a fixed hash draw)."""
+    from radmapper_spark.operators import sampling
+    rows = [("g", i, (i % 7) + 1) for i in range(100)]
+    more = rows + [("g", 1000 + i, (i % 7) + 1) for i in range(50)]
+    df1 = spark.createDataFrame(rows, "source string, doc_id long, w long")
+    df2 = spark.createDataFrame(more, "source string, doc_id long, w long")
+    s1 = {r.doc_id for r in sampling.weighted_sample_per_group(
+        df1, "source", "doc_id", "w", k=10).collect()}
+    s2 = {r.doc_id for r in sampling.weighted_sample_per_group(
+        df2, "source", "doc_id", "w", k=10).collect()}
+    # survivors of the bigger set that are old rows must be a subset of
+    # the original selection (keys are fixed per id)
+    assert {d for d in s2 if d < 1000} <= s1
