@@ -93,6 +93,10 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "n_failed": len(timings) - len(ok),
+                # environmental context: rounds 2/3/5 recorded phantom
+                # per-query regressions under sandbox load spikes —
+                # the load average makes cross-round drift attributable
+                "load_avg_1m": round(os.getloadavg()[0], 2),
             }
         )
     )
