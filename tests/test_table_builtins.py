@@ -251,3 +251,13 @@ def test_kmeans_and_chunk_cdc_builtins(spark, tables):
     assert isinstance(out, SparkDB)
     assert {"doc_id", "chunk_seq", "chunk_text"} <= set(out.df.columns)
     assert out.df.count() > 0
+
+
+def test_weighted_sample_builtin(spark, tables):
+    out = _run(spark,
+               "$weightedSample($db($docs), 'source', 'n_chars', 5)",
+               **{"$docs": tables["documents"]})
+    assert isinstance(out, SparkDB)
+    assert {"source", "doc_id", "sample_rank"} <= set(out.df.columns)
+    assert out.df.groupBy("source").count().agg(
+        {"count": "max"}).collect()[0][0] <= 5
