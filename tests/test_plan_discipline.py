@@ -157,3 +157,40 @@ def test_entries_construct_lazily(spark):
     assert not offenders, (
         f"entries ran driver jobs at construction (beyond {baseline} "
         f"load_tables schema reads): {offenders}")
+
+
+def test_round6b_plan_shapes(spark):
+    """Entry-specific physical-shape locks for the round-6b operators:
+    the properties that make each one scale, asserted so a regression
+    fails CI, not the 100 TB run."""
+    qs = entrymod.queries()
+
+    # doc_chunks / doc_chunks_cdc / text_pii_scrub: map-only — NO
+    # Exchange anywhere (chunking/scrubbing a corpus must not shuffle)
+    for name in ["doc_chunks", "doc_chunks_cdc", "text_pii_scrub"]:
+        df = qs[name](spark, SF)
+        plan = _plan(df)
+        _release(df)
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:1500]}"
+
+    # dq_checks: FK orphan checks must be anti joins (no row
+    # multiplication), uniqueness via hash aggregate (no sort window)
+    df = qs["dq_checks"](spark, SF)
+    plan = _plan(df)
+    _release(df)
+    assert "LeftAnti" in plan, "FK check lost its anti join"
+    assert "Window" not in plan, "dq_checks grew a window sort"
+
+    # weighted_sample: exactly ONE exchange (the per-group rank window)
+    df = qs["weighted_sample"](spark, SF)
+    plan = _plan(df)
+    _release(df)
+    n_ex = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_ex <= 1, f"weighted_sample shuffles {n_ex}x:\n{plan[:1500]}"
+
+    # embedding_kmeans: centroid side reaches the join as a broadcast
+    df = qs["embedding_kmeans"](spark, SF)
+    plan = _plan(df)
+    _release(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, \
+        "kmeans centroids not broadcast"
