@@ -1835,6 +1835,29 @@ def release_edge_cache() -> int:
     return n
 
 
+def _trade_edges(spark: SparkSession, sf_dir: str):
+    """Derived customer-supplier trade-edge table, cached per
+    (session, sf_dir) — shared by graph_pagerank and graph_communities."""
+    cache_key = (id(spark), sf_dir)
+    if cache_key not in _EDGE_CACHE:
+        t = load_tables(spark, sf_dir)
+        okeys = F.broadcast(t["orders"].select("o_orderkey", "o_custkey"))
+        ipairs = (t["lineitem"].select("l_orderkey", "l_suppkey")
+                  .join(okeys, F.col("l_orderkey") == F.col("o_orderkey"))
+                  .select("o_custkey", "l_suppkey").distinct())
+        pairs = ipairs.select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"))
+        edges = (pairs.select(F.col("c").alias("src"),
+                              F.col("s").alias("dst"))
+                 .unionByName(pairs.select(F.col("s").alias("src"),
+                                           F.col("c").alias("dst"))))
+        _EDGE_CACHE[cache_key] = edges.persist()
+    return _EDGE_CACHE[cache_key]
+
+
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-3-iteration PageRank over the bipartite customer-supplier
     graph (distinct trade pairs from orders⋈lineitem, both directions).
@@ -1843,27 +1866,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — float PageRank could never hash-match across engines.
     Output: top 20 nodes by rank."""
     from .operators import graph
-    cache_key = (id(spark), sf_dir)
-    if cache_key in _EDGE_CACHE:
-        pr = graph.pagerank(_EDGE_CACHE[cache_key], iters=3)
-        return _carry_release(
-            pr, pr.orderBy(F.col("rank").desc(),
-                           F.col("node").asc()).limit(20))
-    t = load_tables(spark, sf_dir)
-    # distinct on the INTEGER key pair (narrower shuffle), strings only
-    # after; the 2-column orders projection broadcasts into the join
-    okeys = F.broadcast(t["orders"].select("o_orderkey", "o_custkey"))
-    ipairs = (t["lineitem"].select("l_orderkey", "l_suppkey")
-              .join(okeys, F.col("l_orderkey") == F.col("o_orderkey"))
-              .select("o_custkey", "l_suppkey").distinct())
-    pairs = ipairs.select(
-        F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"))
-    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-             .unionByName(pairs.select(F.col("s").alias("src"),
-                                       F.col("c").alias("dst"))))
-    _EDGE_CACHE[cache_key] = edges.persist()
-    pr = graph.pagerank(_EDGE_CACHE[cache_key], iters=3)
+    pr = graph.pagerank(_trade_edges(spark, sf_dir), iters=3)
     return _carry_release(
         pr, pr.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20))
 
@@ -2740,6 +2743,57 @@ def weighted_sample_sql() -> str:
     """
 
 
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation iterations over the trade graph
+    (deterministic min-label tie-break — see graph.label_propagation),
+    summarized as the top 30 communities by size (>= 2 members)."""
+    from .operators import graph
+    from pyspark.sql import Window
+    lp = graph.label_propagation(_trade_edges(spark, sf_dir), iters=2)
+    sizes = (lp.groupBy("label")
+             .agg(F.count(F.lit(1)).alias("n_members"))
+             .filter(F.col("n_members") >= 2))
+    top = sizes.orderBy(F.col("n_members").desc(),
+                        F.col("label").asc()).limit(30)
+    rk = F.row_number().over(Window.orderBy(
+        F.col("n_members").desc(), F.col("label").asc()))
+    return _carry_release(lp, top.withColumn("rank", rk)
+                          .select("rank", "label", "n_members"))
+
+
+def graph_communities_sql() -> str:
+    it = """
+    SELECT n.node, coalesce(b.l, p.label) AS label
+    FROM nodes n
+    JOIN {prev} p USING (node)
+    LEFT JOIN (
+        SELECT node, (min({{'nc': -c, 'l': label}})).l AS l
+        FROM (SELECT e.dst AS node, r.label, count(*) AS c
+              FROM edges e JOIN {prev} r ON e.src = r.node
+              GROUP BY e.dst, r.label)
+        GROUP BY node) b USING (node)
+    """
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS ({it.format(prev="l0")}),
+    l2 AS ({it.format(prev="l1")}),
+    sizes AS (
+      SELECT label, count(*)::BIGINT AS n_members
+      FROM l2 GROUP BY label HAVING count(*) >= 2)
+    SELECT row_number() OVER (ORDER BY n_members DESC, label ASC) AS rank,
+           label, n_members
+    FROM sizes
+    ORDER BY n_members DESC, label ASC
+    LIMIT 30
+    """
+
+
 # =============================================================== registry
 
 ENTRIES: dict = {
@@ -2864,4 +2918,5 @@ ENTRIES: dict = {
     "dedup_simhash": (dedup_simhash, dedup_simhash_sql),
     "ann_bruteforce_topk": (ann_bruteforce_topk, ann_bruteforce_topk_sql),
     "weighted_sample": (weighted_sample, weighted_sample_sql),
+    "graph_communities": (graph_communities, graph_communities_sql),
 }

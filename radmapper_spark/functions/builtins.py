@@ -1423,3 +1423,11 @@ def _t_weighted_sample(ip, env, table=NOMATCH, group=NOMATCH,
         _table_df(table, "$weightedSample"), _s(group, "$weightedSample"),
         _s(id_col, "$weightedSample"), _s(weight, "$weightedSample"),
         k=int(_n(k, "$weightedSample"))))
+
+
+@builtin("$labelPropagation", 1)
+def _t_label_propagation(ip, env, edges=NOMATCH, iters=2):
+    from ..operators import graph
+    return _as_sdb(graph.label_propagation(
+        _table_df(edges, "$labelPropagation"),
+        iters=int(_n(iters, "$labelPropagation"))))

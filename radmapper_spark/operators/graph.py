@@ -90,3 +90,55 @@ def pagerank(edges: DataFrame, iters: int = 3,
 
     ranks.rm_release_cache = _release
     return ranks
+
+
+def label_propagation(edges: DataFrame, iters: int = 2,
+                      broadcast_labels: bool = True) -> DataFrame:
+    """Synchronous label propagation for community detection, made
+    DETERMINISTIC (the classic algorithm's random tie-break makes runs
+    incomparable): every node starts with its own label; each iteration
+    it adopts the most frequent label among in-neighbors, ties broken by
+    the SMALLEST label; isolated-in nodes keep their label. Fixed
+    iterations, engine-exact — the same reproducibility contract as the
+    scaled-integer PageRank above.
+
+    Per iteration: one broadcast of the (node, label) table into a
+    map-only edge pass, a (dst, label) count aggregate with map-side
+    partials, and a min-struct argmax — the label table is node-sized
+    (broadcast_labels contract; disable and pre-partition on src when
+    the node set itself is huge). Lazy persists bound the lineage.
+    Returns (node, label).
+    """
+    e = edges.select("src", "dst").persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    cached = [e, nodes]
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for i in range(iters):
+        lab = labels.select(F.col("node").alias("src"), "label")
+        l_in = F.broadcast(lab) if broadcast_labels else lab
+        votes = (e.join(l_in, "src")
+                 .groupBy(F.col("dst").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("_c")))
+        # deterministic argmax: highest count, then SMALLEST label —
+        # expressed as min over (-count, label)
+        best = (votes.groupBy("node")
+                .agg(F.min(F.struct((-F.col("_c")).alias("nc"),
+                                    F.col("label").alias("l")))
+                     .alias("_b"))
+                .select("node", F.col("_b.l").alias("_new")))
+        upd = F.broadcast(best) if broadcast_labels else best
+        labels = (labels.join(upd, "node", "left")
+                  .select("node", F.coalesce("_new", "label")
+                          .alias("label")))
+        if i < iters - 1:
+            labels = labels.persist()
+            cached.append(labels)
+
+    def _release(frames=tuple(cached)):
+        for f in frames:
+            f.unpersist()
+
+    labels.rm_release_cache = _release
+    return labels

@@ -627,3 +627,38 @@ def test_entry_repeat_invocation_identical(spark, name):
         return rows
 
     assert run_once() == run_once()
+
+
+# -------------------------------------------------- label propagation
+
+def test_label_propagation_two_triangles(spark):
+    """Two disjoint triangles converge to per-triangle min labels."""
+    from radmapper_spark.operators import graph
+    tri = [("a", "b"), ("b", "c"), ("c", "a"),
+           ("x", "y"), ("y", "z"), ("z", "x")]
+    edges = tri + [(b, a) for a, b in tri]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = graph.label_propagation(df, iters=4)
+    got = {r.node: r.label for r in out.collect()}
+    rel = getattr(out, "rm_release_cache", None); rel and rel()
+    assert {got["a"], got["b"], got["c"]} == {got["a"]}
+    assert {got["x"], got["y"], got["z"]} == {got["x"]}
+    assert got["a"] != got["x"]
+
+
+def test_label_propagation_deterministic_tie(spark):
+    """A node with two equally-frequent neighbor labels adopts the
+    SMALLEST — twice, identically."""
+    from radmapper_spark.operators import graph
+    edges = [("a", "m"), ("b", "m")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    def run():
+        out = graph.label_propagation(df, iters=1)
+        got = {r.node: r.label for r in out.collect()}
+        rel = getattr(out, "rm_release_cache", None); rel and rel()
+        return got
+
+    g1, g2 = run(), run()
+    assert g1 == g2
+    assert g1["m"] == "a"  # min of {a, b}
