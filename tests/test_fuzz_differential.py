@@ -138,3 +138,56 @@ def test_column_twin_agrees_with_driver(one_row_df, src):
         pytest.fail(f"driver runs but column mode refuses: {src}")
     got = one_row_df.select(col.alias("r")).head()["r"]
     assert _agree(got, want), f"{src}: column={got!r} driver={want!r}"
+
+
+# ------------------------------------------- round-6b hypothesis fuzz
+
+_pack_items = st.lists(st.tuples(st.integers(0, 999),
+                                 st.integers(0, 300)),
+                       min_size=0, max_size=30,
+                       unique_by=lambda t: t[0])
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(items=_pack_items, cap=st.sampled_from([64, 256]))
+def test_pack_sequences_matches_model_hypothesis(spark, items, cap):
+    """Greedy packing vs the python recurrence under hypothesis-driven
+    layouts (zero-weight docs, over-capacity docs, empty groups)."""
+    from radmapper_spark.operators import chunking
+    if not items:
+        return
+    df = spark.createDataFrame([("g", i, n) for i, n in items],
+                               "source string, doc_id long, n_tokens long")
+    got = {r.doc_id: (r.n_used, r.pack_id, r.pack_fill)
+           for r in chunking.pack_sequences(df, capacity=cap).collect()}
+    want, b, fill = {}, 0, 0
+    for i, n in sorted(items):
+        n = min(n, cap)
+        if b > 0 and fill + n <= cap:
+            fill += n
+        else:
+            b, fill = b + 1, n
+        want[i] = (n, b, fill)
+    assert got == want
+
+
+_chunk_tokens = st.lists(st.text(alphabet="abcx", min_size=1, max_size=4),
+                         min_size=0, max_size=60)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(toks=_chunk_tokens, mod=st.sampled_from([2, 4, 16]))
+def test_cdc_chunking_partitions_hypothesis(spark, toks, mod):
+    """Content-defined chunks always partition the token stream exactly,
+    for any content and boundary density."""
+    from radmapper_spark.operators import chunking
+    text = " ".join(toks)
+    if not text.strip():
+        return
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(chunking.chunk_content_defined(df, mod=mod).collect(),
+                 key=lambda r: r.chunk_seq)
+    assert " ".join(r.chunk_text for r in out) == text
+    assert sum(r.n_chunk_tokens for r in out) == len(toks)
