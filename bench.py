@@ -83,16 +83,28 @@ def main() -> None:
 
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 4)
+    # The full 90-query map overflowed the driver's stdout tail capture in
+    # round 6 (BENCH_r06.json "parsed": null), so the per-query timings go
+    # to a sidecar file and the stdout line keeps only summary fields plus
+    # the 10 slowest queries (the ones a reader acts on).
+    qfile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_QUERIES.json")
+    with open(qfile, "w") as f:
+        json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(((n, v) for n, v in timings.items() if v >= 0),
+                          key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "total_sec_headline_queries",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "queries_file": "BENCH_QUERIES.json",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "n_failed": len(timings) - len(ok),
+                "failed": sorted(failed)[:5],
                 # environmental context: rounds 2/3/5 recorded phantom
                 # per-query regressions under sandbox load spikes —
                 # the load average makes cross-round drift attributable

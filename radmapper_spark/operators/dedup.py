@@ -584,7 +584,8 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
                            bands: int = 64, planes_per_band: int = 8,
                            sketch_planes: int = 512,
                            seed: int = 42,
-                           verify_mode: str = "arrow") -> DataFrame:
+                           verify_mode: str = "arrow",
+                           distinct_stage: str = "late") -> DataFrame:
     """Near-duplicate pairs by embedding cosine via BANDED sign-LSH
     (OR-construction over AND-bands, like the minhash path) plus a packed
     sign-SKETCH prefilter: each band is `planes_per_band` random-hyperplane
@@ -614,9 +615,24 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
 
     Plan: one projection computes band sigs and sketch words per row ->
     explode to (id, band, sig) -> self equi-join on (band, sig) ->
-    popcount prefilter INLINE on the raw join output -> distinct id pairs
-    (only survivors reach the wide exchange) -> re-join vectors -> exact
-    cosine filter.
+    popcount prefilter INLINE on the raw join output -> re-join vectors ->
+    exact cosine filter -> distinct id pairs.
+
+    `distinct_stage` places the pair dedup (a pair colliding in k bands
+    appears k times):
+
+    - "late" (default): verify WITH duplicates, distinct only the
+      survivors. The exact verify is a vectorized einsum over rows the
+      vector join (broadcast when the vector table fits) delivers
+      map-side, so duplicate rows cost nanoseconds each, while the early
+      distinct is a full shuffle of the candidate set — measured 2x the
+      whole entry at sf0.1 (1.3s vs 2.6s). Survivor distinct touches only
+      true pairs x band-dup (~1k rows here).
+    - "early": distinct BEFORE the vector join. The right call when the
+      vector table is too large to broadcast (billions of vectors): there
+      the re-join is itself a shuffle priced per candidate row, and
+      paying one narrow (id,id) distinct shuffle to cut the join probe
+      volume by the duplication factor (2.4x here) wins.
     """
     import math
 
@@ -628,7 +644,12 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
     # re-join), so the popcount prefilter runs INLINE on the raw join
     # output and the expensive distinct only sees survivors
     banded = base.select("id", "wd", F.posexplode("bb").alias("band", "sig"))
-    l, r = banded.alias("l"), banded.alias("r")
+    # SHUFFLE_HASH: the band self-join's equi-keys (band, sig) are
+    # near-uniform 8-bit buckets, so sort-merge buys nothing and its two
+    # sorts dominate (measured 2.5x slower at sf0.1). The hash build side
+    # is ONE shuffle partition of the banded frame — bounded by AQE's
+    # target partition size at scale, so this stays safe at 100 TB.
+    l, r = banded.alias("l"), banded.alias("r").hint("shuffle_hash")
     # popcount prefilter: agreement fraction vs p_t - 4.5 sigma. The word
     # count is static, so the popcount sum is UNROLLED into flat bit_count
     # terms — whole-stage-codegen-able, unlike an aggregate() lambda
@@ -646,8 +667,12 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
                & (F.col("l.id") < F.col("r.id")))
         .filter(est_p >= F.lit(p_t - margin))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
+    if distinct_stage == "early":
+        screened = screened.distinct()
+    elif distinct_stage != "late":
+        raise ValueError(f"unknown distinct_stage {distinct_stage!r} "
+                         f"(early|late)")
     # exact-cosine verify via zip_with+aggregate lambdas. NOTE (measured,
     # round 6): unrolling the dot into dim flat element_at terms is 2x
     # SLOWER here — the ~130-node-per-row expression tree blows past the
@@ -706,6 +731,12 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
     else:
         raise ValueError(f"unknown verify_mode {verify_mode!r} "
                          f"(arrow|catalyst)")
+    if distinct_stage == "late":
+        # duplicates of a pair carry bit-identical cosine (same kernel on
+        # the same doubles), so min() is a pure dedup; the shuffle sees
+        # only survivors (true pairs x band-dup factor — tiny)
+        out = (out.groupBy("id_a", "id_b")
+               .agg(F.min("cosine").alias("cosine")))
     out.rm_release_cache = base.unpersist
     return out
 

@@ -113,12 +113,15 @@ def test_range_search_matches_bruteforce_prefix(spark, tables):
     q = (emb.orderBy("vec_id").limit(3)
          .select(F.col("vec_id").alias("qid"), "embedding"))
     got = {(r["qid"], r["cid"]): r["cosine"]
-           for r in similarity.range_search(emb, q, threshold=0.4).collect()}
+           for r in similarity.range_search(emb, q, threshold=0.25).collect()}
     exact = similarity.brute_force_topk(emb, q, k=10_000)
     want = {(r["qid"], r["cid"]): r["cosine"]
             for r in exact.collect()
-            if r["cosine"] >= 0.4 and r["qid"] != r["cid"]}
+            if r["cosine"] >= 0.25 and r["qid"] != r["cid"]}
     assert got == want
+    # 0.25 is fixture-calibrated to be non-vacuous at every SF: a 0=0
+    # comparison would green a broken implementation (VERDICT r6 §wrong-2)
+    assert len(got) > 0
 
 
 def test_fuzzy_pairs_fastss_complete_vs_bruteforce(spark, tables):

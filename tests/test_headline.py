@@ -16,6 +16,12 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
+# Entries allowed to return 0 rows at SF_SMOKE.  Everything else must be
+# non-empty: a 0=0 oracle comparison is vacuous — it greens a broken
+# implementation (VERDICT r6 found ann_range_search passing that way).
+EMPTY_OK: frozenset = frozenset()
+
+
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, name):
     qs = entrymod.queries()
@@ -23,5 +29,9 @@ def test_query_matches_oracle(spark, name):
     df = qs[name](spark, SF_SMOKE)
     if name in oracles:
         assert_matches_oracle(df, oracles[name], SF_SMOKE)
+        if name not in EMPTY_OK:
+            assert df.count() > 0, (
+                f"entry '{name}' is empty at {SF_SMOKE} — the oracle match "
+                f"is vacuous; re-calibrate the fixture or add to EMPTY_OK")
     else:
         assert df.count() >= 0
