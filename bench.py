@@ -112,6 +112,11 @@ def main() -> None:
             }
         )
     )
+    # release the per-(session, sf_dir) derived-table caches so repeated
+    # in-process bench invocations don't accumulate persisted frames
+    from radmapper_spark.entrypoints import release_edge_cache
+
+    release_edge_cache()
     spark.stop()
 
 

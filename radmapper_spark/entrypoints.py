@@ -1845,6 +1845,15 @@ def _trade_edges(spark: SparkSession, sf_dir: str):
     (session, sf_dir) — shared by graph_pagerank and graph_communities."""
     cache_key = (id(spark), sf_dir)
     if cache_key not in _EDGE_CACHE:
+        # evict entries from OTHER sessions/sf_dirs before inserting: a
+        # stopped session's persisted frame is dead weight (and id() can
+        # be reused), so the cache never holds more than the live
+        # (session, sf_dir) pair plus what this call adds
+        for k in [k for k in _EDGE_CACHE if k != cache_key]:
+            try:
+                _EDGE_CACHE.pop(k).unpersist()
+            except Exception:
+                pass
         t = load_tables(spark, sf_dir)
         okeys = F.broadcast(t["orders"].select("o_orderkey", "o_custkey"))
         ipairs = (t["lineitem"].select("l_orderkey", "l_suppkey")

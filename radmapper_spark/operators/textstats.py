@@ -420,8 +420,14 @@ def bm25_score(docs: DataFrame, query_terms: list,
     (no second pass)."""
     if not query_terms:
         raise ValueError("bm25_score needs at least one query term")
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
-                    lambda t: t != "")
+    # NULL text tokenizes to an EMPTY array, not NULL: F.size(NULL) is -1
+    # under non-ANSI Spark while the DuckDB oracle's sum(len(..)) skips
+    # NULLs, so an uncoalesced token column would skew avgdl (and every
+    # micro-score) on corpora containing NULL documents
+    toks = F.coalesce(
+        F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                 lambda t: t != ""),
+        F.array().cast("array<string>"))
     qarr = F.array(*[F.lit(t) for t in sorted(set(query_terms))])
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.size(toks).alias("_dl"),

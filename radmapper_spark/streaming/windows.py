@@ -186,10 +186,18 @@ def rolling_anomalies_stream(events_stream: DataFrame, lookback: int = 20,
         buf = list(state.get[0]) if state.exists else []
         out = {"event_id": [], "user_id": [], "ts": [], "value": [],
                "zscore": []}
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, ts, v in zip(pdf["event_id"], pdf["ts"],
-                                  pdf["value"]):
+        # materialize the WHOLE group's micro-batch before sorting: the
+        # Arrow chunk iterator carries shuffle order, so sorting each
+        # chunk independently would fold rows into state in per-chunk
+        # order whenever a group's batch spans chunks, diverging from
+        # the batch operator this function mirrors exactly
+        chunks = list(pdfs)
+        batch = (pd.concat(chunks, ignore_index=True) if chunks
+                 else pd.DataFrame(columns=["event_id", "ts", "value"]))
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for eid, ts, v in zip(batch["event_id"], batch["ts"],
+                                  batch["value"]):
                 sv = math.floor(float(v) * 1e6)
                 n = len(buf)
                 if n >= 2:

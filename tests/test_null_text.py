@@ -70,3 +70,42 @@ def test_exact_dedup_groups_blanks_separately(docs_with_blanks):
     assert by_keep[1] == 2   # the two real duplicates
     assert by_keep[3] == 2   # '' and '   ' normalize identically
     assert by_keep[2] == 1   # NULL alone
+
+
+def test_bm25_null_text_matches_duckdb_avgdl(spark, docs_with_blanks):
+    """BM25's corpus avgdl must treat NULL text as 0 tokens, matching the
+    DuckDB oracle's NULL-skipping sum(len(..)) — F.size(NULL) is -1 under
+    non-ANSI Spark and silently skewed every micro-score (ADVICE r6)."""
+    import duckdb
+    out = {r["doc_id"]: r["bm25"] for r in
+           textstats.bm25_score(docs_with_blanks, ["cat", "mat"]).collect()}
+    con = duckdb.connect()
+    con.register("documents", docs_with_blanks.toPandas())
+    want = {r[0]: r[1] for r in con.execute("""
+        WITH tok AS (SELECT doc_id,
+                            list_filter(string_split_regex(lower(text),
+                                                           '[^a-z]+'),
+                                        x -> x <> '') AS toks
+                     FROM documents),
+             corpus AS (SELECT count(*) AS n,
+                               sum(len(toks))::BIGINT AS tok_total
+                        FROM tok),
+             tf AS (SELECT doc_id, len(toks) AS dl, t.term,
+                           count(*) AS tf
+                    FROM tok, unnest(toks) AS t(term)
+                    WHERE t.term IN ('cat', 'mat')
+                    GROUP BY doc_id, dl, t.term),
+             dfreq AS (SELECT term, count(DISTINCT doc_id) AS df
+                       FROM tf GROUP BY term)
+        SELECT doc_id,
+               sum(round(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                         * (tf * 2.2)
+                         / (tf + 1.2 * (0.25 + 0.75 * dl
+                                        / (tok_total::DOUBLE / n)))
+                         * 1e6)::BIGINT)::BIGINT / 1e6 AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
+        GROUP BY doc_id
+        """).fetchall()}
+    assert set(out) == set(want)
+    for d, s in want.items():
+        assert abs(out[d] - s) < 1e-9, (d, out[d], s)

@@ -798,7 +798,12 @@ def test_ivf_index_persist_roundtrip(spark, tables, tmp_path):
 
 def test_rolling_anomalies_stream_matches_batch(spark, tmp_path):
     """Streaming z-score flags == batch operator on an ordered stream:
-    per-user ring-buffer state carries across 3 micro-batches."""
+    per-user ring-buffer state carries across 3 micro-batches.
+
+    Arrow batches are capped at 7 records and each micro-batch file is
+    written in REVERSE (ts, event_id) order, so every group's batch spans
+    several out-of-order chunks — the regression shape for the per-chunk
+    sort bug (state folded in chunk order when a batch spans chunks)."""
     from radmapper_spark.operators import behavior
     from radmapper_spark.session import load_tables
     t = load_tables(spark, "/root/testdata/sf0.001")
@@ -807,15 +812,25 @@ def test_rolling_anomalies_stream_matches_batch(spark, tmp_path):
     rows = ev.collect()
     src = str(tmp_path / "anom_stream_in")
     for i in range(3):
-        chunk = rows[i * 200:(i + 1) * 200]
+        chunk = list(reversed(rows[i * 200:(i + 1) * 200]))
         spark.createDataFrame(chunk, ev.schema).coalesce(1) \
             .write.mode("append" if i else "overwrite").parquet(src)
-    stream = (spark.readStream.schema(ev.schema)
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    out = W.rolling_anomalies_stream(stream, lookback=10, z_threshold=2.5)
-    q = (out.writeStream.format("memory").queryName("rm_anom_stream")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(arrow_key, None)
+    spark.conf.set(arrow_key, "7")
+    try:
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = W.rolling_anomalies_stream(stream, lookback=10,
+                                         z_threshold=2.5)
+        q = (out.writeStream.format("memory").queryName("rm_anom_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset(arrow_key)
+        else:
+            spark.conf.set(arrow_key, prev)
     got = {r["event_id"]: r["zscore"]
            for r in spark.sql("SELECT * FROM rm_anom_stream").collect()}
     want = {r.event_id: r.zscore for r in behavior.rolling_anomalies(

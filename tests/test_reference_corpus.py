@@ -29,7 +29,6 @@ REF_QUERY_TEST = "/root/reference/test/rad_mapper/query_test.cljc"
 
 # expression-prefix -> reason
 SKIP = {
-    "$get(['list_id', 'cct_bie']": "reference codelib-server data",
     # reference query_test.cljc:1040-1052: the DEEP qvar-in-key $reduce
     # expects a VECTOR [{Bob...},{Alice...}] while its own SHALLOW twin
     # (1027-1038) expects a merged map {Alice..., Bob...}. We implement
@@ -38,6 +37,18 @@ SKIP = {
     "($DBa   := [{'email' : 'bob@example.com', 'name' : 'Bob'},":
         "reference-inconsistent deep qvar-in-key expectation",
 }
+
+
+@pytest.fixture(autouse=True)
+def _seeded_catalog(tmp_path, monkeypatch):
+    """Seed the codelib catalog (reference libcode.clj content) so the
+    `$get(['list_id','cct_bie'])`-class corpus cases run against the same
+    library the reference server pre-loads."""
+    import radmapper_spark.sources.readers as readers
+    from radmapper_spark.sources.libcode import seed_catalog
+    path = str(tmp_path / "catalog.json")
+    monkeypatch.setattr(readers, "CATALOG_PATH", path)
+    seed_catalog(path)
 
 
 def _excluded_spans(s: str):
