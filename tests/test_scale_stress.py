@@ -338,3 +338,91 @@ def test_packing_sharded_500k_docs(big_docs):
                                           shard_docs=500)
     dt = _timed("pack_sequences_sharded 500k docs", out, "pack_fill")
     assert dt < 60
+
+
+# --------------------------------------------- 100x-claim equivalence
+
+@pytest.fixture(scope="module")
+def big_graph(spark, tmp_path_factory):
+    """4.5M-edge / ~450k-node synthetic graph with planted 1k-deep
+    chains (so min-label propagation would need ~1k rounds — the shape
+    that motivates large-star/small-star), written to parquet."""
+    path = str(tmp_path_factory.mktemp("graph") / "edges")
+    n_edges, n_nodes = 4_500_000, 450_000
+    rand = spark.range(n_edges).select(
+        F.pmod(F.xxhash64("id"), n_nodes).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), n_nodes).alias("dst"))
+    # 10 chains of depth 1000 in a reserved id range [10^9, 10^9+10^4)
+    chains = spark.range(10_000).select(
+        (F.lit(1_000_000_000) + F.col("id")).alias("src"),
+        (F.lit(1_000_000_000) + F.col("id") + 1).alias("dst")
+    ).filter((F.col("id") % 1_000) != 999)
+    (rand.unionByName(chains).filter(F.col("src") != F.col("dst"))
+     .repartition(32).write.mode("overwrite").parquet(path))
+    return spark.read.parquet(path)
+
+
+def test_cc_distributed_equals_driver_unionfind_above_gate(spark, big_graph):
+    """The 100x claim for dedup grouping, proven end-to-end: above the
+    2M-edge gate the large-star/small-star loop must label EVERY node
+    identically to the driver union-find (gate lifted to force it) —
+    same components, same min-id labels, zero rows differing."""
+    from radmapper_spark.operators import dedup
+    e = big_graph.select(F.col("src").alias("id_a"),
+                         F.col("dst").alias("id_b"))
+    n_edges = e.count()
+    assert n_edges > 2_000_000, "fixture must sit above the driver gate"
+
+    t0 = time.time()
+    dist = dedup.connected_components(e).persist()  # default gate: distributed
+    n_dist = dist.count()
+    dt_dist = time.time() - t0
+
+    t0 = time.time()
+    local = dedup.connected_components(
+        e, local_threshold=50_000_000).persist()  # forced driver union-find
+    n_local = local.count()
+    dt_local = time.time() - t0
+
+    print(f"\ncc 4.5M edges: distributed {n_dist} nodes {dt_dist:.1f}s, "
+          f"driver {n_local} nodes {dt_local:.1f}s")
+    assert n_dist == n_local
+    assert dist.exceptAll(local).isEmpty()
+    assert local.exceptAll(dist).isEmpty()
+    # the planted 1000-deep chains collapsed to their min id
+    chain0 = (dist.filter(F.col("node") >= 1_000_000_000)
+              .filter(F.col("node") < 1_000_000_000 + 1_000))
+    assert (chain0.select("component").distinct().count() == 1)
+    dist.unpersist()
+    local.unpersist()
+    assert dt_dist < 300
+
+
+def test_pagerank_copartitioned_equals_broadcast_4m_edges(spark, big_graph):
+    """The 100x claim for pagerank: broadcast_ranks=False (the
+    huge-node-set path — shuffle join per iteration instead of a rank
+    broadcast) must produce BIT-IDENTICAL scaled-integer ranks to the
+    broadcast path on a 4.5M-edge graph."""
+    from radmapper_spark.operators import graph
+    t0 = time.time()
+    pr_b = graph.pagerank(big_graph, iters=3, broadcast_ranks=True).persist()
+    n_b = pr_b.count()
+    dt_b = time.time() - t0
+
+    t0 = time.time()
+    pr_s = graph.pagerank(big_graph, iters=3, broadcast_ranks=False).persist()
+    n_s = pr_s.count()
+    dt_s = time.time() - t0
+
+    print(f"\npagerank 4.5M edges: broadcast {n_b} nodes {dt_b:.1f}s, "
+          f"co-partitioned {n_s} nodes {dt_s:.1f}s")
+    assert n_b == n_s
+    diff = (pr_b.alias("a").join(pr_s.alias("b"), "node")
+            .filter(F.col("a.rank") != F.col("b.rank")))
+    assert diff.isEmpty(), "scaled-integer ranks must be bit-identical"
+    for pr in (pr_b, pr_s):
+        rel = getattr(pr, "rm_release_cache", None)
+        if rel:
+            rel()
+        pr.unpersist()
+    assert dt_s < 300
