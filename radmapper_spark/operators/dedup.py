@@ -180,7 +180,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bhash")
     left = banded.alias("l")
-    right = banded.alias("r")
+    # SHUFFLE_HASH: same rationale as the embedding band join below —
+    # (band, bhash) buckets are near-uniform, SMJ's sorts buy nothing
+    right = banded.alias("r").hint("shuffle_hash")
     # dedupe CANDIDATE ID PAIRS first (narrow rows through the shuffle),
     # then join the (persisted, small) signatures back for verification
     cand = (
@@ -316,7 +318,9 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
                      .bitwiseAND(F.lit(mask)).alias("bval"))
             for b in range(bands)])).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    a, b = bandvals.alias("a"), bandvals.alias("b")
+    # SHUFFLE_HASH: near-uniform (band, bval) buckets — see the embedding
+    # band join for the measured SMJ-sort argument
+    a, b = bandvals.alias("a"), bandvals.alias("b").hint("shuffle_hash")
     cand = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"),
                       F.col("a.bval") == F.col("b.bval"),

@@ -194,3 +194,18 @@ def test_round6b_plan_shapes(spark):
     _release(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, \
         "kmeans centroids not broadcast"
+
+
+def test_band_self_joins_are_shuffled_hash(spark):
+    """The LSH band self-joins (minhash / simhash / embedding sign-LSH)
+    must plan as ShuffledHashJoin, not SortMergeJoin: the (band, sig)
+    buckets are near-uniform so SMJ's two sorts buy nothing (measured
+    2.5x the candidate stage on the embedding join at sf0.1)."""
+    from radmapper_spark.session import load_tables
+    qs = entrymod.queries()
+    for name in ("dedup_minhash_lsh", "dedup_simhash",
+                 "dedup_embedding_cosine"):
+        df = qs[name](spark, SF)
+        plan = _plan(df)
+        assert "ShuffledHashJoin" in plan, f"{name}: band join not SHJ"
+        _release(df)
