@@ -21,7 +21,15 @@ from tests.oracle import duck_conn
 
 SF_DIR = os.environ.get("RM_TEST_SF_DIR", "/root/testdata/sf0.001")
 
-BANNED = ("HUGEINT", "UHUGEINT")
+# DuckDB output types with a PROVEN green driver row (surveyed across all
+# 90 entries, rounds 1-7): these fetch into the same Python/Arrow value
+# domain as their Spark counterparts.  Everything else fails the lint:
+# HUGEINT/UHUGEINT exports as decimal128 (the thrice-observed hash
+# poison); DECIMAL outputs diverge on engine scale/rounding rules (every
+# exact-decimal entry casts to DOUBLE at the boundary for this reason);
+# FLOAT would compare 32-bit against Spark doubles.
+ALLOWED = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+           "DOUBLE", "VARCHAR", "BOOLEAN", "TIMESTAMP", "DATE"}
 
 
 def _oracles():
@@ -30,12 +38,13 @@ def _oracles():
 
 
 @pytest.mark.parametrize("name,sql", _oracles(), ids=[n for n, _ in _oracles()])
-def test_oracle_has_no_hugeint_columns(name, sql):
+def test_oracle_output_types_in_green_repertoire(name, sql):
     con = duck_conn(SF_DIR)
     desc = con.execute(f"DESCRIBE {sql}").fetchall()
     bad = [(col, typ) for col, typ, *_ in desc
-           if any(b in typ.upper() for b in BANNED)]
+           if typ.upper().split("(")[0] not in ALLOWED]
     assert not bad, (
-        f"oracle '{name}' produces 128-bit integer columns {bad}; "
-        f"cast with ::BIGINT — the driver hash is type-sensitive and Spark "
-        f"has no HUGEINT, so this WILL fail the correctness gate")
+        f"oracle '{name}' produces columns outside the driver-green type "
+        f"repertoire: {bad}. Cast integer sums ::BIGINT and decimals/"
+        f"floats ::DOUBLE — the driver hash is type-sensitive (HUGEINT "
+        f"cost a driver row in rounds 5, 6 AND 7's backlog)")
