@@ -118,7 +118,14 @@ def label_propagation(edges: DataFrame, iters: int = 2,
     for i in range(iters):
         lab = labels.select(F.col("node").alias("src"), "label")
         l_in = F.broadcast(lab) if broadcast_labels else lab
+        # ONE exchange for both aggregates: hash-partitioning the joined
+        # edge stream on dst satisfies ClusteredDistribution for BOTH the
+        # (dst, label) count and the per-dst argmax (subset rule), so
+        # neither groupBy re-shuffles — measured 2 full-volume exchanges
+        # -> 1 per iteration (iteration 1's (dst, label) partials don't
+        # reduce at all: with self-labels every edge is a distinct pair)
         votes = (e.join(l_in, "src")
+                 .repartition(F.col("dst"))
                  .groupBy(F.col("dst").alias("node"), "label")
                  .agg(F.count(F.lit(1)).alias("_c")))
         # deterministic argmax: highest count, then SMALLEST label —
