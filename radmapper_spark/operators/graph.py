@@ -46,8 +46,15 @@ def pagerank(edges: DataFrame, iters: int = 3,
     # triggered here (construction stays job-free); each cache fills on
     # the first action that uses it. rm_release_cache on the result
     # unpersists everything.
-    e = edges.select("src", "dst").persist()
-    cached = [e]
+    # skip the re-persist when the caller already caches the edge table
+    # (the registry's shared _trade_edges does): a second materialized
+    # copy of the same 1.17M rows buys nothing and costs a full pass +
+    # executor memory per invocation
+    e = edges.select("src", "dst")
+    cached = []
+    if not edges.is_cached:
+        e = e.persist()
+        cached.append(e)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).persist()
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
@@ -109,11 +116,15 @@ def label_propagation(edges: DataFrame, iters: int = 2,
     the node set itself is huge). Lazy persists bound the lineage.
     Returns (node, label).
     """
-    e = edges.select("src", "dst").persist()
+    e = edges.select("src", "dst")
+    cached = []
+    if not edges.is_cached:
+        e = e.persist()
+        cached.append(e)
     nodes = (e.select(F.col("src").alias("node"))
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())
-    cached = [e, nodes]
+    cached.append(nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iters):
         lab = labels.select(F.col("node").alias("src"), "label")
