@@ -874,3 +874,115 @@ def neardup_vs_index(new_docs: DataFrame, path: str,
     return (cand.withColumn("est_jaccard", est)
             .filter(F.col("est_jaccard") >= jaccard_threshold)
             .select("new_id", "index_id", "est_jaccard"))
+
+
+# ------------------------------------------- persisted sign-LSH index
+
+def build_signlsh_index(emb: DataFrame, path: str,
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        bands: int = 192, planes_per_band: int = 8,
+                        sketch_planes: int = 512, seed: int = 42) -> None:
+    """Persist the corpus's banded sign-LSH embedding index — the
+    embedding twin of build_minhash_index, for INCREMENTAL near-dup over
+    a growing vector corpus: signature extraction is paid once per
+    vector ever; a probe batch (below) computes signatures for itself
+    only and never re-reads the corpus table.
+
+    Two tables under `path`:
+
+    - ``bands/``   (band, sig, id)            — the candidate equi-join side
+    - ``vectors/`` (id, wd bigint[], v double[]) — sketch words for the
+      popcount prefilter + the exact vector for the cosine verify, so the
+      probe is SELF-CONTAINED against the index
+
+    Probe with the SAME (bands, planes_per_band, sketch_planes, seed):
+    hyperplanes are a pure function of (seed, dim), so index and probe
+    signatures live in the same LSH family by construction.
+    """
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = sign_lsh_base(emb, vec_col, id_col, bands, planes_per_band,
+                         sketch_planes, seed).persist()
+    (base.select("id", F.posexplode("bb").alias("band", "sig"))
+     .select("band", "sig", "id")
+     .write.mode("overwrite").parquet(f"{path}/bands"))
+    (base.select("id", "wd")
+     .join(emb.select(F.col(id_col).alias("id"), vec.alias("v")), "id")
+     .write.mode("overwrite").parquet(f"{path}/vectors"))
+    base.unpersist()
+
+
+def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               threshold: float = 0.45,
+                               bands: int = 192, planes_per_band: int = 8,
+                               sketch_planes: int = 512,
+                               seed: int = 42) -> DataFrame:
+    """Probe a persisted sign-LSH index with a batch of NEW vectors:
+    (new_id, index_id, cosine) for every new vector whose cosine against
+    an indexed one clears `threshold`. Cosines are exactly the values
+    embedding_cosine_pairs computes (same einsum kernel on the same
+    doubles).
+
+    Plan: probe signatures+sketch in one Arrow pass over the BATCH only
+    -> equi-join the persisted bands table on (band, sig) -> dedupe
+    (new_id, index_id) -> join the index vectors table (brings the
+    corpus-side sketch words AND vector; the corpus table itself is
+    never read) -> inline popcount prefilter -> exact einsum verify on
+    survivors. Same 4.5-sigma margin as the batch operator.
+    """
+    import math
+
+    spark = new_emb.sparkSession
+    nwords = sketch_planes // 64
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    probe_base = sign_lsh_base(new_emb, vec_col, id_col, bands,
+                               planes_per_band, sketch_planes,
+                               seed).persist()
+    probes = (probe_base
+              .select("id", F.posexplode("bb").alias("band", "sig"))
+              .select(F.col("id").alias("new_id"), "band", "sig"))
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    cand = (probes.join(idx_bands.hint("shuffle_hash"), on=["band", "sig"])
+            .select("new_id", F.col("id").alias("index_id"))
+            .dropDuplicates(["new_id", "index_id"]))
+    # corpus side: sketch words + exact vector from the index only
+    idx_vec = spark.read.parquet(f"{path}/vectors").select(
+        F.col("id").alias("index_id"), F.col("wd").alias("wd_i"),
+        F.col("v").alias("v_b"))
+    probe_side = (probe_base.select(F.col("id").alias("new_id"),
+                                    F.col("wd").alias("wd_n"))
+                  .join(new_emb.select(F.col(id_col).alias("new_id"),
+                                       vec.alias("v_a")), "new_id"))
+    paired = cand.join(idx_vec, "index_id").join(F.broadcast(probe_side),
+                                                 "new_id")
+    p_t = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    margin = 4.5 * math.sqrt(p_t * (1.0 - p_t) / sketch_planes)
+    disagree = sum(
+        (F.bit_count(F.element_at(F.col("wd_n"), w + 1)
+                     .bitwiseXOR(F.element_at(F.col("wd_i"), w + 1)))
+         for w in range(nwords)),
+        F.lit(0))
+    est_p = (F.lit(sketch_planes) - disagree) / F.lit(float(sketch_planes))
+    screened = paired.filter(est_p >= F.lit(p_t - margin))
+    thr = float(threshold)
+
+    def _verify(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["v_a"].to_numpy())
+            b = np.stack(pdf["v_b"].to_numpy())
+            dots = np.einsum("ij,ij->i", a, b)
+            cosv = dots / (np.sqrt(np.einsum("ij,ij->i", a, a))
+                           * np.sqrt(np.einsum("ij,ij->i", b, b)))
+            keep = cosv >= thr
+            yield pdf.loc[keep, ["new_id", "index_id"]].assign(
+                cosine=cosv[keep])
+
+    out = screened.select("new_id", "index_id", "v_a", "v_b").mapInPandas(
+        _verify, schema="new_id long, index_id long, cosine double")
+    out.rm_release_cache = probe_base.unpersist
+    return out

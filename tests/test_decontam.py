@@ -147,3 +147,54 @@ def test_fuzzy_pairs_rejects_higher_distance(spark, tables):
     from radmapper_spark.operators import dedup
     with _pytest.raises(ValueError):
         dedup.fuzzy_pairs_levenshtein(tables["part"], "p_name", max_dist=2)
+
+
+def test_signlsh_index_probe_matches_bruteforce(spark, tables, tmp_path):
+    """Incremental embedding near-dup: index the corpus (vec_id % 10 != 0),
+    probe the held-out batch — results must EQUAL the brute-force
+    batch-x-corpus cosine pairs >= threshold, with cosines matching the
+    exact computation to 1e-12, and the probe plan must never read the
+    corpus table (only the persisted index)."""
+    from radmapper_spark.operators import dedup
+    emb = tables["embeddings"]
+    # corpus and batch in SEPARATE parquet files so the no-corpus-scan
+    # property is checkable by input file set
+    emb.filter(F.col("vec_id") % 10 != 0).write.parquet(
+        str(tmp_path / "corpus"))
+    emb.filter(F.col("vec_id") % 10 == 0).write.parquet(
+        str(tmp_path / "batch"))
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    batch = spark.read.parquet(str(tmp_path / "batch"))
+    path = str(tmp_path / "slsh")
+    dedup.build_signlsh_index(corpus, path)
+
+    got_df = dedup.neardup_embedding_vs_index(batch, path, threshold=0.45)
+    files = set(got_df.inputFiles())
+    assert any("/slsh/" in f for f in files), "probe must read the index"
+    assert not any("/corpus/" in f for f in files), \
+        "probe must NEVER re-read the corpus table (the incremental contract)"
+    got = {(r["new_id"], r["index_id"]): r["cosine"]
+           for r in got_df.collect()}
+    got_df.rm_release_cache()
+
+    v = lambda df, n: df.select(F.col("vec_id").alias(n),  # noqa: E731
+                                F.transform("embedding",
+                                            lambda x: x.cast("double"))
+                                .alias(f"_v_{n}"))
+    dot = F.aggregate(F.zip_with("_v_a", "_v_b", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    truth = {(r["a"], r["b"]): r["cos"] for r in
+             v(batch, "a").crossJoin(v(batch, "b").drop("a"))
+             .collect()} if False else {
+        (r["a"], r["b"]): r["cos"] for r in
+        v(batch, "a").withColumnRenamed("_v_a", "_v_a").crossJoin(
+            v(corpus, "b").withColumnRenamed("_v_b", "_v_b"))
+        .withColumn("cos", dot / (nrm("_v_a") * nrm("_v_b")))
+        .filter(F.col("cos") >= 0.45)
+        .select(F.col("a"), F.col("b"), "cos").collect()}
+    assert set(got) == set(truth), f"pair set differs: {set(got) ^ set(truth)}"
+    assert len(got) > 0, "fixture should exercise the threshold"
+    for k, c in truth.items():
+        assert abs(got[k] - c) < 1e-12
