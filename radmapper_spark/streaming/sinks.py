@@ -98,3 +98,37 @@ def start_neardup_probe(docs_stream: DataFrame, index_path: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def start_embedding_probe(vec_stream: DataFrame, index_path: str,
+                          out_path: str, checkpoint: str,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          threshold: float = 0.45,
+                          bands: int = 192, planes_per_band: int = 8,
+                          sketch_planes: int = 512, seed: int = 42):
+    """Streaming embedding near-dup admission control — the sign-LSH twin
+    of start_neardup_probe: each micro-batch of incoming vectors is
+    probed against the PERSISTED sign-LSH index
+    (dedup.neardup_embedding_vs_index — signatures computed for the
+    batch only, corpus vectors served from the index) and the hits
+    (new_id, index_id, cosine) append to out_path. Same checkpoint /
+    replay contract as the minhash probe."""
+    from ..operators.dedup import neardup_embedding_vs_index
+
+    def probe_batch(batch_df, batch_id):
+        hits = neardup_embedding_vs_index(
+            batch_df, index_path, vec_col=vec_col, id_col=id_col,
+            threshold=threshold, bands=bands,
+            planes_per_band=planes_per_band,
+            sketch_planes=sketch_planes, seed=seed)
+        hits.write.mode("append").parquet(out_path)
+        rel = getattr(hits, "rm_release_cache", None)
+        if rel is not None:
+            rel()
+
+    return (vec_stream.writeStream
+            .foreachBatch(probe_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -128,3 +128,39 @@ def test_streaming_neardup_probe_matches_batch(spark, tmp_path):
             for r in dedup.neardup_vs_index(new, idx).collect()}
     assert got == want
     new.unpersist()
+
+
+def test_streaming_embedding_probe_matches_batch(spark, tmp_path):
+    """Stream 2 micro-batches of vectors against a persisted sign-LSH
+    index; the appended hits equal the batch probe over the full set."""
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.session import load_tables
+    from radmapper_spark.streaming import sinks
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0) \
+        .select("vec_id", "embedding").cache()
+    idx = str(tmp_path / "slsh")
+    dedup.build_signlsh_index(old, idx)
+    src = str(tmp_path / "in")
+    rows = new.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate([rows[:half], rows[half:]]):
+        spark.createDataFrame(chunk, new.schema).coalesce(1) \
+            .write.mode("append" if i else "overwrite").parquet(src)
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = str(tmp_path / "hits")
+    q = sinks.start_embedding_probe(
+        stream, idx, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = {(r.new_id, r.index_id): round(r.cosine, 9)
+           for r in spark.read.parquet(out).collect()}
+    batch = dedup.neardup_embedding_vs_index(new, idx)
+    want = {(r.new_id, r.index_id): round(r.cosine, 9)
+            for r in batch.collect()}
+    batch.rm_release_cache()
+    assert got == want
+    assert len(got) > 0
+    new.unpersist()
