@@ -1431,3 +1431,50 @@ def _t_label_propagation(ip, env, edges=NOMATCH, iters=2):
     return _as_sdb(graph.label_propagation(
         _table_df(edges, "$labelPropagation"),
         iters=int(_n(iters, "$labelPropagation"))))
+
+
+@builtin("$buildNearDupIndex", 2)
+def _t_build_neardup_index(ip, env, table=NOMATCH, path=NOMATCH):
+    """Persist the banded minhash index for a document corpus
+    (dedup.build_minhash_index) — returns the path for chaining."""
+    from ..operators import dedup
+    p = _s(path, "$buildNearDupIndex")
+    dedup.build_minhash_index(_table_df(table, "$buildNearDupIndex"), p)
+    return p
+
+
+@builtin("$probeNearDupIndex", 2)
+def _t_probe_neardup_index(ip, env, table=NOMATCH, path=NOMATCH,
+                           threshold=0.5):
+    """Probe a persisted minhash index with a batch of new documents
+    (dedup.neardup_vs_index): (new_id, index_id, est_jaccard)."""
+    from ..operators import dedup
+    return _as_sdb(dedup.neardup_vs_index(
+        _table_df(table, "$probeNearDupIndex"),
+        _s(path, "$probeNearDupIndex"),
+        jaccard_threshold=float(threshold)))
+
+
+@builtin("$buildEmbeddingIndex", 2)
+def _t_build_embedding_index(ip, env, table=NOMATCH, path=NOMATCH):
+    """Persist the banded sign-LSH embedding index
+    (dedup.build_signlsh_index) — returns the path for chaining."""
+    from ..operators import dedup
+    p = _s(path, "$buildEmbeddingIndex")
+    dedup.build_signlsh_index(_table_df(table, "$buildEmbeddingIndex"), p)
+    return p
+
+
+@builtin("$probeEmbeddingIndex", 2)
+def _t_probe_embedding_index(ip, env, table=NOMATCH, path=NOMATCH,
+                             threshold=0.45):
+    """Probe a persisted sign-LSH index with a batch of new vectors
+    (dedup.neardup_embedding_vs_index): (new_id, index_id, cosine)."""
+    from ..operators import dedup
+    out = dedup.neardup_embedding_vs_index(
+        _table_df(table, "$probeEmbeddingIndex"),
+        _s(path, "$probeEmbeddingIndex"),
+        threshold=float(threshold))
+    sdb = _as_sdb(out)
+    sdb.df.rm_release_cache = getattr(out, "rm_release_cache", None)
+    return sdb

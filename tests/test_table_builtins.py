@@ -261,3 +261,35 @@ def test_weighted_sample_builtin(spark, tables):
     assert {"source", "doc_id", "sample_rank"} <= set(out.df.columns)
     assert out.df.groupBy("source").count().agg(
         {"count": "max"}).collect()[0][0] <= 5
+
+
+def test_index_build_probe_builtins(spark, tables, tmp_path):
+    """The incremental-dedup shape from RM source: build a persisted
+    index, probe it with a held-out batch — both families."""
+    docs = tables["documents"]
+    emb = tables["embeddings"]
+    from pyspark.sql import functions as F
+    mh = str(tmp_path / "mh")
+    out = _run(spark,
+               "( $buildNearDupIndex($db($old), $p);"
+               "  $probeNearDupIndex($db($new), $p) )",
+               **{"$old": docs.filter(F.col("doc_id") % 3 != 0),
+                  "$new": docs.filter(F.col("doc_id") % 3 == 0),
+                  "$p": mh})
+    assert isinstance(out, SparkDB)
+    assert {"new_id", "index_id", "est_jaccard"} <= set(out.df.columns)
+    assert out.df.count() >= 0
+
+    slsh = str(tmp_path / "slsh")
+    out = _run(spark,
+               "( $buildEmbeddingIndex($db($old), $p);"
+               "  $probeEmbeddingIndex($db($new), $p, 0.45) )",
+               **{"$old": emb.filter(F.col("vec_id") % 10 != 0),
+                  "$new": emb.filter(F.col("vec_id") % 10 == 0),
+                  "$p": slsh})
+    assert isinstance(out, SparkDB)
+    assert {"new_id", "index_id", "cosine"} <= set(out.df.columns)
+    n = out.df.count()
+    rel = getattr(out.df, "rm_release_cache", None)
+    rel and rel()
+    assert n > 0
