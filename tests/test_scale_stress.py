@@ -426,3 +426,48 @@ def test_pagerank_copartitioned_equals_broadcast_4m_edges(spark, big_graph):
             rel()
         pr.unpersist()
     assert dt_s < 300
+
+
+def test_signlsh_index_probe_50k_vectors(spark, tmp_path_factory):
+    """Persisted sign-LSH index at 50k vectors / probe with a 5k batch:
+    the probe must stay seconds-scale (signatures for the batch only;
+    banded equi-join + sketch prefilter bound the verify) and find the
+    planted near-dups."""
+    import numpy as np
+    from radmapper_spark.operators import dedup
+    root = tmp_path_factory.mktemp("slsh_stress")
+    n, dim, nplant = 50_000, 64, 500
+    rng = np.random.default_rng(11)
+    corpus_m = rng.normal(size=(n, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in corpus_m[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<double>").repartition(16)
+    # batch: nplant perturbed copies of corpus rows (cos ~0.97) + 4.5k noise
+    batch_m = rng.normal(size=(5_000, dim))
+    batch_m[:nplant] = corpus_m[:nplant] + 0.18 * rng.normal(
+        size=(nplant, dim))
+    batch = spark.createDataFrame(
+        [(1_000_000 + i, [float(x) for x in batch_m[i]])
+         for i in range(5_000)],
+        "vec_id bigint, embedding array<double>").repartition(8)
+
+    t0 = time.time()
+    path = str(root / "idx")
+    dedup.build_signlsh_index(corpus, path, bands=24, planes_per_band=16)
+    t_build = time.time() - t0
+    t0 = time.time()
+    hits = dedup.neardup_embedding_vs_index(
+        batch, path, threshold=0.9, bands=24, planes_per_band=16)
+    got = {(r["new_id"], r["index_id"]) for r in hits.collect()}
+    t_probe = time.time() - t0
+    hits.rm_release_cache()
+    truth = {(1_000_000 + i, i) for i in range(nplant)
+             if float(batch_m[i] @ corpus_m[i]
+                      / (np.linalg.norm(batch_m[i])
+                         * np.linalg.norm(corpus_m[i]))) >= 0.9}
+    assert len(truth) > 400, "fixture should plant enough true pairs"
+    recall = len(truth & got) / len(truth)
+    print(f"\nsignlsh index 50k: build {t_build:.1f}s, probe {t_probe:.1f}s, "
+          f"recall {recall:.3f}, {len(got)} hits")
+    assert recall >= 0.98
+    assert t_probe < 60
