@@ -61,35 +61,42 @@ def pagerank(edges: DataFrame, iters: int = 3,
              .distinct().persist())
     cached += [deg, nodes]
     base = ((100 - damping_pct) * SCALE) // 100
-    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank"))
+    # Iteration state is rd = (src, rank div out-degree) — the ONLY thing
+    # the edge pass needs — not the rank table itself. rank_next is an
+    # expression of the previous contribution sums (rank = base +
+    # d*coalesce(s,0) div 100), so rd_next folds that expression into one
+    # small deg⋈sums join instead of materializing ranks and re-joining
+    # deg; full (node, rank) is assembled ONCE at the end. This drops a
+    # small-table join + broadcast barrier per iteration (three blocking
+    # broadcast builds -> two — on a 1000-executor cluster each barrier
+    # is a driver round-trip on the critical path) and persists a 16k-row
+    # sums frame per iteration instead of a ranks frame (same size, one
+    # fewer cache fill). Bit-identical to the unfused loop (integer
+    # arithmetic; asserted by the stress equivalence test and the DuckDB
+    # oracle, whose SQL is the unfused formulation).
+    rank_expr = (f"(({base} + ({damping_pct} * coalesce(_s, 0)) div 100))"
+                 f" div _d")
+    rd = deg.select("src", F.expr(f"{SCALE} div _d").alias("_rc"))
+    sums = None
     for i in range(iters):
-        # per-source contribution (rank div out-degree) is computed on
-        # the SMALL side before it meets the edges: one node-sized
-        # (node, _rc) table per iteration instead of separate rank and
-        # degree joins against the edge stream. With broadcast_ranks the
-        # edge pass is then map-only with ONE broadcast (measured 2x
-        # over broadcasting ranks and deg separately: 6.9 s -> 3.5 s for
-        # 3 iterations over 1.17M edges at sf0.1).
-        rd = (ranks.join(deg, ranks.node == deg.src)
-              .select("src", F.expr("rank div _d").alias("_rc")))
         r_in = F.broadcast(rd) if broadcast_ranks else rd
         contrib = (e.join(r_in, "src")
                    .select(F.col("dst").alias("node"),
                            F.col("_rc").alias("_c")))
-        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s"))
-        if broadcast_ranks:
-            # |sums| <= |nodes| (small by the broadcast_ranks contract):
-            # broadcasting it makes the rank-update join map-only too —
-            # the only shuffle left per iteration is the contrib groupBy
-            sums = F.broadcast(sums)
-        ranks = (nodes.join(sums, "node", "left")
-                 .select("node",
-                         (F.lit(base)
-                          + F.expr(f"({damping_pct} * coalesce(_s, 0)) "
-                                   f"div 100")).cast("long").alias("rank")))
-        if i < iters - 1:  # intermediate ranks feed the next iteration
-            ranks = ranks.persist()
-            cached.append(ranks)
+        # map-side partial sums -> node-sized exchange; persist bounds
+        # the lineage (the O(iters^2) blowup the docstring describes)
+        sums = contrib.groupBy("node").agg(F.sum("_c").alias("_s")).persist()
+        cached.append(sums)
+        if i < iters - 1:
+            s_in = F.broadcast(sums) if broadcast_ranks else sums
+            rd = (deg.join(s_in, deg.src == F.col("node"), "left")
+                  .select("src", F.expr(rank_expr).alias("_rc")))
+    s_fin = F.broadcast(sums) if broadcast_ranks else sums
+    ranks = (nodes.join(s_fin, "node", "left")
+             .select("node",
+                     (F.lit(base)
+                      + F.expr(f"({damping_pct} * coalesce(_s, 0)) "
+                               f"div 100")).cast("long").alias("rank")))
 
     def _release(frames=tuple(cached)):
         for f in frames:
