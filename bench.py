@@ -55,6 +55,18 @@ def main() -> None:
         _run_once(qs[WARMUP_QUERY], spark, sf_dir)
     except Exception:
         pass
+    # Warm the Python/Arrow worker pool too (fork + Arrow init is paid by
+    # whichever pandas-UDF query runs first — with worker reuse on, one
+    # untimed touch moves that cost out of the timed section uniformly).
+    try:
+        def _noop(batches):
+            for pdf in batches:
+                yield pdf
+
+        spark.range(32).repartition(32).mapInPandas(
+            _noop, schema="id long").count()
+    except Exception:
+        pass
 
     samples: dict[str, list[float]] = {name: [] for name in qs}
     failed: set[str] = set()

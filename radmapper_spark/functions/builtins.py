@@ -1452,7 +1452,7 @@ def _t_probe_neardup_index(ip, env, table=NOMATCH, path=NOMATCH,
     return _as_sdb(dedup.neardup_vs_index(
         _table_df(table, "$probeNearDupIndex"),
         _s(path, "$probeNearDupIndex"),
-        jaccard_threshold=float(threshold)))
+        jaccard_threshold=float(_n(threshold, "$probeNearDupIndex"))))
 
 
 @builtin("$buildEmbeddingIndex", 2)
@@ -1474,7 +1474,7 @@ def _t_probe_embedding_index(ip, env, table=NOMATCH, path=NOMATCH,
     out = dedup.neardup_embedding_vs_index(
         _table_df(table, "$probeEmbeddingIndex"),
         _s(path, "$probeEmbeddingIndex"),
-        threshold=float(threshold))
+        threshold=float(_n(threshold, "$probeEmbeddingIndex")))
     sdb = _as_sdb(out)
     sdb.df.rm_release_cache = getattr(out, "rm_release_cache", None)
     return sdb

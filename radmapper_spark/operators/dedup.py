@@ -589,7 +589,8 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
                            sketch_planes: int = 512,
                            seed: int = 42,
                            verify_mode: str = "arrow",
-                           distinct_stage: str = "late") -> DataFrame:
+                           distinct_stage: str = "late",
+                           base: DataFrame = None) -> DataFrame:
     """Near-duplicate pairs by embedding cosine via BANDED sign-LSH
     (OR-construction over AND-bands, like the minhash path) plus a packed
     sign-SKETCH prefilter: each band is `planes_per_band` random-hyperplane
@@ -642,8 +643,16 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
 
     nwords = sketch_planes // 64
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = sign_lsh_base(emb, vec_col, id_col, bands, planes_per_band,
-                         sketch_planes, seed).persist()
+    # `base`: callers that hold the (persisted) sign_lsh_base frame for
+    # an IMMUTABLE corpus pass it in so repeated invocations skip the
+    # Arrow signature pass entirely — signatures are a pure function of
+    # (corpus, params), i.e. extracted once per corpus ever, the same
+    # contract as the persisted index. The caller owns its cache; the
+    # result's rm_release_cache is then a no-op.
+    owns_base = base is None
+    if owns_base:
+        base = sign_lsh_base(emb, vec_col, id_col, bands, planes_per_band,
+                             sketch_planes, seed).persist()
     # the banded frame CARRIES the sketch words (8 longs — cheap next to a
     # re-join), so the popcount prefilter runs INLINE on the raw join
     # output and the expensive distinct only sees survivors
@@ -741,7 +750,7 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
         # only survivors (true pairs x band-dup factor — tiny)
         out = (out.groupBy("id_a", "id_b")
                .agg(F.min("cosine").alias("cosine")))
-    out.rm_release_cache = base.unpersist
+    out.rm_release_cache = base.unpersist if owns_base else (lambda: None)
     return out
 
 
@@ -798,10 +807,12 @@ def build_minhash_index(docs: DataFrame, path: str,
     near-dup (below) probes it WITHOUT touching the corpus text — the
     at-scale shape for a growing corpus: signature extraction is paid
     once per document ever, and a probe batch shuffles only its own
-    signatures. Params are recorded in the path layout contract: probe
-    with the SAME (num_hashes, bands, shingle_k, hash_mode).
+    signatures. Build params (num_hashes, bands, shingle_k, hash_mode)
+    are persisted in a ``_meta`` sidecar; probes assert them and RAISE
+    on mismatch (index_meta.check_index_meta).
     """
     from ..functions import portable_hash as PH
+    from .index_meta import write_index_meta
 
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(drop_blank_docs(docs, text_col), text_col,
@@ -823,6 +834,9 @@ def build_minhash_index(docs: DataFrame, path: str,
     ).select(F.col("bb.band").alias("band"),
              F.col("bb.bhash").alias("bhash"), "id", "minhash")
     banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    write_index_meta(docs.sparkSession, path, "minhash",
+                     {"num_hashes": num_hashes, "bands": bands,
+                      "shingle_k": shingle_k, "hash_mode": hash_mode})
 
 
 def neardup_vs_index(new_docs: DataFrame, path: str,
@@ -838,10 +852,17 @@ def neardup_vs_index(new_docs: DataFrame, path: str,
     pruning keeps the scan to matching band dirs; the index text is
     never read — and verifies on the stored signatures. Estimated
     jaccard is identical to the batch operator's (same signature family).
+    Raises IndexParamMismatch when (num_hashes, bands, shingle_k,
+    hash_mode) disagree with the index's persisted ``_meta`` sidecar.
     """
     from ..functions import portable_hash as PH
+    from .index_meta import check_index_meta
 
     spark = new_docs.sparkSession
+    check_index_meta(spark, path, "minhash",
+                     {"num_hashes": num_hashes, "bands": bands,
+                      "shingle_k": shingle_k, "hash_mode": hash_mode},
+                     "neardup_vs_index")
     rows_per_band = num_hashes // bands
     idx = spark.read.parquet(path)
     sigs = minhash_signature(drop_blank_docs(new_docs, text_col), text_col,
@@ -897,8 +918,12 @@ def build_signlsh_index(emb: DataFrame, path: str,
 
     Probe with the SAME (bands, planes_per_band, sketch_planes, seed):
     hyperplanes are a pure function of (seed, dim), so index and probe
-    signatures live in the same LSH family by construction.
+    signatures live in the same LSH family by construction. Build params
+    are persisted in a ``_meta`` sidecar; probes assert them and RAISE
+    on mismatch (index_meta.check_index_meta).
     """
+    from .index_meta import write_index_meta
+
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = sign_lsh_base(emb, vec_col, id_col, bands, planes_per_band,
                          sketch_planes, seed).persist()
@@ -909,6 +934,9 @@ def build_signlsh_index(emb: DataFrame, path: str,
      .join(emb.select(F.col(id_col).alias("id"), vec.alias("v")), "id")
      .write.mode("overwrite").parquet(f"{path}/vectors"))
     base.unpersist()
+    write_index_meta(emb.sparkSession, path, "signlsh",
+                     {"bands": bands, "planes_per_band": planes_per_band,
+                      "sketch_planes": sketch_planes, "seed": seed})
 
 
 def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
@@ -930,10 +958,24 @@ def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
     corpus-side sketch words AND vector; the corpus table itself is
     never read) -> inline popcount prefilter -> exact einsum verify on
     survivors. Same 4.5-sigma margin as the batch operator.
+
+    Raises IndexParamMismatch when (bands, planes_per_band,
+    sketch_planes, seed) disagree with the index's ``_meta`` sidecar.
+    Id columns keep their input types (any equality-joinable type
+    works); the probe side is broadcast into the verify join only while
+    its plan-estimated size stays under
+    ``rm.index.probeBroadcastMaxBytes`` (default 256 MiB) — a huge
+    probe batch falls back to a shuffled join instead of OOMing.
     """
     import math
 
+    from .index_meta import check_index_meta
+
     spark = new_emb.sparkSession
+    check_index_meta(spark, path, "signlsh",
+                     {"bands": bands, "planes_per_band": planes_per_band,
+                      "sketch_planes": sketch_planes, "seed": seed},
+                     "neardup_embedding_vs_index")
     nwords = sketch_planes // 64
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     probe_base = sign_lsh_base(new_emb, vec_col, id_col, bands,
@@ -954,8 +996,18 @@ def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
                                     F.col("wd").alias("wd_n"))
                   .join(new_emb.select(F.col(id_col).alias("new_id"),
                                        vec.alias("v_a")), "new_id"))
-    paired = cand.join(idx_vec, "index_id").join(F.broadcast(probe_side),
-                                                 "new_id")
+    # broadcast the probe batch only while the optimizer's size estimate
+    # says it fits; an unboundedly large batch (the operator is exposed
+    # to arbitrary tables via $probeEmbeddingIndex) falls back to a
+    # shuffled hash join instead of OOMing the broadcast
+    from .plan_stats import est_plan_bytes
+
+    bc_max = int(spark.conf.get("rm.index.probeBroadcastMaxBytes",
+                                str(256 << 20)))
+    est = est_plan_bytes(probe_side)
+    p_in = (F.broadcast(probe_side) if est is not None and est <= bc_max
+            else probe_side.hint("shuffle_hash"))
+    paired = cand.join(idx_vec, "index_id").join(p_in, "new_id")
     p_t = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     margin = 4.5 * math.sqrt(p_t * (1.0 - p_t) / sketch_planes)
     disagree = sum(
@@ -982,7 +1034,13 @@ def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
             yield pdf.loc[keep, ["new_id", "index_id"]].assign(
                 cosine=cosv[keep])
 
-    out = screened.select("new_id", "index_id", "v_a", "v_b").mapInPandas(
-        _verify, schema="new_id long, index_id long, cosine double")
+    # id columns keep their INPUT types (the probe's id column and the
+    # index's persisted id column respectively) — hardcoding bigint
+    # broke / silently coerced string-keyed tables
+    pre = screened.select("new_id", "index_id", "v_a", "v_b")
+    dt = dict(pre.dtypes)
+    out = pre.mapInPandas(
+        _verify, schema=f"new_id {dt['new_id']}, "
+                        f"index_id {dt['index_id']}, cosine double")
     out.rm_release_cache = probe_base.unpersist
     return out

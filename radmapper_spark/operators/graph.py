@@ -21,10 +21,43 @@ from pyspark.sql import functions as F
 
 SCALE = 10 ** 12
 
+# Auto path selection: the per-iteration rank/label table is broadcast
+# while the optimizer's size estimate for the NODE table stays under this
+# many bytes (conf rm.graph.broadcastMaxBytes); above it the loop keeps
+# the table partitioned so the iteration join shuffles instead of
+# shipping an executor-crushing broadcast. Both paths are bit-identical
+# (integer arithmetic; proven by the scale-stress equivalence tests), so
+# the choice is purely physical.
+BROADCAST_MAX_BYTES_CONF = "rm.graph.broadcastMaxBytes"
+BROADCAST_MAX_BYTES_DEFAULT = 256 << 20
+
+
+def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
+    """flag=None -> decide from the optimizer's node-table size estimate
+    vs rm.graph.broadcastMaxBytes; an explicit True/False wins. Unknown
+    estimate falls back to broadcast (node tables are node-sized — tiny
+    next to edges in every graph this engine targets)."""
+    if flag is not None:
+        return bool(flag)
+    from .plan_stats import est_plan_bytes
+
+    try:
+        mx = int(nodes.sparkSession.conf.get(
+            BROADCAST_MAX_BYTES_CONF, str(BROADCAST_MAX_BYTES_DEFAULT)))
+    except Exception:
+        mx = BROADCAST_MAX_BYTES_DEFAULT
+    est = est_plan_bytes(nodes)
+    # estimates at/above Long.MaxValue are Catalyst's no-stats sentinel
+    # (spark.sql.defaultSizeInBytes) propagated through the plan, not a
+    # real size — treat as unknown
+    if est is None or est >= (1 << 62):
+        return True
+    return est <= mx
+
 
 def pagerank(edges: DataFrame, iters: int = 3,
              damping_pct: int = 85,
-             broadcast_ranks: bool = True) -> DataFrame:
+             broadcast_ranks=None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst) —
     pass both directions for an undirected graph. Returns (node, rank)
     with rank a BIGINT scaled by 1e12 (initial rank 1.0 per node; the
@@ -35,10 +68,25 @@ def pagerank(edges: DataFrame, iters: int = 3,
     into the per-iteration edge join — each iteration is then a MAP-ONLY
     pass over the edges plus one small aggregate, no edge shuffle.
     Right for |nodes| << |edges| (the common web/trade-graph shape).
-    Disable when the node set itself is huge; then pre-partition edges
-    and ranks on src so the iteration join is co-located."""
+    False keeps ranks partitioned (pre-partition edges and ranks on src
+    so the iteration join is co-located). The default None AUTO-selects
+    from the optimizer's node-table size estimate vs
+    rm.graph.broadcastMaxBytes (_resolve_broadcast); the chosen path is
+    exposed as ``result.rm_broadcast_path``."""
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (1, 99)")
+    if iters <= 0:
+        # iters=0 means "no propagation": the initial uniform rank of 1.0
+        # per node, exactly what the unfused loop returned. Reachable from
+        # the user-facing $pageRank builtin with arbitrary iters, so this
+        # must not fall through to the loop (sums would stay unbound).
+        e0 = edges.select("src", "dst")
+        nodes0 = (e0.select(F.col("src").alias("node"))
+                  .unionByName(e0.select(F.col("dst").alias("node")))
+                  .distinct())
+        out = nodes0.select("node", F.lit(SCALE).cast("long").alias("rank"))
+        out.rm_release_cache = lambda: None
+        return out
     # LAZY persists break the O(iters^2) lineage blowup: without them,
     # iteration i's plan re-executes every earlier iteration AND the
     # caller's (possibly expensive) edge derivation once per reference —
@@ -60,6 +108,7 @@ def pagerank(edges: DataFrame, iters: int = 3,
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())
     cached += [deg, nodes]
+    broadcast_ranks = _resolve_broadcast(broadcast_ranks, nodes)
     base = ((100 - damping_pct) * SCALE) // 100
     # Iteration state is rd = (src, rank div out-degree) — the ONLY thing
     # the edge pass needs — not the rank table itself. rank_next is an
@@ -103,11 +152,12 @@ def pagerank(edges: DataFrame, iters: int = 3,
             f.unpersist()
 
     ranks.rm_release_cache = _release
+    ranks.rm_broadcast_path = broadcast_ranks
     return ranks
 
 
 def label_propagation(edges: DataFrame, iters: int = 2,
-                      broadcast_labels: bool = True) -> DataFrame:
+                      broadcast_labels=None) -> DataFrame:
     """Synchronous label propagation for community detection, made
     DETERMINISTIC (the classic algorithm's random tie-break makes runs
     incomparable): every node starts with its own label; each iteration
@@ -119,9 +169,10 @@ def label_propagation(edges: DataFrame, iters: int = 2,
     Per iteration: one broadcast of the (node, label) table into a
     map-only edge pass, a (dst, label) count aggregate with map-side
     partials, and a min-struct argmax — the label table is node-sized
-    (broadcast_labels contract; disable and pre-partition on src when
-    the node set itself is huge). Lazy persists bound the lineage.
-    Returns (node, label).
+    (broadcast_labels contract; False pre-partitions instead when the
+    node set itself is huge; the default None auto-selects exactly like
+    pagerank, exposed as ``result.rm_broadcast_path``). Lazy persists
+    bound the lineage. Returns (node, label).
     """
     e = edges.select("src", "dst")
     cached = []
@@ -132,6 +183,7 @@ def label_propagation(edges: DataFrame, iters: int = 2,
              .unionByName(e.select(F.col("dst").alias("node")))
              .distinct().persist())
     cached.append(nodes)
+    broadcast_labels = _resolve_broadcast(broadcast_labels, nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iters):
         lab = labels.select(F.col("node").alias("src"), "label")
@@ -166,4 +218,5 @@ def label_propagation(edges: DataFrame, iters: int = 2,
             f.unpersist()
 
     labels.rm_release_cache = _release
+    labels.rm_broadcast_path = broadcast_labels
     return labels

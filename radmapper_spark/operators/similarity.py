@@ -392,6 +392,8 @@ def build_ivf_index(corpus: DataFrame, path: str,
                    _to_double(F.col(vec_col)).alias("cv"))
      .withColumn("cell", assign1(F.col("cv"))[0])
      .write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells"))
+    from .index_meta import write_index_meta
+    write_index_meta(spark, path, "ivf", {"ncentroids": ncentroids})
 
 
 def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 10,
@@ -402,6 +404,10 @@ def search_ivf_index(spark, path: str, queries: DataFrame, k: int = 10,
     the cells scan carries a `cell IN (probed)` filter that prunes to
     the probed partition directories (asserted in tests via
     PartitionFilters)."""
+    from .index_meta import check_index_meta
+    # ncentroids is read FROM the index (no probe-side twin to mismatch);
+    # the kind check stops e.g. a sign-LSH path being searched as IVF
+    check_index_meta(spark, path, "ivf", {}, "search_ivf_index")
     cents_rows = (spark.read.parquet(f"{path}/centroids")
                   .orderBy("cell").collect())
     cents = [r["centroid"] for r in cents_rows]

@@ -69,13 +69,25 @@ TS_NANO_COLS = {
 }
 
 
-# (id(session), sf_dir) -> table-name -> DataFrame. DataFrames are
-# immutable logical plans, so handing every caller the same dict is safe;
-# what this saves is the 10 parquet footer reads + schema resolutions a
-# fresh load pays (~0.3 s per call — measurable x90 queries x2 bench
-# passes). No persisted data is held, so there is nothing to release;
-# stale sessions are evicted on the next different-key call.
+# (session_key(session), sf_dir) -> table-name -> DataFrame. DataFrames
+# are immutable logical plans, so handing every caller the same dict is
+# safe; what this saves is the 10 parquet footer reads + schema
+# resolutions a fresh load pays (~0.3 s per call — measurable x90 queries
+# x2 bench passes). No persisted data is held, so there is nothing to
+# release; stale sessions are evicted on the next different-key call.
 _TABLE_CACHE: dict = {}
+
+
+def session_key(spark: SparkSession) -> tuple:
+    """Stable identity for a live SparkSession, safe to key caches by.
+
+    ``id(spark)`` is NOT safe: CPython reuses freed object addresses, so
+    a new session can alias a stopped one's id and a cache would hand
+    back DataFrames bound to the dead session. (applicationId,
+    startTime) is unique per SparkContext — a restarted context gets a
+    fresh appId (and, pathologically, at least a fresh startTime)."""
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
@@ -88,7 +100,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
     """
     from pyspark.sql import functions as F
 
-    cache_key = (id(spark), sf_dir)
+    cache_key = (session_key(spark), sf_dir)
     hit = _TABLE_CACHE.get(cache_key)
     if hit is not None:
         return dict(hit)
@@ -113,7 +125,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
                 # LTZ is required by withWatermark and the datetime builtins.
                 df = df.withColumn(c, F.col(c).cast("timestamp"))
         out[name] = df
-    for k in [k for k in _TABLE_CACHE if k[0] != id(spark)]:
-        del _TABLE_CACHE[k]  # dead (or id-reused) sessions: plans only, no data held
+    for k in [k for k in _TABLE_CACHE if k[0] != cache_key[0]]:
+        del _TABLE_CACHE[k]  # dead sessions: plans only, no data held
     _TABLE_CACHE[cache_key] = out
     return dict(out)

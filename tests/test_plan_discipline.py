@@ -21,6 +21,7 @@ ARROW_ALLOWED = {
     "ann_ivf_topk",            # IVF cell-assignment matmul
     "ann_pq_topk",             # PQ encode + ADC lookup-table matmuls
     "multimodal_features",     # binary decode boundary (mapInPandas)
+    "embedding_probe",         # sign-LSH signature matmul + einsum verify
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
@@ -119,6 +120,12 @@ EAGER_ALLOWED = {
     # union-find fast path collects the (bounded, <=2M) edge set each call;
     # the distributed large-star/small-star fallback covers bigger graphs
     "dedup_groups",
+    # persisted-index probes re-open the on-disk index each call (that IS
+    # the incremental contract — the index outlives any one batch): the
+    # 1-2 jobs are directory-listing/footer reads of the index layout,
+    # bounded by the band-partition count, never a data scan
+    "neardup_probe",
+    "embedding_probe",
 }
 
 

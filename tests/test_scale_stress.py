@@ -471,3 +471,140 @@ def test_signlsh_index_probe_50k_vectors(spark, tmp_path_factory):
           f"recall {recall:.3f}, {len(got)} hits")
     assert recall >= 0.98
     assert t_probe < 60
+
+
+# ------------------------------------------- continuous-trigger soaks (r8)
+
+SOAK_BATCHES = 50
+
+
+def _progress_dicts(q) -> list:
+    import json
+    out = []
+    for p in q.recentProgress:
+        out.append(p if isinstance(p, dict) else json.loads(p.json))
+    return out
+
+
+def _drain_soak(q, min_batches: int = SOAK_BATCHES,
+                timeout_s: int = 300) -> list:
+    """Run a continuous-trigger query until >= min_batches micro-batches
+    completed, then stop and return the committed-progress list (capped
+    well under the 100-entry progress buffer so numInputRows sums are
+    exact)."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        if len(q.recentProgress) >= min_batches:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    prog = _progress_dicts(q)
+    assert len(prog) >= min_batches, \
+        f"only {len(prog)} micro-batches in {timeout_s}s"
+    assert len(prog) < 95, "progress buffer near eviction — K would undercount"
+    return prog
+
+
+def test_rate_source_anomaly_soak(spark):
+    """Rate-source soak for the stateful running-anomaly operator
+    (streaming/windows.py rolling_anomalies_stream): >=50 continuous
+    micro-batches, per-user ring state BOUNDED at one row per user the
+    whole run, and the flagged set equal to the batch twin over exactly
+    the rows the stream processed (rate values are contiguous from 0, so
+    the processed prefix is reconstructible)."""
+    from radmapper_spark.operators.behavior import rolling_anomalies
+    from radmapper_spark.streaming.windows import rolling_anomalies_stream
+
+    users = 20
+
+    def eventize(df):
+        v = F.col("value")
+        return df.select(
+            v.alias("event_id"),
+            F.pmod(v, F.lit(users)).alias("user_id"),
+            F.timestamp_seconds(F.lit(1704067200) + v).alias("ts"),
+            F.when(F.pmod(v, 97) == 0, F.lit(500.0))
+            .otherwise(F.pmod(v, 7).cast("double")).alias("value"))
+
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", 400).option("numPartitions", 4).load())
+    q = (rolling_anomalies_stream(eventize(src))
+         .writeStream.format("memory").queryName("soak_anom")
+         .outputMode("append")
+         .trigger(processingTime="250 milliseconds").start())
+    prog = _drain_soak(q)
+    k = int(sum(p.get("numInputRows", 0) for p in prog))
+    assert k > 2000
+    state_rows = [op["numRowsTotal"] for p in prog
+                  for op in p.get("stateOperators", [])]
+    assert state_rows and max(state_rows) <= users, \
+        f"state must stay one ring per user, saw {max(state_rows)}"
+    got = {(r.event_id, r.user_id, r.zscore)
+           for r in spark.table("soak_anom").collect()}
+    batch_in = eventize(spark.range(k).select(F.col("id").alias("value")))
+    want = {(r.event_id, r.user_id, r.zscore)
+            for r in rolling_anomalies(batch_in).collect()}
+    print(f"\nanomaly soak: {len(prog)} batches, {k} rows, "
+          f"{len(want)} flags, state_max={max(state_rows)}")
+    assert len(want) > 0, "soak produced no anomalies — vacuous"
+    assert got == want
+
+
+def test_rate_source_neardup_admission_soak(spark):
+    """Rate-source soak for the stateful streaming near-dup admission
+    (streaming/neardup.py neardup_stream): >=50 continuous micro-batches
+    of synthesized documents, state bounded by the distinct LSH bucket
+    count (never the document count), and the emitted pair set equal to
+    the batch operator over the processed prefix."""
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.streaming.neardup import banded_minhash, neardup_stream
+
+    groups = 400
+
+    def docize(df):
+        # Per-group vocabulary is fully DISJOINT (every token carries the
+        # group id): cross-group jaccard is exactly 0, within-group pairs
+        # differ only in the tail token (true jaccard ~0.8, or 1.0 for
+        # the same tail). A first cut shared 20 generic words across
+        # groups — cross-group jaccard ~0.46 sat ON the threshold, so
+        # minhash noise matched a large fraction of ALL pairs and the
+        # quadratic output blew past driver.maxResultSize.
+        v = F.col("value")
+        g = F.pmod(v, F.lit(groups))
+        words = [F.concat(F.lit(f"w{j}g"), g) for j in range(12)]
+        return df.select(
+            v.alias("doc_id"),
+            F.concat_ws(
+                " ", *words,
+                F.concat(F.lit("tail"), F.pmod(v, F.lit(3)))).alias("text"))
+
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", 100).option("numPartitions", 4).load())
+    q = (neardup_stream(docize(src), jaccard_threshold=0.5,
+                        max_bucket=1024)
+         .writeStream.format("memory").queryName("soak_ndup")
+         .outputMode("append")
+         .trigger(processingTime="250 milliseconds").start())
+    prog = _drain_soak(q)
+    k = int(sum(p.get("numInputRows", 0) for p in prog))
+    assert k > 1000
+    docs = docize(spark.range(k).select(F.col("id").alias("value")))
+    n_buckets = banded_minhash(docs).select("band", "bhash") \
+        .distinct().count()
+    state_rows = [op["numRowsTotal"] for p in prog
+                  for op in p.get("stateOperators", [])]
+    assert state_rows and max(state_rows) <= n_buckets, \
+        "state rows exceeded the distinct bucket count"
+    got = {(r.id_a, r.id_b, round(r.est_jaccard, 6))
+           for r in spark.table("soak_ndup").collect()}
+    want_df = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    want = {(r.id_a, r.id_b, round(r.est_jaccard, 6))
+            for r in want_df.collect()}
+    rel = getattr(want_df, "rm_release_cache", None)
+    rel and rel()
+    print(f"\nneardup soak: {len(prog)} batches, {k} docs, "
+          f"{len(want)} pairs, state_max={max(state_rows)}, "
+          f"buckets={n_buckets}")
+    assert len(want) > 0, "soak produced no near-dup pairs — vacuous"
+    assert got == want
