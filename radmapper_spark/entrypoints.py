@@ -1988,10 +1988,11 @@ def release_edge_cache() -> int:
     n = 0
     for cache in (_EDGE_CACHE, _SIGLSH_CACHE):
         for e in cache.values():
-            try:
-                e.unpersist()
-            except Exception:
-                pass
+            for f in (e.values() if isinstance(e, dict) else (e,)):
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
             n += 1
         cache.clear()
     return n
@@ -2007,10 +2008,13 @@ def _trade_edges(spark: SparkSession, sf_dir: str):
         # never holds more than the live (session, sf_dir) pair plus
         # what this call adds
         for k in [k for k in _EDGE_CACHE if k != cache_key]:
-            try:
-                _EDGE_CACHE.pop(k).unpersist()
-            except Exception:
-                pass
+            stale = _EDGE_CACHE.pop(k)
+            for f in (stale.values() if isinstance(stale, dict)
+                      else (stale,)):
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
         t = load_tables(spark, sf_dir)
         okeys = F.broadcast(t["orders"].select("o_orderkey", "o_custkey"))
         ipairs = (t["lineitem"].select("l_orderkey", "l_suppkey")
@@ -2023,7 +2027,17 @@ def _trade_edges(spark: SparkSession, sf_dir: str):
                               F.col("s").alias("dst"))
                  .unionByName(pairs.select(F.col("s").alias("src"),
                                            F.col("c").alias("dst"))))
-        _EDGE_CACHE[cache_key] = edges.persist()
+        from .operators import graph as _graph
+
+        e = edges.persist()
+        # deg/nodes are pure functions of the immutable edge table —
+        # persist them once with it (two full edge aggregates otherwise
+        # re-run on every graph entry invocation)
+        _EDGE_CACHE[cache_key] = {
+            "edges": e,
+            "deg": _graph.out_degrees(e).persist(),
+            "nodes": _graph.node_set(e).persist(),
+        }
     return _EDGE_CACHE[cache_key]
 
 
@@ -2037,7 +2051,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — float PageRank could never hash-match across engines.
     Output: top 20 nodes by rank."""
     from .operators import graph
-    pr = graph.pagerank(_trade_edges(spark, sf_dir), iters=3)
+    g = _trade_edges(spark, sf_dir)
+    pr = graph.pagerank(g["edges"], iters=3, deg=g["deg"],
+                        nodes=g["nodes"])
     return _carry_release(
         pr, pr.orderBy(F.col("rank").desc(), F.col("node").asc()).limit(20))
 
@@ -2920,7 +2936,8 @@ def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     summarized as the top 30 communities by size (>= 2 members)."""
     from .operators import graph
     from pyspark.sql import Window
-    lp = graph.label_propagation(_trade_edges(spark, sf_dir), iters=2)
+    g = _trade_edges(spark, sf_dir)
+    lp = graph.label_propagation(g["edges"], iters=2, nodes=g["nodes"])
     sizes = (lp.groupBy("label")
              .agg(F.count(F.lit(1)).alias("n_members"))
              .filter(F.col("n_members") >= 2))

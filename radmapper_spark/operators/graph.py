@@ -55,9 +55,28 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
     return est <= mx
 
 
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(src, _d) out-degree table — the shape pagerank consumes. Exposed
+    so callers over an IMMUTABLE edge table can persist it once and pass
+    it to every pagerank invocation (deg=...)."""
+    return (edges.select("src", "dst").groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d")))
+
+
+def node_set(edges: DataFrame) -> DataFrame:
+    """(node) distinct endpoint table — consumable by pagerank/
+    label_propagation via nodes=... under the same persist-once
+    contract as out_degrees."""
+    e = edges.select("src", "dst")
+    return (e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct())
+
+
 def pagerank(edges: DataFrame, iters: int = 3,
              damping_pct: int = 85,
-             broadcast_ranks=None) -> DataFrame:
+             broadcast_ranks=None,
+             deg: DataFrame = None, nodes: DataFrame = None) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (src, dst) —
     pass both directions for an undirected graph. Returns (node, rank)
     with rank a BIGINT scaled by 1e12 (initial rank 1.0 per node; the
@@ -103,11 +122,18 @@ def pagerank(edges: DataFrame, iters: int = 3,
     if not edges.is_cached:
         e = e.persist()
         cached.append(e)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).persist()
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct().persist())
-    cached += [deg, nodes]
+    # deg/nodes are pure functions of the edge table; callers over an
+    # IMMUTABLE edge set (the registry's cached trade graph) persist
+    # them once (out_degrees/node_set) and pass them in — re-deriving
+    # two full edge-table aggregates per invocation is pure waste, the
+    # same argument as the caller-owned edge cache above. Caller-passed
+    # frames are caller-owned: not re-persisted, not released here.
+    if deg is None:
+        deg = out_degrees(e).persist()
+        cached.append(deg)
+    if nodes is None:
+        nodes = node_set(e).persist()
+        cached.append(nodes)
     broadcast_ranks = _resolve_broadcast(broadcast_ranks, nodes)
     base = ((100 - damping_pct) * SCALE) // 100
     # Iteration state is rd = (src, rank div out-degree) — the ONLY thing
@@ -157,7 +183,8 @@ def pagerank(edges: DataFrame, iters: int = 3,
 
 
 def label_propagation(edges: DataFrame, iters: int = 2,
-                      broadcast_labels=None) -> DataFrame:
+                      broadcast_labels=None,
+                      nodes: DataFrame = None) -> DataFrame:
     """Synchronous label propagation for community detection, made
     DETERMINISTIC (the classic algorithm's random tie-break makes runs
     incomparable): every node starts with its own label; each iteration
@@ -179,10 +206,9 @@ def label_propagation(edges: DataFrame, iters: int = 2,
     if not edges.is_cached:
         e = e.persist()
         cached.append(e)
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionByName(e.select(F.col("dst").alias("node")))
-             .distinct().persist())
-    cached.append(nodes)
+    if nodes is None:  # caller-owned when passed (see pagerank)
+        nodes = node_set(e).persist()
+        cached.append(nodes)
     broadcast_labels = _resolve_broadcast(broadcast_labels, nodes)
     labels = nodes.select("node", F.col("node").alias("label"))
     for i in range(iters):
