@@ -609,6 +609,13 @@ def _probe_index_path(spark: SparkSession, sf_dir: str, kind: str,
                       build) -> str:
     key = (session_key(spark), sf_dir, kind)
     if key not in _PROBE_INDEX_CACHE:
+        # evict DEAD sessions' index dirs (same policy as every other
+        # session-lifetime cache here): their tmp trees are unreachable
+        # garbage once the session key can no longer match
+        import shutil
+
+        for k in [k for k in _PROBE_INDEX_CACHE if k[0] != key[0]]:
+            shutil.rmtree(_PROBE_INDEX_CACHE.pop(k), ignore_errors=True)
         path = _tempfile.mkdtemp(prefix=f"rm_{kind}_idx_")
         build(path)
         _PROBE_INDEX_CACHE[key] = path
@@ -682,6 +689,44 @@ def neardup_probe_sql() -> str:
               JOIN sig sb ON sb.doc_id = index_id
     WHERE ({matches}) / 32.0 >= 0.5
     """
+
+
+def neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end incremental ADMISSION loop on the persisted minhash
+    index: index the base corpus (doc_id % 7 >= 2), ADMIT the
+    doc_id % 7 == 1 batch via dedup.append_to_minhash_index (signatures
+    computed for the batch only, parquet-appended into the band
+    partitions — the index is never rewritten), then probe the
+    doc_id % 7 == 0 batch. Hits land against BOTH the original corpus
+    and the admitted batch (1/3/12 admitted-batch hits at
+    sf0.001/0.01/0.1 — non-vacuous), so a green row proves append
+    visibility, not just the build path. Build+append are memoized per
+    session (immutable fixtures); the oracle is the same all-SQL minhash
+    pipeline as neardup_probe over the identical index contents."""
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    path = _probe_index_path(
+        spark, sf_dir, "minhash_admit",
+        lambda p: (
+            dedup.build_minhash_index(
+                docs.filter(F.col("doc_id") % 7 >= 2), p,
+                hash_mode="portable"),
+            dedup.append_to_minhash_index(
+                docs.filter(F.col("doc_id") % 7 == 1), p,
+                hash_mode="portable")))
+    pairs = dedup.neardup_vs_index(
+        docs.filter(F.col("doc_id") % 7 == 0), path,
+        jaccard_threshold=0.5, hash_mode="portable")
+    return pairs.select("new_id", "index_id",
+                        F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def neardup_admit_sql() -> str:
+    # identical semantics to neardup_probe_sql BY DESIGN: the index
+    # contents are the same set of documents, the entries differ only in
+    # HOW the index got there (one build vs build+append) — the shared
+    # oracle is what proves the append path changes nothing
+    return neardup_probe_sql()
 
 
 def embedding_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3042,6 +3087,7 @@ ENTRIES: dict = {
     # NEW this round: persisted-index incremental-admission probes
     "neardup_probe": (neardup_probe, neardup_probe_sql),
     "embedding_probe": (embedding_probe, embedding_probe_sql),
+    "neardup_admit": (neardup_admit, neardup_admit_sql),
     # code touched this round — re-prove under the external gate
     "dedup_embedding_cosine": (dedup_embedding_cosine, dedup_embedding_cosine_sql),
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_sql),

@@ -811,8 +811,22 @@ def build_minhash_index(docs: DataFrame, path: str,
     are persisted in a ``_meta`` sidecar; probes assert them and RAISE
     on mismatch (index_meta.check_index_meta).
     """
-    from ..functions import portable_hash as PH
     from .index_meta import write_index_meta
+
+    banded = _banded_index_rows(docs, text_col, id_col, num_hashes,
+                                bands, shingle_k, hash_mode)
+    banded.write.mode("overwrite").partitionBy("band").parquet(path)
+    write_index_meta(docs.sparkSession, path, "minhash",
+                     {"num_hashes": num_hashes, "bands": bands,
+                      "shingle_k": shingle_k, "hash_mode": hash_mode})
+
+
+def _banded_index_rows(docs: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int, bands: int, shingle_k: int,
+                       hash_mode: str) -> DataFrame:
+    """(band, bhash, id, minhash) — the persisted index row shape,
+    shared by build_minhash_index and append_to_minhash_index."""
+    from ..functions import portable_hash as PH
 
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(drop_blank_docs(docs, text_col), text_col,
@@ -826,17 +840,39 @@ def build_minhash_index(docs: DataFrame, path: str,
             return PH.poly_col(vals)
         return F.xxhash64(*vals)
 
-    banded = sigs.select(
+    return sigs.select(
         "id", "minhash",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), band_hash(b).alias("bhash"))
             for b in range(bands)])).alias("bb"),
     ).select(F.col("bb.band").alias("band"),
              F.col("bb.bhash").alias("bhash"), "id", "minhash")
-    banded.write.mode("overwrite").partitionBy("band").parquet(path)
-    write_index_meta(docs.sparkSession, path, "minhash",
+
+
+def append_to_minhash_index(new_docs: DataFrame, path: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_hashes: int = 32, bands: int = 8,
+                            shingle_k: int = 5,
+                            hash_mode: str = "xxhash64") -> None:
+    """ADMIT a batch into the persisted minhash index: append the
+    batch's (band, bhash, id, minhash) rows into the band partitions —
+    the write-side half of the incremental-admission loop (probe asks
+    "seen before?", append makes the batch visible to every future
+    probe). Only the batch's signatures are computed; the existing index
+    is never rewritten (parquet append into hive band partitions).
+    Params are asserted against the index's ``_meta`` sidecar — an
+    append in the wrong hash family would poison the index, so it
+    raises IndexParamMismatch instead."""
+    from .index_meta import check_index_meta
+
+    check_index_meta(new_docs.sparkSession, path, "minhash",
                      {"num_hashes": num_hashes, "bands": bands,
-                      "shingle_k": shingle_k, "hash_mode": hash_mode})
+                      "shingle_k": shingle_k, "hash_mode": hash_mode},
+                     "append_to_minhash_index")
+    banded = _banded_index_rows(new_docs, text_col, id_col, num_hashes,
+                                bands, shingle_k, hash_mode)
+    banded.write.mode("append").partitionBy("band").parquet(path)
 
 
 def neardup_vs_index(new_docs: DataFrame, path: str,
@@ -937,6 +973,35 @@ def build_signlsh_index(emb: DataFrame, path: str,
     write_index_meta(emb.sparkSession, path, "signlsh",
                      {"bands": bands, "planes_per_band": planes_per_band,
                       "sketch_planes": sketch_planes, "seed": seed})
+
+
+def append_to_signlsh_index(new_emb: DataFrame, path: str,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            bands: int = 192, planes_per_band: int = 8,
+                            sketch_planes: int = 512,
+                            seed: int = 42) -> None:
+    """ADMIT a vector batch into the persisted sign-LSH index — the
+    embedding twin of append_to_minhash_index: signatures + sketch are
+    computed for the batch only and appended to the ``bands``/
+    ``vectors`` tables; params are asserted against the ``_meta``
+    sidecar (wrong-family appends would poison the index — raises)."""
+    from .index_meta import check_index_meta
+
+    check_index_meta(new_emb.sparkSession, path, "signlsh",
+                     {"bands": bands, "planes_per_band": planes_per_band,
+                      "sketch_planes": sketch_planes, "seed": seed},
+                     "append_to_signlsh_index")
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = sign_lsh_base(new_emb, vec_col, id_col, bands, planes_per_band,
+                         sketch_planes, seed).persist()
+    (base.select("id", F.posexplode("bb").alias("band", "sig"))
+     .select("band", "sig", "id")
+     .write.mode("append").parquet(f"{path}/bands"))
+    (base.select("id", "wd")
+     .join(new_emb.select(F.col(id_col).alias("id"), vec.alias("v")), "id")
+     .write.mode("append").parquet(f"{path}/vectors"))
+    base.unpersist()
 
 
 def neardup_embedding_vs_index(new_emb: DataFrame, path: str,

@@ -47,12 +47,14 @@ def read_index_meta(spark, path: str):
         return _META_CACHE[key]
     try:
         rows = spark.read.text(key).collect()
-        meta = json.loads(rows[0]["value"]) if rows else None
     except Exception:
         # no sidecar: an index built before metadata existed. Tolerated
         # (the docstring contract still applies); mismatch checks below
         # only fire when a sidecar is present.
-        meta = None
+        return None
+    # a sidecar that EXISTS but does not parse is corruption, not
+    # legacy — fail loudly rather than skipping the guard
+    meta = json.loads(rows[0]["value"]) if rows else None
     if meta is not None:
         _META_CACHE[key] = meta
     return meta

@@ -284,3 +284,81 @@ def test_probe_builtins_raise_rmfnerror_on_bad_threshold(spark, tables,
     with pytest.raises(RMFnError, match="probeNearDupIndex"):
         ip.run_raw("$probeNearDupIndex($db($d), $p, 'high')",
                    bindings={"$d": docs.limit(5), "$p": mh})
+
+
+def test_index_rebuild_updates_meta(spark, tmp_path):
+    """Rebuilding an index at the same path with different parameters
+    must refresh the _meta sidecar: probes with the OLD params raise,
+    probes with the new params run."""
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.operators.index_meta import IndexParamMismatch
+    docs = _tiny_docs(spark)
+    path = str(tmp_path / "mh_rebuild")
+    dedup.build_minhash_index(docs, path)  # defaults: 32 hashes, 8 bands
+    dedup.neardup_vs_index(docs, path).collect()
+    dedup.build_minhash_index(docs, path, num_hashes=16, bands=4)
+    with pytest.raises(IndexParamMismatch):
+        dedup.neardup_vs_index(docs, path)  # old (default) params
+    dedup.neardup_vs_index(docs, path, num_hashes=16, bands=4).collect()
+
+
+# --------------------------------------------------- index append (admit)
+
+def test_minhash_append_equals_full_rebuild(spark, tmp_path):
+    """build(corpus) + append(batch) must answer probes identically to
+    build(corpus ∪ batch): the admitted batch is fully visible and the
+    original index rows are untouched."""
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.session import load_tables
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    admit = docs.filter(F.col("doc_id") % 3 == 1)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    dedup.build_minhash_index(base, inc)
+    dedup.append_to_minhash_index(admit, inc)
+    dedup.build_minhash_index(base.unionByName(admit), full)
+    got = {(r.new_id, r.index_id, r.est_jaccard)
+           for r in dedup.neardup_vs_index(probe, inc).collect()}
+    want = {(r.new_id, r.index_id, r.est_jaccard)
+            for r in dedup.neardup_vs_index(probe, full).collect()}
+    assert got == want and want, "append diverged from full rebuild"
+
+
+def test_minhash_append_param_mismatch_raises(spark, tmp_path):
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.operators.index_meta import IndexParamMismatch
+    docs = _tiny_docs(spark)
+    path = str(tmp_path / "mh_ap")
+    dedup.build_minhash_index(docs, path)
+    with pytest.raises(IndexParamMismatch, match="append_to_minhash"):
+        dedup.append_to_minhash_index(docs, path, num_hashes=16, bands=4)
+
+
+def test_signlsh_append_equals_full_rebuild(spark, tmp_path):
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.session import load_tables
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    base = emb.filter(F.col("vec_id") % 3 == 0)
+    admit = emb.filter(F.col("vec_id") % 3 == 1)
+    probe = emb.filter(F.col("vec_id") % 3 == 2)
+    kw = dict(bands=64, planes_per_band=8)
+    inc, full = str(tmp_path / "sinc"), str(tmp_path / "sfull")
+    dedup.build_signlsh_index(base, inc, **kw)
+    dedup.append_to_signlsh_index(admit, inc, **kw)
+    dedup.build_signlsh_index(base.unionByName(admit), full, **kw)
+
+    def hits(path):
+        df = dedup.neardup_embedding_vs_index(probe, path, threshold=0.4,
+                                              **kw)
+        out = {(r.new_id, r.index_id, round(r.cosine, 9))
+               for r in df.collect()}
+        df.rm_release_cache()
+        return out
+
+    got, want = hits(inc), hits(full)
+    assert got == want and want, "append diverged from full rebuild"
+    from radmapper_spark.operators.index_meta import IndexParamMismatch
+    with pytest.raises(IndexParamMismatch, match="append_to_signlsh"):
+        dedup.append_to_signlsh_index(admit, inc, bands=64,
+                                      planes_per_band=8, seed=7)
