@@ -1443,6 +1443,18 @@ def _t_build_neardup_index(ip, env, table=NOMATCH, path=NOMATCH):
     return p
 
 
+@builtin("$admitNearDupIndex", 2)
+def _t_admit_neardup_index(ip, env, table=NOMATCH, path=NOMATCH):
+    """ADMIT a document batch into a persisted minhash index
+    (dedup.append_to_minhash_index — signatures for the batch only,
+    appended into the band partitions; wrong-family params raise).
+    Returns the path for chaining with $probeNearDupIndex."""
+    from ..operators import dedup
+    p = _s(path, "$admitNearDupIndex")
+    dedup.append_to_minhash_index(_table_df(table, "$admitNearDupIndex"), p)
+    return p
+
+
 @builtin("$probeNearDupIndex", 2)
 def _t_probe_neardup_index(ip, env, table=NOMATCH, path=NOMATCH,
                            threshold=0.5):
@@ -1462,6 +1474,17 @@ def _t_build_embedding_index(ip, env, table=NOMATCH, path=NOMATCH):
     from ..operators import dedup
     p = _s(path, "$buildEmbeddingIndex")
     dedup.build_signlsh_index(_table_df(table, "$buildEmbeddingIndex"), p)
+    return p
+
+
+@builtin("$admitEmbeddingIndex", 2)
+def _t_admit_embedding_index(ip, env, table=NOMATCH, path=NOMATCH):
+    """ADMIT a vector batch into a persisted sign-LSH index
+    (dedup.append_to_signlsh_index) — returns the path for chaining."""
+    from ..operators import dedup
+    p = _s(path, "$admitEmbeddingIndex")
+    dedup.append_to_signlsh_index(_table_df(table, "$admitEmbeddingIndex"),
+                                  p)
     return p
 
 

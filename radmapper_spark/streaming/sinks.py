@@ -10,6 +10,7 @@ source against the same checkpoint).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def start_parquet_sink(df: DataFrame, path: str, checkpoint: str,
@@ -95,6 +96,73 @@ def start_neardup_probe(docs_stream: DataFrame, index_path: str,
 
     return (docs_stream.writeStream
             .foreachBatch(probe_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
+def start_neardup_admission(docs_stream: DataFrame, index_path: str,
+                            out_path: str, checkpoint: str,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            num_hashes: int = 32, bands: int = 8,
+                            shingle_k: int = 5,
+                            jaccard_threshold: float = 0.5,
+                            hash_mode: str = "xxhash64"):
+    """The FULL streaming admission loop: for each micro-batch of
+    incoming documents,
+
+    1. PROBE the persisted minhash index (neardup_vs_index — batch
+       signatures only, corpus text never read) and append the hits to
+       ``out_path`` (the audit trail of rejected near-dups);
+    2. ADMIT the batch's surviving documents into the index
+       (append_to_minhash_index), so every FUTURE batch sees them.
+
+    A document survives unless it near-duplicates an indexed one, or it
+    near-duplicates a SMALLER-id sibling inside its own micro-batch
+    (first-writer-wins — checked with the batch operator
+    minhash_lsh_pairs over the micro-batch; without this, two identical
+    docs arriving together would both be admitted because neither is in
+    the index yet). Deterministic given the micro-batch contents.
+
+    Restart caveat: unlike the pure probe sink, the append step is NOT
+    idempotent under batch replay — a replayed batch appends duplicate
+    index rows. Probes stay CORRECT (candidate pairs are
+    dropDuplicates'd on (new_id, index_id) and duplicate signatures
+    carry identical estimates), so replay costs storage, not answers;
+    compact the index out-of-band if replays accumulate."""
+    from ..operators.dedup import (append_to_minhash_index,
+                                   minhash_lsh_pairs, neardup_vs_index)
+
+    def admit_batch(batch_df, batch_id):
+        batch_df = batch_df.persist()
+        hits = neardup_vs_index(
+            batch_df, index_path, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold,
+            hash_mode=hash_mode).persist()
+        hits.write.mode("append").parquet(out_path)
+        intra = minhash_lsh_pairs(
+            batch_df, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            jaccard_threshold=jaccard_threshold, hash_mode=hash_mode)
+        # losers: indexed-dup new_ids + the larger side of intra-batch
+        # pairs (id_a < id_b by construction -> smaller id wins)
+        rejected = (hits.select(F.col("new_id").alias("rid"))
+                    .unionByName(intra.select(F.col("id_b").alias("rid")))
+                    .distinct())
+        survivors = batch_df.join(
+            rejected, batch_df[id_col] == F.col("rid"), "left_anti")
+        append_to_minhash_index(
+            survivors, index_path, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+            hash_mode=hash_mode)
+        rel = getattr(intra, "rm_release_cache", None)
+        rel and rel()
+        hits.unpersist()
+        batch_df.unpersist()
+
+    return (docs_stream.writeStream
+            .foreachBatch(admit_batch)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())

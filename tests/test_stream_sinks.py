@@ -164,3 +164,55 @@ def test_streaming_embedding_probe_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) > 0
     new.unpersist()
+
+
+def test_streaming_neardup_admission_loop(spark, tmp_path):
+    """Full admission loop (probe -> reject -> ADMIT survivors): a doc
+    admitted in micro-batch 1 must be FOUND by micro-batch 2's probe;
+    rejected docs (index dups, intra-batch larger-id dups) must never
+    enter the index."""
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.streaming import sinks
+
+    def txt(tag):
+        return " ".join(f"{tag}w{j}" for j in range(12))
+
+    corpus = spark.createDataFrame(
+        [(i, txt(f"t{i}")) for i in range(10)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    dedup.build_minhash_index(corpus, idx)
+
+    b1 = [(100, txt("t0")),    # dup of corpus doc 0 -> rejected
+          (101, txt("u1")),    # new -> admitted
+          (102, txt("v")),     # intra-batch pair: smaller id wins
+          (103, txt("v"))]     # -> rejected
+    b2 = [(200, txt("u1")),    # dup of ADMITTED 101 -> hit + rejected
+          (201, txt("v")),     # dup of ADMITTED 102 (never 103)
+          (202, txt("w"))]     # new -> admitted
+    src = str(tmp_path / "in")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    out, ckpt = str(tmp_path / "hits"), str(tmp_path / "ck")
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = sinks.start_neardup_admission(stream, idx, out, ckpt)
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q = sinks.start_neardup_admission(
+        (spark.readStream.schema(corpus.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)), idx, out, ckpt)
+    q.awaitTermination(120)
+
+    hits = {(r.new_id, r.index_id)
+            for r in spark.read.parquet(out).collect()}
+    assert (100, 0) in hits
+    assert (200, 101) in hits, "batch-1 admit not visible to batch 2"
+    assert (201, 102) in hits
+    assert not any(i == 103 for _, i in hits), "rejected doc got probed hits"
+    indexed = {r.id for r in spark.read.parquet(idx)
+               .select("id").distinct().collect()}
+    assert indexed == set(range(10)) | {101, 102, 202}

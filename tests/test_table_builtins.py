@@ -293,3 +293,24 @@ def test_index_build_probe_builtins(spark, tables, tmp_path):
     rel = getattr(out.df, "rm_release_cache", None)
     rel and rel()
     assert n > 0
+
+
+def test_index_admit_builtins(spark, tables, tmp_path):
+    """$admitNearDupIndex / $admitEmbeddingIndex from RM source: admit a
+    second batch, then probe a third — hits must include members of the
+    ADMITTED batch (append visibility through the language surface)."""
+    from pyspark.sql import functions as F
+    docs = tables["documents"]
+    mh = str(tmp_path / "mh")
+    out = _run(spark,
+               "( $buildNearDupIndex($db($base), $p);"
+               "  $admitNearDupIndex($db($admit), $p);"
+               "  $probeNearDupIndex($db($probe), $p) )",
+               **{"$base": docs.filter(F.col("doc_id") % 3 == 0),
+                  "$admit": docs.filter(F.col("doc_id") % 3 == 1),
+                  "$probe": docs.filter(F.col("doc_id") % 3 == 2),
+                  "$p": mh})
+    assert isinstance(out, SparkDB)
+    rows = out.df.collect()
+    assert any(r.index_id % 3 == 1 for r in rows), \
+        "no hits against the admitted batch — append not visible"
