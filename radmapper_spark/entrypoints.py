@@ -2871,6 +2871,36 @@ def embedding_kmeans_lloyd_sql() -> str:
     """
 
 
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: engine-exact Lloyd
+    k-means partitions the embedding space, exhaustive cosine runs
+    WITHIN clusters only (candidate volume n^2/k, one shuffle on the
+    cluster id — similarity.semantic_dedup_pairs). No LSH recall
+    parameter anywhere: the cluster boundaries are bit-identical across
+    engines (scaled-integer Lloyd) and within-cluster search is
+    exhaustive, so the oracle match is exact by construction."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = similarity.semantic_dedup_pairs(emb, k=8, iters=2,
+                                          threshold=0.4)
+    return _carry_release(out, out)
+
+
+def semantic_dedup_sql() -> str:
+    return f"""
+    WITH asg AS ({embedding_kmeans_lloyd_sql()})
+    SELECT x.cluster, x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6)
+               AS cosine
+    FROM asg x JOIN asg y
+      ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    JOIN embeddings a ON a.vec_id = x.vec_id
+    JOIN embeddings b ON b.vec_id = y.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= 0.4
+    """
+
+
 def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite over the star schema: key
     uniqueness, referential integrity (anti-join orphan counts), null
@@ -3088,6 +3118,7 @@ ENTRIES: dict = {
     "neardup_probe": (neardup_probe, neardup_probe_sql),
     "embedding_probe": (embedding_probe, embedding_probe_sql),
     "neardup_admit": (neardup_admit, neardup_admit_sql),
+    "semantic_dedup": (semantic_dedup, semantic_dedup_sql),
     # code touched this round — re-prove under the external gate
     "dedup_embedding_cosine": (dedup_embedding_cosine, dedup_embedding_cosine_sql),
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_sql),

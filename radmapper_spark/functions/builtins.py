@@ -1397,6 +1397,22 @@ def _t_kmeans_lloyd(ip, env, table=NOMATCH, k=NOMATCH, iters=2):
         iters=int(_n(iters, "$kmeans"))))
 
 
+@builtin("$semanticDedup", 2)
+def _t_semantic_dedup(ip, env, table=NOMATCH, k=NOMATCH, threshold=0.4,
+                      iters=2):
+    """SemDeDup-style within-cluster near-dup pairs
+    (similarity.semantic_dedup_pairs): (cluster, id_a, id_b, cosine)."""
+    from ..operators import similarity
+    out = similarity.semantic_dedup_pairs(
+        _table_df(table, "$semanticDedup"),
+        k=int(_n(k, "$semanticDedup")),
+        threshold=float(_n(threshold, "$semanticDedup")),
+        iters=int(_n(iters, "$semanticDedup")))
+    sdb = _as_sdb(out)
+    sdb.df.rm_release_cache = getattr(out, "rm_release_cache", None)
+    return sdb
+
+
 @builtin("$uniqueCheck", 2)
 def _t_unique_check(ip, env, table=NOMATCH, key=NOMATCH):
     from ..operators import quality as Q

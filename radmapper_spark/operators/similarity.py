@@ -579,3 +579,52 @@ def kmeans_lloyd(emb: DataFrame, k: int = 8, iters: int = 2,
 
     out.rm_release_cache = _release
     return out
+
+
+# ------------------------------------------------------- semantic dedup
+
+def semantic_dedup_pairs(emb: DataFrame, k: int = 8, iters: int = 2,
+                         threshold: float = 0.4,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — cluster the embedding space, then compare ONLY
+    within clusters): k-means partitions the corpus, and the exhaustive
+    cosine check runs per cluster, so candidate volume is
+    sum_c n_c^2 ~ n^2/k instead of n^2 — at 100 TB, k ~ sqrt(n) clusters
+    make each cluster's all-pairs block executor-sized while the
+    cluster self-join shuffles each vector ONCE on its cluster id.
+
+    Clustering is the engine-exact scaled-integer Lloyd (kmeans_lloyd),
+    so the cluster boundaries — and therefore the pair set — are
+    bit-identical in any engine: unlike LSH-banded dedup there is no
+    recall parameter; within-cluster recall is exhaustive (cross-cluster
+    near-dups are the documented SemDeDup trade-off, bounded by cluster
+    granularity). Returns (cluster, id_a, id_b, cosine), id_a < id_b.
+
+    The downstream prune rule (keep the smallest id per pair — or chain
+    dedup_groups for transitive pruning) is the caller's policy;
+    emitting pairs keeps this composable with the rest of the dedup
+    stack."""
+    km = kmeans_lloyd(emb, k=k, iters=iters, vec_col=vec_col,
+                      id_col=id_col)
+    asg = km.select(F.col(id_col).alias("_sid"), "cluster")
+    v = emb.select(F.col(id_col).alias("_sid"),
+                   _to_double(F.col(vec_col)).alias("_v"))
+    side = asg.join(v, "_sid")
+    a = side.select(F.col("cluster"), F.col("_sid").alias("id_a"),
+                    F.col("_v").alias("_va"))
+    b = side.select(F.col("cluster"), F.col("_sid").alias("id_b"),
+                    F.col("_v").alias("_vb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va"))
+                                              * _norm(F.col("_vb")))
+    pairs = (a.join(b, ["cluster"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", cos)
+             .filter(F.col("cosine") >= threshold)
+             .select("cluster", "id_a", "id_b",
+                     F.round(F.col("cosine"), 6).alias("cosine")))
+    pairs.rm_release_cache = getattr(km, "rm_release_cache",
+                                     lambda: None)
+    return pairs

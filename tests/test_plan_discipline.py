@@ -126,6 +126,7 @@ EAGER_ALLOWED = {
     # bounded by the band-partition count, never a data scan
     "neardup_probe",
     "embedding_probe",
+    "neardup_admit",
 }
 
 

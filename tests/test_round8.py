@@ -362,3 +362,51 @@ def test_signlsh_append_equals_full_rebuild(spark, tmp_path):
     with pytest.raises(IndexParamMismatch, match="append_to_signlsh"):
         dedup.append_to_signlsh_index(admit, inc, bands=64,
                                       planes_per_band=8, seed=7)
+
+
+# -------------------------------------------------------- semantic dedup
+
+def test_semantic_dedup_within_cluster_only(spark):
+    """Pairs must come from the SAME cluster (the SemDeDup contract),
+    and the pair set must equal the brute-force within-cluster truth."""
+    from radmapper_spark.operators import similarity
+    from radmapper_spark.session import load_tables
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    pairs = similarity.semantic_dedup_pairs(emb, k=4, iters=1,
+                                            threshold=0.4)
+    rows = pairs.collect()
+    pairs.rm_release_cache()
+    asg = similarity.kmeans_lloyd(emb, k=4, iters=1)
+    cl = {r.vec_id: r.cluster for r in asg.collect()}
+    rel = getattr(asg, "rm_release_cache", None)
+    rel and rel()
+    assert rows, "vacuous"
+    for r in rows:
+        assert cl[r.id_a] == cl[r.id_b] == r.cluster
+    # brute-force truth restricted to co-clustered pairs
+    import numpy as np
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float)
+            for r in emb.collect()}
+    want = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cl[a] != cl[b]:
+                continue
+            c = float(vecs[a] @ vecs[b]
+                      / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if round(c, 6) >= 0.4:
+                want.add((a, b))
+    assert {(r.id_a, r.id_b) for r in rows} == want
+
+
+def test_semantic_dedup_builtin(spark, tables):
+    from radmapper_spark.lang.interp import Interp
+    ip = Interp(spark)
+    out = ip.run_raw("$semanticDedup($db($e), 4, 0.4)",
+                     bindings={"$e": tables["embeddings"]})
+    assert {"cluster", "id_a", "id_b", "cosine"} <= set(out.df.columns)
+    n = out.df.count()
+    rel = getattr(out.df, "rm_release_cache", None)
+    rel and rel()
+    assert n > 0
