@@ -1109,3 +1109,34 @@ def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
                         f"index_id {dt['index_id']}, cosine double")
     out.rm_release_cache = probe_base.unpersist
     return out
+
+
+def compact_minhash_index(spark, path: str) -> int:
+    """Out-of-band maintenance for an append-mode minhash index:
+    replayed micro-batches (see start_neardup_admission's restart
+    caveat) append byte-identical (band, bhash, id, minhash) rows, which
+    cost storage and candidate-join width but never correctness. This
+    rewrites the index with exact duplicates dropped — one distinct
+    shuffle keyed like the index itself — into a temp sibling dir, then
+    swaps it in (local-FS move here; a cluster deployment swaps through
+    the filesystem API in the same out-of-band window that owns index
+    builds — probes in flight during the swap are the caller's
+    exclusion to manage, exactly as for a rebuild). The ``_meta``
+    sidecar is preserved. Returns the number of rows removed."""
+    import shutil
+
+    from .index_meta import read_index_meta, write_index_meta
+
+    meta = read_index_meta(spark, path)
+    idx = spark.read.parquet(path)
+    before = idx.count()
+    tmp = path.rstrip("/") + "__compact"
+    (idx.dropDuplicates(["band", "bhash", "id"])
+     .write.mode("overwrite").partitionBy("band").parquet(tmp))
+    after = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    if meta is not None:
+        meta = dict(meta)  # never mutate the read cache's dict
+        write_index_meta(spark, path, meta.pop("kind"), meta)
+    return int(before - after)

@@ -200,3 +200,59 @@ def start_embedding_probe(vec_stream: DataFrame, index_path: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def start_embedding_admission(vec_stream: DataFrame, index_path: str,
+                              out_path: str, checkpoint: str,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              threshold: float = 0.45,
+                              bands: int = 192, planes_per_band: int = 8,
+                              sketch_planes: int = 512, seed: int = 42):
+    """The sign-LSH twin of start_neardup_admission — the full streaming
+    ingest loop for vectors: per micro-batch, probe the persisted
+    embedding index (hits logged to ``out_path``), then ADMIT the
+    surviving vectors (append_to_signlsh_index) so future batches see
+    them. Intra-batch duplicates resolve first-writer-wins via the
+    batch operator embedding_cosine_pairs (id_a < id_b — the larger id
+    loses). Same restart caveat as the minhash loop: replays append
+    duplicate index rows (probe answers unaffected; compact
+    out-of-band)."""
+    from ..operators.dedup import (append_to_signlsh_index,
+                                   embedding_cosine_pairs,
+                                   neardup_embedding_vs_index)
+
+    def admit_batch(batch_df, batch_id):
+        batch_df = batch_df.persist()
+        hits = neardup_embedding_vs_index(
+            batch_df, index_path, vec_col=vec_col, id_col=id_col,
+            threshold=threshold, bands=bands,
+            planes_per_band=planes_per_band,
+            sketch_planes=sketch_planes, seed=seed)
+        hits = hits.persist()
+        hits.write.mode("append").parquet(out_path)
+        intra = embedding_cosine_pairs(
+            batch_df, vec_col=vec_col, id_col=id_col,
+            threshold=threshold, bands=bands,
+            planes_per_band=planes_per_band,
+            sketch_planes=sketch_planes, seed=seed)
+        rejected = (hits.select(F.col("new_id").alias("rid"))
+                    .unionByName(intra.select(F.col("id_b").alias("rid")))
+                    .distinct())
+        survivors = batch_df.join(
+            rejected, batch_df[id_col] == F.col("rid"), "left_anti")
+        append_to_signlsh_index(
+            survivors, index_path, vec_col=vec_col, id_col=id_col,
+            bands=bands, planes_per_band=planes_per_band,
+            sketch_planes=sketch_planes, seed=seed)
+        for df in (intra, hits):
+            rel = getattr(df, "rm_release_cache", None)
+            rel and rel()
+        hits.unpersist()
+        batch_df.unpersist()
+
+    return (vec_stream.writeStream
+            .foreachBatch(admit_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -410,3 +410,29 @@ def test_semantic_dedup_builtin(spark, tables):
     rel = getattr(out.df, "rm_release_cache", None)
     rel and rel()
     assert n > 0
+
+
+def test_compact_minhash_index_after_replay(spark, tmp_path):
+    """A replayed append (the admission sink's restart caveat) leaves
+    duplicate rows; compaction removes exactly them, preserves the
+    _meta sidecar, and probes answer identically before/after."""
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.operators.index_meta import IndexParamMismatch
+    docs = _tiny_docs(spark)
+    path = str(tmp_path / "mhc")
+    dedup.build_minhash_index(docs.filter(F.col("doc_id") < 10), path)
+    batch = docs.filter(F.col("doc_id") >= 10)
+    dedup.append_to_minhash_index(batch, path)
+    dedup.append_to_minhash_index(batch, path)  # replay
+    probe = docs.limit(5)
+    before = {(r.new_id, r.index_id, r.est_jaccard)
+              for r in dedup.neardup_vs_index(probe, path).collect()}
+    n_batch_rows = batch.count() * 8  # 8 bands per doc
+    removed = dedup.compact_minhash_index(spark, path)
+    assert removed == n_batch_rows, "compaction must drop exactly the replay"
+    after = {(r.new_id, r.index_id, r.est_jaccard)
+             for r in dedup.neardup_vs_index(probe, path).collect()}
+    assert after == before and before
+    # the sidecar survived: a mismatched probe still raises
+    with pytest.raises(IndexParamMismatch):
+        dedup.neardup_vs_index(probe, path, num_hashes=16, bands=4)

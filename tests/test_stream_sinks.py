@@ -216,3 +216,63 @@ def test_streaming_neardup_admission_loop(spark, tmp_path):
     indexed = {r.id for r in spark.read.parquet(idx)
                .select("id").distinct().collect()}
     assert indexed == set(range(10)) | {101, 102, 202}
+
+
+def test_streaming_embedding_admission_loop(spark, tmp_path):
+    """Sign-LSH twin of the admission-loop test: a vector admitted in
+    micro-batch 1 must be found by micro-batch 2's probe; intra-batch
+    duplicates resolve first-writer-wins; rejected vectors never enter
+    the index."""
+    import random
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.streaming import sinks
+
+    def vec(seed, dim=32):
+        # deterministic, pairwise-dissimilar (random 32-dim: |cos| ~ 0.18
+        # typical; a first cut used sin(seed*13.7+...) whose phases
+        # collide mod 2*pi — seeds 0/50 were near-identical)
+        return [random.Random(seed * 1000 + j).uniform(-1, 1)
+                for j in range(dim)]
+
+    kw = dict(bands=32, planes_per_band=4)
+    corpus = spark.createDataFrame(
+        [(i, vec(i)) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "eidx")
+    dedup.build_signlsh_index(corpus, idx, **kw)
+
+    b1 = [(100, vec(0)),   # dup of corpus 0 -> rejected
+          (101, vec(50)),  # new -> admitted
+          (102, vec(60)),  # intra-batch identical pair:
+          (103, vec(60))]  # 102 wins, 103 rejected
+    b2 = [(200, vec(50)),  # dup of ADMITTED 101
+          (201, vec(60)),  # dup of ADMITTED 102 (never 103)
+          (202, vec(70))]  # new -> admitted
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "vin")
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    out, ckpt = str(tmp_path / "vhits"), str(tmp_path / "vck")
+
+    def run():
+        stream = (spark.readStream.schema(corpus.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = sinks.start_embedding_admission(
+            stream, idx, out, ckpt, threshold=0.95, **kw)
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+
+    hits = {(r.new_id, r.index_id)
+            for r in spark.read.parquet(out).collect()}
+    assert (100, 0) in hits
+    assert (200, 101) in hits, "batch-1 admit not visible to batch 2"
+    assert (201, 102) in hits
+    assert not any(i == 103 for _, i in hits)
+    indexed = {r.id for r in spark.read.parquet(f"{idx}/vectors")
+               .select("id").distinct().collect()}
+    assert indexed == set(range(10)) | {101, 102, 202}
