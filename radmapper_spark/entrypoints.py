@@ -605,6 +605,26 @@ import tempfile as _tempfile
 _PROBE_INDEX_CACHE: dict = {}
 
 
+def purge_probe_indexes() -> int:
+    """Delete every memoized probe-index tmp tree. Registered atexit
+    (a fresh process starts with an empty cache, so nothing else would
+    ever remove the previous process's trees from /tmp) and invoked by
+    release_edge_cache so bench teardown leaves no disk residue."""
+    import shutil
+
+    n = 0
+    for path in _PROBE_INDEX_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+        n += 1
+    _PROBE_INDEX_CACHE.clear()
+    return n
+
+
+import atexit as _atexit
+
+_atexit.register(purge_probe_indexes)
+
+
 def _probe_index_path(spark: SparkSession, sf_dir: str, kind: str,
                       build) -> str:
     key = (session_key(spark), sf_dir, kind)
@@ -2040,6 +2060,7 @@ def release_edge_cache() -> int:
                     pass
             n += 1
         cache.clear()
+    n += purge_probe_indexes()
     return n
 
 
@@ -3063,11 +3084,13 @@ ENTRIES: dict = {
     # =========== r8 window (the driver's correctness gate checks the
     # FIRST 50 registered entries): per the r7 verdict, the 40 entries
     # whose last hard driver row was r5 fill the window first — after
-    # r8, every one of the 92 registry entries has an external green row
+    # r8, every one of the 94 registry entries has an external green row
     # at most 2 rounds old (union of r7+r8). The remaining 10 slots go
-    # to the two NEW persisted-index probe entries and the entries whose
-    # code changed this round (graph auto path selection, index metadata
-    # guards, the embedding-cosine signature cache).
+    # to the FOUR new entries (neardup_probe, embedding_probe,
+    # neardup_admit, semantic_dedup) and six entries whose code changed
+    # this round (graph auto path selection, index metadata guards, the
+    # embedding-cosine signature cache). Positions 51+ are OUTSIDE the
+    # gate this round.
     "temporal_asof_join": (temporal_asof_join, temporal_asof_join_sql),
     "temporal_range_join": (temporal_range_join, temporal_range_join_sql),
     "text_vocabulary": (text_vocabulary, text_vocabulary_sql),
@@ -3127,12 +3150,12 @@ ENTRIES: dict = {
     "ann_ivf_topk": (ann_ivf_topk, ann_ivf_topk_sql),
     "pricing_summary": (lambda s, d: headline.pricing_summary(load_tables(s, d)),
                         headline.pricing_summary_sql),
+    # =========== below the window (position 51+): every entry here has
+    # a GREEN r7 driver row (CORRECTNESS_r07.json) and untouched code;
+    # full local oracle gating still covers all of them every run
+    # (tests/test_headline.py + the three-SF sweep).
     "cdc_merge": (cdc_merge, cdc_merge_sql),
     "weighted_sample": (weighted_sample, weighted_sample_sql),
-    # =========== below the window: every entry here has a GREEN r7
-    # driver row (CORRECTNESS_r07.json) and untouched code; full local
-    # oracle gating still covers all of them every run
-    # (tests/test_headline.py + the three-SF sweep).
     "doc_chunks": (doc_chunks, doc_chunks_sql),
     "seq_pack": (seq_pack, seq_pack_sql),
     "text_pii_scrub": (text_pii_scrub, text_pii_scrub_sql),

@@ -1067,10 +1067,21 @@ def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
     # shuffled hash join instead of OOMing the broadcast
     from .plan_stats import est_plan_bytes
 
-    bc_max = int(spark.conf.get("rm.index.probeBroadcastMaxBytes",
-                                str(256 << 20)))
+    try:
+        bc_max = int(spark.conf.get("rm.index.probeBroadcastMaxBytes",
+                                    str(256 << 20)))
+    except Exception:
+        bc_max = 256 << 20  # unparseable conf: keep the default, don't
+        #                     kill an admission loop mid-batch
     est = est_plan_bytes(probe_side)
-    p_in = (F.broadcast(probe_side) if est is not None and est <= bc_max
+    # estimates at/above Long.MaxValue are Catalyst's NO-STATS sentinel
+    # (local/RDD-backed/streaming micro-batch frames), not a real size —
+    # treat as unknown and keep the broadcast (probe batches are small
+    # by contract; the gate exists for the pathological huge-batch case,
+    # which only arises from stats-bearing scans). Same rule as
+    # graph._resolve_broadcast.
+    unknown = est is None or est >= (1 << 62)
+    p_in = (F.broadcast(probe_side) if unknown or est <= bc_max
             else probe_side.hint("shuffle_hash"))
     paired = cand.join(idx_vec, "index_id").join(p_in, "new_id")
     p_t = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi

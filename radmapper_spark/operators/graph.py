@@ -99,12 +99,10 @@ def pagerank(edges: DataFrame, iters: int = 3,
         # per node, exactly what the unfused loop returned. Reachable from
         # the user-facing $pageRank builtin with arbitrary iters, so this
         # must not fall through to the loop (sums would stay unbound).
-        e0 = edges.select("src", "dst")
-        nodes0 = (e0.select(F.col("src").alias("node"))
-                  .unionByName(e0.select(F.col("dst").alias("node")))
-                  .distinct())
+        nodes0 = nodes if nodes is not None else node_set(edges)
         out = nodes0.select("node", F.lit(SCALE).cast("long").alias("rank"))
         out.rm_release_cache = lambda: None
+        out.rm_broadcast_path = _resolve_broadcast(broadcast_ranks, nodes0)
         return out
     # LAZY persists break the O(iters^2) lineage blowup: without them,
     # iteration i's plan re-executes every earlier iteration AND the

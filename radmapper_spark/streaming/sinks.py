@@ -112,9 +112,12 @@ def start_neardup_admission(docs_stream: DataFrame, index_path: str,
     incoming documents,
 
     1. PROBE the persisted minhash index (neardup_vs_index — batch
-       signatures only, corpus text never read) and append the hits to
-       ``out_path`` (the audit trail of rejected near-dups);
-    2. ADMIT the batch's surviving documents into the index
+       signatures only, corpus text never read);
+    2. write the AUDIT TRAIL of every rejection to ``out_path``: index
+       duplicates as (new_id, index_id, est_jaccard), and intra-batch
+       losers as (new_id=loser, index_id=the batch sibling that won,
+       est_jaccard) — a rejected document always leaves a record;
+    3. ADMIT the batch's surviving documents into the index
        (append_to_minhash_index), so every FUTURE batch sees them.
 
     A document survives unless it near-duplicates an indexed one, or it
@@ -124,12 +127,13 @@ def start_neardup_admission(docs_stream: DataFrame, index_path: str,
     docs arriving together would both be admitted because neither is in
     the index yet). Deterministic given the micro-batch contents.
 
-    Restart caveat: unlike the pure probe sink, the append step is NOT
-    idempotent under batch replay — a replayed batch appends duplicate
-    index rows. Probes stay CORRECT (candidate pairs are
-    dropDuplicates'd on (new_id, index_id) and duplicate signatures
-    carry identical estimates), so replay costs storage, not answers;
-    compact the index out-of-band if replays accumulate."""
+    Restart caveat: unlike the pure probe sink, neither the index
+    append NOR the audit write is idempotent under batch replay — a
+    replayed batch appends duplicate index rows and duplicate audit
+    rows. Probes stay CORRECT (candidate pairs are dropDuplicates'd on
+    (new_id, index_id) and duplicate signatures carry identical
+    estimates), so replay costs storage, not answers; compact the index
+    out-of-band (and dedupe the audit on read) if replays accumulate."""
     from ..operators.dedup import (append_to_minhash_index,
                                    minhash_lsh_pairs, neardup_vs_index)
 
@@ -140,13 +144,18 @@ def start_neardup_admission(docs_stream: DataFrame, index_path: str,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
             jaccard_threshold=jaccard_threshold,
             hash_mode=hash_mode).persist()
-        hits.write.mode("append").parquet(out_path)
         intra = minhash_lsh_pairs(
             batch_df, text_col=text_col, id_col=id_col,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
             jaccard_threshold=jaccard_threshold, hash_mode=hash_mode)
-        # losers: indexed-dup new_ids + the larger side of intra-batch
-        # pairs (id_a < id_b by construction -> smaller id wins)
+        # intra-batch losers: the larger side of each pair (id_a < id_b
+        # by construction -> smaller id wins). Audited in the same
+        # (new_id, index_id, est) shape: index_id is the sibling that
+        # won (which IS about to be indexed below).
+        intra_rej = intra.select(F.col("id_b").alias("new_id"),
+                                 F.col("id_a").alias("index_id"),
+                                 F.col("est_jaccard"))
+        hits.unionByName(intra_rej).write.mode("append").parquet(out_path)
         rejected = (hits.select(F.col("new_id").alias("rid"))
                     .unionByName(intra.select(F.col("id_b").alias("rid")))
                     .distinct())
@@ -211,13 +220,15 @@ def start_embedding_admission(vec_stream: DataFrame, index_path: str,
                               sketch_planes: int = 512, seed: int = 42):
     """The sign-LSH twin of start_neardup_admission — the full streaming
     ingest loop for vectors: per micro-batch, probe the persisted
-    embedding index (hits logged to ``out_path``), then ADMIT the
+    embedding index, write the audit trail of EVERY rejection to
+    ``out_path`` (index duplicates AND intra-batch losers, the latter
+    recorded against the batch sibling that won), then ADMIT the
     surviving vectors (append_to_signlsh_index) so future batches see
     them. Intra-batch duplicates resolve first-writer-wins via the
     batch operator embedding_cosine_pairs (id_a < id_b — the larger id
     loses). Same restart caveat as the minhash loop: replays append
-    duplicate index rows (probe answers unaffected; compact
-    out-of-band)."""
+    duplicate index AND audit rows (probe answers unaffected; compact /
+    dedupe out-of-band)."""
     from ..operators.dedup import (append_to_signlsh_index,
                                    embedding_cosine_pairs,
                                    neardup_embedding_vs_index)
@@ -230,12 +241,15 @@ def start_embedding_admission(vec_stream: DataFrame, index_path: str,
             planes_per_band=planes_per_band,
             sketch_planes=sketch_planes, seed=seed)
         hits = hits.persist()
-        hits.write.mode("append").parquet(out_path)
         intra = embedding_cosine_pairs(
             batch_df, vec_col=vec_col, id_col=id_col,
             threshold=threshold, bands=bands,
             planes_per_band=planes_per_band,
             sketch_planes=sketch_planes, seed=seed)
+        intra_rej = intra.select(F.col("id_b").alias("new_id"),
+                                 F.col("id_a").alias("index_id"),
+                                 F.col("cosine"))
+        hits.unionByName(intra_rej).write.mode("append").parquet(out_path)
         rejected = (hits.select(F.col("new_id").alias("rid"))
                     .unionByName(intra.select(F.col("id_b").alias("rid")))
                     .distinct())

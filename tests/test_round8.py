@@ -149,9 +149,13 @@ def test_embedding_probe_string_ids(spark, tmp_path):
 def test_embedding_probe_broadcast_gated_by_size(spark, tmp_path):
     """With rm.index.probeBroadcastMaxBytes=1 the probe side must NOT be
     broadcast (fall back to a shuffled join) — and results must be
-    identical to the broadcast path."""
+    identical to the broadcast path. The probe comes from parquet so
+    the optimizer has REAL size stats: stats-less frames (local
+    relations, streaming micro-batches) carry the no-stats sentinel and
+    deliberately KEEP the broadcast."""
     from radmapper_spark.operators import dedup
-    emb = _tiny_emb(spark)
+    _tiny_emb(spark).write.parquet(str(tmp_path / "embp"))
+    emb = spark.read.parquet(str(tmp_path / "embp"))
     path = str(tmp_path / "slbc")
     dedup.build_signlsh_index(emb, path, bands=16, planes_per_band=4)
 
@@ -436,3 +440,28 @@ def test_compact_minhash_index_after_replay(spark, tmp_path):
     # the sidecar survived: a mismatched probe still raises
     with pytest.raises(IndexParamMismatch):
         dedup.neardup_vs_index(probe, path, num_hashes=16, bands=4)
+
+
+def test_embedding_probe_stats_less_batch_keeps_broadcast(spark, tmp_path):
+    """Stats-less probe frames (local relations, foreachBatch micro-
+    batches) carry Catalyst's no-stats sentinel (~Long.MaxValue) — the
+    size gate must treat that as UNKNOWN and keep the broadcast, even
+    under a tiny rm.index.probeBroadcastMaxBytes (regression guard: a
+    first cut read the sentinel as 'too big' and silently shuffled
+    every in-memory probe batch)."""
+    from radmapper_spark.operators import dedup
+    emb = _tiny_emb(spark)  # local relation: no real stats
+    path = str(tmp_path / "slsent")
+    dedup.build_signlsh_index(emb, path, bands=16, planes_per_band=4)
+    spark.conf.set("rm.index.probeBroadcastMaxBytes", "1")
+    try:
+        out = dedup.neardup_embedding_vs_index(
+            emb, path, bands=16, planes_per_band=4, threshold=0.9)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n = out.count()
+        out.rm_release_cache()
+    finally:
+        spark.conf.unset("rm.index.probeBroadcastMaxBytes")
+    assert "BroadcastHashJoin" in plan, \
+        "no-stats probe side must still broadcast"
+    assert n > 0

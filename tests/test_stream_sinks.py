@@ -212,6 +212,7 @@ def test_streaming_neardup_admission_loop(spark, tmp_path):
     assert (100, 0) in hits
     assert (200, 101) in hits, "batch-1 admit not visible to batch 2"
     assert (201, 102) in hits
+    assert (103, 102) in hits, "intra-batch loser missing from audit trail"
     assert not any(i == 103 for _, i in hits), "rejected doc got probed hits"
     indexed = {r.id for r in spark.read.parquet(idx)
                .select("id").distinct().collect()}
@@ -272,6 +273,7 @@ def test_streaming_embedding_admission_loop(spark, tmp_path):
     assert (100, 0) in hits
     assert (200, 101) in hits, "batch-1 admit not visible to batch 2"
     assert (201, 102) in hits
+    assert (103, 102) in hits, "intra-batch loser missing from audit trail"
     assert not any(i == 103 for _, i in hits)
     indexed = {r.id for r in spark.read.parquet(f"{idx}/vectors")
                .select("id").distinct().collect()}
