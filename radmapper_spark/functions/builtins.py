@@ -1459,6 +1459,24 @@ def _t_build_neardup_index(ip, env, table=NOMATCH, path=NOMATCH):
     return p
 
 
+@builtin("$compactNearDupIndex", 1)
+def _t_compact_neardup_index(ip, env, path=NOMATCH):
+    """Compact a persisted minhash index (drop replay-duplicate rows;
+    dedup.compact_minhash_index). Returns the rows removed."""
+    from ..operators import dedup
+    return dedup.compact_minhash_index(
+        ip.spark, _s(path, "$compactNearDupIndex"))
+
+
+@builtin("$compactEmbeddingIndex", 1)
+def _t_compact_embedding_index(ip, env, path=NOMATCH):
+    """Compact a persisted sign-LSH index (dedup.compact_signlsh_index).
+    Returns the rows removed."""
+    from ..operators import dedup
+    return dedup.compact_signlsh_index(
+        ip.spark, _s(path, "$compactEmbeddingIndex"))
+
+
 @builtin("$admitNearDupIndex", 2)
 def _t_admit_neardup_index(ip, env, table=NOMATCH, path=NOMATCH):
     """ADMIT a document batch into a persisted minhash index

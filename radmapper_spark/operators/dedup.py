@@ -1151,3 +1151,31 @@ def compact_minhash_index(spark, path: str) -> int:
         meta = dict(meta)  # never mutate the read cache's dict
         write_index_meta(spark, path, meta.pop("kind"), meta)
     return int(before - after)
+
+
+def compact_signlsh_index(spark, path: str) -> int:
+    """Sign-LSH twin of compact_minhash_index: drops exact duplicate
+    rows from BOTH index tables (``bands`` on (band, sig, id);
+    ``vectors`` on id — replayed appends write byte-identical rows, so
+    any surviving row is the original). Stage-then-swap per table;
+    ``_meta`` preserved. Returns total rows removed."""
+    import shutil
+
+    from .index_meta import read_index_meta, write_index_meta
+
+    meta = read_index_meta(spark, path)
+    removed = 0
+    for sub, keys in (("bands", ["band", "sig", "id"]),
+                      ("vectors", ["id"])):
+        t = f"{path}/{sub}"
+        df = spark.read.parquet(t)
+        before = df.count()
+        tmp = t + "__compact"
+        df.dropDuplicates(keys).write.mode("overwrite").parquet(tmp)
+        removed += before - spark.read.parquet(tmp).count()
+        shutil.rmtree(t)
+        shutil.move(tmp, t)
+    if meta is not None:
+        meta = dict(meta)
+        write_index_meta(spark, path, meta.pop("kind"), meta)
+    return int(removed)

@@ -465,3 +465,46 @@ def test_embedding_probe_stats_less_batch_keeps_broadcast(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, \
         "no-stats probe side must still broadcast"
     assert n > 0
+
+
+def test_compact_signlsh_index_after_replay(spark, tmp_path):
+    """Replayed embedding append leaves duplicates in BOTH index tables;
+    compaction removes exactly them and probes answer identically."""
+    from radmapper_spark.operators import dedup
+    emb = _tiny_emb(spark)
+    kw = dict(bands=16, planes_per_band=4)
+    path = str(tmp_path / "slc")
+    dedup.build_signlsh_index(emb.filter(F.col("vec_id") < 20), path, **kw)
+    batch = emb.filter(F.col("vec_id") >= 20)
+    dedup.append_to_signlsh_index(batch, path, **kw)
+    dedup.append_to_signlsh_index(batch, path, **kw)  # replay
+
+    def probe():
+        df = dedup.neardup_embedding_vs_index(emb, path, threshold=0.9,
+                                              **kw)
+        out = {(r.new_id, r.index_id, round(r.cosine, 9))
+               for r in df.collect()}
+        df.rm_release_cache()
+        return out
+
+    before = probe()
+    n_batch = batch.count()
+    removed = dedup.compact_signlsh_index(spark, path)
+    assert removed == n_batch * 16 + n_batch  # bands rows + vectors rows
+    assert probe() == before and before
+
+
+def test_compact_builtins(spark, tmp_path):
+    """$compactNearDupIndex from RM source returns the removed count."""
+    from radmapper_spark.lang.interp import Interp
+    from radmapper_spark.operators import dedup
+    docs = _tiny_docs(spark)
+    path = str(tmp_path / "mhb")
+    dedup.build_minhash_index(docs.filter(F.col("doc_id") < 10), path)
+    batch = docs.filter(F.col("doc_id") >= 10)
+    dedup.append_to_minhash_index(batch, path)
+    dedup.append_to_minhash_index(batch, path)
+    ip = Interp(spark)
+    removed = ip.run_raw("$compactNearDupIndex($p)",
+                         bindings={"$p": path})
+    assert removed == batch.count() * 8

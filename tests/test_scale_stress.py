@@ -608,3 +608,77 @@ def test_rate_source_neardup_admission_soak(spark):
           f"buckets={n_buckets}")
     assert len(want) > 0, "soak produced no near-dup pairs — vacuous"
     assert got == want
+
+
+def test_admission_loop_20_batch_fold_differential(spark, tmp_path_factory):
+    """20 micro-batches through start_neardup_admission must leave
+    EXACTLY the index and audit trail of a sequential per-batch fold of
+    the batch operators (probe -> first-writer-wins reject -> append) —
+    the determinism contract of the streaming admission loop over a
+    long run with cross-batch duplicates."""
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.streaming import sinks
+
+    root = tmp_path_factory.mktemp("admit20")
+    n_batches, per_batch = 20, 30
+
+    def txt(g):
+        return " ".join(f"g{g}w{j}" for j in range(12))
+
+    def batch_rows(b):
+        # each doc duplicates group (id % 97): dups recur across batches
+        return [(b * per_batch + i, txt((b * per_batch + i) % 97))
+                for i in range(per_batch)]
+
+    corpus = spark.createDataFrame(
+        [(100000 + g, txt(g)) for g in range(0, 97, 3)],
+        "doc_id long, text string")
+    schema = "doc_id long, text string"
+
+    # --- streaming loop
+    idx_s = str(root / "idx_stream")
+    dedup.build_minhash_index(corpus, idx_s)
+    src = str(root / "in")
+    out, ckpt = str(root / "hits"), str(root / "ck")
+    for b in range(n_batches):
+        spark.createDataFrame(batch_rows(b), schema).coalesce(1) \
+            .write.mode("overwrite" if b == 0 else "append").parquet(src)
+        q = sinks.start_neardup_admission(
+            (spark.readStream.schema(corpus.schema)
+             .option("maxFilesPerTrigger", 1).parquet(src)),
+            idx_s, out, ckpt)
+        q.awaitTermination(180)
+
+    # --- sequential batch fold (the semantic spec)
+    idx_f = str(root / "idx_fold")
+    dedup.build_minhash_index(corpus, idx_f)
+    audit_f = []
+    for b in range(n_batches):
+        bdf = spark.createDataFrame(batch_rows(b), schema)
+        hits = dedup.neardup_vs_index(bdf, idx_f)
+        hrows = hits.collect()
+        intra = dedup.minhash_lsh_pairs(bdf, jaccard_threshold=0.5)
+        irows = intra.collect()
+        rel = getattr(intra, "rm_release_cache", None)
+        rel and rel()
+        audit_f += [(r.new_id, r.index_id, r.est_jaccard) for r in hrows]
+        audit_f += [(r.id_b, r.id_a, r.est_jaccard) for r in irows]
+        rejected = ({r.new_id for r in hrows}
+                    | {r.id_b for r in irows})
+        dedup.append_to_minhash_index(
+            bdf.filter(~F.col("doc_id").isin(*rejected))
+            if rejected else bdf, idx_f)
+
+    got_idx = sorted((r.id, r.band, r.bhash) for r in
+                     spark.read.parquet(idx_s).collect())
+    want_idx = sorted((r.id, r.band, r.bhash) for r in
+                      spark.read.parquet(idx_f).collect())
+    assert got_idx == want_idx
+    got_audit = sorted((r.new_id, r.index_id, r.est_jaccard) for r in
+                       spark.read.parquet(out).collect())
+    assert got_audit == sorted(audit_f)
+    n_indexed = len({i for i, _, _ in got_idx})
+    print(f"\nadmission fold: {n_batches}x{per_batch} docs, "
+          f"{n_indexed} indexed ids, {len(got_audit)} audit rows")
+    assert len(got_audit) > 0 and n_indexed > 33
