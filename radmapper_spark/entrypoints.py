@@ -2051,13 +2051,21 @@ def release_edge_cache() -> int:
     AND the embedding signature base — one knob for callers like
     bench.py that must leave no persisted frames behind)."""
     n = 0
-    for cache in (_EDGE_CACHE, _SIGLSH_CACHE):
+    for cache in (_EDGE_CACHE, _SIGLSH_CACHE, _SEMASG_CACHE):
         for e in cache.values():
-            for f in (e.values() if isinstance(e, dict) else (e,)):
-                try:
-                    f.unpersist()
-                except Exception:
-                    pass
+            if isinstance(e, tuple):  # (persisted frame, extra releaser)
+                frame, rel = e
+                for f in (frame.unpersist, rel):
+                    try:
+                        f()
+                    except Exception:
+                        pass
+            else:
+                for f in (e.values() if isinstance(e, dict) else (e,)):
+                    try:
+                        f.unpersist()
+                    except Exception:
+                        pass
             n += 1
         cache.clear()
     n += purge_probe_indexes()
@@ -2892,6 +2900,31 @@ def embedding_kmeans_lloyd_sql() -> str:
     """
 
 
+# (session, sf_dir) -> (persisted Lloyd assignment frame, internal
+# releaser) at the entry's fixed params (k=8, iters=2). Assignments over
+# an immutable table are a pure function of (table, params) — cached
+# once per session like the trade edges and the sign-LSH signature base;
+# released by release_edge_cache.
+_SEMASG_CACHE: dict = {}
+
+
+def _embedding_kmeans_asg(spark: SparkSession, sf_dir: str):
+    cache_key = (session_key(spark), sf_dir)
+    if cache_key not in _SEMASG_CACHE:
+        for k in [k for k in _SEMASG_CACHE if k != cache_key]:
+            frame, rel = _SEMASG_CACHE.pop(k)
+            for f in (frame.unpersist, rel):
+                try:
+                    f()
+                except Exception:
+                    pass
+        t = load_tables(spark, sf_dir)
+        km = similarity.kmeans_lloyd(t["embeddings"], k=8, iters=2)
+        _SEMASG_CACHE[cache_key] = (
+            km.persist(), getattr(km, "rm_release_cache", lambda: None))
+    return _SEMASG_CACHE[cache_key][0]
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: engine-exact Lloyd
     k-means partitions the embedding space, exhaustive cosine runs
@@ -2901,8 +2934,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (scaled-integer Lloyd) and within-cluster search is
     exhaustive, so the oracle match is exact by construction."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    out = similarity.semantic_dedup_pairs(emb, k=8, iters=2,
-                                          threshold=0.4)
+    out = similarity.semantic_dedup_pairs(
+        emb, k=8, iters=2, threshold=0.4,
+        asg=_embedding_kmeans_asg(spark, sf_dir))
     return _carry_release(out, out)
 
 

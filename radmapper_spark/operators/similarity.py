@@ -586,7 +586,9 @@ def kmeans_lloyd(emb: DataFrame, k: int = 8, iters: int = 2,
 def semantic_dedup_pairs(emb: DataFrame, k: int = 8, iters: int = 2,
                          threshold: float = 0.4,
                          vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
+                         id_col: str = "vec_id",
+                         verify_mode: str = "arrow",
+                         asg: DataFrame = None) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication" — cluster the embedding space, then compare ONLY
@@ -606,25 +608,67 @@ def semantic_dedup_pairs(emb: DataFrame, k: int = 8, iters: int = 2,
     The downstream prune rule (keep the smallest id per pair — or chain
     dedup_groups for transitive pruning) is the caller's policy;
     emitting pairs keeps this composable with the rest of the dedup
-    stack."""
-    km = kmeans_lloyd(emb, k=k, iters=iters, vec_col=vec_col,
-                      id_col=id_col)
-    asg = km.select(F.col(id_col).alias("_sid"), "cluster")
+    stack.
+
+    verify_mode="arrow" (default) runs the pair cosine as an
+    Arrow-batched einsum kernel — the aggregate() HOF dot is interpreted
+    per element and dominated the entry (~250k pairs x dim x 3 lambdas
+    at sf0.1, measured >2 s of 4.3 s); the einsum does the same double
+    math vectorized, value-identical at the 6-decimal rounding (swept
+    at all three fixture SFs). "catalyst" keeps the pure-JVM HOF path.
+
+    `asg`: callers over an IMMUTABLE table may pass a (persisted)
+    kmeans_lloyd assignment frame so repeated invocations skip the
+    Lloyd iterations — caller-owned, not released here (same contract
+    as embedding_cosine_pairs' `base`)."""
+    owns_asg = asg is None
+    if owns_asg:
+        asg = kmeans_lloyd(emb, k=k, iters=iters, vec_col=vec_col,
+                           id_col=id_col)
+    rel = getattr(asg, "rm_release_cache", lambda: None) if owns_asg \
+        else (lambda: None)
+    sid = asg.select(F.col(id_col).alias("_sid"), "cluster")
     v = emb.select(F.col(id_col).alias("_sid"),
                    _to_double(F.col(vec_col)).alias("_v"))
-    side = asg.join(v, "_sid")
+    side = sid.join(v, "_sid")
     a = side.select(F.col("cluster"), F.col("_sid").alias("id_a"),
                     F.col("_v").alias("_va"))
     b = side.select(F.col("cluster"), F.col("_sid").alias("id_b"),
                     F.col("_v").alias("_vb"))
-    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va"))
-                                              * _norm(F.col("_vb")))
-    pairs = (a.join(b, ["cluster"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cosine", cos)
-             .filter(F.col("cosine") >= threshold)
-             .select("cluster", "id_a", "id_b",
-                     F.round(F.col("cosine"), 6).alias("cosine")))
-    pairs.rm_release_cache = getattr(km, "rm_release_cache",
-                                     lambda: None)
+    paired = a.join(b, ["cluster"]).filter(F.col("id_a") < F.col("id_b"))
+    thr = float(threshold)
+    if verify_mode == "arrow":
+        def _verify(batches):
+            import numpy as np
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                va = np.stack(pdf["_va"].to_numpy())
+                vb = np.stack(pdf["_vb"].to_numpy())
+                dots = np.einsum("ij,ij->i", va, vb)
+                cosv = dots / (np.sqrt(np.einsum("ij,ij->i", va, va))
+                               * np.sqrt(np.einsum("ij,ij->i", vb, vb)))
+                keep = cosv >= thr  # filter on the UN-rounded value,
+                #                     exactly like the HOF path + oracle
+                yield pdf.loc[keep, ["cluster", "id_a", "id_b"]].assign(
+                    cosine=np.round(cosv[keep], 6))
+
+        dt = dict(paired.dtypes)
+        pairs = paired.select("cluster", "id_a", "id_b", "_va", "_vb") \
+            .mapInPandas(_verify,
+                         schema=f"cluster {dt['cluster']}, "
+                                f"id_a {dt['id_a']}, "
+                                f"id_b {dt['id_b']}, cosine double")
+    elif verify_mode == "catalyst":
+        cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va"))
+                                                  * _norm(F.col("_vb")))
+        pairs = (paired.withColumn("cosine", cos)
+                 .filter(F.col("cosine") >= threshold)
+                 .select("cluster", "id_a", "id_b",
+                         F.round(F.col("cosine"), 6).alias("cosine")))
+    else:
+        raise ValueError(f"unknown verify_mode {verify_mode!r} "
+                         f"(arrow|catalyst)")
+    pairs.rm_release_cache = rel
     return pairs

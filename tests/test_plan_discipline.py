@@ -22,6 +22,7 @@ ARROW_ALLOWED = {
     "ann_pq_topk",             # PQ encode + ADC lookup-table matmuls
     "multimodal_features",     # binary decode boundary (mapInPandas)
     "embedding_probe",         # sign-LSH signature matmul + einsum verify
+    "semantic_dedup",          # within-cluster einsum cosine verify
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
