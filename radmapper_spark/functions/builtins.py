@@ -1397,6 +1397,19 @@ def _t_kmeans_lloyd(ip, env, table=NOMATCH, k=NOMATCH, iters=2):
         iters=int(_n(iters, "$kmeans"))))
 
 
+@builtin("$repeatedSpans", 1)
+def _t_repeated_spans(ip, env, table=NOMATCH, span_tokens=15,
+                      max_doc_freq=50):
+    """Exact repeated-substring pairs (dedup.repeated_span_pairs):
+    (id_a, id_b, n_shared_spans) for documents sharing a verbatim
+    span_tokens-token run."""
+    from ..operators import dedup
+    return _as_sdb(dedup.repeated_span_pairs(
+        _table_df(table, "$repeatedSpans"),
+        span_tokens=int(_n(span_tokens, "$repeatedSpans")),
+        max_doc_freq=int(_n(max_doc_freq, "$repeatedSpans"))))
+
+
 @builtin("$semanticDedup", 2)
 def _t_semantic_dedup(ip, env, table=NOMATCH, k=NOMATCH, threshold=0.4,
                       iters=2):

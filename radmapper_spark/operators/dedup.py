@@ -1212,10 +1212,15 @@ def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
     spans = F.when(n >= span_tokens, F.transform(
         F.sequence(F.lit(0), n - F.lit(span_tokens)),
         lambda i: F.array_join(F.slice(toks, i + 1, span_tokens), " ")))
+    # ONE exchange serves all three span-keyed steps (subset rule, same
+    # trick as label propagation): hash-partitioning on span satisfies
+    # the (id, span) distinct, the per-span df count, AND co-locates the
+    # pair self-join — measured 4.7 -> 3.8 s at sf0.1 vs distinct-first
     base = (drop_blank_docs(docs, text_col)
             .select(F.col(id_col).alias("id"),
                     F.explode(spans).alias("span"))
-            .distinct())
+            .repartition(F.col("span"))
+            .dropDuplicates(["id", "span"]))
     keep = (base.groupBy("span")
             .agg(F.count(F.lit(1)).alias("_df"))  # base is doc-distinct
             .filter((F.col("_df") >= min_doc_freq)

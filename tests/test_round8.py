@@ -508,3 +508,12 @@ def test_compact_builtins(spark, tmp_path):
     removed = ip.run_raw("$compactNearDupIndex($p)",
                          bindings={"$p": path})
     assert removed == batch.count() * 8
+
+
+def test_repeated_spans_builtin(spark, tables):
+    from radmapper_spark.lang.interp import Interp
+    ip = Interp(spark)
+    out = ip.run_raw("$repeatedSpans($db($d), 15)",
+                     bindings={"$d": tables["documents"]})
+    assert {"id_a", "id_b", "n_shared_spans"} <= set(out.df.columns)
+    assert out.df.count() > 0
