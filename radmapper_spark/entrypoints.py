@@ -553,17 +553,11 @@ _SIGLSH_CACHE: dict = {}
 
 
 def _embedding_siglsh_base(spark: SparkSession, sf_dir: str):
-    cache_key = (session_key(spark), sf_dir)
-    if cache_key not in _SIGLSH_CACHE:
-        for k in [k for k in _SIGLSH_CACHE if k != cache_key]:
-            try:
-                _SIGLSH_CACHE.pop(k).unpersist()
-            except Exception:
-                pass
-        t = load_tables(spark, sf_dir)
-        _SIGLSH_CACHE[cache_key] = dedup.sign_lsh_base(
-            t["embeddings"], bands=192, planes_per_band=8).persist()
-    return _SIGLSH_CACHE[cache_key]
+    return _cached_frames(
+        _SIGLSH_CACHE, spark, sf_dir,
+        lambda t: {"base": dedup.sign_lsh_base(
+            t["embeddings"], bands=192, planes_per_band=8).persist()},
+    )["base"]
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2080,26 +2074,43 @@ def customer_deciles_sql() -> str:
 _EDGE_CACHE: dict = {}
 
 
+def _cached_frames(cache: dict, spark: SparkSession, sf_dir: str,
+                   build) -> dict:
+    """Per-(session, sf_dir) evict-and-insert cache of persisted derived
+    frames. Every session-lifetime cache in this module stores the same
+    shape — dict[name, persisted DataFrame] — so eviction and
+    release_edge_cache stay uniform (no per-cache value-shape branches).
+    Entries from OTHER sessions/sf_dirs are unpersisted before
+    inserting: a stopped session's persisted frame is dead weight, so a
+    cache never holds more than the live (session, sf_dir) entry.
+    `build(tables) -> dict[name, DataFrame]` must return frames that are
+    already persisted (and, if the builder had internal persisted
+    scaffolding, already released — see _embedding_kmeans_asg)."""
+    cache_key = (session_key(spark), sf_dir)
+    if cache_key not in cache:
+        for k in [k for k in cache if k != cache_key]:
+            for f in cache.pop(k).values():
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+        cache[cache_key] = build(load_tables(spark, sf_dir))
+    return cache[cache_key]
+
+
 def release_edge_cache() -> int:
-    """Release every session-lifetime derived-frame cache (trade edges
-    AND the embedding signature base — one knob for callers like
-    bench.py that must leave no persisted frames behind)."""
+    """Release every session-lifetime derived-frame cache (trade edges,
+    the embedding signature base, and the semantic-dedup assignments —
+    one knob for callers like bench.py that must leave no persisted
+    frames behind)."""
     n = 0
     for cache in (_EDGE_CACHE, _SIGLSH_CACHE, _SEMASG_CACHE):
         for e in cache.values():
-            if isinstance(e, tuple):  # (persisted frame, extra releaser)
-                frame, rel = e
-                for f in (frame.unpersist, rel):
-                    try:
-                        f()
-                    except Exception:
-                        pass
-            else:
-                for f in (e.values() if isinstance(e, dict) else (e,)):
-                    try:
-                        f.unpersist()
-                    except Exception:
-                        pass
+            for f in e.values():
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
             n += 1
         cache.clear()
     n += purge_probe_indexes()
@@ -2109,21 +2120,7 @@ def release_edge_cache() -> int:
 def _trade_edges(spark: SparkSession, sf_dir: str):
     """Derived customer-supplier trade-edge table, cached per
     (session, sf_dir) — shared by graph_pagerank and graph_communities."""
-    cache_key = (session_key(spark), sf_dir)
-    if cache_key not in _EDGE_CACHE:
-        # evict entries from OTHER sessions/sf_dirs before inserting: a
-        # stopped session's persisted frame is dead weight, so the cache
-        # never holds more than the live (session, sf_dir) pair plus
-        # what this call adds
-        for k in [k for k in _EDGE_CACHE if k != cache_key]:
-            stale = _EDGE_CACHE.pop(k)
-            for f in (stale.values() if isinstance(stale, dict)
-                      else (stale,)):
-                try:
-                    f.unpersist()
-                except Exception:
-                    pass
-        t = load_tables(spark, sf_dir)
+    def build(t):
         okeys = F.broadcast(t["orders"].select("o_orderkey", "o_custkey"))
         ipairs = (t["lineitem"].select("l_orderkey", "l_suppkey")
                   .join(okeys, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -2141,12 +2138,13 @@ def _trade_edges(spark: SparkSession, sf_dir: str):
         # deg/nodes are pure functions of the immutable edge table —
         # persist them once with it (two full edge aggregates otherwise
         # re-run on every graph entry invocation)
-        _EDGE_CACHE[cache_key] = {
+        return {
             "edges": e,
             "deg": _graph.out_degrees(e).persist(),
             "nodes": _graph.node_set(e).persist(),
         }
-    return _EDGE_CACHE[cache_key]
+
+    return _cached_frames(_EDGE_CACHE, spark, sf_dir, build)
 
 
 
@@ -2889,16 +2887,30 @@ def doc_chunks_cdc_sql() -> str:
     """
 
 
+# Shared Lloyd params for embedding_kmeans_lloyd, the cached
+# semantic-dedup assignment frame, AND the DuckDB oracle SQL below.
+# All three must agree or semantic_dedup's pair set silently diverges
+# from its oracle; the SQL's iteration structure is hand-unrolled for
+# exactly two iterations, so _SEMKM_ITERS is pinned (asserted in
+# embedding_kmeans_lloyd_sql).
+_SEMKM_K = 8
+_SEMKM_ITERS = 2
+
+
 def embedding_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two full Lloyd iterations (assign -> centroid update -> assign) in
     scaled-integer arithmetic: iterative distributed ML with bit-exact
     cross-engine results — see similarity.kmeans_lloyd."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    out = similarity.kmeans_lloyd(emb, k=8, iters=2)
+    out = similarity.kmeans_lloyd(emb, k=_SEMKM_K, iters=_SEMKM_ITERS)
     return _carry_release(out, out)
 
 
 def embedding_kmeans_lloyd_sql() -> str:
+    # the CTE chain below (c0 -> a1 -> c1 -> a2) IS two iterations;
+    # changing _SEMKM_ITERS requires restructuring it, so fail loudly
+    # instead of silently drifting from the Spark entries
+    assert _SEMKM_ITERS == 2, "oracle SQL is hand-unrolled for iters=2"
     assign = """
     SELECT id, sv, cid, dist,
            row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
@@ -2915,7 +2927,7 @@ def embedding_kmeans_lloyd_sql() -> str:
                             x -> CAST(floor(x::DOUBLE * 1e6) AS BIGINT))
                  AS sv
       FROM embeddings),
-    c0 AS (SELECT id AS cid, sv AS cv FROM pts WHERE id < 8),
+    c0 AS (SELECT id AS cid, sv AS cv FROM pts WHERE id < {_SEMKM_K}),
     a1 AS ({assign.format(cents="c0")}),
     a1b AS (SELECT id, sv, cid FROM a1 WHERE rn = 1),
     c1 AS (
@@ -2934,29 +2946,31 @@ def embedding_kmeans_lloyd_sql() -> str:
     """
 
 
-# (session, sf_dir) -> (persisted Lloyd assignment frame, internal
-# releaser) at the entry's fixed params (k=8, iters=2). Assignments over
-# an immutable table are a pure function of (table, params) — cached
-# once per session like the trade edges and the sign-LSH signature base;
-# released by release_edge_cache.
+# (session, sf_dir) -> persisted Lloyd assignment frame at the entry's
+# fixed params (_SEMKM_K/_SEMKM_ITERS). Assignments over an immutable
+# table are a pure function of (table, params) — cached once per session
+# like the trade edges and the sign-LSH signature base; released by
+# release_edge_cache.
 _SEMASG_CACHE: dict = {}
 
 
 def _embedding_kmeans_asg(spark: SparkSession, sf_dir: str):
-    cache_key = (session_key(spark), sf_dir)
-    if cache_key not in _SEMASG_CACHE:
-        for k in [k for k in _SEMASG_CACHE if k != cache_key]:
-            frame, rel = _SEMASG_CACHE.pop(k)
-            for f in (frame.unpersist, rel):
-                try:
-                    f()
-                except Exception:
-                    pass
-        t = load_tables(spark, sf_dir)
-        km = similarity.kmeans_lloyd(t["embeddings"], k=8, iters=2)
-        _SEMASG_CACHE[cache_key] = (
-            km.persist(), getattr(km, "rm_release_cache", lambda: None))
-    return _SEMASG_CACHE[cache_key][0]
+    def build(t):
+        km = similarity.kmeans_lloyd(t["embeddings"],
+                                     k=_SEMKM_K, iters=_SEMKM_ITERS)
+        asg = km.persist()
+        # materialize the small assignment frame NOW, then free the
+        # Lloyd internals (the full scaled-point table + per-iteration
+        # centroid frames) — otherwise they'd sit persisted for the
+        # whole session alongside the frame that made them redundant
+        asg.count()
+        try:
+            getattr(km, "rm_release_cache", lambda: None)()
+        except Exception:
+            pass
+        return {"asg": asg}
+
+    return _cached_frames(_SEMASG_CACHE, spark, sf_dir, build)["asg"]
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2966,10 +2980,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster id — similarity.semantic_dedup_pairs). No LSH recall
     parameter anywhere: the cluster boundaries are bit-identical across
     engines (scaled-integer Lloyd) and within-cluster search is
-    exhaustive, so the oracle match is exact by construction."""
+    exhaustive, so the oracle match is exact by construction.
+
+    k/iters come from the shared _SEMKM_* constants: the cached
+    assignment frame, this entry, and the DuckDB oracle SQL must all
+    agree or the pair set silently diverges from the oracle."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     out = similarity.semantic_dedup_pairs(
-        emb, k=8, iters=2, threshold=0.4,
+        emb, k=_SEMKM_K, iters=_SEMKM_ITERS, threshold=0.4,
         asg=_embedding_kmeans_asg(spark, sf_dir))
     return _carry_release(out, out)
 

@@ -644,15 +644,33 @@ def semantic_dedup_pairs(emb: DataFrame, k: int = 8, iters: int = 2,
             for pdf in batches:
                 if not len(pdf):
                     continue
-                va = np.stack(pdf["_va"].to_numpy())
-                vb = np.stack(pdf["_vb"].to_numpy())
-                dots = np.einsum("ij,ij->i", va, vb)
-                cosv = dots / (np.sqrt(np.einsum("ij,ij->i", va, va))
-                               * np.sqrt(np.einsum("ij,ij->i", vb, vb)))
-                keep = cosv >= thr  # filter on the UN-rounded value,
-                #                     exactly like the HOF path + oracle
-                yield pdf.loc[keep, ["cluster", "id_a", "id_b"]].assign(
-                    cosine=np.round(cosv[keep], 6))
+                va_raw = pdf["_va"].to_numpy()
+                vb_raw = pdf["_vb"].to_numpy()
+                # NULL or length-mismatched embedding pairs yield a NULL
+                # cosine on the catalyst path (zip_with pads with NULL,
+                # the aggregate sum propagates it) and are dropped by the
+                # threshold filter; mirror that here instead of letting
+                # np.stack raise on a ragged/None batch
+                la = np.array([len(a) if a is not None else -1
+                               for a in va_raw])
+                lb = np.array([len(b) if b is not None else -2
+                               for b in vb_raw])
+                valid = la == lb
+                if not valid.any():
+                    continue
+                # batches can mix dims only via dirty input; stack per dim
+                for dim in np.unique(la[valid]):
+                    m = valid & (la == dim)
+                    va = np.stack(va_raw[m])
+                    vb = np.stack(vb_raw[m])
+                    dots = np.einsum("ij,ij->i", va, vb)
+                    cosv = dots / (np.sqrt(np.einsum("ij,ij->i", va, va))
+                                   * np.sqrt(np.einsum("ij,ij->i", vb, vb)))
+                    keep = cosv >= thr  # filter on the UN-rounded value,
+                    #                     exactly like the HOF path + oracle
+                    sub = pdf.loc[m, ["cluster", "id_a", "id_b"]]
+                    yield sub.loc[keep].assign(
+                        cosine=np.round(cosv[keep], 6))
 
         dt = dict(paired.dtypes)
         pairs = paired.select("cluster", "id_a", "id_b", "_va", "_vb") \

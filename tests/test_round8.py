@@ -404,6 +404,34 @@ def test_semantic_dedup_within_cluster_only(spark):
     assert {(r.id_a, r.id_b) for r in rows} == want
 
 
+def test_semantic_dedup_dirty_embeddings_modes_agree(spark):
+    """NULL or wrong-dimension embeddings must be DROPPED identically by
+    both verify modes: catalyst yields a NULL cosine (zip_with pads,
+    aggregate propagates) that the threshold filter removes; the arrow
+    kernel must not crash on the ragged batch (np.stack) and must drop
+    the same pairs."""
+    from radmapper_spark.operators import similarity
+    clean = _tiny_emb(spark)
+    dirty = clean.unionByName(spark.createDataFrame(
+        [(100, None), (101, [1.0, 2.0])],  # NULL + wrong dim (8 expected)
+        "vec_id long, embedding array<double>"))
+    # hand-built single-cluster assignment so the dirty ids are
+    # guaranteed to reach the pair-verify kernel (the thing under test)
+    asg = dirty.selectExpr("vec_id", "CAST(0 AS BIGINT) AS cluster")
+
+    def run(mode):
+        df = similarity.semantic_dedup_pairs(dirty, threshold=0.0,
+                                             asg=asg, verify_mode=mode)
+        out = {(r.id_a, r.id_b, round(r.cosine, 6)) for r in df.collect()}
+        df.rm_release_cache()
+        return out
+
+    arrow, catalyst = run("arrow"), run("catalyst")
+    assert arrow == catalyst and arrow, "dirty-input mode divergence"
+    bad = {100, 101}
+    assert not any(a in bad or b in bad for a, b, _ in arrow)
+
+
 def test_semantic_dedup_builtin(spark, tables):
     from radmapper_spark.lang.interp import Interp
     ip = Interp(spark)
@@ -508,6 +536,24 @@ def test_compact_builtins(spark, tmp_path):
     removed = ip.run_raw("$compactNearDupIndex($p)",
                          bindings={"$p": path})
     assert removed == batch.count() * 8
+
+
+def test_compact_embedding_builtin(spark, tmp_path):
+    """$compactEmbeddingIndex from RM source returns the removed count
+    (bands rows + vectors rows for the replayed batch)."""
+    from radmapper_spark.lang.interp import Interp
+    from radmapper_spark.operators import dedup
+    emb = _tiny_emb(spark)
+    kw = dict(bands=16, planes_per_band=4)
+    path = str(tmp_path / "slb")
+    dedup.build_signlsh_index(emb.filter(F.col("vec_id") < 20), path, **kw)
+    batch = emb.filter(F.col("vec_id") >= 20)
+    dedup.append_to_signlsh_index(batch, path, **kw)
+    dedup.append_to_signlsh_index(batch, path, **kw)  # replay
+    ip = Interp(spark)
+    removed = ip.run_raw("$compactEmbeddingIndex($p)",
+                         bindings={"$p": path})
+    assert removed == batch.count() * 16 + batch.count()
 
 
 def test_repeated_spans_builtin(spark, tables):
