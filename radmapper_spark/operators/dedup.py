@@ -20,6 +20,8 @@ hot path): xxhash64, transform, aggregate, explode.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1073,7 +1075,16 @@ def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
     except Exception:
         bc_max = 256 << 20  # unparseable conf: keep the default, don't
         #                     kill an admission loop mid-batch
-    est = est_plan_bytes(probe_side)
+    # Size a SINGLE relation, not probe_side: probe_side is an inner
+    # join, and Catalyst's size-only estimate for a join is the PRODUCT
+    # of the child sizes — comparing that against bc_max inverts the
+    # gate (mid-size batches overflow the product and lose the
+    # broadcast; astronomically large products wrap into the no-stats
+    # sentinel and keep it). new_emb's (id, vector) projection carries
+    # the dominant width of the probe batch (the vector; the wd sketch
+    # words the join adds are a few dozen bytes/row next to it), so its
+    # estimate is the honest per-batch size.
+    est = est_plan_bytes(new_emb.select(F.col(id_col), vec.alias("v_a")))
     # estimates at/above Long.MaxValue are Catalyst's NO-STATS sentinel
     # (local/RDD-backed/streaming micro-batch frames), not a real size —
     # treat as unknown and keep the broadcast (probe batches are small
@@ -1119,7 +1130,48 @@ def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
         _verify, schema=f"new_id {dt['new_id']}, "
                         f"index_id {dt['index_id']}, cosine double")
     out.rm_release_cache = probe_base.unpersist
+    # chosen physical path, exposed for tests / operators (same pattern
+    # as graph results' rm_broadcast_path)
+    out.rm_probe_broadcast = bool(unknown or est <= bc_max)
     return out
+
+
+def _swap_index_dir(path: str, tmp: str) -> None:
+    """Crash-safe local-FS directory swap for index compaction: rename
+    the live index aside (``path__old``), move the compacted copy into
+    place, then delete the old copy — the index exists under its
+    canonical path at every instant except the gap between the two
+    renames, and a failure moving the new copy in restores the old one.
+    (The previous delete-then-move ordering lost the index entirely on a
+    crash between the two calls.) Debris from a prior completed swap
+    (``path__old`` left by a crash during its final cleanup) is removed
+    first."""
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    if _os.path.exists(old):
+        shutil.rmtree(old)
+    _os.rename(path, old)
+    try:
+        shutil.move(tmp, path)
+    except Exception:
+        _os.rename(old, path)  # restore the live index before failing
+        raise
+    shutil.rmtree(old)
+
+
+def _compacted_kind(meta: dict, path: str) -> str:
+    """The sidecar's ``kind``, failing loudly on a corrupt sidecar (a
+    _meta that exists but lacks 'kind' would otherwise KeyError with no
+    context, or worse get re-written without its kind tag)."""
+    from .index_meta import IndexParamMismatch
+
+    if "kind" not in meta:
+        raise IndexParamMismatch(
+            f"index at {path} has a _meta sidecar without a 'kind' "
+            f"field — the sidecar is corrupt; rebuild the index rather "
+            f"than compacting it.")
+    return meta["kind"]
 
 
 def compact_minhash_index(spark, path: str) -> int:
@@ -1129,27 +1181,26 @@ def compact_minhash_index(spark, path: str) -> int:
     cost storage and candidate-join width but never correctness. This
     rewrites the index with exact duplicates dropped — one distinct
     shuffle keyed like the index itself — into a temp sibling dir, then
-    swaps it in (local-FS move here; a cluster deployment swaps through
-    the filesystem API in the same out-of-band window that owns index
-    builds — probes in flight during the swap are the caller's
-    exclusion to manage, exactly as for a rebuild). The ``_meta``
-    sidecar is preserved. Returns the number of rows removed."""
-    import shutil
-
+    swaps it in via rename-aside (_swap_index_dir: the live index is
+    never deleted before its replacement is in place; a cluster
+    deployment swaps through the filesystem API in the same out-of-band
+    window that owns index builds — probes in flight during the swap
+    are the caller's exclusion to manage, exactly as for a rebuild).
+    The ``_meta`` sidecar is preserved. Returns rows removed."""
     from .index_meta import read_index_meta, write_index_meta
 
     meta = read_index_meta(spark, path)
+    kind = None if meta is None else _compacted_kind(meta, path)
     idx = spark.read.parquet(path)
     before = idx.count()
     tmp = path.rstrip("/") + "__compact"
     (idx.dropDuplicates(["band", "bhash", "id"])
      .write.mode("overwrite").partitionBy("band").parquet(tmp))
     after = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    _swap_index_dir(path, tmp)
     if meta is not None:
-        meta = dict(meta)  # never mutate the read cache's dict
-        write_index_meta(spark, path, meta.pop("kind"), meta)
+        params = {k: v for k, v in meta.items() if k != "kind"}
+        write_index_meta(spark, path, kind, params)
     return int(before - after)
 
 
@@ -1157,13 +1208,13 @@ def compact_signlsh_index(spark, path: str) -> int:
     """Sign-LSH twin of compact_minhash_index: drops exact duplicate
     rows from BOTH index tables (``bands`` on (band, sig, id);
     ``vectors`` on id — replayed appends write byte-identical rows, so
-    any surviving row is the original). Stage-then-swap per table;
-    ``_meta`` preserved. Returns total rows removed."""
-    import shutil
-
+    any surviving row is the original). Stage-then-rename-aside swap per
+    table (_swap_index_dir); ``_meta`` preserved. Returns total rows
+    removed."""
     from .index_meta import read_index_meta, write_index_meta
 
     meta = read_index_meta(spark, path)
+    kind = None if meta is None else _compacted_kind(meta, path)
     removed = 0
     for sub, keys in (("bands", ["band", "sig", "id"]),
                       ("vectors", ["id"])):
@@ -1173,11 +1224,10 @@ def compact_signlsh_index(spark, path: str) -> int:
         tmp = t + "__compact"
         df.dropDuplicates(keys).write.mode("overwrite").parquet(tmp)
         removed += before - spark.read.parquet(tmp).count()
-        shutil.rmtree(t)
-        shutil.move(tmp, t)
+        _swap_index_dir(t, tmp)
     if meta is not None:
-        meta = dict(meta)
-        write_index_meta(spark, path, meta.pop("kind"), meta)
+        params = {k: v for k, v in meta.items() if k != "kind"}
+        write_index_meta(spark, path, kind, params)
     return int(removed)
 
 

@@ -22,37 +22,55 @@ from pyspark.sql import functions as F
 SCALE = 10 ** 12
 
 # Auto path selection: the per-iteration rank/label table is broadcast
-# while the optimizer's size estimate for the NODE table stays under this
-# many bytes (conf rm.graph.broadcastMaxBytes); above it the loop keeps
-# the table partitioned so the iteration join shuffles instead of
-# shipping an executor-crushing broadcast. Both paths are bit-identical
-# (integer arithmetic; proven by the scale-stress equivalence tests), so
-# the choice is purely physical.
+# while the NODE COUNT times a fixed per-row width stays under
+# rm.graph.broadcastMaxBytes; above it the loop keeps the table
+# partitioned so the iteration join shuffles instead of shipping an
+# executor-crushing broadcast. Both paths are bit-identical (integer
+# arithmetic; proven by the scale-stress equivalence tests), so the
+# choice is purely physical.
 BROADCAST_MAX_BYTES_CONF = "rm.graph.broadcastMaxBytes"
 BROADCAST_MAX_BYTES_DEFAULT = 256 << 20
+# conservative bytes per broadcast (node, rank/label) row: a ~20-char id
+# plus a long plus java object overhead
+BROADCAST_ROW_BYTES = 64
 
 
 def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
-    """flag=None -> decide from the optimizer's node-table size estimate
-    vs rm.graph.broadcastMaxBytes; an explicit True/False wins. Unknown
-    estimate falls back to broadcast (node tables are node-sized — tiny
-    next to edges in every graph this engine targets)."""
+    """flag=None -> decide from a NODE-COUNT heuristic (count *
+    BROADCAST_ROW_BYTES vs rm.graph.broadcastMaxBytes); an explicit
+    True/False wins. The count comes from CBO rowCount when the plan
+    carries one (no job), else from counting the node table — which for
+    the internally-derived (persisted) node set just fills a cache the
+    iteration loop needs anyway, and for a caller-passed table costs
+    one aggregate pass, noise next to an iters-pass edge loop. Catalyst
+    sizeInBytes is deliberately NOT used: size-only stats don't model
+    the distinct/aggregate reduction, so a node set distilled from a
+    large edge table inherits roughly the edge-scan size and the auto
+    path would never broadcast on exactly the |nodes| << |edges| graphs
+    broadcast is for. Unknown count falls back to broadcast (node
+    tables are node-sized — tiny next to edges in every graph this
+    engine targets)."""
     if flag is not None:
         return bool(flag)
-    from .plan_stats import est_plan_bytes
-
     try:
         mx = int(nodes.sparkSession.conf.get(
             BROADCAST_MAX_BYTES_CONF, str(BROADCAST_MAX_BYTES_DEFAULT)))
     except Exception:
         mx = BROADCAST_MAX_BYTES_DEFAULT
-    est = est_plan_bytes(nodes)
-    # estimates at/above Long.MaxValue are Catalyst's no-stats sentinel
-    # (spark.sql.defaultSizeInBytes) propagated through the plan, not a
-    # real size — treat as unknown
-    if est is None or est >= (1 << 62):
-        return True
-    return est <= mx
+    n = None
+    try:  # CBO-computed row count, when ANALYZE/stats ran (job-free)
+        rc = (nodes._jdf.queryExecution().optimizedPlan()
+              .stats().rowCount())
+        if rc.isDefined():
+            n = int(str(rc.get()))
+    except Exception:
+        n = None
+    if n is None:
+        try:
+            n = nodes.count()
+        except Exception:
+            return True
+    return n * BROADCAST_ROW_BYTES <= mx
 
 
 def out_degrees(edges: DataFrame) -> DataFrame:
@@ -94,7 +112,9 @@ def pagerank(edges: DataFrame, iters: int = 3,
     exposed as ``result.rm_broadcast_path``."""
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (1, 99)")
-    if iters <= 0:
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    if iters == 0:
         # iters=0 means "no propagation": the initial uniform rank of 1.0
         # per node, exactly what the unfused loop returned. Reachable from
         # the user-facing $pageRank builtin with arbitrary iters, so this
@@ -199,6 +219,8 @@ def label_propagation(edges: DataFrame, iters: int = 2,
     pagerank, exposed as ``result.rm_broadcast_path``). Lazy persists
     bound the lineage. Returns (node, label).
     """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
     e = edges.select("src", "dst")
     cached = []
     if not edges.is_cached:

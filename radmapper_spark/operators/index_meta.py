@@ -12,8 +12,15 @@ mismatch RAISES instead of returning garbage.
 
 The sidecar is written/read through Spark itself (``createDataFrame``
 .. ``write.text`` / ``read.text``), so it works on any Hadoop-visible
-filesystem, not just the local disk. Reads are memoized per path: a
-probe's second construction against the same index costs zero jobs.
+filesystem, not just the local disk. Reads are memoized per path and
+VALIDATED against the sidecar's filesystem modification time (a cheap
+namenode/stat metadata call, no job): an index rebuilt or compacted by
+ANOTHER process gets a fresh sidecar mtime, so a long-lived session's
+next probe re-reads the new parameters instead of validating against a
+stale cached dict — without the mtime check, the mismatch guard itself
+would pass on cached-but-wrong metadata, returning exactly the
+wrong-family garbage the sidecar exists to prevent. A deleted index
+evicts its cache entry on the next read.
 """
 
 from __future__ import annotations
@@ -27,36 +34,66 @@ class IndexParamMismatch(ValueError):
     not run."""
 
 
-# path -> parsed meta dict; plain plans/values only, nothing persisted.
+# path -> (sidecar mtime millis | None, parsed meta dict). Entries are
+# trusted only while the sidecar's current mtime matches.
 _META_CACHE: dict = {}
+
+
+def _meta_mtime(spark, key: str):
+    """The ``_meta`` directory's filesystem modification time in millis
+    via the Hadoop FS API (metadata-only, no Spark job), or None when
+    the path does not exist / the filesystem call fails."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(key)
+        fs = p.getFileSystem(conf)
+        return int(fs.getFileStatus(p).getModificationTime())
+    except Exception:
+        return None
+
+
+def invalidate_index_meta(path: str) -> None:
+    """Drop any cached sidecar for ``path`` (call after deleting or
+    rebuilding an index outside write_index_meta)."""
+    _META_CACHE.pop(f"{path}/_meta", None)
 
 
 def write_index_meta(spark, path: str, kind: str, params: dict) -> None:
     """Persist ``{kind, **params}`` as ``<path>/_meta`` (one text row)."""
     meta = {"kind": kind, **params}
+    key = f"{path}/_meta"
     (spark.createDataFrame([(json.dumps(meta, sort_keys=True),)],
                            "meta string")
-     .coalesce(1).write.mode("overwrite").text(f"{path}/_meta"))
-    _META_CACHE[f"{path}/_meta"] = meta
+     .coalesce(1).write.mode("overwrite").text(key))
+    _META_CACHE[key] = (_meta_mtime(spark, key), meta)
 
 
 def read_index_meta(spark, path: str):
     """The persisted meta dict, or None for a pre-metadata index."""
     key = f"{path}/_meta"
+    mtime = _meta_mtime(spark, key)
     if key in _META_CACHE:
-        return _META_CACHE[key]
+        cached_mtime, cached = _META_CACHE[key]
+        if mtime is not None and mtime == cached_mtime:
+            return cached
+        # sidecar rewritten by another process (mtime moved), deleted
+        # (mtime None), or cached without an mtime: re-read
+        _META_CACHE.pop(key, None)
+    if mtime is None:
+        # no sidecar: an index built before metadata existed, or a
+        # deleted index. Tolerated (the docstring contract still
+        # applies); mismatch checks below only fire on a present sidecar.
+        return None
     try:
         rows = spark.read.text(key).collect()
     except Exception:
-        # no sidecar: an index built before metadata existed. Tolerated
-        # (the docstring contract still applies); mismatch checks below
-        # only fire when a sidecar is present.
         return None
     # a sidecar that EXISTS but does not parse is corruption, not
     # legacy — fail loudly rather than skipping the guard
     meta = json.loads(rows[0]["value"]) if rows else None
     if meta is not None:
-        _META_CACHE[key] = meta
+        _META_CACHE[key] = (mtime, meta)
     return meta
 
 

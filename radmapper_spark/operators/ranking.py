@@ -1,0 +1,114 @@
+"""Global ordering primitives that avoid single-partition windows.
+
+An empty-partition-spec window (``Window.orderBy(...)`` with no
+``partitionBy``) makes Spark move EVERY row to one partition — the
+classic scale killer, and the engine warns about it loudly. Two shapes
+recur in this repo and each has a scalable replacement:
+
+- ``bounded_global_rank``: ranking a frame that is ALREADY limited to a
+  few hundred rows (the orderBy().limit(n) top-n pattern, which plans
+  as TakeOrderedAndProject). Physically a one-partition pass is exactly
+  right for n bounded rows; what we avoid is the empty partition spec —
+  ``coalesce(1)`` + a window keyed on ``spark_partition_id()`` is the
+  same bounded single task, declared intentionally.
+
+- ``global_rank`` / ``global_ntile``: an exact global rank/ntile over
+  an UNBOUNDED frame (e.g. every customer). The distributed recipe:
+  range-repartition on the order keys (Spark's own global-sort
+  machinery, so key ranges are contiguous per partition), count rows
+  per partition (a P-row aggregate), cumulative-sum those counts into
+  partition offsets (a BOUNDED P-row single task), broadcast the
+  offsets back, and compute the global rank as per-partition
+  row_number + partition offset. One parallel range shuffle plus
+  P-row bookkeeping instead of funneling the world through a single
+  task. Everything stays LAZY — offsets and totals are plan nodes, not
+  driver collects — so entry construction runs zero jobs; the persist
+  on the range-partitioned frame pins the sampled range boundaries so
+  the counts branch and the rank branch see identical partitioning
+  (correctness, not just speed — boundary drift between branches would
+  mis-offset every rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bounded_global_rank(top: DataFrame, order_cols,
+                        rank_col: str = "rank") -> DataFrame:
+    """row_number over an already-BOUNDED frame (callers pass the
+    result of orderBy().limit(n); never an unbounded table — this
+    coalesces to one partition by design)."""
+    w = (Window.partitionBy(F.spark_partition_id())
+         .orderBy(*order_cols))
+    return (top.coalesce(1)
+            .withColumn(rank_col, F.row_number().over(w)))
+
+
+def global_rank(df: DataFrame, order_cols, rank_col: str = "rank",
+                _total_col: str = None) -> DataFrame:
+    """Exact 1-based global rank (row_number semantics: ties broken by
+    the caller's tiebreaker columns) over an unbounded frame, computed
+    without a single-partition window. Returns df + rank_col (+ a total
+    row-count column when ``_total_col`` is set — ntile needs it); the
+    result carries ``rm_release_cache`` to free the internal range-
+    partitioned cache."""
+    spark = df.sparkSession
+    try:
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:
+        p = 200
+    parts = (df.repartitionByRange(p, *order_cols)
+             .withColumn("_rm_pid", F.spark_partition_id())
+             .persist())
+    counts = (parts.groupBy("_rm_pid")
+              .agg(F.count(F.lit(1)).alias("_rm_n")))
+    # cumulative offsets over the <= p count rows: a bounded single
+    # task (same pattern as bounded_global_rank), never the data
+    woff = (Window.partitionBy(F.spark_partition_id())
+            .orderBy("_rm_pid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = (counts.coalesce(1)
+            .withColumn("_rm_off",
+                        F.sum("_rm_n").over(woff) - F.col("_rm_n")))
+    w = Window.partitionBy("_rm_pid").orderBy(*order_cols)
+    out = (parts.join(F.broadcast(offs.select("_rm_pid", "_rm_off")),
+                      "_rm_pid")
+           .withColumn(rank_col,
+                       (F.row_number().over(w) + F.col("_rm_off"))
+                       .cast("long")))
+    if _total_col is not None:
+        tot = counts.agg(F.sum("_rm_n").alias(_total_col))
+        out = out.crossJoin(F.broadcast(tot))
+    out = out.drop("_rm_pid", "_rm_off")
+    out.rm_release_cache = parts.unpersist
+    return out
+
+
+def global_ntile(df: DataFrame, k: int, order_cols,
+                 tile_col: str = "tile") -> DataFrame:
+    """Exact ntile(k) over an unbounded frame without a single-partition
+    window — identical bucket assignment to SQL ntile: with n rows,
+    base = n div k and rem = n mod k, the first rem buckets take
+    base+1 rows. The global rank comes from ``global_rank``; the tile
+    is column arithmetic on (rank, total)."""
+    if k <= 0:
+        raise ValueError(f"ntile k must be positive, got {k}")
+    ranked = global_rank(df, order_cols, rank_col="_rm_r",
+                         _total_col="_rm_tot")
+    r, n = F.col("_rm_r"), F.col("_rm_tot")
+    base = F.floor(n / k).cast("long")
+    rem = (n % k).cast("long")
+    head = rem * (base + 1)
+    tile = F.when(
+        r <= head,
+        F.floor((r - 1) / (base + 1)) + 1,
+    ).otherwise(
+        # unreachable when base == 0 (then head == n), so greatest(,1)
+        # only dodges a div-by-zero in the never-taken branch
+        rem + F.floor((r - head - 1) / F.greatest(base, F.lit(1))) + 1)
+    out = (ranked.withColumn(tile_col, tile.cast("int"))
+           .drop("_rm_r", "_rm_tot"))
+    out.rm_release_cache = ranked.rm_release_cache
+    return out

@@ -158,22 +158,23 @@ def vocabulary(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                     lambda t: t != "")
     exploded = docs.select(F.col(id_col).alias("_id"),
                            F.explode(toks).alias("term"))
-    from pyspark.sql import Window
     stats = (exploded.groupBy("term")
              .agg(F.count(F.lit(1)).alias("n_total"),
                   F.countDistinct("_id").alias("n_docs")))
     # top-n as orderBy+limit -> TakeOrderedAndProject (per-partition
     # partial top-n, driver merges n*partitions rows) instead of a global
     # single-partition window sort over the whole vocabulary; the rank
-    # window then runs over <= top_n rows.
+    # then runs over <= top_n rows (bounded_global_rank: intentional
+    # bounded single task, no empty-partition-spec window).
+    from .ranking import bounded_global_rank
     top = stats.orderBy(F.col("n_total").desc(), F.col("term").asc()).limit(top_n)
-    rk = F.row_number().over(
-        Window.orderBy(F.col("n_total").desc(), F.col("term").asc()))
+    ranked = bounded_global_rank(
+        top, [F.col("n_total").desc(), F.col("term").asc()], "rank")
     # corpus doc count folded into the lazy plan as a broadcast 1-row
     # aggregate (NOT an eager .count(): the plan stays one job), applied
     # after the top-n cut so it multiplies <= top_n rows
     n_docs_total = docs.agg(F.count(F.lit(1)).alias("_n_docs_total"))
-    return (top.withColumn("rank", rk)
+    return (ranked
             .crossJoin(F.broadcast(n_docs_total))
             .withColumn("idf", F.round(
                 F.log((F.col("_n_docs_total") + 1.0)
@@ -225,7 +226,6 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
     groupBys, a broadcast-sized join of bigrams to unigram counts, and a
     TakeOrdered cut ranked on integers (c_ab desc, bigram asc) so the
     cut is engine-exact; PMI surfaced rounded, never ranked on."""
-    from pyspark.sql import Window
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
                     lambda t: t != "")
     base = docs.select(toks.alias("_t"))
@@ -255,11 +255,11 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
     n_bi = F.coalesce(F.col("_n_bi"), F.lit(1)).cast("double")
     pmi = F.log((F.col("c_ab") / n_bi)
                 / ((F.col("c_a") / n_uni) * (F.col("c_b") / n_uni)))
+    from .ranking import bounded_global_rank
     top = (joined.orderBy(F.col("c_ab").desc(), F.col("w1").asc(),
                           F.col("w2").asc()).limit(top_n))
-    rk = F.row_number().over(Window.orderBy(
-        F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc()))
-    return (top.withColumn("rank", rk)
+    order = [F.col("c_ab").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    return (bounded_global_rank(top, order, "rank")
             .select("rank", "w1", "w2", "c_ab", "c_a", "c_b",
                     F.round(pmi, 6).alias("pmi")))
 
@@ -455,12 +455,11 @@ def bm25_score(docs: DataFrame, query_terms: list,
                .groupBy("doc_id")
                .agg(F.sum("_micro").alias("_tot_micro"),
                     F.count(F.lit(1)).alias("n_terms_hit")))
-    from pyspark.sql import Window
+    from .ranking import bounded_global_rank
     top = (per_doc.orderBy(F.col("_tot_micro").desc(),
                            F.col("doc_id").asc()).limit(top_k))
-    rk = F.row_number().over(Window.orderBy(
-        F.col("_tot_micro").desc(), F.col("doc_id").asc()))
-    return (top.withColumn("rank", rk)
+    order = [F.col("_tot_micro").desc(), F.col("doc_id").asc()]
+    return (bounded_global_rank(top, order, "rank")
             .select("rank", "doc_id", "n_terms_hit",
                     (F.col("_tot_micro").cast("double") / 1e6)
                     .alias("bm25")))

@@ -101,6 +101,117 @@ def start_neardup_probe(docs_stream: DataFrame, index_path: str,
             .start())
 
 
+# Driver union-find bound for the per-micro-batch intra pair graph —
+# the same documented-gate pattern as dedup.dedup_groups' fast path
+# (micro-batches are operator-sized by contract; a replay avalanche
+# that exceeds this raises rather than silently collecting unbounded
+# rows onto the driver).
+INTRA_PAIRS_MAX_CONF = "rm.stream.intraPairsMax"
+INTRA_PAIRS_MAX_DEFAULT = 2_000_000
+
+
+def _resolve_admission(batch_df: DataFrame, id_col: str,
+                       hits: DataFrame, intra: DataFrame,
+                       est_col: str):
+    """TRANSITIVE intra-batch admission for the streaming ingest loops:
+    near-dup pairs inside a micro-batch are clustered by connected
+    components (near-duplication is treated as an equivalence over the
+    batch, matching the batch-side dedup_groups operator), then
+
+    - a cluster containing ANY index-rejected member is rejected
+      wholesale (it chains to already-indexed content);
+    - a clean cluster admits its SMALLEST id and rejects the rest.
+
+    This replaces the earlier pairwise larger-id-loses rule, whose audit
+    rows could name a "winner" that was itself rejected (by the index,
+    or by an even smaller sibling). The invariant now: **every audit
+    row's index_id references a document that IS in the index once the
+    batch commits** — a clean-cluster loser references the admitted
+    representative (with the direct pair estimate when the loser pairs
+    with it, NULL when it only chains transitively), and a tainted-
+    cluster loser references the index document its cluster chains to
+    (NULL estimate, same reason).
+
+    The component pass runs on the driver over the batch's pair list
+    (bounded by rm.stream.intraPairsMax, default 2M — raises above it);
+    everything row-scaled (probe, signatures, audit write, index
+    append) stays distributed. Returns (audit_extra, rejected_ids) —
+    audit rows for intra losers in the hits schema, and a 1-column
+    ``rid`` frame of every rejected id for the survivor anti-join."""
+    from pyspark.sql import types as T
+
+    spark = batch_df.sparkSession
+    try:
+        cap = int(spark.conf.get(INTRA_PAIRS_MAX_CONF,
+                                 str(INTRA_PAIRS_MAX_DEFAULT)))
+    except Exception:
+        cap = INTRA_PAIRS_MAX_DEFAULT
+    pairs = intra.select("id_a", "id_b", est_col).limit(cap + 1).collect()
+    if len(pairs) > cap:
+        raise RuntimeError(
+            f"intra-batch near-dup pair graph exceeds {cap} edges "
+            f"({INTRA_PAIRS_MAX_CONF}); shrink the micro-batch (e.g. "
+            f"maxFilesPerTrigger) or raise the conf — the admission "
+            f"component pass is driver-side by design for batch-sized "
+            f"graphs.")
+    # min index target per index-rejected doc (distributed agg; the
+    # collected map is batch-bounded: one row per rejected batch doc)
+    idx_min = {r["new_id"]: r["_tgt"] for r in
+               hits.groupBy("new_id").agg(F.min("index_id").alias("_tgt"))
+               .collect()}
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    est_edge = {}
+    for row in pairs:
+        a, b = row["id_a"], row["id_b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+        est_edge[(a, b)] = row[est_col]  # id_a < id_b by construction
+    comps: dict = {}
+    for x in parent:
+        comps.setdefault(find(x), []).append(x)
+
+    audit, losers = [], []
+    for members in comps.values():
+        hit_members = sorted(m for m in members if m in idx_min)
+        if hit_members:  # tainted: chains to indexed content
+            tgt = idx_min[hit_members[0]]
+            for m in members:
+                if m not in idx_min:  # direct hits are audited already
+                    losers.append(m)
+                    audit.append((m, tgt, None))
+        else:
+            rep = min(members)
+            for m in members:
+                if m != rep:
+                    losers.append(m)
+                    e = est_edge.get((min(m, rep), max(m, rep)))
+                    audit.append((m, rep,
+                                  None if e is None else float(e)))
+    id_t = batch_df.schema[id_col].dataType
+    idx_t = hits.schema["index_id"].dataType
+    audit_extra = spark.createDataFrame(audit, T.StructType([
+        T.StructField("new_id", id_t),
+        T.StructField("index_id", idx_t),
+        T.StructField(est_col, T.DoubleType())]))
+    rejected = sorted(set(losers) | set(idx_min))
+    rej_df = spark.createDataFrame([(x,) for x in rejected],
+                                   T.StructType([T.StructField("rid", id_t)]))
+    return audit_extra, rej_df
+
+
 def start_neardup_admission(docs_stream: DataFrame, index_path: str,
                             out_path: str, checkpoint: str,
                             text_col: str = "text", id_col: str = "doc_id",
@@ -115,17 +226,19 @@ def start_neardup_admission(docs_stream: DataFrame, index_path: str,
        signatures only, corpus text never read);
     2. write the AUDIT TRAIL of every rejection to ``out_path``: index
        duplicates as (new_id, index_id, est_jaccard), and intra-batch
-       losers as (new_id=loser, index_id=the batch sibling that won,
-       est_jaccard) — a rejected document always leaves a record;
+       losers against a document that IS in the index after the batch
+       commits (_resolve_admission's invariant) — a rejected document
+       always leaves a record;
     3. ADMIT the batch's surviving documents into the index
        (append_to_minhash_index), so every FUTURE batch sees them.
 
-    A document survives unless it near-duplicates an indexed one, or it
-    near-duplicates a SMALLER-id sibling inside its own micro-batch
-    (first-writer-wins — checked with the batch operator
-    minhash_lsh_pairs over the micro-batch; without this, two identical
-    docs arriving together would both be admitted because neither is in
-    the index yet). Deterministic given the micro-batch contents.
+    Admission is TRANSITIVE per micro-batch (see _resolve_admission):
+    intra-batch near-dup pairs (minhash_lsh_pairs over the batch)
+    cluster by connected components; a cluster that chains to indexed
+    content is rejected wholesale, a clean cluster admits its smallest
+    id. Without the intra pass, two identical docs arriving together
+    would both be admitted because neither is in the index yet.
+    Deterministic given the micro-batch contents.
 
     Restart caveat: unlike the pure probe sink, neither the index
     append NOR the audit write is idempotent under batch replay — a
@@ -148,17 +261,9 @@ def start_neardup_admission(docs_stream: DataFrame, index_path: str,
             batch_df, text_col=text_col, id_col=id_col,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
             jaccard_threshold=jaccard_threshold, hash_mode=hash_mode)
-        # intra-batch losers: the larger side of each pair (id_a < id_b
-        # by construction -> smaller id wins). Audited in the same
-        # (new_id, index_id, est) shape: index_id is the sibling that
-        # won (which IS about to be indexed below).
-        intra_rej = intra.select(F.col("id_b").alias("new_id"),
-                                 F.col("id_a").alias("index_id"),
-                                 F.col("est_jaccard"))
-        hits.unionByName(intra_rej).write.mode("append").parquet(out_path)
-        rejected = (hits.select(F.col("new_id").alias("rid"))
-                    .unionByName(intra.select(F.col("id_b").alias("rid")))
-                    .distinct())
+        audit_extra, rejected = _resolve_admission(
+            batch_df, id_col, hits, intra, "est_jaccard")
+        hits.unionByName(audit_extra).write.mode("append").parquet(out_path)
         survivors = batch_df.join(
             rejected, batch_df[id_col] == F.col("rid"), "left_anti")
         append_to_minhash_index(
@@ -222,11 +327,13 @@ def start_embedding_admission(vec_stream: DataFrame, index_path: str,
     ingest loop for vectors: per micro-batch, probe the persisted
     embedding index, write the audit trail of EVERY rejection to
     ``out_path`` (index duplicates AND intra-batch losers, the latter
-    recorded against the batch sibling that won), then ADMIT the
-    surviving vectors (append_to_signlsh_index) so future batches see
-    them. Intra-batch duplicates resolve first-writer-wins via the
-    batch operator embedding_cosine_pairs (id_a < id_b — the larger id
-    loses). Same restart caveat as the minhash loop: replays append
+    recorded against a vector that IS in the index after the batch
+    commits), then ADMIT the surviving vectors (append_to_signlsh_index)
+    so future batches see them. Intra-batch duplicates resolve
+    TRANSITIVELY per cluster via _resolve_admission over the batch
+    operator embedding_cosine_pairs — clean clusters admit their
+    smallest id; clusters chaining to indexed content are rejected
+    wholesale. Same restart caveat as the minhash loop: replays append
     duplicate index AND audit rows (probe answers unaffected; compact /
     dedupe out-of-band)."""
     from ..operators.dedup import (append_to_signlsh_index,
@@ -246,13 +353,9 @@ def start_embedding_admission(vec_stream: DataFrame, index_path: str,
             threshold=threshold, bands=bands,
             planes_per_band=planes_per_band,
             sketch_planes=sketch_planes, seed=seed)
-        intra_rej = intra.select(F.col("id_b").alias("new_id"),
-                                 F.col("id_a").alias("index_id"),
-                                 F.col("cosine"))
-        hits.unionByName(intra_rej).write.mode("append").parquet(out_path)
-        rejected = (hits.select(F.col("new_id").alias("rid"))
-                    .unionByName(intra.select(F.col("id_b").alias("rid")))
-                    .distinct())
+        audit_extra, rejected = _resolve_admission(
+            batch_df, id_col, hits, intra, "cosine")
+        hits.unionByName(audit_extra).write.mode("append").parquet(out_path)
         survivors = batch_df.join(
             rejected, batch_df[id_col] == F.col("rid"), "left_anti")
         append_to_signlsh_index(
