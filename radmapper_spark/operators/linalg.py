@@ -1,0 +1,203 @@
+"""Distributed linear algebra over an embedding column.
+
+The crux primitive is the GRAM / second-moment matrix G = sum_r x_r x_rᵀ
+— the building block of PCA, whitening, OPQ rotation fitting and linear
+probes. Its distributed shape is the classic tree aggregate: each Arrow
+batch reduces its rows to one d×d partial (d² values, independent of
+batch size), and a final d²-row aggregate sums the partials — the data
+is touched once, map-side, and the exchange carries d² rows per
+partition no matter how many rows the corpus has. At 100 TB that is the
+only shape that works: the alternative (explode to (row, i, j) triples)
+multiplies the corpus by d² before the shuffle.
+
+Determinism contract (same as the scaled-integer PageRank): per-row
+products are floored to 1e-12 grid longs BEFORE any summation, so every
+sum is integer and the result is bit-identical at any parallelism AND
+reproducible by any other engine — the DuckDB oracle runs the same
+floor(x_i * x_j * 1e12) pipeline in SQL. Eigen-decomposition of the
+d×d result happens on the DRIVER (numpy — d is 64 here, the matrix is
+kilobytes; this is a bounded collect by construction), and the
+projection back over the corpus is a map-only Arrow pass with the
+k×d basis shipped by value in the UDF closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+GRAM_SCALE = 10 ** 12
+
+
+def gram_matrix(emb: DataFrame, vec_col: str = "embedding",
+                dim: int = None) -> DataFrame:
+    """Upper-triangle scaled-integer Gram matrix of the embedding
+    column: (i, j, gram_scaled) for 1 <= i <= j <= d, where
+    gram_scaled = sum over rows of floor(x_i * x_j * 1e12) — exact
+    integer arithmetic after the per-row floor, so the result is
+    engine-exact and parallelism-independent. NULL vectors are skipped;
+    a row whose length differs from ``dim`` raises in the worker (a
+    ragged embedding column is corrupt input, not something to average
+    over). ``dim`` defaults to the first row's length, resolved
+    LAZILY inside the workers (no driver job at construction)."""
+    dim_ = dim
+    gs = float(GRAM_SCALE)  # captured by value: executors cannot import
+    #                         this module, so closures must be self-contained
+
+    def partial_gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        d = dim_
+        acc = None
+        for pdf in batches:
+            vecs = [v for v in pdf.iloc[:, 0] if v is not None]
+            if not vecs:
+                continue
+            lens = {len(v) for v in vecs}
+            if d is not None:
+                lens.add(d)
+            if len(lens) > 1:
+                raise ValueError(
+                    f"ragged embedding column: lengths {sorted(lens)}")
+            if d is None:
+                d = lens.pop()
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            if acc is None:
+                acc = np.zeros((d, d), dtype=np.int64)
+            # floor per ROW-PAIR-CELL before summing: 64 row-sized
+            # passes instead of an n*d*d intermediate
+            for i in range(d):
+                acc[i, :] += (np.floor(M * (M[:, i:i + 1]) * gs)
+                              .astype(np.int64).sum(axis=0))
+        if acc is None:
+            return
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame({"i": iu + 1, "j": ju + 1,
+                            "g": acc[iu, ju]})
+
+    part = emb.select(F.col(vec_col)).mapInPandas(
+        partial_gram, schema="i int, j int, g long")
+    # decimal sum: immune to long overflow however many partials arrive
+    return (part.groupBy("i", "j")
+            .agg(F.sum(F.col("g").cast("decimal(38,0)"))
+                 .alias("gram_scaled"))
+            .orderBy("i", "j"))
+
+
+def column_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(i, sum_scaled, n_rows): per-dimension floor(x_i * 1e12) sums and
+    the non-null row count — the mean vector for centering, in the same
+    engine-exact integer contract as gram_matrix."""
+
+    gs = float(GRAM_SCALE)  # by-value capture (self-contained closure)
+
+    def partial_sums(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc, n = None, 0
+        for pdf in batches:
+            vecs = [v for v in pdf.iloc[:, 0] if v is not None]
+            if not vecs:
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            s = np.floor(M * gs).astype(np.int64).sum(axis=0)
+            acc = s if acc is None else acc + s
+            n += len(vecs)
+        if acc is None:
+            return
+        yield pd.DataFrame({"i": np.arange(1, len(acc) + 1),
+                            "s": acc, "n": n})
+
+    part = emb.select(F.col(vec_col)).mapInPandas(
+        partial_sums, schema="i int, s long, n long")
+    return (part.groupBy("i")
+            .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("sum_scaled"),
+                 F.sum("n").alias("n_rows"))
+            .orderBy("i"))
+
+
+def fit_pca(emb: DataFrame, k: int, vec_col: str = "embedding"):
+    """Driver-side PCA fit from the distributed Gram + mean: returns
+    (components: k×d ndarray, eigvals: k, mean: d, n). The collects are
+    d² + d rows — bounded by the embedding dimension, never the corpus.
+    Covariance = G/n - mean meanᵀ (population). Eigenvector signs are
+    fixed (largest-|component| coordinate made positive) so the basis is
+    deterministic, not just the subspace."""
+    import numpy as np
+
+    g_rows = gram_matrix(emb, vec_col).collect()
+    s_rows = column_sums(emb, vec_col).collect()
+    d = max(r["i"] for r in s_rows)
+    n = int(s_rows[0]["n_rows"])
+    if n == 0:
+        raise ValueError("fit_pca: no non-null vectors")
+    if not (0 < k <= d):
+        raise ValueError(f"fit_pca: k must be in 1..{d}, got {k}")
+    G = np.zeros((d, d))
+    for r in g_rows:
+        G[r["i"] - 1, r["j"] - 1] = G[r["j"] - 1, r["i"] - 1] = (
+            float(r["gram_scaled"]) / GRAM_SCALE)
+    mean = np.array([float(r["sum_scaled"]) / GRAM_SCALE
+                     for r in s_rows]) / n
+    cov = G / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comp = vecs[:, order].T  # k x d
+    # deterministic sign: the coordinate with the largest magnitude is
+    # positive in every component
+    for r_ in range(comp.shape[0]):
+        j = int(np.argmax(np.abs(comp[r_])))
+        if comp[r_, j] < 0:
+            comp[r_] = -comp[r_]
+    return comp, vals[order], mean, n
+
+
+def pca_project(emb: DataFrame, k: int, vec_col: str = "embedding",
+                id_col: str = "vec_id", out_col: str = "proj",
+                whiten: bool = False, round_to: int = None,
+                fit=None) -> DataFrame:
+    """Project every embedding onto the top-k PCA components (optionally
+    whitened: unit variance per component). Fit is one bounded
+    distributed pass (fit_pca) — or pass a precomputed ``fit`` tuple
+    (callers over an immutable corpus memoize it, the codebook-cache
+    contract); the projection is a MAP-ONLY Arrow pass with the k×d
+    basis and mean shipped by value — no join, no shuffle, the 100 TB
+    shape. Output (id, proj array<double>); ``round_to`` rounds the
+    coordinates for stable presentation."""
+    import numpy as np
+
+    comp, vals, mean, _ = fit if fit is not None else fit_pca(
+        emb, k, vec_col)
+    if len(vals) != k:
+        raise ValueError(f"fit has {len(vals)} components, expected {k}")
+    scale = (1.0 / np.sqrt(np.maximum(vals, 1e-12))
+             if whiten else np.ones(len(vals)))
+    W = (comp * scale[:, None]).astype(np.float64)  # k x d
+    mean_ = mean.copy()
+    rnd = round_to
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["_v"]])
+            P = (M - mean_) @ W.T
+            if rnd is not None:
+                P = np.round(P, rnd)
+            yield pd.DataFrame({"_id": pdf["_id"],
+                                "_p": [row.tolist() for row in P]})
+
+    pre = emb.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).alias("_v")).filter(
+        F.col("_v").isNotNull())
+    dt = dict(pre.dtypes)["_id"]
+    out = pre.mapInPandas(project,
+                          schema=f"_id {dt}, _p array<double>")
+    return out.select(F.col("_id").alias(id_col),
+                      F.col("_p").alias(out_col))

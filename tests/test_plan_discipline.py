@@ -23,6 +23,8 @@ ARROW_ALLOWED = {
     "multimodal_features",     # binary decode boundary (mapInPandas)
     "embedding_probe",         # sign-LSH signature matmul + einsum verify
     "semantic_dedup",          # within-cluster einsum cosine verify
+    "embedding_gram",          # per-batch d×d partial-gram reduction
+    "embedding_pca",           # projection matmul + projected-gram partials
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

@@ -365,6 +365,96 @@ def test_customer_deciles_window_is_partitioned(spark):
     rel and rel()
 
 
+# ------------------------------- distributed embedding linear algebra
+
+def _rand_emb(spark, n=300, d=16, parts=7, seed=2):
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(d)])
+            for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(parts)
+
+
+def test_gram_matrix_exact_and_parallelism_invariant(spark):
+    """Scaled-integer gram is bit-exact vs a local numpy reference and
+    identical at 1 vs 13 partitions (the engine-exact contract)."""
+    import numpy as np
+    from radmapper_spark.operators import linalg
+    emb = _rand_emb(spark)
+    E = np.stack([np.asarray(r.embedding)
+                  for r in emb.orderBy("vec_id").collect()])
+    want = {}
+    for i in range(E.shape[1]):
+        for j in range(i, E.shape[1]):
+            want[(i + 1, j + 1)] = int(
+                np.floor(E[:, i] * E[:, j] * 1e12).astype(np.int64).sum())
+    for parts in (1, 13):
+        got = {(r.i, r.j): int(r.gram_scaled) for r in
+               linalg.gram_matrix(emb.repartition(parts),
+                                  "embedding").collect()}
+        assert got == want
+
+
+def test_gram_matrix_skips_nulls_raises_on_ragged(spark):
+    from radmapper_spark.operators import linalg
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [0.5, -1.0])],
+        "vec_id long, embedding array<double>")
+    rows = {(r.i, r.j): int(r.gram_scaled)
+            for r in linalg.gram_matrix(ok, "embedding").collect()}
+    # only rows 1 and 3 contribute: g11 = floor(1e12) + floor(0.25e12)
+    assert rows[(1, 1)] == 10 ** 12 + 25 * 10 ** 10
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>").coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        linalg.gram_matrix(bad, "embedding").collect()
+
+
+def test_pca_project_matches_numpy(spark):
+    """Distributed fit (gram + mean) and map-only projection equal a
+    local numpy PCA on the same data, and whitened projections have
+    identity covariance."""
+    import numpy as np
+    from radmapper_spark.operators import linalg
+    emb = _rand_emb(spark, n=400, d=12)
+    E = np.stack([np.asarray(r.embedding)
+                  for r in emb.orderBy("vec_id").collect()])
+    fit = linalg.fit_pca(emb, 5, "embedding")
+    comp, vals, mean, n = fit
+    assert n == 400
+    # basis spans the same top-5 subspace as numpy's eigh on the
+    # population covariance (compare projectors, not vectors)
+    C = np.cov(E.T, bias=True)
+    w, v = np.linalg.eigh(C)
+    top = v[:, np.argsort(w)[::-1][:5]]
+    P_ref = top @ top.T
+    P_got = comp.T @ comp
+    assert np.abs(P_got - P_ref).max() < 1e-6
+    got = {r.vec_id: np.array(r.proj) for r in
+           linalg.pca_project(emb, 5, fit=fit).collect()}
+    want = (E - mean) @ comp.T
+    err = max(np.abs(got[i] - want[i]).max() for i in range(400))
+    assert err < 1e-9
+    # whitened covariance == I
+    pw = linalg.pca_project(emb, 5, whiten=True, fit=fit)
+    g = linalg.gram_matrix(pw, "proj").collect()
+    W = np.zeros((5, 5))
+    for r in g:
+        W[r.i - 1, r.j - 1] = W[r.j - 1, r.i - 1] = (
+            float(r.gram_scaled) / 1e12 / n)
+    assert np.abs(W - np.eye(5)).max() < 1e-8
+
+
+def test_fit_pca_bad_k_raises(spark):
+    from radmapper_spark.operators import linalg
+    emb = _rand_emb(spark, n=20, d=4)
+    with pytest.raises(ValueError, match="k must be"):
+        linalg.fit_pca(emb, 0, "embedding")
+    with pytest.raises(ValueError, match="k must be"):
+        linalg.fit_pca(emb, 5, "embedding")
+
+
 def test_bounded_global_rank_matches(spark):
     from radmapper_spark.operators.ranking import bounded_global_rank
     df = spark.range(1000).withColumn("v", (F.col("id") * 37) % 101)
