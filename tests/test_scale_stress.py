@@ -613,9 +613,14 @@ def test_rate_source_neardup_admission_soak(spark):
 def test_admission_loop_20_batch_fold_differential(spark, tmp_path_factory):
     """20 micro-batches through start_neardup_admission must leave
     EXACTLY the index and audit trail of a sequential per-batch fold of
-    the batch operators (probe -> first-writer-wins reject -> append) —
+    the batch operators (probe -> TRANSITIVE cluster reject -> append) —
     the determinism contract of the streaming admission loop over a
-    long run with cross-batch duplicates."""
+    long run with cross-batch duplicates. The transitive spec (clean
+    cluster admits its smallest id; a cluster with any index hit is
+    rejected wholesale; audit rows reference the admitted rep / the
+    index doc) is RE-DERIVED here with a test-local union-find, not by
+    calling the production _resolve_admission — an independent
+    implementation, so the differential stays a real check."""
     from pyspark.sql import functions as F
     from radmapper_spark.operators import dedup
     from radmapper_spark.streaming import sinks
@@ -650,7 +655,7 @@ def test_admission_loop_20_batch_fold_differential(spark, tmp_path_factory):
             idx_s, out, ckpt)
         q.awaitTermination(180)
 
-    # --- sequential batch fold (the semantic spec)
+    # --- sequential batch fold (the semantic spec, independent impl)
     idx_f = str(root / "idx_fold")
     dedup.build_minhash_index(corpus, idx_f)
     audit_f = []
@@ -662,22 +667,63 @@ def test_admission_loop_20_batch_fold_differential(spark, tmp_path_factory):
         irows = intra.collect()
         rel = getattr(intra, "rm_release_cache", None)
         rel and rel()
+        idx_min = {}
+        for r in hrows:
+            idx_min[r.new_id] = min(idx_min.get(r.new_id, r.index_id),
+                                    r.index_id)
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        est = {}
+        for r in irows:
+            parent.setdefault(r.id_a, r.id_a)
+            parent.setdefault(r.id_b, r.id_b)
+            ra, rb = find(r.id_a), find(r.id_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+            est[(r.id_a, r.id_b)] = r.est_jaccard
+        comps = {}
+        for x in parent:
+            comps.setdefault(find(x), []).append(x)
         audit_f += [(r.new_id, r.index_id, r.est_jaccard) for r in hrows]
-        audit_f += [(r.id_b, r.id_a, r.est_jaccard) for r in irows]
-        rejected = ({r.new_id for r in hrows}
-                    | {r.id_b for r in irows})
+        rejected = set(idx_min)
+        for members in comps.values():
+            hit = sorted(m for m in members if m in idx_min)
+            if hit:  # tainted cluster: rejected wholesale
+                tgt = idx_min[hit[0]]
+                for m in members:
+                    if m not in idx_min:
+                        rejected.add(m)
+                        audit_f.append((m, tgt, None))
+            else:
+                rep = min(members)
+                for m in members:
+                    if m != rep:
+                        rejected.add(m)
+                        audit_f.append(
+                            (m, rep, est.get((min(m, rep), max(m, rep)))))
         dedup.append_to_minhash_index(
             bdf.filter(~F.col("doc_id").isin(*rejected))
             if rejected else bdf, idx_f)
+
+    def canon(rows):
+        return sorted(((a, i, None if e is None else round(e, 9))
+                       for a, i, e in rows),
+                      key=lambda t: (t[0], t[1], repr(t[2])))
 
     got_idx = sorted((r.id, r.band, r.bhash) for r in
                      spark.read.parquet(idx_s).collect())
     want_idx = sorted((r.id, r.band, r.bhash) for r in
                       spark.read.parquet(idx_f).collect())
     assert got_idx == want_idx
-    got_audit = sorted((r.new_id, r.index_id, r.est_jaccard) for r in
-                       spark.read.parquet(out).collect())
-    assert got_audit == sorted(audit_f)
+    got_audit = canon((r.new_id, r.index_id, r.est_jaccard) for r in
+                      spark.read.parquet(out).collect())
+    assert got_audit == canon(audit_f)
     n_indexed = len({i for i, _, _ in got_idx})
     print(f"\nadmission fold: {n_batches}x{per_batch} docs, "
           f"{n_indexed} indexed ids, {len(got_audit)} audit rows")
