@@ -728,3 +728,144 @@ def test_admission_loop_20_batch_fold_differential(spark, tmp_path_factory):
     print(f"\nadmission fold: {n_batches}x{per_batch} docs, "
           f"{n_indexed} indexed ids, {len(got_audit)} audit rows")
     assert len(got_audit) > 0 and n_indexed > 33
+
+
+def test_embedding_admission_20_batch_fold_differential(
+        spark, tmp_path_factory):
+    """Sign-LSH twin of the minhash fold differential: 20 micro-batches
+    through start_embedding_admission must leave exactly the index and
+    audit trail of a sequential per-batch fold of the batch operators
+    under the transitive-cluster spec (independent union-find here, not
+    the production helper). Vectors recur across batches (group = id %
+    61, three tail variants per group) so cross-batch index hits, clean
+    intra clusters AND tainted clusters all occur."""
+    import math
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.streaming import sinks
+
+    root = tmp_path_factory.mktemp("eadmit20")
+    n_batches, per_batch, groups = 20, 25, 61
+    kw = dict(bands=32, planes_per_band=4)
+    thr = 0.9
+
+    def vec(i, dim=16):
+        # group base direction in the (e_{2g}, e_{2g+1} mod dim) plane,
+        # tail variant rotates by 0 / 0.28 / 0.56 rad: adjacent tails
+        # pair (cos 0.28 = 0.961 >= thr) but tail 2 is NOT a near-dup of
+        # tail 0 (cos 0.56 = 0.847 < thr) and sits OUTSIDE the 0.451-rad
+        # index-hit radius of an indexed tail-0 vector — so once tail 0
+        # is indexed, tail 2 reaches rejection only TRANSITIVELY through
+        # tail 1 (the None-estimate tainted audit the vacuousness guard
+        # demands)
+        g, tail = i % groups, (i // groups) % 3
+        a, b = (2 * g) % dim, (2 * g + 1) % dim
+        th = 0.28 * tail
+        v = [0.0] * dim
+        v[a] += math.cos(th)
+        v[b] += math.sin(th)
+        return v
+
+    def batch_rows(b):
+        return [(b * per_batch + i, vec(b * per_batch + i))
+                for i in range(per_batch)]
+
+    schema = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(100000 + g, vec(g)) for g in range(0, groups, 4)], schema)
+
+    # --- streaming loop
+    idx_s = str(root / "idx_stream")
+    dedup.build_signlsh_index(corpus, idx_s, **kw)
+    src = str(root / "vin")
+    out, ckpt = str(root / "vhits"), str(root / "vck")
+    for b in range(n_batches):
+        spark.createDataFrame(batch_rows(b), schema).coalesce(1) \
+            .write.mode("overwrite" if b == 0 else "append").parquet(src)
+        q = sinks.start_embedding_admission(
+            (spark.readStream.schema(corpus.schema)
+             .option("maxFilesPerTrigger", 1).parquet(src)),
+            idx_s, out, ckpt, threshold=thr, **kw)
+        q.awaitTermination(180)
+
+    # --- sequential batch fold (independent transitive spec)
+    idx_f = str(root / "idx_fold")
+    dedup.build_signlsh_index(corpus, idx_f, **kw)
+    audit_f = []
+    for b in range(n_batches):
+        bdf = spark.createDataFrame(batch_rows(b), schema)
+        hits = dedup.neardup_embedding_vs_index(
+            bdf, idx_f, threshold=thr, **kw)
+        hrows = hits.collect()
+        rel = getattr(hits, "rm_release_cache", None)
+        rel and rel()
+        intra = dedup.embedding_cosine_pairs(bdf, threshold=thr, **kw)
+        irows = intra.collect()
+        rel = getattr(intra, "rm_release_cache", None)
+        rel and rel()
+        idx_min = {}
+        for r in hrows:
+            idx_min[r.new_id] = min(idx_min.get(r.new_id, r.index_id),
+                                    r.index_id)
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        est = {}
+        for r in irows:
+            parent.setdefault(r.id_a, r.id_a)
+            parent.setdefault(r.id_b, r.id_b)
+            ra, rb = find(r.id_a), find(r.id_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+            est[(r.id_a, r.id_b)] = r.cosine
+        comps = {}
+        for x in parent:
+            comps.setdefault(find(x), []).append(x)
+        audit_f += [(r.new_id, r.index_id, r.cosine) for r in hrows]
+        rejected = set(idx_min)
+        for members in comps.values():
+            hit = sorted(m for m in members if m in idx_min)
+            if hit:
+                tgt = idx_min[hit[0]]
+                for m in members:
+                    if m not in idx_min:
+                        rejected.add(m)
+                        audit_f.append((m, tgt, None))
+            else:
+                rep = min(members)
+                for m in members:
+                    if m != rep:
+                        rejected.add(m)
+                        audit_f.append(
+                            (m, rep, est.get((min(m, rep), max(m, rep)))))
+        dedup.append_to_signlsh_index(
+            bdf.filter(~F.col("vec_id").isin(*rejected))
+            if rejected else bdf, idx_f, **kw)
+
+    def canon(rows):
+        return sorted(((a, i, None if e is None else round(e, 9))
+                       for a, i, e in rows),
+                      key=lambda t: (t[0], t[1], repr(t[2])))
+
+    for sub in ("bands", "vectors"):
+        got = sorted(map(tuple, spark.read.parquet(
+            f"{idx_s}/{sub}").collect()))
+        want = sorted(map(tuple, spark.read.parquet(
+            f"{idx_f}/{sub}").collect()))
+        assert got == want, f"index table {sub} diverged"
+    got_audit = canon((r.new_id, r.index_id, r.cosine) for r in
+                      spark.read.parquet(out).collect())
+    assert got_audit == canon(audit_f)
+    n_indexed = spark.read.parquet(f"{idx_s}/vectors") \
+        .select("id").distinct().count()
+    tainted = sum(1 for _, _, e in audit_f if e is None)
+    print(f"\nembedding fold: {n_batches}x{per_batch} vecs, "
+          f"{n_indexed} indexed, {len(got_audit)} audit rows "
+          f"({tainted} transitive/tainted)")
+    assert len(got_audit) > 0 and n_indexed > 16
+    assert tainted > 0, "no transitive/tainted audits — fixture vacuous"
