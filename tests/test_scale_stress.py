@@ -869,3 +869,39 @@ def test_embedding_admission_20_batch_fold_differential(
           f"({tainted} transitive/tainted)")
     assert len(got_audit) > 0 and n_indexed > 16
     assert tainted > 0, "no transitive/tainted audits — fixture vacuous"
+
+
+def test_global_ntile_2m_rows(spark):
+    """global_ntile at 2M rows: exact bucket sizing (first rem buckets
+    get base+1 rows), bucket ORDER respects the sort key (every row of
+    bucket t sorts before every row of bucket t+1), and the plan never
+    funnels the data through a single-partition window. The windowed
+    reference is unrunnable at this scale by design — sizing+ordering
+    properties ARE ntile's definition, so together with the small-n
+    equivalence tests they pin the semantics."""
+    import time
+    from radmapper_spark.operators.ranking import global_ntile
+
+    n, k = 2_000_000, 10
+    df = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), 10 ** 9).alias("v"))
+    t0 = time.monotonic()
+    tiled = global_ntile(df, k, [F.col("v").desc(), F.col("id").asc()],
+                         tile_col="tile")
+    plan = tiled._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines and all("_rm_pid" in ln for ln in win_lines)
+    stats = (tiled.groupBy("tile")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.max("v").alias("hi"), F.min("v").alias("lo"))
+             .orderBy("tile").collect())
+    dt = time.monotonic() - t0
+    print(f"  global_ntile 2M x {k}: {dt:.1f}s")
+    base, rem = divmod(n, k)
+    assert [r.tile for r in stats] == list(range(1, k + 1))
+    assert [r.n for r in stats] == [base + 1] * rem + [base] * (k - rem)
+    for prev, cur in zip(stats, stats[1:]):
+        assert prev.lo >= cur.hi, "bucket order violates the sort key"
+    tiled.rm_release_cache()
+    assert dt < 120
