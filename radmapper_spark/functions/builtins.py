@@ -1548,3 +1548,29 @@ def _t_probe_embedding_index(ip, env, table=NOMATCH, path=NOMATCH,
     sdb = _as_sdb(out)
     sdb.df.rm_release_cache = getattr(out, "rm_release_cache", None)
     return sdb
+
+
+@builtin("$gramMatrix", 1)
+def _t_gram_matrix(ip, env, table=NOMATCH, vec_col="embedding"):
+    """Distributed scaled-integer Gram matrix (linalg.gram_matrix):
+    (i, j, gram_scaled) upper triangle, engine-exact (per-row floor to
+    the 1e-12 grid before any summation)."""
+    from ..operators import linalg
+    return _as_sdb(linalg.gram_matrix(
+        _table_df(table, "$gramMatrix"), _s(vec_col, "$gramMatrix")))
+
+
+@builtin("$pcaProject", 2)
+def _t_pca_project(ip, env, table=NOMATCH, k=NOMATCH,
+                   vec_col="embedding", id_col="vec_id", whiten=False):
+    """Project embeddings onto the top-k PCA components
+    (linalg.pca_project — fit from the distributed gram + mean, map-only
+    projection): (id, proj array<double>). whiten=true scales each
+    component to unit variance."""
+    from ..operators import linalg
+    return _as_sdb(linalg.pca_project(
+        _table_df(table, "$pcaProject"),
+        k=int(_n(k, "$pcaProject")),
+        vec_col=_s(vec_col, "$pcaProject"),
+        id_col=_s(id_col, "$pcaProject"),
+        whiten=bool(whiten)))

@@ -314,3 +314,30 @@ def test_index_admit_builtins(spark, tables, tmp_path):
     rows = out.df.collect()
     assert any(r.index_id % 3 == 1 for r in rows), \
         "no hits against the admitted batch — append not visible"
+
+
+def test_gram_and_pca_builtins(spark, tables):
+    import numpy as np
+    out = _run(spark, "$gramMatrix($db($emb))",
+               **{"$emb": tables["embeddings"]})
+    assert isinstance(out, SparkDB)
+    rows = out.df.collect()
+    d = max(r.i for r in rows)
+    assert len(rows) == d * (d + 1) // 2
+    assert set(out.df.columns) == {"i", "j", "gram_scaled"}
+    # diagonal cells are sums of squares — strictly positive
+    assert all(int(r.gram_scaled) > 0 for r in rows if r.i == r.j)
+
+    out = _run(spark, "$pcaProject($db($emb), 4)",
+               **{"$emb": tables["embeddings"]})
+    assert isinstance(out, SparkDB)
+    assert set(out.df.columns) == {"vec_id", "proj"}
+    prows = out.df.collect()
+    assert len(prows) == tables["embeddings"].count()
+    assert all(len(r.proj) == 4 for r in prows)
+    # whitened projections: population covariance == identity
+    out = _run(spark, "$pcaProject($db($emb), 4, 'embedding', 'vec_id', true)",
+               **{"$emb": tables["embeddings"]})
+    P = np.stack([np.asarray(r.proj) for r in out.df.collect()])
+    C = (P - P.mean(axis=0)).T @ (P - P.mean(axis=0)) / len(P)
+    assert np.abs(C - np.eye(4)).max() < 1e-6
