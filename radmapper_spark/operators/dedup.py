@@ -1092,7 +1092,9 @@ def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
     # which only arises from stats-bearing scans). Same rule as
     # graph._resolve_broadcast.
     unknown = est is None or est >= (1 << 62)
-    p_in = (F.broadcast(probe_side) if unknown or est <= bc_max
+    use_bc = unknown or est <= bc_max  # single decision: the join path
+    #        below and rm_probe_broadcast must never drift apart
+    p_in = (F.broadcast(probe_side) if use_bc
             else probe_side.hint("shuffle_hash"))
     paired = cand.join(idx_vec, "index_id").join(p_in, "new_id")
     p_t = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
@@ -1132,7 +1134,7 @@ def neardup_embedding_vs_index(new_emb: DataFrame, path: str,
     out.rm_release_cache = probe_base.unpersist
     # chosen physical path, exposed for tests / operators (same pattern
     # as graph results' rm_broadcast_path)
-    out.rm_probe_broadcast = bool(unknown or est <= bc_max)
+    out.rm_probe_broadcast = bool(use_bc)
     return out
 
 

@@ -30,9 +30,15 @@ SCALE = 10 ** 12
 # choice is purely physical.
 BROADCAST_MAX_BYTES_CONF = "rm.graph.broadcastMaxBytes"
 BROADCAST_MAX_BYTES_DEFAULT = 256 << 20
-# conservative bytes per broadcast (node, rank/label) row: a ~20-char id
-# plus a long plus java object overhead
-BROADCAST_ROW_BYTES = 64
+# conservative bytes per broadcast (node, rank/label) row. The JVM-side
+# footprint of a broadcast hash relation entry for a string-keyed row is
+# NOT the UTF-8 payload: a ~20-char java.lang.String is ~80 bytes
+# (object header + char data in UTF-16 + the backing array header), and
+# the map entry adds a boxed value + entry object + table slot — ~160
+# bytes all-in. Undercounting here admits broadcasts the
+# rm.graph.broadcastMaxBytes cap exists to prevent (the 256 MiB default
+# now gates at ~1.7M string-keyed nodes, not ~4M).
+BROADCAST_ROW_BYTES = 160
 
 
 def _resolve_broadcast(flag, nodes: DataFrame) -> bool:

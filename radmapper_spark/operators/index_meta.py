@@ -39,18 +39,28 @@ class IndexParamMismatch(ValueError):
 _META_CACHE: dict = {}
 
 
+# sentinel: the stat call itself failed (transient filesystem error) —
+# distinct from "the path does not exist", which is None. A failed stat
+# must NOT disable the mismatch guard: the cached meta (or a re-read)
+# still applies.
+_STAT_ERROR = object()
+
+
 def _meta_mtime(spark, key: str):
     """The ``_meta`` directory's filesystem modification time in millis
-    via the Hadoop FS API (metadata-only, no Spark job), or None when
-    the path does not exist / the filesystem call fails."""
+    via the Hadoop FS API (metadata-only, no Spark job); None when the
+    path provably does not exist; _STAT_ERROR when the filesystem call
+    itself failed (the sidecar may well exist)."""
     try:
         jvm = spark._jvm
         conf = spark._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(key)
         fs = p.getFileSystem(conf)
+        if not fs.exists(p):
+            return None
         return int(fs.getFileStatus(p).getModificationTime())
     except Exception:
-        return None
+        return _STAT_ERROR
 
 
 def invalidate_index_meta(path: str) -> None:
@@ -75,10 +85,18 @@ def read_index_meta(spark, path: str):
     mtime = _meta_mtime(spark, key)
     if key in _META_CACHE:
         cached_mtime, cached = _META_CACHE[key]
-        if mtime is not None and mtime == cached_mtime:
+        if mtime is not None and mtime is not _STAT_ERROR \
+                and mtime == cached_mtime:
             return cached
-        # sidecar rewritten by another process (mtime moved), deleted
-        # (mtime None), or cached without an mtime: re-read
+        if mtime is _STAT_ERROR:
+            # transient stat failure: the sidecar's state is UNKNOWN, so
+            # keep enforcing the last-known meta rather than silently
+            # dropping the mismatch guard (the guard regressing to
+            # "pass vacuously" on a namenode hiccup is exactly the
+            # wrong-family-garbage failure the sidecar exists to stop)
+            return cached
+        # sidecar rewritten by another process (mtime moved) or deleted
+        # (mtime None): drop the stale entry and re-resolve below
         _META_CACHE.pop(key, None)
     if mtime is None:
         # no sidecar: an index built before metadata existed, or a
@@ -87,12 +105,18 @@ def read_index_meta(spark, path: str):
         return None
     try:
         rows = spark.read.text(key).collect()
-    except Exception:
-        return None
+    except Exception as exc:
+        # only a provably-absent path downgrades to "no sidecar"; any
+        # other read failure propagates (fail loudly, never skip the
+        # guard on a transient error)
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "does not exist" in msg:
+            return None
+        raise
     # a sidecar that EXISTS but does not parse is corruption, not
     # legacy — fail loudly rather than skipping the guard
     meta = json.loads(rows[0]["value"]) if rows else None
-    if meta is not None:
+    if meta is not None and mtime is not _STAT_ERROR:
         _META_CACHE[key] = (mtime, meta)
     return meta
 

@@ -45,11 +45,13 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding",
     #                         this module, so closures must be self-contained
 
     def partial_gram(batches):
+        import decimal
+
         import numpy as np
         import pandas as pd
 
         d = dim_
-        acc = None
+        acc = None  # object dtype: exact Python-int cross-batch fold
         for pdf in batches:
             vecs = [v for v in pdf.iloc[:, 0] if v is not None]
             if not vecs:
@@ -64,25 +66,58 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding",
                 d = lens.pop()
             M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
             if acc is None:
-                acc = np.zeros((d, d), dtype=np.int64)
-            # floor per ROW-PAIR-CELL before summing: 64 row-sized
-            # passes instead of an n*d*d intermediate
-            for i in range(d):
-                acc[i, :] += (np.floor(M * (M[:, i:i + 1]) * gs)
-                              .astype(np.int64).sum(axis=0))
+                acc = np.zeros((d, d), dtype=object)
+            # int64 wraps SILENTLY on overflow, so bound each exact-
+            # int64 chunk: a cell's chunk sum is <= rows * (max|x|² *
+            # gs + 1); pick the chunk size that keeps it under 2^62 and
+            # fold chunk partials into the arbitrary-precision
+            # accumulator (d² object adds per chunk — noise). With
+            # unit-normalized vectors the chunk is ~4.6M rows, so the
+            # common case is one chunk per Arrow batch.
+            m = float(np.abs(M).max())
+            cell = m * m * gs + 1.0
+            if cell >= float(1 << 62):
+                raise ValueError(
+                    f"embedding magnitude {m:g} too large for the "
+                    f"1e-12 integer grid")
+            step = max(1, int(float(1 << 62) / cell))
+            for s0 in range(0, len(M), step):
+                Mc = M[s0:s0 + step]
+                part = np.zeros((d, d), dtype=np.int64)
+                # floor per ROW-PAIR-CELL before summing: d row-sized
+                # passes instead of an n*d*d intermediate
+                for i in range(d):
+                    part[i, :] = (np.floor(Mc * (Mc[:, i:i + 1]) * gs)
+                                  .astype(np.int64).sum(axis=0))
+                acc += part
         if acc is None:
             return
         iu, ju = np.triu_indices(d)
-        yield pd.DataFrame({"i": iu + 1, "j": ju + 1,
-                            "g": acc[iu, ju]})
+        yield pd.DataFrame({
+            "i": iu + 1, "j": ju + 1, "d": d,
+            "g": [decimal.Decimal(int(x)) for x in acc[iu, ju]]})
 
     part = emb.select(F.col(vec_col)).mapInPandas(
-        partial_gram, schema="i int, j int, g long")
-    # decimal sum: immune to long overflow however many partials arrive
-    return (part.groupBy("i", "j")
-            .agg(F.sum(F.col("g").cast("decimal(38,0)"))
-                 .alias("gram_scaled"))
-            .orderBy("i", "j"))
+        partial_gram, schema="i int, j int, d int, g decimal(38,0)")
+    # decimal partials + decimal sum: immune to long overflow however
+    # large the partitions or however many partials arrive
+    agg = (part.groupBy("i", "j")
+           .agg(F.sum("g").alias("gram_scaled"),
+                F.min("d").alias("_dmin"), F.max("d").alias("_dmax")))
+    # cross-PARTITION ragged guard: per-partition inference cannot see a
+    # corpus whose partitions each hold internally-consistent vectors of
+    # DIFFERENT lengths (one file per dimension) — their partials would
+    # merge into a silently wrong gram. Every non-empty partial emits
+    # cell (1,1), so min(d) != max(d) there detects any mismatch; the
+    # filter (not a droppable projection) raises at execution.
+    checked = agg.where(
+        F.when(F.col("_dmin") == F.col("_dmax"), F.lit(True))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("gram_matrix: ragged embedding column across "
+                  "partitions: dim "),
+            F.col("_dmin").cast("string"), F.lit(" vs "),
+            F.col("_dmax").cast("string")))))
+    return checked.drop("_dmin", "_dmax").orderBy("i", "j")
 
 
 def column_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -93,29 +128,63 @@ def column_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     gs = float(GRAM_SCALE)  # by-value capture (self-contained closure)
 
     def partial_sums(batches):
+        import decimal
+
         import numpy as np
         import pandas as pd
 
-        acc, n = None, 0
+        d, acc, n = None, None, 0
         for pdf in batches:
             vecs = [v for v in pdf.iloc[:, 0] if v is not None]
             if not vecs:
                 continue
+            lens = {len(v) for v in vecs}
+            if d is not None:
+                lens.add(d)
+            if len(lens) > 1:
+                raise ValueError(
+                    f"ragged embedding column: lengths {sorted(lens)}")
+            if d is None:
+                d = lens.pop()
             M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-            s = np.floor(M * gs).astype(np.int64).sum(axis=0)
-            acc = s if acc is None else acc + s
+            # same silent-int64-wrap guard as partial_gram: chunk so a
+            # cell's exact-int64 chunk sum stays under 2^62, fold into
+            # the arbitrary-precision accumulator
+            m = float(np.abs(M).max())
+            cell = m * gs + 1.0
+            if cell >= float(1 << 62):
+                raise ValueError(
+                    f"embedding magnitude {m:g} too large for the "
+                    f"1e-12 integer grid")
+            step = max(1, int(float(1 << 62) / cell))
+            if acc is None:
+                acc = np.zeros(d, dtype=object)
+            for s0 in range(0, len(M), step):
+                acc += (np.floor(M[s0:s0 + step] * gs)
+                        .astype(np.int64).sum(axis=0))
             n += len(vecs)
         if acc is None:
             return
-        yield pd.DataFrame({"i": np.arange(1, len(acc) + 1),
-                            "s": acc, "n": n})
+        yield pd.DataFrame({
+            "i": np.arange(1, d + 1), "d": d,
+            "s": [decimal.Decimal(int(x)) for x in acc], "n": n})
 
     part = emb.select(F.col(vec_col)).mapInPandas(
-        partial_sums, schema="i int, s long, n long")
-    return (part.groupBy("i")
-            .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("sum_scaled"),
-                 F.sum("n").alias("n_rows"))
-            .orderBy("i"))
+        partial_sums, schema="i int, d int, s decimal(38,0), n long")
+    agg = (part.groupBy("i")
+           .agg(F.sum("s").alias("sum_scaled"),
+                F.sum("n").alias("n_rows"),
+                F.min("d").alias("_dmin"), F.max("d").alias("_dmax")))
+    # cross-partition ragged guard (see gram_matrix): dimension 1 is
+    # present in every non-empty partial, so the mismatch always fires
+    checked = agg.where(
+        F.when(F.col("_dmin") == F.col("_dmax"), F.lit(True))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("column_sums: ragged embedding column across "
+                  "partitions: dim "),
+            F.col("_dmin").cast("string"), F.lit(" vs "),
+            F.col("_dmax").cast("string")))))
+    return checked.drop("_dmin", "_dmax").orderBy("i")
 
 
 def fit_pca(emb: DataFrame, k: int, vec_col: str = "embedding"):
@@ -129,10 +198,14 @@ def fit_pca(emb: DataFrame, k: int, vec_col: str = "embedding"):
 
     g_rows = gram_matrix(emb, vec_col).collect()
     s_rows = column_sums(emb, vec_col).collect()
+    if not s_rows:
+        # column_sums only emits rows for partitions that saw vectors,
+        # so an empty/all-null corpus arrives here as ZERO rows (not
+        # n_rows == 0) — guard before the max() below turns it into a
+        # bare "empty sequence" error
+        raise ValueError("fit_pca: no non-null vectors")
     d = max(r["i"] for r in s_rows)
     n = int(s_rows[0]["n_rows"])
-    if n == 0:
-        raise ValueError("fit_pca: no non-null vectors")
     if not (0 < k <= d):
         raise ValueError(f"fit_pca: k must be in 1..{d}, got {k}")
     G = np.zeros((d, d))

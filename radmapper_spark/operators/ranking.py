@@ -46,6 +46,19 @@ def bounded_global_rank(top: DataFrame, order_cols,
             .withColumn(rank_col, F.row_number().over(w)))
 
 
+def _free_name(df: DataFrame, base: str) -> str:
+    """An internal column name that does not collide with the caller's
+    schema — withColumn silently REPLACES an existing column, so using a
+    fixed ``_rm_*`` name on a frame that already has it would clobber
+    and then drop the user's data."""
+    name, i = base, 2
+    cols = set(df.columns)
+    while name in cols:
+        name = f"{base}{i}"
+        i += 1
+    return name
+
+
 def global_rank(df: DataFrame, order_cols, rank_col: str = "rank",
                 _total_col: str = None) -> DataFrame:
     """Exact 1-based global rank (row_number semantics: ties broken by
@@ -59,29 +72,29 @@ def global_rank(df: DataFrame, order_cols, rank_col: str = "rank",
         p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     except Exception:
         p = 200
+    pid, off, cnt = (_free_name(df, "_rm_pid"), _free_name(df, "_rm_off"),
+                     _free_name(df, "_rm_n"))
     parts = (df.repartitionByRange(p, *order_cols)
-             .withColumn("_rm_pid", F.spark_partition_id())
+             .withColumn(pid, F.spark_partition_id())
              .persist())
-    counts = (parts.groupBy("_rm_pid")
-              .agg(F.count(F.lit(1)).alias("_rm_n")))
+    counts = (parts.groupBy(pid)
+              .agg(F.count(F.lit(1)).alias(cnt)))
     # cumulative offsets over the <= p count rows: a bounded single
     # task (same pattern as bounded_global_rank), never the data
     woff = (Window.partitionBy(F.spark_partition_id())
-            .orderBy("_rm_pid")
+            .orderBy(pid)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     offs = (counts.coalesce(1)
-            .withColumn("_rm_off",
-                        F.sum("_rm_n").over(woff) - F.col("_rm_n")))
-    w = Window.partitionBy("_rm_pid").orderBy(*order_cols)
-    out = (parts.join(F.broadcast(offs.select("_rm_pid", "_rm_off")),
-                      "_rm_pid")
+            .withColumn(off, F.sum(cnt).over(woff) - F.col(cnt)))
+    w = Window.partitionBy(pid).orderBy(*order_cols)
+    out = (parts.join(F.broadcast(offs.select(pid, off)), pid)
            .withColumn(rank_col,
-                       (F.row_number().over(w) + F.col("_rm_off"))
+                       (F.row_number().over(w) + F.col(off))
                        .cast("long")))
     if _total_col is not None:
-        tot = counts.agg(F.sum("_rm_n").alias(_total_col))
+        tot = counts.agg(F.sum(cnt).alias(_total_col))
         out = out.crossJoin(F.broadcast(tot))
-    out = out.drop("_rm_pid", "_rm_off")
+    out = out.drop(pid, off)
     out.rm_release_cache = parts.unpersist
     return out
 
@@ -95,9 +108,9 @@ def global_ntile(df: DataFrame, k: int, order_cols,
     is column arithmetic on (rank, total)."""
     if k <= 0:
         raise ValueError(f"ntile k must be positive, got {k}")
-    ranked = global_rank(df, order_cols, rank_col="_rm_r",
-                         _total_col="_rm_tot")
-    r, n = F.col("_rm_r"), F.col("_rm_tot")
+    rcol, tcol = _free_name(df, "_rm_r"), _free_name(df, "_rm_tot")
+    ranked = global_rank(df, order_cols, rank_col=rcol, _total_col=tcol)
+    r, n = F.col(rcol), F.col(tcol)
     base = F.floor(n / k).cast("long")
     rem = (n % k).cast("long")
     head = rem * (base + 1)
@@ -109,6 +122,6 @@ def global_ntile(df: DataFrame, k: int, order_cols,
         # only dodges a div-by-zero in the never-taken branch
         rem + F.floor((r - head - 1) / F.greatest(base, F.lit(1))) + 1)
     out = (ranked.withColumn(tile_col, tile.cast("int"))
-           .drop("_rm_r", "_rm_tot"))
+           .drop(rcol, tcol))
     out.rm_release_cache = ranked.rm_release_cache
     return out

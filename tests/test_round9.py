@@ -51,7 +51,7 @@ def test_graph_auto_broadcasts_small_nodes_on_large_edge_scan(spark, tmp_path):
     stats propagate roughly the edge-scan size through the node-set
     distinct (no aggregate-reduction modeling), so a sizeInBytes-based
     auto gate would refuse to broadcast here; the node-COUNT heuristic
-    (50 * BROADCAST_ROW_BYTES = 3.2 KB vs a 16 KB cap) must pick the
+    (50 * BROADCAST_ROW_BYTES = 8 KB vs a 16 KB cap) must pick the
     broadcast path."""
     from radmapper_spark.operators import graph
     rng = random.Random(11)
@@ -466,3 +466,101 @@ def test_bounded_global_rank_matches(spark):
                        key=lambda t: (-t[0], t[1]))[:25]
     want = {(vid, i + 1) for i, (_, vid) in enumerate(want_rows)}
     assert got == want
+
+
+# ------------------ round-9 self-review fixes (one test per finding)
+
+def test_gram_matrix_cross_partition_ragged_raises(spark):
+    """Partitions internally consistent but dims differing ACROSS
+    partitions (one source file per dimension): per-partition inference
+    cannot see it, so the combine-stage d-guard must raise instead of
+    merging the partials into a silently wrong gram."""
+    from radmapper_spark.operators import linalg
+    a = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(5)],
+        "vec_id long, embedding array<double>").coalesce(1)
+    b = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(5)],
+        "vec_id long, embedding array<double>").coalesce(1)
+    u = a.union(b)  # union concatenates partitions: no partition mixes
+    with pytest.raises(Exception, match="ragged"):
+        linalg.gram_matrix(u, "embedding").collect()
+    with pytest.raises(Exception, match="ragged"):
+        linalg.column_sums(u, "embedding").collect()
+
+
+def test_gram_matrix_overflow_safe_beyond_int64(spark):
+    """Scaled cells summing past int64 (numpy wraps SILENTLY): the
+    chunked object-dtype fold must return the exact value. One cell
+    here is floor(2000^2 * 1e12) = 4e18 per row; five rows = 2e19,
+    past the 9.2e18 int64 ceiling."""
+    from radmapper_spark.operators import linalg
+    df = spark.createDataFrame(
+        [(i, [2000.0, 0.5]) for i in range(5)],
+        "vec_id long, embedding array<double>").coalesce(1)
+    rows = {(r.i, r.j): int(r.gram_scaled)
+            for r in linalg.gram_matrix(df, "embedding").collect()}
+    assert rows[(1, 1)] == 5 * 4 * 10 ** 18  # > 2^63-1: exact, no wrap
+    assert rows[(1, 2)] == 5 * 10 ** 15
+    assert rows[(2, 2)] == 5 * 25 * 10 ** 10
+    s = {r.i: int(r.sum_scaled)
+         for r in linalg.column_sums(df, "embedding").collect()}
+    assert s[1] == 5 * 2 * 10 ** 15
+
+
+def test_gram_matrix_magnitude_too_large_raises(spark):
+    """Coordinates whose single-row scaled cell cannot fit the exact-
+    int64 chunk bound raise a clear error instead of degrading."""
+    from radmapper_spark.operators import linalg
+    df = spark.createDataFrame(
+        [(1, [3000.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="too large"):
+        linalg.gram_matrix(df, "embedding").collect()
+
+
+def test_fit_pca_empty_corpus_clear_error(spark):
+    """All-null corpus: column_sums emits ZERO rows, which must surface
+    as the intended 'no non-null vectors' error, not a bare max()."""
+    from radmapper_spark.operators import linalg
+    empty = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        linalg.fit_pca(empty, 2, "embedding")
+
+
+def test_global_ntile_preserves_caller_rm_columns(spark):
+    """withColumn REPLACES a same-named column, so the internal
+    bookkeeping names must dodge the caller's schema instead of
+    clobbering (and then dropping) the user's data."""
+    from radmapper_spark.operators.ranking import global_ntile
+    df = (spark.range(100)
+          .withColumn("_rm_pid", F.col("id") * 2)
+          .withColumn("_rm_tot", F.col("id") + 7)
+          .withColumn("_rm_r", F.col("id") % 3)
+          .withColumn("_rm_off", F.lit(9)))
+    out = global_ntile(df, 4, [F.col("id")])
+    assert {"_rm_pid", "_rm_tot", "_rm_r", "_rm_off"} <= set(out.columns)
+    rows = out.orderBy("id").collect()
+    assert [r["_rm_pid"] for r in rows] == [i * 2 for i in range(100)]
+    assert [r["_rm_tot"] for r in rows] == [i + 7 for i in range(100)]
+    assert [r["tile"] for r in rows] == [i // 25 + 1 for i in range(100)]
+    out.rm_release_cache()
+
+
+def test_index_meta_stat_error_keeps_guard(spark, tmp_path, monkeypatch):
+    """A transient filesystem stat failure must NOT disable the
+    mismatch guard: the cached meta stays enforced, and with a cold
+    cache the sidecar is still read (stat-error != absent)."""
+    from radmapper_spark.operators import index_meta as im
+    p = str(tmp_path / "idx")
+    im.write_index_meta(spark, p, "test_kind", {"bands": 8})
+    assert im.read_index_meta(spark, p)["bands"] == 8
+    monkeypatch.setattr(im, "_meta_mtime",
+                        lambda s, k: im._STAT_ERROR)
+    meta = im.read_index_meta(spark, p)  # warm cache: last-known meta
+    assert meta is not None and meta["bands"] == 8
+    with pytest.raises(im.IndexParamMismatch, match="bands"):
+        im.check_index_meta(spark, p, "test_kind", {"bands": 9}, "probe")
+    im._META_CACHE.clear()  # cold cache: falls through to the read
+    meta = im.read_index_meta(spark, p)
+    assert meta is not None and meta["bands"] == 8
