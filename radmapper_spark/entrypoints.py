@@ -2420,6 +2420,34 @@ def embedding_pca_sql() -> str:
     """
 
 
+_DSIR_TARGET = "'src0', 'src1', 'src2'"  # the curated-sample stand-in
+_DSIR_K = 100
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance selection (operators.selection): score the
+    raw corpus (sources outside the target set) by hashed-bigram
+    likeness to the target sample (src0-src2), keep the deterministic
+    top-100 as (doc_id, score, sel_rank). Engine-exact: portable ph28
+    bucketing + integer-DIV weights summed per doc — no floats anywhere
+    in the ranking, so the DuckDB oracle reproduces the cut exactly.
+    Scale shape: both count tables and the weight table are bounded by
+    ``buckets`` rows (broadcast), the corpus-sized work is ONE per-doc
+    aggregate, and the cut is TakeOrderedAndProject."""
+    from .operators import selection
+    docs = load_tables(spark, sf_dir)["documents"]
+    tgt = F.col("source").isin("src0", "src1", "src2")
+    return selection.dsir_select(
+        docs.filter(~tgt), docs.filter(tgt), k=_DSIR_K)
+
+
+def dsir_select_sql() -> str:
+    from .operators import selection
+    return selection.duck_dsir_sql(
+        raw_pred=f"source NOT IN ({_DSIR_TARGET})",
+        target_pred=f"source IN ({_DSIR_TARGET})", k=_DSIR_K)
+
+
 # =============================================================== corpus pipeline
 
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3388,6 +3416,7 @@ ENTRIES: dict = {
     # NEW r9: distributed embedding linear algebra
     "embedding_gram": (embedding_gram, embedding_gram_sql),
     "embedding_pca": (embedding_pca, embedding_pca_sql),
+    "dsir_select": (dsir_select, dsir_select_sql),
 }
 
 # =========== r9 window rotation. The driver's correctness gate checks
@@ -3419,9 +3448,13 @@ _R9_WINDOW = [
     # re-prove under the external gate. The graph entries also changed
     # (auto path selection) but stay outside: both paths are proven
     # bit-identical locally (test_scale_stress) and they hold r8 rows.
-    "embedding_probe", "neardup_probe", "neardup_admit",
-    # NEW r9 entries — first external row
-    "embedding_gram", "embedding_pca",
+    "embedding_probe", "neardup_probe",
+    # NEW r9 entries — first external row. (neardup_admit yields its
+    # slot to dsir_select: it holds an r8 green row, its r9 transitive-
+    # admission change is proven by the 20-batch fold differential and
+    # the e2e chain tests, and its two siblings above exercise the same
+    # r9-changed probe/gate code under the external gate.)
+    "embedding_gram", "embedding_pca", "dsir_select",
 ]
 assert len(_R9_WINDOW) == 50 and set(_R9_WINDOW) <= set(ENTRIES)
 ENTRIES = {k: ENTRIES[k] for k in

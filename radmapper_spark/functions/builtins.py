@@ -1573,4 +1573,22 @@ def _t_pca_project(ip, env, table=NOMATCH, k=NOMATCH,
         k=int(_n(k, "$pcaProject")),
         vec_col=_s(vec_col, "$pcaProject"),
         id_col=_s(id_col, "$pcaProject"),
-        whiten=bool(whiten)))
+        # language truthiness, not Python's: a path-navigated false
+        # arrives JSeq-wrapped and bool(JSeq([False])) is True
+        whiten=truthy(jflatten(whiten))))
+
+
+@builtin("$dsirSelect", 3)
+def _t_dsir_select(ip, env, raw=NOMATCH, target=NOMATCH, k=NOMATCH,
+                   text_col="text", id_col="doc_id"):
+    """Importance-weighted data selection (operators.selection,
+    DSIR-shaped): score ``raw`` docs by hashed-bigram likeness to the
+    ``target`` sample, return the deterministic top-k as (id, score,
+    sel_rank)."""
+    from ..operators import selection
+    return _as_sdb(selection.dsir_select(
+        _table_df(raw, "$dsirSelect"),
+        _table_df(target, "$dsirSelect"),
+        k=int(_n(k, "$dsirSelect")),
+        text_col=_s(text_col, "$dsirSelect"),
+        id_col=_s(id_col, "$dsirSelect")))

@@ -341,3 +341,21 @@ def test_gram_and_pca_builtins(spark, tables):
     P = np.stack([np.asarray(r.proj) for r in out.df.collect()])
     C = (P - P.mean(axis=0)).T @ (P - P.mean(axis=0)) / len(P)
     assert np.abs(C - np.eye(4)).max() < 1e-6
+
+
+def test_pca_project_whiten_language_truthiness(spark, tables):
+    """A path-navigated false arrives JSeq-wrapped, and bool(JSeq([
+    False])) is True (non-empty list) — the builtin must coerce whiten
+    through language truthiness, so a wrapped false means PLAIN
+    projection, identical to omitting the flag."""
+    import numpy as np
+    from radmapper_spark.lang.values import JSeq
+    plain = _run(spark, "$pcaProject($db($emb), 4)",
+                 **{"$emb": tables["embeddings"]})
+    wrapped = _run(
+        spark, "$pcaProject($db($emb), 4, 'embedding', 'vec_id', $w)",
+        **{"$emb": tables["embeddings"], "$w": JSeq([False])})
+    a = {r.vec_id: np.asarray(r.proj) for r in plain.df.collect()}
+    b = {r.vec_id: np.asarray(r.proj) for r in wrapped.df.collect()}
+    assert a.keys() == b.keys()
+    assert max(np.abs(a[k] - b[k]).max() for k in a) == 0.0
