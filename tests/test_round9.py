@@ -564,3 +564,109 @@ def test_index_meta_stat_error_keeps_guard(spark, tmp_path, monkeypatch):
     im._META_CACHE.clear()  # cold cache: falls through to the read
     meta = im.read_index_meta(spark, p)
     assert meta is not None and meta["bands"] == 8
+
+
+# ---------------------------------------- OPQ rotation + rotated PQ ANN
+
+def test_opq_rotation_orthonormal_deterministic(spark):
+    """The rotation is orthonormal (cosine-preserving by construction)
+    and BIT-identical at any partitioning — it derives from the
+    engine-exact gram aggregate plus driver-side eigh, so parallelism
+    cannot perturb it."""
+    import numpy as np
+    from radmapper_spark.operators import similarity
+    emb = _rand_emb(spark, n=300, d=16, parts=5)
+    R1, n1 = similarity.opq_rotation(emb, m=8)
+    R2, n2 = similarity.opq_rotation(emb.repartition(13), m=8)
+    d = R1.shape[0]
+    assert np.abs(R1 @ R1.T - np.eye(d)).max() < 1e-9
+    assert np.array_equal(R1, R2) and n1 == n2 == 300
+
+
+def test_opq_rotation_preserves_exact_topk(spark):
+    """Rotating corpus AND queries with the shared R leaves the exact
+    cosine top-k unchanged — the property that keeps opq_topk's rerank
+    stage exact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import similarity
+    from radmapper_spark.operators.linalg import pca_project
+    emb = _rand_emb(spark, n=300, d=16, parts=5)
+    q = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    R, n = similarity.opq_rotation(emb, m=8)
+    fit = (R, np.ones(16), np.zeros(16), n)
+    rc = pca_project(emb, 16, id_col="vec_id", out_col="embedding", fit=fit)
+    rq = pca_project(q, 16, id_col="qid", out_col="embedding", fit=fit)
+    plain = sorted((r.qid, r.cid, r.rank) for r in
+                   similarity.brute_force_topk(emb, q, k=10).collect())
+    rot = sorted((r.qid, r.cid, r.rank) for r in
+                 similarity.brute_force_topk(rc, rq, k=10).collect())
+    assert plain == rot
+
+
+def test_opq_topk_recall_clears_entry_bar(spark):
+    """At the entry's parameters every query's rotated-PQ recall clears
+    the driver oracle's 0.85 gate on the fixture embeddings (the entry
+    then emits exact rows for gated queries, so boundary-tie candidate
+    differences cannot leak into the hash)."""
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import similarity
+    from radmapper_spark.entrypoints import load_tables
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    emb = t["embeddings"]
+    q = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    exact = {(r.qid, r.cid) for r in
+             similarity.brute_force_topk(emb, q, k=10).collect()}
+    opq = {(r.qid, r.cid) for r in
+           similarity.opq_topk(emb, q, k=10, m=16, ksub=16,
+                               rerank=24).collect()}
+    per_q = {}
+    for qid, cid in exact:
+        per_q.setdefault(qid, [0, 0])[1] += 1
+        if (qid, cid) in opq:
+            per_q[qid][0] += 1
+    recalls = {qid: hit / tot for qid, (hit, tot) in per_q.items()}
+    assert min(recalls.values()) >= 0.85, recalls
+
+
+def test_opq_allocation_balances_eigen_products(spark):
+    """The greedy eigenvalue allocation spreads principal directions so
+    subspace log-variance products are tighter than grouping the SAME
+    sorted eigen-directions contiguously (the naive split it replaces)."""
+    import numpy as np
+    from radmapper_spark.operators import similarity
+    from radmapper_spark.operators.linalg import GRAM_SCALE, gram_matrix
+    rng = __import__("random").Random(5)
+    # anisotropic: coordinate j scaled by 2^-j/3 — a skewed spectrum
+    rows = [(i, [rng.uniform(-1, 1) * (2.0 ** (-j / 3.0))
+                 for j in range(16)]) for i in range(400)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(5)
+    R, n = similarity.opq_rotation(emb, m=4)
+    G = np.zeros((16, 16))
+    for r in gram_matrix(emb, "embedding", dim=16).collect():
+        G[r.i - 1, r.j - 1] = G[r.j - 1, r.i - 1] = (
+            float(r.gram_scaled) / GRAM_SCALE)
+    vals = np.sort(np.linalg.eigvalsh(G / n))[::-1]
+    logs = np.log(np.maximum(vals, 1e-12))
+    # R's rows are grouped by subspace; recover each row's eigenvalue
+    # via the Rayleigh quotient r M2 r^T
+    M2 = G / n
+    rv = np.array([row @ M2 @ row for row in R])
+    alloc = [np.log(np.maximum(rv[j * 4:(j + 1) * 4], 1e-12)).sum()
+             for j in range(4)]
+    contig = [logs[j * 4:(j + 1) * 4].sum() for j in range(4)]
+    assert (max(alloc) - min(alloc)) <= (max(contig) - min(contig)) + 1e-9
+
+
+def test_opq_error_cases(spark):
+    from radmapper_spark.operators import similarity
+    emb = _rand_emb(spark, n=50, d=10)
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.opq_rotation(emb, m=3)
+    empty = spark.createDataFrame(
+        [(1, None)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        similarity.opq_rotation(empty, m=2)
