@@ -460,10 +460,14 @@ def opq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      out_col="_rv", fit=rot_fit)
     rq = pca_project(queries, d, vec_col=vec_col, id_col=qid_col,
                      out_col="_rv", fit=rot_fit)
-    ck = None if cache_key is None else (cache_key, "opq", m, ksub)
+    # cache_key passes through UNWRAPPED so release_codebooks(cache_key)
+    # evicts these codebooks too (it matches on key[0]); the rotated
+    # vec_col "_rv" inside train_pq_codebooks' key already separates
+    # OPQ codebooks from any plain-PQ fit under the same corpus key,
+    # and m is in the key, so different rotations cannot alias
     return pq_topk(rc, rq, k=k, vec_col="_rv", id_col=id_col,
                    qid_col=qid_col, m=m, ksub=ksub, rerank=rerank,
-                   cache_key=ck)
+                   cache_key=cache_key)
 
 
 # ----------------------------------------------------- persisted IVF index

@@ -670,3 +670,20 @@ def test_opq_error_cases(spark):
         [(1, None)], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no non-null vectors"):
         similarity.opq_rotation(empty, m=2)
+
+
+def test_opq_codebooks_evicted_by_release(spark):
+    """release_codebooks(cache_key) must evict the OPQ rotation AND the
+    rotated-space PQ codebooks fitted under that key (a nested tuple
+    key would silently dodge the key[0] match and leak)."""
+    from pyspark.sql import functions as F
+    from radmapper_spark.operators import similarity
+    emb = _rand_emb(spark, n=120, d=8)
+    q = emb.limit(2).select(F.col("vec_id").alias("qid"), "embedding")
+    similarity.opq_topk(emb, q, k=5, m=4, ksub=4, rerank=2,
+                        cache_key="evict-me").collect()
+    mine = [k for k in similarity._CODEBOOK_CACHE if k[0] == "evict-me"]
+    assert len(mine) >= 2  # the rotation and the PQ books
+    assert similarity.release_codebooks("evict-me") == len(mine)
+    assert not [k for k in similarity._CODEBOOK_CACHE
+                if k[0] == "evict-me"]

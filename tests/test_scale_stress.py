@@ -905,3 +905,67 @@ def test_global_ntile_2m_rows(spark):
         assert prev.lo >= cur.hi, "bucket order violates the sort key"
     tiled.rm_release_cache()
     assert dt < 120
+
+
+def test_dsir_500k_docs(spark, big_docs):
+    """DSIR selection at 500k docs: the weight table stays broadcast
+    (never a corpus shuffle at occurrence grain), the cut plans as
+    TakeOrderedAndProject, and the selection is bit-identical across
+    partitionings (integer scoring)."""
+    import time
+    from radmapper_spark.operators import selection
+
+    tgt = F.col("source").isin(*[f"src{i}" for i in range(4)])
+    raw, target = big_docs.filter(~tgt), big_docs.filter(tgt)
+    t0 = time.monotonic()
+    sel = selection.dsir_select(raw, target, k=200)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = sorted((r.doc_id, r.score, r.sel_rank) for r in sel.collect())
+    dt = time.monotonic() - t0
+    print(f"  dsir_select 500k docs: {dt:.1f}s")
+    assert len(rows) == 200
+    again = sorted((r.doc_id, r.score, r.sel_rank) for r in
+                   selection.dsir_select(raw.repartition(7), target,
+                                         k=200).collect())
+    assert rows == again
+    assert dt < 240
+
+
+def test_opq_rotation_50k_vectors(spark):
+    """OPQ fit at 50k x 64-d vectors: ONE corpus pass (the d²-bounded
+    gram tree-aggregate) + driver eigh; rotation orthonormal; the
+    rotated-PQ search returns the full top-k contract."""
+    import time
+
+    import numpy as np
+    from radmapper_spark.operators import similarity
+
+    n, d = 50_000, 64
+    emb = (spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: (F.pmod(F.xxhash64("id", i), 2001) - 1000)
+            / 1000.0).alias("embedding"))
+        .repartition(16).persist())
+    emb.count()
+    try:
+        t0 = time.monotonic()
+        R, cnt = similarity.opq_rotation(emb, m=16, cache_key="st50k")
+        fit_dt = time.monotonic() - t0
+        assert cnt == n and R.shape == (d, d)
+        assert np.abs(R @ R.T - np.eye(d)).max() < 1e-9
+        q = emb.limit(3).select(F.col("vec_id").alias("qid"), "embedding")
+        t0 = time.monotonic()
+        out = similarity.opq_topk(emb, q, k=10, m=16, ksub=16, rerank=8,
+                                  cache_key="st50k")
+        rows = out.collect()
+        search_dt = time.monotonic() - t0
+        print(f"  opq 50k: fit {fit_dt:.1f}s, search {search_dt:.1f}s")
+        assert len(rows) == 30
+        assert fit_dt < 120 and search_dt < 180
+    finally:
+        emb.unpersist()
+        similarity.release_codebooks("st50k")
