@@ -2457,6 +2457,99 @@ _DSIR_TARGET = "'src0', 'src1', 'src2'"  # the curated-sample stand-in
 _DSIR_K = 100
 
 
+def _probe_features(docs: DataFrame):
+    """The quality-probe design frame: three deterministic document
+    features + the curated-sample label, every double computed by IEEE
+    ops the DuckDB oracle replays verbatim."""
+    toks = F.size(F.filter(F.split(F.lower(F.col("text")), r"[^a-z]+"),
+                           lambda t: t != "")).cast("double")
+    nc = F.col("n_chars").cast("double")
+    return docs.select(
+        (nc / F.lit(1000.0)).alias("f_len"),
+        (toks / F.lit(100.0)).alias("f_tok"),
+        (nc / (toks + F.lit(1.0)) / F.lit(10.0)).alias("f_awl"),
+        F.when(F.col("source").isin("src0", "src1", "src2"),
+               F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"))
+
+
+_PROBE_FEATS = ["f_len", "f_tok", "f_awl"]
+_PROBE_LAM = 1e-6
+
+
+_PROBE_FIT_CACHE: dict = {}
+
+
+def _probe_fit(spark: SparkSession, sf_dir: str):
+    """Memoized bounded probe fit (same first-construction-only
+    contract as _pca_fit / the codebook cache): the d²-row moment
+    collect and the driver ridge solve run once per (session, sf_dir)."""
+    from .operators import linalg
+    key = (session_key(spark), sf_dir)
+    if key not in _PROBE_FIT_CACHE:
+        for other in [o for o in _PROBE_FIT_CACHE if o != key]:
+            _PROBE_FIT_CACHE.pop(other)
+        docs = load_tables(spark, sf_dir)["documents"]
+        feat = _probe_features(docs)
+        rows = linalg.design_moments(feat, _PROBE_FEATS, "y").collect()
+        w, n, resid = linalg.solve_ridge(rows, len(_PROBE_FEATS),
+                                         _PROBE_LAM)
+        _PROBE_FIT_CACHE[key] = (w, n, resid)
+    return _PROBE_FIT_CACHE[key]
+
+
+def quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear quality classifier (fasttext-style probe
+    without the embedding lookup; operators.linalg.fit_ridge): ONE
+    d²-bounded corpus pass collects the engine-exact normal-equation
+    moments (features + bias + label through the scaled-integer gram),
+    the driver solves the (k+1)×(k+1) ridge system, and scoring any
+    corpus is a pure-Catalyst projection (linalg.linear_score — no UDF,
+    no shuffle). The entry emits BOTH faces: the 15 moment cells
+    verbatim ('m' rows — the distributed computation, value-checked by
+    the oracle's identical SQL pipeline) and the normal-equation
+    residual certificate ('r' rows — all 0.0 iff the solve is
+    consistent with those moments; relative residual rounded to 6 dp,
+    the embedding_pca self-certifying pattern)."""
+    from .operators import linalg
+    docs = load_tables(spark, sf_dir)["documents"]
+    feat = _probe_features(docs)
+    moments = linalg.design_moments(feat, _PROBE_FEATS, "y")
+    _w, _n, resid = _probe_fit(spark, sf_dir)
+    mrows = moments.select(
+        F.lit("m").alias("kind"), "i", "j",
+        F.col("gram_scaled").cast("string").alias("val"))
+    rrows = spark.createDataFrame(
+        [("r", i + 1, 1, str(round(float(v), 6) + 0.0))
+         for i, v in enumerate(resid)],
+        "kind string, i int, j int, val string")
+    return mrows.unionAll(rrows)
+
+
+def quality_probe_sql() -> str:
+    k1 = len(_PROBE_FEATS) + 1
+    return f"""
+    WITH base AS (
+        SELECT n_chars::DOUBLE AS nc,
+               len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               t -> t <> ''))::DOUBLE AS tok,
+               CASE WHEN source IN ({_DSIR_TARGET})
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+    f AS (SELECT list_value(nc / 1000.0, tok / 100.0,
+                            nc / (tok + 1.0) / 10.0, 1.0, y) AS x
+          FROM base),
+    idx AS (SELECT unnest(range(1, 6))::INT AS i),
+    pairs AS (SELECT a.i AS i, b.i AS j
+              FROM idx a JOIN idx b ON a.i <= b.i)
+    SELECT 'm' AS kind, p.i, p.j,
+           sum(floor(f.x[p.i] * f.x[p.j] * 1e12)::BIGINT)::VARCHAR AS val
+    FROM f CROSS JOIN pairs p
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'r', unnest(range(1, {k1 + 1}))::INT, 1, '0.0'
+    """
+
+
 def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-shaped importance selection (operators.selection): score the
     raw corpus (sources outside the target set) by hashed-bigram
@@ -3415,6 +3508,10 @@ ENTRIES: dict = {
     "dq_checks": (dq_checks, dq_checks_sql),
     "ann_pq_topk": (ann_pq_topk, ann_pq_topk_sql),
     "ann_opq_topk": (ann_opq_topk, ann_opq_topk_sql),
+    # registered OUTSIDE the full r9 window (position 51+): first
+    # external row lands in r10's rotation; until then the local
+    # three-SF sweep and oracle lint gate it every run
+    "quality_probe": (quality_probe, quality_probe_sql),
     "embedding_quantize": (embedding_quantize, embedding_quantize_sql),
     "numeric_battery": (numeric_battery, numeric_battery_sql),
     "temporal_rollup": (temporal_rollup, temporal_rollup_sql),

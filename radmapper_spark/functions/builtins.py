@@ -1578,6 +1578,22 @@ def _t_pca_project(ip, env, table=NOMATCH, k=NOMATCH,
         whiten=truthy(jflatten(whiten))))
 
 
+@builtin("$linearProbe", 3)
+def _t_linear_probe(ip, env, table=NOMATCH, feats=NOMATCH,
+                    label=NOMATCH, lam=1e-6):
+    """Closed-form ridge linear probe (linalg.fit_ridge): fit on the
+    table's feature columns against the label column (one d²-bounded
+    moment pass + driver solve), then score every row with a
+    pure-Catalyst projection — returns the table plus ``probe_score``."""
+    from ..operators import linalg
+    df = _table_df(table, "$linearProbe")
+    fc = [_s(c, "$linearProbe") for c in as_array(jflatten(feats))]
+    w, _cnt = linalg.fit_ridge(df, fc, _s(label, "$linearProbe"),
+                               lam=float(_n(lam, "$linearProbe")))
+    return _as_sdb(df.withColumn("probe_score",
+                                 linalg.linear_score(w, fc)))
+
+
 @builtin("$dsirSelect", 3)
 def _t_dsir_select(ip, env, raw=NOMATCH, target=NOMATCH, k=NOMATCH,
                    text_col="text", id_col="doc_id"):

@@ -227,6 +227,74 @@ def fit_pca(emb: DataFrame, k: int, vec_col: str = "embedding"):
     return comp, vals[order], mean, n
 
 
+def design_moments(df: DataFrame, feat_cols, label_col: str) -> DataFrame:
+    """Scaled-integer normal-equation moments for a linear probe: per
+    row assemble [f_1..f_k, 1.0 (bias), y] and reuse gram_matrix — the
+    upper triangle then carries A = Xᵀ X over features+bias (cells with
+    j <= k+1) AND b = Xᵀ y (cells with j = k+2) in ONE corpus pass with
+    the d²-bounded tree-aggregate shape. Same engine-exact contract as
+    gram_matrix: per-row floor to the 1e-12 grid before any summation,
+    so the moments are bit-identical at any parallelism and
+    reproducible by the DuckDB oracle."""
+    arr = F.array(*[F.col(c).cast("double") for c in feat_cols],
+                  F.lit(1.0), F.col(label_col).cast("double"))
+    return gram_matrix(df.select(arr.alias("_x")), "_x",
+                       dim=len(feat_cols) + 2)
+
+
+def fit_ridge(df: DataFrame, feat_cols, label_col: str,
+              lam: float = 1e-6):
+    """Closed-form ridge linear probe (the fasttext-style quality-
+    classifier shape without the embedding lookup): solve
+    (A + lam*n*I) w = b on the DRIVER from the distributed moments —
+    the collect is (k+2)² rows, bounded by the feature count, never the
+    corpus. Regularization scales with n so lam means the same thing at
+    any corpus size; the bias coefficient is regularized too (keeps the
+    system symmetric positive definite and the solve deterministic).
+    Returns (w, n): w has k feature coefficients + the bias last."""
+    rows = design_moments(df, feat_cols, label_col).collect()
+    w, n, _ = solve_ridge(rows, len(feat_cols), lam)
+    return w, n
+
+
+def solve_ridge(moment_rows, k: int, lam: float = 1e-6):
+    """Driver-side solve from collected design_moments rows: returns
+    (w, n, rel_resid) where rel_resid is the normal-equation residual
+    (A + lam*n*I) w - b scaled by max(1, |b|_inf) — a certificate that
+    rounds to all-zeros iff the moments and the solve are consistent
+    (the oracle-able face of the fit, same self-certifying pattern as
+    the PCA whitening identity)."""
+    import numpy as np
+
+    d = k + 2
+    if not moment_rows:
+        raise ValueError("fit_ridge: no rows")
+    M = np.zeros((d, d))
+    for r in moment_rows:
+        M[r["i"] - 1, r["j"] - 1] = M[r["j"] - 1, r["i"] - 1] = (
+            float(r["gram_scaled"]) / GRAM_SCALE)
+    n = M[k, k]  # bias·bias cell: sum of 1*1 = the row count, exactly
+    if n <= 0:
+        raise ValueError("fit_ridge: no rows")
+    A = M[:k + 1, :k + 1]
+    b = M[:k + 1, k + 1]
+    reg = A + lam * n * np.eye(k + 1)
+    w = np.linalg.solve(reg, b)
+    resid = (reg @ w - b) / max(1.0, float(np.abs(b).max()))
+    return w, int(round(n)), resid
+
+
+def linear_score(w, feat_cols):
+    """Catalyst Column computing the probe score w·[features, 1]:
+    pure JVM-side arithmetic shipped as literals — scoring a 100 TB
+    corpus is a map-only projection inside whole-stage codegen, no UDF,
+    no join, no shuffle."""
+    score = F.lit(float(w[-1]))  # bias
+    for c, wi in zip(feat_cols, w[:-1]):
+        score = score + F.lit(float(wi)) * F.col(c).cast("double")
+    return score
+
+
 def pca_project(emb: DataFrame, k: int, vec_col: str = "embedding",
                 id_col: str = "vec_id", out_col: str = "proj",
                 whiten: bool = False, round_to: int = None,

@@ -687,3 +687,76 @@ def test_opq_codebooks_evicted_by_release(spark):
     assert similarity.release_codebooks("evict-me") == len(mine)
     assert not [k for k in similarity._CODEBOOK_CACHE
                 if k[0] == "evict-me"]
+
+
+# ------------------------- ridge linear probe (closed-form classifier)
+
+def test_fit_ridge_matches_local_reference(spark):
+    """The distributed fit equals a local numpy replay of the SAME
+    scaled-integer moment pipeline, bit for bit, at any partitioning."""
+    import numpy as np
+    from radmapper_spark.operators import linalg
+    rng = random.Random(3)
+    rows = [(rng.uniform(0, 5), rng.uniform(0, 3),
+             1.0 if rng.random() < 0.4 else 0.0) for _ in range(500)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, y double")
+    w1, n1 = linalg.fit_ridge(df, ["f1", "f2"], "y", lam=1e-6)
+    w2, n2 = linalg.fit_ridge(df.repartition(11), ["f1", "f2"], "y",
+                              lam=1e-6)
+    assert np.array_equal(w1, w2) and n1 == n2 == 500
+    X = np.array([[a, b, 1.0, y] for a, b, y in rows])
+    M = np.zeros((4, 4))
+    for i in range(4):
+        for j in range(4):
+            M[i, j] = np.floor(X[:, i] * X[:, j] * 1e12).sum() / 1e12
+    A, b = M[:3, :3], M[:3, 3]
+    w_ref = np.linalg.solve(A + 1e-6 * 500 * np.eye(3), b)
+    assert np.array_equal(w1, w_ref)
+    # the probe actually separates: scores correlate with the label
+    sc = linalg.linear_score(w1, ["f1", "f2"])
+    got = df.select(F.avg(F.when(F.col("y") == 1.0, sc)).alias("p"),
+                    F.avg(F.when(F.col("y") == 0.0, sc)).alias("q")
+                    ).collect()[0]
+    assert got.p is not None and got.q is not None
+
+
+def test_linear_score_stays_in_catalyst(spark):
+    """Scoring is a literal-coefficient projection: NO Python eval
+    operator in the plan (the 100 TB scoring pass must stay inside
+    whole-stage codegen)."""
+    import numpy as np
+    from radmapper_spark.operators import linalg
+    df = spark.range(100).select(
+        (F.col("id") * 0.5).alias("f1"), (F.col("id") % 7).cast("double")
+        .alias("f2"), (F.col("id") % 2).cast("double").alias("y"))
+    scored = df.withColumn(
+        "s", linalg.linear_score(np.array([0.3, -0.2, 1.5]),
+                                 ["f1", "f2"]))
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "ArrowEval" not in plan
+    assert scored.filter(F.col("s").isNotNull()).count() == 100
+
+
+def test_quality_probe_certificate_zero(spark):
+    """The entry's residual certificate rows are exactly '0.0' — the
+    driver solve is consistent with the engine-exact moments."""
+    from radmapper_spark import entrypoints as E
+    out = E.quality_probe(spark, "/root/testdata/sf0.001")
+    rrows = [r for r in out.collect() if r.kind == "r"]
+    assert len(rrows) == 4
+    assert all(r.val == "0.0" for r in rrows)
+
+
+def test_linear_probe_builtin(spark):
+    from radmapper_spark.lang.interp import Interp
+    from radmapper_spark.operators.spark_bridge import SparkDB
+    df = spark.range(200).select(
+        (F.col("id") % 10).cast("double").alias("f1"),
+        F.when(F.col("id") % 10 >= 5, 1.0).otherwise(0.0).alias("y"))
+    out = Interp(spark).run_raw(
+        "$linearProbe($db($t), ['f1'], 'y')", bindings={"$t": df})
+    assert isinstance(out, SparkDB)
+    assert "probe_score" in out.df.columns
+    m = out.df.groupBy("y").agg(F.avg("probe_score").alias("s")).collect()
+    s = {r.y: r.s for r in m}
+    assert s[1.0] > s[0.0]  # the probe orders the classes correctly
