@@ -25,6 +25,10 @@ ARROW_ALLOWED = {
     "semantic_dedup",          # within-cluster einsum cosine verify
     "embedding_gram",          # per-batch d×d partial-gram reduction
     "embedding_pca",           # projection matmul + projected-gram partials
+    "ann_opq_topk",            # rotation matmul + PQ encode/ADC kernels
+    "quality_probe",           # design-moment d×d partial-gram reduction
+                               # (scoring itself is a pure-Catalyst
+                               # literal-coefficient projection)
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
