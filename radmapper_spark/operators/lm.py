@@ -1,0 +1,256 @@
+"""N-gram language-model document scoring (CCNet-shaped).
+
+CCNet (Wenzek et al. 2020, public paper) filters a web corpus by the
+perplexity of each document under a language model trained on a
+high-quality reference corpus, then splits the corpus into
+head/middle/tail quality buckets on that score. This module is the
+distributed re-expression of that recipe with a count-based bigram LM
+and stupid backoff (Brants et al. 2007 — "Large Language Models in
+Machine Translation"; the backoff constant 0.4 is the paper's):
+
+    p(w_i | w_{i-1}) = c(w_{i-1}, w_i) / c(w_{i-1})        if seen
+                     = 0.4 * c(w_i) / N                     unigram backoff
+                     = 0.4 / (N + V)                        OOV floor
+
+The distributed shape (the only one that works at 100 TB):
+
+1. TRAIN on the reference slice: one unigram aggregate (map-side
+   partials reduce each task to <= |vocab| rows before the exchange),
+   a deterministic top-``top_v`` vocabulary cut on (count desc, term)
+   via TakeOrderedAndProject — the cut BOUNDS the model no matter how
+   big the reference is — and one bigram aggregate restricted to
+   kept-vocab pairs with count >= ``min_bigram``. Model size is
+   therefore <= top_v + observed-bigram rows: broadcastable by
+   construction, exactly like the DSIR weight table.
+2. SCORE the full corpus: explode each document's adjacent bigram
+   occurrences, broadcast-join the model tables (the corpus is NEVER
+   shuffled for the lookup), compute the per-position log-prob, and
+   reduce per document — ONE corpus-keyed aggregate whose combine-side
+   partials collapse every partition to one row per document.
+3. BUCKET (lm_bucket): CCNet's head/middle/tail tercile split via the
+   distributed exact-ntile recipe (operators.ranking.global_ntile) —
+   never a single-partition window.
+
+Engine-exactness contract: every per-position log-prob is a single
+``ln`` of a ratio of exact BIGINT counts (both engines compute the
+identical IEEE double), FLOORED to the 1e-6 grid and summed as BIGINT
+micro-nats — the floor-to-grid-before-ANY-summation pattern from the
+gram matrix (linalg.py) makes the per-document sum associativity-free
+and parallelism-independent, so the DuckDB oracle reproduces it
+bit-for-bit. Ranks and cuts never order on raw floats: the vocabulary
+cut is integer-ordered, and the tercile ordering key is a single
+division of two exact BIGINTs (IEEE-identical in any engine).
+
+Reference parity note: the reference engine (pdenno/RADmapper) has no
+LM-scoring surface; this module is part of the training-data extension
+stack, re-expressed from the public CCNet / stupid-backoff papers —
+not translated from any implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BACKOFF = 0.4          # stupid-backoff discount (Brants et al. 2007)
+MICRO = 1_000_000.0    # micro-nat grid for the floored per-term log-prob
+
+
+def _bigram_rows(docs: DataFrame, text_col: str, keep_cols=()) -> DataFrame:
+    """One row per adjacent-bigram OCCURRENCE: (*keep_cols, w1, w2).
+    Tokenization matches textstats/selection (lower, split on
+    non-letters); documents with < 2 tokens contribute nothing."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda t: t != "")
+    base = docs.select(*keep_cols, toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - F.lit(2)),
+        lambda i: F.struct(F.element_at(F.col("_t"), i + 1).alias("w1"),
+                           F.element_at(F.col("_t"), i + 2).alias("w2"))))
+    return (base.select(*keep_cols, F.explode(bigrams).alias("_b"))
+            .select(*keep_cols, F.col("_b.w1").alias("w1"),
+                    F.col("_b.w2").alias("w2")))
+
+
+def lm_score(docs: DataFrame, ref_docs: DataFrame,
+             text_col: str = "text", id_col: str = "doc_id",
+             top_v: int = 2000, min_bigram: int = 2) -> DataFrame:
+    """Score every document in ``docs`` under a stupid-backoff bigram LM
+    trained on ``ref_docs``. Returns one row per document with >= 2
+    tokens: (id_col, n_scored, n_hit, n_backoff, n_oov, lp_micro,
+    avg_logprob) where lp_micro is the BIGINT sum of per-position
+    floor(ln(p) * 1e6) micro-nats (engine-exact; see module docstring)
+    and avg_logprob the rounded surfaced float (never ranked on)."""
+    # ---- train: bounded model tables from the reference slice.
+    # Unigrams are counted from their own explode (counting both legs of
+    # every bigram would double-count interior tokens).
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda t: t != "")
+    uni_all = (ref_docs.select(F.explode(toks).alias("w"))
+               .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
+    vocab = (uni_all.orderBy(F.col("c_w").desc(), F.col("w").asc())
+             .limit(top_v))
+    bi = (_bigram_rows(ref_docs, text_col)
+          .join(F.broadcast(vocab.select(F.col("w").alias("w1"))), "w1")
+          .join(F.broadcast(vocab.select(F.col("w").alias("w2"))), "w2")
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+          .filter(F.col("c_ab") >= int(min_bigram)))
+    # corpus totals stay INSIDE the lazy plan (1-row aggregate broadcast-
+    # crossed into every position row — no eager scalar collects), with
+    # coalesce guards for an empty reference slice
+    consts = vocab.agg(
+        F.coalesce(F.sum("c_w"), F.lit(1)).alias("_n_uni"),
+        F.coalesce(F.count(F.lit(1)), F.lit(1)).alias("_v"))
+
+    # ---- score: broadcast-lookup every adjacent pair of every doc
+    pos = _bigram_rows(docs, text_col, keep_cols=(id_col,))
+    u_prev = vocab.select(F.col("w").alias("w1"),
+                          F.col("c_w").alias("c_prev"))
+    u_cur = vocab.select(F.col("w").alias("w2"),
+                         F.col("c_w").alias("c_cur"))
+    j = (pos.join(F.broadcast(bi), ["w1", "w2"], "left")
+         .join(F.broadcast(u_prev), "w1", "left")
+         .join(F.broadcast(u_cur), "w2", "left")
+         .crossJoin(F.broadcast(consts)))
+    hit = F.col("c_ab").isNotNull()
+    backoff = F.col("c_ab").isNull() & F.col("c_cur").isNotNull()
+    # each branch is ONE ln of exact integers — expression shapes are
+    # mirrored token-for-token by duck_lm_score_sql so both engines
+    # evaluate the identical IEEE double before the floor
+    lp = (F.when(hit, F.log(F.col("c_ab").cast("double")
+                            / F.col("c_prev").cast("double")))
+          .when(backoff, F.log(F.lit(BACKOFF)
+                               * F.col("c_cur").cast("double")
+                               / F.col("_n_uni").cast("double")))
+          .otherwise(F.log(F.lit(BACKOFF)
+                           / (F.col("_n_uni") + F.col("_v"))
+                           .cast("double"))))
+    lp_micro = F.floor(lp * F.lit(MICRO)).cast("long")
+    out = (j.groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_scored"),
+                F.sum(hit.cast("long")).alias("n_hit"),
+                F.sum(backoff.cast("long")).alias("n_backoff"),
+                F.sum((~hit & ~backoff).cast("long")).alias("n_oov"),
+                F.sum(lp_micro).alias("lp_micro")))
+    return out.select(
+        id_col, "n_scored", "n_hit", "n_backoff", "n_oov", "lp_micro",
+        F.round((F.col("lp_micro") / F.lit(MICRO)) / F.col("n_scored"),
+                6).alias("avg_logprob"))
+
+
+BUCKET_NAMES = {1: "head", 2: "middle", 3: "tail"}
+
+
+def lm_bucket(scored: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """CCNet head/middle/tail split of an ``lm_score`` frame: exact
+    tercile on (avg micro-nats desc, id) via the distributed
+    global-ntile recipe. The ordering key is ONE division of two exact
+    BIGINTs (IEEE-identical in any engine); ties break on the id."""
+    from .ranking import global_ntile
+    keyed = scored.withColumn(
+        "_k", F.col("lp_micro").cast("double") / F.col("n_scored"))
+    tiled = global_ntile(
+        keyed, 3, [F.col("_k").desc(), F.col(id_col).asc()],
+        tile_col="_tile")
+    bucket = (F.when(F.col("_tile") == 1, F.lit("head"))
+              .when(F.col("_tile") == 2, F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    out = tiled.select(id_col, "n_scored", "lp_micro", "avg_logprob",
+                       bucket.alias("bucket"))
+    release = getattr(tiled, "rm_release_cache", None)
+    if release is not None:
+        out.rm_release_cache = release
+    return out
+
+
+# =========================================================== DuckDB oracle
+
+_DUCK_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z]+'),"
+              " t -> t <> '')")
+
+
+def _duck_score_ctes(ref_pred: str, doc_pred: str = "TRUE",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     top_v: int = 2000, min_bigram: int = 2) -> str:
+    """CTE block ending in ``scored`` — the SQL twin of lm_score."""
+    return f"""
+    ref AS (SELECT {_DUCK_TOKS.replace('text', text_col)} AS t
+            FROM documents WHERE {ref_pred}),
+    uni AS (SELECT unnest(t) AS w, FROM ref),
+    uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
+    vocab AS (SELECT w, c_w FROM uc
+              QUALIFY row_number() OVER (ORDER BY c_w DESC, w ASC)
+                  <= {int(top_v)}),
+    refbi AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        FROM ref WHERE len(t) >= 2),
+    bi AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_ab
+           FROM refbi
+           JOIN vocab v1 ON v1.w = b.w1
+           JOIN vocab v2 ON v2.w = b.w2
+           GROUP BY 1, 2 HAVING count(*) >= {int(min_bigram)}),
+    consts AS (SELECT coalesce(sum(c_w), 1) AS n_uni,
+                      coalesce(count(*), 1) AS v FROM vocab),
+    corpus AS (SELECT {id_col},
+                      {_DUCK_TOKS.replace('text', text_col)} AS t
+               FROM documents WHERE {doc_pred}),
+    pos AS (
+        SELECT {id_col},
+               unnest(list_transform(range(1, len(t)),
+                      i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
+        FROM corpus WHERE len(t) >= 2),
+    terms AS (
+        SELECT {id_col},
+               bi.c_ab IS NOT NULL AS hit,
+               bi.c_ab IS NULL AND uc2.c_w IS NOT NULL AS backoff,
+               CAST(floor(
+                   CASE
+                     WHEN bi.c_ab IS NOT NULL THEN
+                       ln(bi.c_ab::DOUBLE / uc1.c_w::DOUBLE)
+                     WHEN uc2.c_w IS NOT NULL THEN
+                       ln({BACKOFF} * uc2.c_w::DOUBLE / n_uni::DOUBLE)
+                     ELSE ln({BACKOFF} / (n_uni + v)::DOUBLE)
+                   END * {MICRO}) AS BIGINT) AS lp_micro
+        FROM pos
+        LEFT JOIN bi ON bi.w1 = pos.b.w1 AND bi.w2 = pos.b.w2
+        LEFT JOIN vocab uc1 ON uc1.w = pos.b.w1
+        LEFT JOIN vocab uc2 ON uc2.w = pos.b.w2
+        CROSS JOIN consts),
+    scored AS (
+        SELECT {id_col},
+               count(*) AS n_scored,
+               sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit,
+               sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS n_backoff,
+               sum(CASE WHEN NOT hit AND NOT backoff THEN 1 ELSE 0 END)
+                   AS n_oov,
+               sum(lp_micro) AS lp_micro
+        FROM terms GROUP BY {id_col})"""
+
+
+def duck_lm_score_sql(ref_pred: str, **kw) -> str:
+    id_col = kw.get("id_col", "doc_id")
+    return f"""
+    WITH {_duck_score_ctes(ref_pred, **kw)}
+    SELECT {id_col}, n_scored, n_hit, n_backoff, n_oov, lp_micro,
+           round((lp_micro / {MICRO}) / n_scored, 6) AS avg_logprob
+    FROM scored
+    """
+
+
+def duck_lm_bucket_sql(ref_pred: str, **kw) -> str:
+    id_col = kw.get("id_col", "doc_id")
+    return f"""
+    WITH {_duck_score_ctes(ref_pred, **kw)},
+    tiled AS (
+        SELECT {id_col}, n_scored, lp_micro,
+               round((lp_micro / {MICRO}) / n_scored, 6) AS avg_logprob,
+               ntile(3) OVER (ORDER BY lp_micro::DOUBLE / n_scored DESC,
+                              {id_col} ASC) AS tile
+        FROM scored)
+    SELECT {id_col}, n_scored, lp_micro, avg_logprob,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM tiled
+    """
