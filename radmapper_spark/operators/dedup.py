@@ -576,6 +576,17 @@ def sign_lsh_base(emb: DataFrame, vec_col: str = "embedding",
     sig_sketch.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
     sig_udf = pandas_udf(sig_sketch, "array<bigint>")
 
+    # Parallelism floor (r10): a small fixture corpus arrives as ONE
+    # parquet file -> one partition -> the whole Arrow signature pass on
+    # a single Python worker (measured 1.9-2.3 s serial vs 0.5 s at 16
+    # partitions, sf0.1). Signatures are per-row deterministic (each
+    # batch rebuilds the same seeded hyperplanes), so repartitioning
+    # never changes a bit. At scale the input has >= cluster-parallelism
+    # partitions and this is a no-op — no shuffle is added at 100 TB.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < min(par, 16):
+        emb = emb.repartition(min(par, 16))
+
     return (
         emb.select(F.col(id_col).alias("id"),
                    sig_udf(F.col(vec_col)).alias("sg"))
@@ -591,7 +602,7 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
                            sketch_planes: int = 512,
                            seed: int = 42,
                            verify_mode: str = "arrow",
-                           distinct_stage: str = "late",
+                           distinct_stage: str = "early",
                            base: DataFrame = None) -> DataFrame:
     """Near-duplicate pairs by embedding cosine via BANDED sign-LSH
     (OR-construction over AND-bands, like the minhash path) plus a packed
@@ -628,18 +639,24 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
     `distinct_stage` places the pair dedup (a pair colliding in k bands
     appears k times):
 
-    - "late" (default): verify WITH duplicates, distinct only the
-      survivors. The exact verify is a vectorized einsum over rows the
-      vector join (broadcast when the vector table fits) delivers
-      map-side, so duplicate rows cost nanoseconds each, while the early
-      distinct is a full shuffle of the candidate set — measured 2x the
-      whole entry at sf0.1 (1.3s vs 2.6s). Survivor distinct touches only
-      true pairs x band-dup (~1k rows here).
-    - "early": distinct BEFORE the vector join. The right call when the
-      vector table is too large to broadcast (billions of vectors): there
-      the re-join is itself a shuffle priced per candidate row, and
-      paying one narrow (id,id) distinct shuffle to cut the join probe
-      volume by the duplication factor (2.4x here) wins.
+    - "early" (the right call whenever verify_mode="arrow", and always
+      when the vector table is too large to broadcast): distinct BEFORE
+      the vector join. The narrow (id,id) distinct shuffle cuts the
+      verify input by the band-duplication factor — and the Arrow
+      verify is priced per ROW-BYTE, not per row: every candidate ships
+      two full vectors through Arrow (~1 KB/row at dim 64; ~500 MB for
+      the 494k raw candidates at sf0.1), so halving the rows halves the
+      single most load-sensitive slice of the whole operator (re-
+      measured r10: early beats late 1.5s vs 2.2s steady-state at
+      sf0.1, and degrades far less under co-tenant CPU load).
+    - "late": verify WITH duplicates, distinct only the survivors
+      (true pairs x band-dup — tiny). Wins only when the verify is
+      JVM-side (verify_mode="catalyst") AND the vector join is a
+      map-side broadcast: then duplicate rows really do cost only
+      interpreted-expression time and the early distinct's full
+      candidate shuffle (measured 1.3s vs 2.6s whole-entry, r6 — the
+      measurement that made this the default before the Arrow-traffic
+      re-measurement above) is pure overhead.
     """
     import math
 
@@ -1238,7 +1255,8 @@ def compact_signlsh_index(spark, path: str) -> int:
 def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", span_tokens: int = 15,
                         min_doc_freq: int = 2,
-                        max_doc_freq: int = 50) -> DataFrame:
+                        max_doc_freq: int = 50,
+                        key_mode: str = "hash") -> DataFrame:
     """Exact repeated-substring detection at SPAN granularity — the
     distributed, bucketed approximation of suffix-array substring dedup
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -1254,36 +1272,58 @@ def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
     hot buckets, and excluding them is what production pipelines do
     deliberately (boilerplate belongs to the repetition/quality
     filters, not pair explosion). The self equi-join on the surviving
-    spans is therefore O(sum of bounded bucket^2), never all-pairs. At
-    100 TB the join key becomes (xxhash64(span), span) so the shuffle
-    compares 8-byte hashes first; the fixture-scale key is the span
-    text itself, which is also what keeps the DuckDB oracle
-    collision-free."""
+    spans is therefore O(sum of bounded bucket^2), never all-pairs.
+
+    ``key_mode`` picks the span join key (both modes value-identical
+    at all three fixture SFs — the key never reaches the output):
+
+    - "hash" (production default): key = (xxhash64(span), span).
+      Every key comparison in the exchange hash, the distinct, the
+      df-count and the SHJ probe hits the 8-byte hash FIRST and only
+      touches the ~100-byte span string on hash equality — at 100 TB
+      that is long-int instead of long-string compares on every
+      shuffled row. The span stays in the key, so a 64-bit collision
+      can never merge two buckets (exactness does not ride on hash
+      uniqueness).
+    - "text": span alone — the portable mode mirroring the DuckDB
+      oracle SQL expression-for-expression."""
+    if key_mode == "hash":
+        key = ["_k", "span"]
+    elif key_mode == "text":
+        key = ["span"]
+    else:
+        raise ValueError(f"unknown key_mode {key_mode!r} (hash|text)")
     toks = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(toks)
     spans = F.when(n >= span_tokens, F.transform(
         F.sequence(F.lit(0), n - F.lit(span_tokens)),
         lambda i: F.array_join(F.slice(toks, i + 1, span_tokens), " ")))
     # ONE exchange serves all three span-keyed steps (subset rule, same
-    # trick as label propagation): hash-partitioning on span satisfies
-    # the (id, span) distinct, the per-span df count, AND co-locates the
-    # pair self-join — measured 4.7 -> 3.8 s at sf0.1 vs distinct-first
+    # trick as label propagation): hash-partitioning on the span key
+    # satisfies the (id, key) distinct, the per-key df count, AND
+    # co-locates the pair self-join — measured 4.7 -> 3.8 s at sf0.1 vs
+    # distinct-first. The hash key is materialized as a COLUMN before
+    # the repartition: an inline xxhash64(span) partitioning expression
+    # would not subset-match the downstream distinct/agg/join
+    # requirements and would buy a second exchange.
     base = (drop_blank_docs(docs, text_col)
             .select(F.col(id_col).alias("id"),
-                    F.explode(spans).alias("span"))
-            .repartition(F.col("span"))
-            .dropDuplicates(["id", "span"]))
-    keep = (base.groupBy("span")
+                    F.explode(spans).alias("span")))
+    if key_mode == "hash":
+        base = base.withColumn("_k", F.xxhash64("span"))
+    base = (base.repartition(*[F.col(c) for c in key])
+            .dropDuplicates(["id", *key]))
+    keep = (base.groupBy(*key)
             .agg(F.count(F.lit(1)).alias("_df"))  # base is doc-distinct
             .filter((F.col("_df") >= min_doc_freq)
                     & (F.col("_df") <= max_doc_freq))
-            .select("span"))
-    sp = base.join(keep, "span")
-    a = sp.select("span", F.col("id").alias("id_a"))
-    b = sp.select("span", F.col("id").alias("id_b"))
+            .select(*key))
+    sp = base.join(keep, key)
+    a = sp.select(*key, F.col("id").alias("id_a"))
+    b = sp.select(*key, F.col("id").alias("id_b"))
     # bounded-bucket equi-join: SHJ for the same uniform-bucket reason
     # as the LSH band joins (sort-merge's sorts buy nothing here)
-    return (a.join(b.hint("shuffle_hash"), "span")
+    return (a.join(b.hint("shuffle_hash"), key)
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared_spans")))

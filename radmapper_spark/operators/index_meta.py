@@ -13,14 +13,16 @@ mismatch RAISES instead of returning garbage.
 The sidecar is written/read through Spark itself (``createDataFrame``
 .. ``write.text`` / ``read.text``), so it works on any Hadoop-visible
 filesystem, not just the local disk. Reads are memoized per path and
-VALIDATED against the sidecar's filesystem modification time (a cheap
-namenode/stat metadata call, no job): an index rebuilt or compacted by
-ANOTHER process gets a fresh sidecar mtime, so a long-lived session's
+VALIDATED against a metadata-only fingerprint of the sidecar directory
+(mtime + each child file's name/length/mtime — cheap namenode calls,
+no job): an index rebuilt or compacted by ANOTHER process rewrites the
+sidecar with fresh UUID part-file names, so a long-lived session's
 next probe re-reads the new parameters instead of validating against a
-stale cached dict — without the mtime check, the mismatch guard itself
-would pass on cached-but-wrong metadata, returning exactly the
-wrong-family garbage the sidecar exists to prevent. A deleted index
-evicts its cache entry on the next read.
+stale cached dict — without the fingerprint check, the mismatch guard
+itself would pass on cached-but-wrong metadata, returning exactly the
+wrong-family garbage the sidecar exists to prevent; with mtime ALONE,
+two rewrites within one coarse-granularity tick would still sneak by.
+A deleted index evicts its cache entry on the next read.
 """
 
 from __future__ import annotations
@@ -34,8 +36,8 @@ class IndexParamMismatch(ValueError):
     not run."""
 
 
-# path -> (sidecar mtime millis | None, parsed meta dict). Entries are
-# trusted only while the sidecar's current mtime matches.
+# path -> (sidecar fingerprint | None, parsed meta dict). Entries are
+# trusted only while the sidecar's current fingerprint matches.
 _META_CACHE: dict = {}
 
 
@@ -46,10 +48,17 @@ _META_CACHE: dict = {}
 _STAT_ERROR = object()
 
 
-def _meta_mtime(spark, key: str):
-    """The ``_meta`` directory's filesystem modification time in millis
-    via the Hadoop FS API (metadata-only, no Spark job); None when the
-    path provably does not exist; _STAT_ERROR when the filesystem call
+def _meta_fingerprint(spark, key: str):
+    """Identity fingerprint of the ``_meta`` sidecar directory via the
+    Hadoop FS API (metadata-only, no Spark job): the directory mtime
+    PLUS every child file's (name, length, mtime). Directory mtime
+    alone is not enough on filesystems with coarse mtime granularity —
+    two rewrites inside one tick would be indistinguishable and a stale
+    cached meta would pass validation (the r9 advisory finding). The
+    child names close that hole structurally: Spark names part files
+    with a fresh per-write UUID, so any rewrite changes the fingerprint
+    regardless of timestamp resolution. Returns None when the path
+    provably does not exist; _STAT_ERROR when the filesystem call
     itself failed (the sidecar may well exist)."""
     try:
         jvm = spark._jvm
@@ -58,7 +67,12 @@ def _meta_mtime(spark, key: str):
         fs = p.getFileSystem(conf)
         if not fs.exists(p):
             return None
-        return int(fs.getFileStatus(p).getModificationTime())
+        top = fs.getFileStatus(p)
+        children = tuple(sorted(
+            (str(st.getPath().getName()), int(st.getLen()),
+             int(st.getModificationTime()))
+            for st in fs.listStatus(p)))
+        return (int(top.getModificationTime()), children)
     except Exception:
         return _STAT_ERROR
 
@@ -76,29 +90,29 @@ def write_index_meta(spark, path: str, kind: str, params: dict) -> None:
     (spark.createDataFrame([(json.dumps(meta, sort_keys=True),)],
                            "meta string")
      .coalesce(1).write.mode("overwrite").text(key))
-    _META_CACHE[key] = (_meta_mtime(spark, key), meta)
+    _META_CACHE[key] = (_meta_fingerprint(spark, key), meta)
 
 
 def read_index_meta(spark, path: str):
     """The persisted meta dict, or None for a pre-metadata index."""
     key = f"{path}/_meta"
-    mtime = _meta_mtime(spark, key)
+    fp = _meta_fingerprint(spark, key)
     if key in _META_CACHE:
-        cached_mtime, cached = _META_CACHE[key]
-        if mtime is not None and mtime is not _STAT_ERROR \
-                and mtime == cached_mtime:
+        cached_fp, cached = _META_CACHE[key]
+        if fp is not None and fp is not _STAT_ERROR \
+                and fp == cached_fp:
             return cached
-        if mtime is _STAT_ERROR:
+        if fp is _STAT_ERROR:
             # transient stat failure: the sidecar's state is UNKNOWN, so
             # keep enforcing the last-known meta rather than silently
             # dropping the mismatch guard (the guard regressing to
             # "pass vacuously" on a namenode hiccup is exactly the
             # wrong-family-garbage failure the sidecar exists to stop)
             return cached
-        # sidecar rewritten by another process (mtime moved) or deleted
-        # (mtime None): drop the stale entry and re-resolve below
+        # sidecar rewritten by another process (fingerprint moved) or
+        # deleted (None): drop the stale entry and re-resolve below
         _META_CACHE.pop(key, None)
-    if mtime is None:
+    if fp is None:
         # no sidecar: an index built before metadata existed, or a
         # deleted index. Tolerated (the docstring contract still
         # applies); mismatch checks below only fire on a present sidecar.
@@ -116,8 +130,8 @@ def read_index_meta(spark, path: str):
     # a sidecar that EXISTS but does not parse is corruption, not
     # legacy — fail loudly rather than skipping the guard
     meta = json.loads(rows[0]["value"]) if rows else None
-    if meta is not None and mtime is not _STAT_ERROR:
-        _META_CACHE[key] = (mtime, meta)
+    if meta is not None and fp is not _STAT_ERROR:
+        _META_CACHE[key] = (fp, meta)
     return meta
 
 

@@ -81,7 +81,9 @@ def lm_score(docs: DataFrame, ref_docs: DataFrame,
     tokens: (id_col, n_scored, n_hit, n_backoff, n_oov, lp_micro,
     avg_logprob) where lp_micro is the BIGINT sum of per-position
     floor(ln(p) * 1e6) micro-nats (engine-exact; see module docstring)
-    and avg_logprob the rounded surfaced float (never ranked on)."""
+    and avg_logprob the surfaced float: floor(lp_micro / n_scored) back
+    on the micro grid — never round(x, 6), whose half-tie behavior
+    differs between engines, and never ranked on."""
     # ---- train: bounded model tables from the reference slice.
     # Unigrams are counted from their own explode (counting both legs of
     # every bigram would double-count interior tokens).
@@ -98,10 +100,13 @@ def lm_score(docs: DataFrame, ref_docs: DataFrame,
           .filter(F.col("c_ab") >= int(min_bigram)))
     # corpus totals stay INSIDE the lazy plan (1-row aggregate broadcast-
     # crossed into every position row — no eager scalar collects), with
-    # coalesce guards for an empty reference slice
+    # empty-reference guards: sum over an empty vocab is NULL (coalesce)
+    # but count is 0, not NULL, so the v floor needs greatest, not
+    # coalesce (a dead coalesce(count,1) shipped in r9; caught by
+    # test_round10.py::test_lm_score_empty_reference)
     consts = vocab.agg(
         F.coalesce(F.sum("c_w"), F.lit(1)).alias("_n_uni"),
-        F.coalesce(F.count(F.lit(1)), F.lit(1)).alias("_v"))
+        F.greatest(F.count(F.lit(1)), F.lit(1)).alias("_v"))
 
     # ---- score: broadcast-lookup every adjacent pair of every doc
     pos = _bigram_rows(docs, text_col, keep_cols=(id_col,))
@@ -133,10 +138,16 @@ def lm_score(docs: DataFrame, ref_docs: DataFrame,
                 F.sum(backoff.cast("long")).alias("n_backoff"),
                 F.sum((~hit & ~backoff).cast("long")).alias("n_oov"),
                 F.sum(lp_micro).alias("lp_micro")))
+    # avg surfaced through the micro grid: floor(lp_micro / n) is one
+    # floor of one IEEE division of exact BIGINTs — engine-exact, unlike
+    # round(x, 6), whose half-tie behavior differs between Spark
+    # (HALF_UP on BigDecimal) and DuckDB (a real sf0.01 doc landed on
+    # -3.5114995 and the two engines split)
+    avg_micro = F.floor(F.col("lp_micro").cast("double")
+                        / F.col("n_scored"))
     return out.select(
         id_col, "n_scored", "n_hit", "n_backoff", "n_oov", "lp_micro",
-        F.round((F.col("lp_micro") / F.lit(MICRO)) / F.col("n_scored"),
-                6).alias("avg_logprob"))
+        (avg_micro / F.lit(MICRO)).alias("avg_logprob"))
 
 
 BUCKET_NAMES = {1: "head", 2: "middle", 3: "tail"}
@@ -192,7 +203,7 @@ def _duck_score_ctes(ref_pred: str, doc_pred: str = "TRUE",
            JOIN vocab v2 ON v2.w = b.w2
            GROUP BY 1, 2 HAVING count(*) >= {int(min_bigram)}),
     consts AS (SELECT coalesce(sum(c_w), 1) AS n_uni,
-                      coalesce(count(*), 1) AS v FROM vocab),
+                      greatest(count(*), 1) AS v FROM vocab),
     corpus AS (SELECT {id_col},
                       {_DUCK_TOKS.replace('text', text_col)} AS t
                FROM documents WHERE {doc_pred}),
@@ -221,11 +232,14 @@ def _duck_score_ctes(ref_pred: str, doc_pred: str = "TRUE",
     scored AS (
         SELECT {id_col},
                count(*) AS n_scored,
-               sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hit,
-               sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS n_backoff,
+               sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+               sum(CASE WHEN backoff THEN 1 ELSE 0 END)::BIGINT
+                   AS n_backoff,
                sum(CASE WHEN NOT hit AND NOT backoff THEN 1 ELSE 0 END)
-                   AS n_oov,
-               sum(lp_micro) AS lp_micro
+                   ::BIGINT AS n_oov,
+               -- ::BIGINT: DuckDB promotes integer SUM to HUGEINT, which
+               -- poisons the driver's type-sensitive value hash
+               sum(lp_micro)::BIGINT AS lp_micro
         FROM terms GROUP BY {id_col})"""
 
 
@@ -234,7 +248,7 @@ def duck_lm_score_sql(ref_pred: str, **kw) -> str:
     return f"""
     WITH {_duck_score_ctes(ref_pred, **kw)}
     SELECT {id_col}, n_scored, n_hit, n_backoff, n_oov, lp_micro,
-           round((lp_micro / {MICRO}) / n_scored, 6) AS avg_logprob
+           floor(lp_micro::DOUBLE / n_scored) / {MICRO} AS avg_logprob
     FROM scored
     """
 
@@ -245,7 +259,7 @@ def duck_lm_bucket_sql(ref_pred: str, **kw) -> str:
     WITH {_duck_score_ctes(ref_pred, **kw)},
     tiled AS (
         SELECT {id_col}, n_scored, lp_micro,
-               round((lp_micro / {MICRO}) / n_scored, 6) AS avg_logprob,
+               floor(lp_micro::DOUBLE / n_scored) / {MICRO} AS avg_logprob,
                ntile(3) OVER (ORDER BY lp_micro::DOUBLE / n_scored DESC,
                               {id_col} ASC) AS tile
         FROM scored)

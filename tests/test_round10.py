@@ -1,0 +1,184 @@
+"""Round-10 verification: the lm.py wiring (VERDICT r9 item #1) and the
+round's robustness fixes. The lm entries' full-corpus oracle equality at
+sf0.001 runs in test_headline's parametrized sweep; the tests here pin
+the EDGES the sweep can't reach (empty reference, short docs, tie
+determinism) and the engine-exactness contract (lp_micro is a BIGINT
+micro-nat sum — parallelism-independent)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from radmapper_spark.operators import lm
+from tests.conftest import SF_SMOKE
+from tests.oracle import assert_matches_oracle, duck_conn
+
+REF_PRED = "source IN ('src0', 'src1', 'src2')"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------------ lm edges
+
+def test_lm_score_empty_reference(spark):
+    """An empty reference slice must not crash (coalesce guards in the
+    consts aggregate): every position falls to the OOV floor with
+    n_uni=1, v=1."""
+    docs = _docs(spark, [(1, "alpha beta gamma")])
+    ref = _docs(spark, []).filter(F.lit(False))
+    out = lm.lm_score(docs, ref).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_scored, r.n_hit, r.n_backoff, r.n_oov) == (2, 0, 0, 2)
+    # OOV floor with empty model: ln(0.4 / (1 + 1)) per position
+    import math
+    expect = math.floor(math.log(0.4 / 2.0) * 1e6) * 2
+    assert r.lp_micro == expect
+
+
+def test_lm_score_short_docs_excluded(spark):
+    """Docs with < 2 tokens contribute no positions and emit NO row —
+    mirrored by the oracle's len(t) >= 2 guard."""
+    docs = _docs(spark, [(1, "solo"), (2, ""), (3, "two tokens"),
+                         (4, "numbers 123 only 456")])
+    ref = _docs(spark, [(9, "two tokens two tokens")])
+    got = {r.doc_id for r in lm.lm_score(docs, ref).collect()}
+    assert got == {3, 4}
+
+
+def test_lm_score_branch_accounting(spark):
+    """hit / backoff / oov partition the positions exactly."""
+    ref = _docs(spark, [(9, "the cat sat the cat ran")])
+    docs = _docs(spark, [(1, "the cat sat zzz")])
+    r = lm.lm_score(docs, ref, min_bigram=2).collect()[0]
+    # positions: (the,cat) c_ab=2 -> hit; (cat,sat) c_ab=1 < min_bigram
+    # -> backoff (sat in vocab); (sat,zzz) -> oov (zzz unseen)
+    assert (r.n_scored, r.n_hit, r.n_backoff, r.n_oov) == (3, 1, 1, 1)
+
+
+def test_lm_score_parallelism_independent(spark):
+    """lp_micro is a BIGINT sum of per-position floored micro-nats —
+    repartitioning the corpus must not change a single bit."""
+    docs = entrymod.load_tables(spark, SF_SMOKE)["documents"]
+    ref = docs.filter(F.expr(REF_PRED))
+    a = {r.doc_id: r.lp_micro
+         for r in lm.lm_score(docs, ref).collect()}
+    b = {r.doc_id: r.lp_micro
+         for r in lm.lm_score(docs.repartition(17), ref).collect()}
+    assert a == b
+
+
+def test_lm_bucket_tercile_vs_duckdb_ntile(spark):
+    """head/middle/tail equality against DuckDB's ntile — the bucket
+    boundary is where a distributed ntile diverges first. Run at
+    sf0.001 via the entry itself (full-path check incl. release)."""
+    df = entrymod.queries()["lm_bucket"](spark, SF_SMOKE)
+    assert_matches_oracle(df, entrymod.oracle_sql()["lm_bucket"],
+                          SF_SMOKE)
+    rel = getattr(df, "rm_release_cache", None)
+    assert rel is not None, "lm_bucket lost the ntile cache release handle"
+    rel()
+
+
+def test_lm_bucket_tie_determinism(spark):
+    """Identical docs (identical lp_micro/n_scored keys) must bucket by
+    doc_id order — the tercile is deterministic, never partition-luck."""
+    rows = [(i, "same words repeated here") for i in range(1, 10)]
+    docs = _docs(spark, rows)
+    ref = _docs(spark, [(0, "same words repeated here same words")])
+    out = lm.lm_bucket(lm.lm_score(docs, ref))
+    got = {r.doc_id: r.bucket for r in out.collect()}
+    rel = getattr(out, "rm_release_cache", None)
+    if rel is not None:
+        rel()
+    assert got == {1: "head", 2: "head", 3: "head",
+                   4: "middle", 5: "middle", 6: "middle",
+                   7: "tail", 8: "tail", 9: "tail"}
+
+
+def test_lm_vocab_cut_is_integer_ordered(spark):
+    """The top_v vocabulary cut orders on (count desc, term asc) —
+    deterministic under ties, never a float rank."""
+    ref = _docs(spark, [(9, "bb aa bb aa cc")])
+    docs = _docs(spark, [(1, "aa bb cc")])
+    # top_v=2 keeps {aa, bb} (tie on count=2 breaks alphabetically
+    # irrelevant here; cc count=1 is cut) -> (bb,cc) position is OOV
+    r = lm.lm_score(docs, ref, top_v=2, min_bigram=1).collect()[0]
+    assert r.n_oov == 1
+
+
+def test_lm_score_matches_oracle_sf001(spark):
+    """Belt-and-braces: the lm_score entry's oracle equality (also run
+    by test_headline's sweep — kept here so the round-10 file fails
+    standalone if the wiring regresses)."""
+    df = entrymod.queries()["lm_score"](spark, SF_SMOKE)
+    assert_matches_oracle(df, entrymod.oracle_sql()["lm_score"],
+                          SF_SMOKE)
+
+
+# ------------------------------------------- substring hash-first join key
+
+def _span_modes(spark, sf_dir):
+    from radmapper_spark.operators import dedup
+    t = entrymod.load_tables(spark, sf_dir)
+    return {mode: dedup.repeated_span_pairs(t["documents"], key_mode=mode)
+            for mode in ("hash", "text")}
+
+
+def test_span_key_modes_value_identical(spark):
+    """The production (xxhash64(span), span) key and the portable
+    string key must produce identical pairs — the key never reaches
+    the output. sf0.001 here; sf0.01/0.1 in the gated sweep via the
+    entry (hash mode) vs the string-keyed oracle."""
+    dfs = _span_modes(spark, SF_SMOKE)
+    a = sorted(map(tuple, dfs["hash"].collect()))
+    b = sorted(map(tuple, dfs["text"].collect()))
+    assert a and a == b
+
+
+def test_span_hash_key_plan_shape(spark):
+    """Hash mode must (1) actually key on xxhash64 and (2) not buy an
+    extra exchange over text mode — the materialized-column trick is
+    what keeps the subset rule satisfied (one span-keyed exchange
+    serving distinct + df-count + self-join)."""
+    dfs = _span_modes(spark, SF_SMOKE)
+    plans = {m: df._jdf.queryExecution().executedPlan().toString()
+             for m, df in dfs.items()}
+    assert "xxhash64" in plans["hash"]
+    assert "xxhash64" not in plans["text"]
+    assert plans["hash"].count("Exchange") == plans["text"].count("Exchange")
+
+
+def test_span_key_mode_validation(spark):
+    from radmapper_spark.operators import dedup
+    t = entrymod.load_tables(spark, SF_SMOKE)
+    with pytest.raises(ValueError, match="key_mode"):
+        dedup.repeated_span_pairs(t["documents"], key_mode="bogus")
+
+
+# -------------------------------------- index-meta sidecar fingerprint
+
+def test_sidecar_fingerprint_differs_across_rewrites(spark, tmp_path):
+    """The cache-validity fingerprint must change on EVERY rewrite even
+    when the directory mtime does not move (coarse-granularity
+    filesystems — the r9 advisory finding). The structural guarantee:
+    Spark part-file names carry a fresh per-write UUID, and the
+    fingerprint includes child names, so equal mtimes cannot alias two
+    sidecar generations."""
+    from radmapper_spark.operators import index_meta as im
+    p = str(tmp_path / "idx")
+    im.write_index_meta(spark, p, "k", {"bands": 8})
+    fp1 = im._meta_fingerprint(spark, f"{p}/_meta")
+    im.write_index_meta(spark, p, "k", {"bands": 16})
+    fp2 = im._meta_fingerprint(spark, f"{p}/_meta")
+    names1 = {n for n, _l, _m in fp1[1]}
+    names2 = {n for n, _l, _m in fp2[1]}
+    # even if mtimes collided, the part-file name sets differ
+    assert names1 != names2
+    assert fp1 != fp2
+    # and the cache actually re-reads: external rewrite visible
+    assert im.read_index_meta(spark, p)["bands"] == 16

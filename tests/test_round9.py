@@ -2,7 +2,7 @@
 
 - probe-broadcast gate sizes a SINGLE relation, not the join product;
 - index compaction swaps via rename-aside (crash keeps a live index);
-- _META_CACHE validates against sidecar mtime (cross-process rebuilds
+- _META_CACHE validates against the sidecar fingerprint (cross-process rebuilds
   seen; corrupt sidecars fail loudly);
 - streaming admission resolves intra-batch duplicates TRANSITIVELY and
   every audit row references a document that is in the index after the
@@ -555,7 +555,7 @@ def test_index_meta_stat_error_keeps_guard(spark, tmp_path, monkeypatch):
     p = str(tmp_path / "idx")
     im.write_index_meta(spark, p, "test_kind", {"bands": 8})
     assert im.read_index_meta(spark, p)["bands"] == 8
-    monkeypatch.setattr(im, "_meta_mtime",
+    monkeypatch.setattr(im, "_meta_fingerprint",
                         lambda s, k: im._STAT_ERROR)
     meta = im.read_index_meta(spark, p)  # warm cache: last-known meta
     assert meta is not None and meta["bands"] == 8
