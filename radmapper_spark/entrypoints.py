@@ -2390,6 +2390,17 @@ def _pca_fit(spark: SparkSession, sf_dir: str, k: int):
     return _PCA_FIT_CACHE[key]
 
 
+def _guarded_bigint(col, msg_col):
+    """decimal -> BIGINT with a fail-loud overflow guard: default
+    (non-ANSI) Spark silently NULLs an overflowing decimal->long cast;
+    this raises with ``msg_col`` instead. Values within BIGINT range
+    cast exactly."""
+    return (F.when(F.abs(col)
+                   <= F.lit(9223372036854775807).cast("decimal(38,0)"),
+                   col.cast("long"))
+            .otherwise(F.raise_error(msg_col).cast("long")))
+
+
 def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram / second-moment matrix of the embedding column
     (operators.linalg.gram_matrix): upper triangle (i, j, gram_scaled)
@@ -2403,10 +2414,20 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     # entry boundary: the operator's overflow-proof decimal sum lands as
     # BIGINT (driver-green type; fixture max |cell| ~2.4e14 << 2^63 —
-    # the decimal form is for extreme-scale callers, not the gate)
+    # the decimal form is for extreme-scale callers, not the gate).
+    # The cast is GUARDED (r10): in default non-ANSI mode an overflowing
+    # decimal->long cast silently yields NULL, contrary to the repo's
+    # fail-loud posture — beyond-fixture scale must raise, not null out.
     return (linalg.gram_matrix(emb, "embedding")
             .select("i", "j",
-                    F.col("gram_scaled").cast("long").alias("gram_scaled")))
+                    _guarded_bigint(
+                        F.col("gram_scaled"),
+                        F.concat(F.lit("embedding_gram: gram_scaled "
+                                       "overflows BIGINT at cell ("),
+                                 F.col("i").cast("string"), F.lit(","),
+                                 F.col("j").cast("string"),
+                                 F.lit(") — surface the decimal form "
+                                       "instead"))).alias("gram_scaled")))
 
 
 def embedding_gram_sql() -> str:
@@ -2620,6 +2641,31 @@ def lm_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lm_bucket_sql() -> str:
     from .operators import lm
     return lm.duck_lm_bucket_sql(f"source IN ({_DSIR_TARGET})")
+
+
+_ML_OUT = ("'src10', 'src11', 'src12', 'src13', 'src14', "
+           "'src15', 'src16', 'src17', 'src18', 'src19'")
+_ML_K = 100
+
+
+def moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference selection (operators.lm
+    .moore_lewis_select; Moore & Lewis 2010): in-domain LM on the
+    curated stand-in (src0-src2, the DSIR target set), out-of-domain LM
+    on the general pool (src10-src19), deterministic top-100 by the
+    per-token log-likelihood gap. Engine-exact: diff_micro is a
+    difference of two BIGINT micro-nat sums and the cut orders on one
+    IEEE division — the DuckDB twin reproduces the exact top-k."""
+    from .operators import lm
+    docs = load_tables(spark, sf_dir)["documents"]
+    out_ref = docs.filter(F.expr(f"source IN ({_ML_OUT})"))
+    return lm.moore_lewis_select(docs, _lm_ref(docs), out_ref, k=_ML_K)
+
+
+def moore_lewis_select_sql() -> str:
+    from .operators import lm
+    return lm.duck_moore_lewis_sql(
+        f"source IN ({_DSIR_TARGET})", f"source IN ({_ML_OUT})", k=_ML_K)
 
 
 # =============================================================== corpus pipeline
@@ -3600,6 +3646,10 @@ ENTRIES: dict = {
     # r9 lm.py module to its own oracle SQL — VERDICT r9 item #1)
     "lm_score": (lm_score, lm_score_sql),
     "lm_bucket": (lm_bucket, lm_bucket_sql),
+    # NEW r10, registered OUTSIDE the frozen window (position 51+,
+    # the quality_probe precedent): first external row lands in the
+    # r11 rotation; local three-SF oracle gating covers it every run
+    "moore_lewis_select": (moore_lewis_select, moore_lewis_select_sql),
 }
 
 # =========== r10 window rotation. The driver's correctness gate checks

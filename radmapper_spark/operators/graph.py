@@ -41,6 +41,16 @@ BROADCAST_MAX_BYTES_DEFAULT = 256 << 20
 BROADCAST_ROW_BYTES = 160
 
 
+# (session_key, analyzed-plan semanticHash) -> node count. Second-level
+# memo behind the per-object rm_node_count: callers that build a FRESH
+# DataFrame over the same logical node table each construction (so the
+# object attr can't stick) still skip the count job — semantically equal
+# plans hash equal. Bounded FIFO (counts are ints; the bound is hygiene,
+# not memory pressure).
+_NODE_COUNT_CACHE: dict = {}
+_NODE_COUNT_CACHE_MAX = 64
+
+
 def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
     """flag=None -> decide from a NODE-COUNT heuristic (count *
     BROADCAST_ROW_BYTES vs rm.graph.broadcastMaxBytes); an explicit
@@ -76,11 +86,31 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
                 n = int(str(rc.get()))
         except Exception:
             n = None
+        # second-level memo keyed by (session, plan semanticHash):
+        # repeated constructions over EQUIVALENT node tables (fresh
+        # DataFrame objects, same logical plan) skip the count job —
+        # construction stays job-free after the first auto-path resolve
+        # (r9 advisory finding: the object-attr memo alone only helps
+        # callers that reuse the same DataFrame object)
+        ck = None
+        if n is None:
+            try:
+                from ..session import session_key
+                ck = (session_key(nodes.sparkSession),
+                      int(nodes._jdf.queryExecution().analyzed()
+                          .semanticHash()))
+                n = _NODE_COUNT_CACHE.get(ck)
+            except Exception:
+                ck = None
         if n is None:
             try:
                 n = nodes.count()
             except Exception:
                 return True
+            if ck is not None:
+                while len(_NODE_COUNT_CACHE) >= _NODE_COUNT_CACHE_MAX:
+                    _NODE_COUNT_CACHE.pop(next(iter(_NODE_COUNT_CACHE)))
+                _NODE_COUNT_CACHE[ck] = n
         try:
             nodes.rm_node_count = n
         except Exception:

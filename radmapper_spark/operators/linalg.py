@@ -65,6 +65,17 @@ def gram_matrix(emb: DataFrame, vec_col: str = "embedding",
             if d is None:
                 d = lens.pop()
             M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            # explicit NaN check BEFORE the magnitude guard: a null/NaN
+            # ELEMENT inside a vector (e.g. a null feature reaching
+            # design_moments via F.array) makes np.abs(M).max() NaN,
+            # which silently skips the overflow guard (NaN >= x is
+            # False) and surfaces later as an opaque int-conversion
+            # error — name the input problem instead
+            if np.isnan(M).any():
+                raise ValueError(
+                    "gram/moment pass: NaN or null ELEMENT inside a "
+                    "vector (null feature values reach the kernel as "
+                    "NaN) — filter or impute the input column first")
             if acc is None:
                 acc = np.zeros((d, d), dtype=object)
             # int64 wraps SILENTLY on overflow, so bound each exact-
@@ -147,6 +158,13 @@ def column_sums(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
             if d is None:
                 d = lens.pop()
             M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            # same NaN-element fail-loud as partial_gram (NaN would
+            # silently skip the overflow guard below)
+            if np.isnan(M).any():
+                raise ValueError(
+                    "gram/moment pass: NaN or null ELEMENT inside a "
+                    "vector (null feature values reach the kernel as "
+                    "NaN) — filter or impute the input column first")
             # same silent-int64-wrap guard as partial_gram: chunk so a
             # cell's exact-int64 chunk sum stays under 2^62, fold into
             # the arbitrary-precision accumulator

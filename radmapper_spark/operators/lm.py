@@ -175,6 +175,57 @@ def lm_bucket(scored: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return out
 
 
+def moore_lewis_select(docs: DataFrame, in_ref: DataFrame,
+                       out_ref: DataFrame, k: int,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       top_v: int = 2000,
+                       min_bigram: int = 2) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010, "Intelligent Selection of Language Model Training
+    Data" — public paper): rank every document by the per-token gap
+    between its log-likelihood under an IN-DOMAIN LM and under an
+    OUT-OF-DOMAIN (general pool) LM, keep the deterministic top-k.
+    Documents the in-domain model likes MORE than the general model
+    are the ones that look like the target domain rather than merely
+    looking like fluent text — the classic fix for raw-perplexity
+    selection's bias toward short/common-word documents.
+
+    Output: (id_col, n_scored, diff_micro, ml_score, sel_rank) with
+    diff_micro = lp_in_micro - lp_out_micro (exact BIGINT — both
+    passes tokenize identically, so the position sets and n_scored
+    agree and the per-document difference needs no renormalization)
+    and ml_score = floor(diff_micro / n_scored) / 1e6, the surfaced
+    per-token gap in nats. The cut orders on ONE IEEE division of two
+    exact BIGINTs (ties break on the id), so both engines reproduce
+    the exact same top-k.
+
+    Scale shape: two lm_score passes (each: bounded broadcast model
+    tables, corpus never shuffled for the lookup, one per-doc
+    aggregate), an id-keyed join of two doc-sized score tables, and a
+    TakeOrderedAndProject cut — no global sort, no new corpus-sized
+    shuffle beyond the two score aggregates."""
+    if k <= 0:
+        raise ValueError(f"moore_lewis_select: k must be positive, "
+                         f"got {k}")
+    from .ranking import bounded_global_rank
+    s_in = lm_score(docs, in_ref, text_col, id_col, top_v, min_bigram)
+    s_out = lm_score(docs, out_ref, text_col, id_col, top_v, min_bigram)
+    j = (s_in.select(id_col, "n_scored",
+                     F.col("lp_micro").alias("_lp_in"))
+         .join(s_out.select(id_col, F.col("lp_micro").alias("_lp_out")),
+               id_col))
+    scored = j.select(
+        id_col, "n_scored",
+        (F.col("_lp_in") - F.col("_lp_out")).alias("diff_micro"))
+    key = F.col("diff_micro").cast("double") / F.col("n_scored")
+    top = scored.orderBy(key.desc(), F.col(id_col).asc()).limit(int(k))
+    ranked = bounded_global_rank(
+        top, [key.desc(), F.col(id_col).asc()], rank_col="sel_rank")
+    return ranked.select(
+        id_col, "n_scored", "diff_micro",
+        (F.floor(key) / F.lit(MICRO)).alias("ml_score"), "sel_rank")
+
+
 # =========================================================== DuckDB oracle
 
 _DUCK_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z]+'),"
@@ -183,36 +234,39 @@ _DUCK_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z]+'),"
 
 def _duck_score_ctes(ref_pred: str, doc_pred: str = "TRUE",
                      text_col: str = "text", id_col: str = "doc_id",
-                     top_v: int = 2000, min_bigram: int = 2) -> str:
-    """CTE block ending in ``scored`` — the SQL twin of lm_score."""
+                     top_v: int = 2000, min_bigram: int = 2,
+                     p: str = "") -> str:
+    """CTE block ending in ``{p}scored`` — the SQL twin of lm_score.
+    ``p`` prefixes every CTE name so two blocks (e.g. the in-domain and
+    out-domain models of moore_lewis_select) compose in one WITH."""
     return f"""
-    ref AS (SELECT {_DUCK_TOKS.replace('text', text_col)} AS t
+    {p}ref AS (SELECT {_DUCK_TOKS.replace('text', text_col)} AS t
             FROM documents WHERE {ref_pred}),
-    uni AS (SELECT unnest(t) AS w, FROM ref),
-    uc AS (SELECT w, count(*) AS c_w FROM uni GROUP BY w),
-    vocab AS (SELECT w, c_w FROM uc
+    {p}uni AS (SELECT unnest(t) AS w, FROM {p}ref),
+    {p}uc AS (SELECT w, count(*) AS c_w FROM {p}uni GROUP BY w),
+    {p}vocab AS (SELECT w, c_w FROM {p}uc
               QUALIFY row_number() OVER (ORDER BY c_w DESC, w ASC)
                   <= {int(top_v)}),
-    refbi AS (
+    {p}refbi AS (
         SELECT unnest(list_transform(range(1, len(t)),
                       i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
-        FROM ref WHERE len(t) >= 2),
-    bi AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_ab
-           FROM refbi
-           JOIN vocab v1 ON v1.w = b.w1
-           JOIN vocab v2 ON v2.w = b.w2
+        FROM {p}ref WHERE len(t) >= 2),
+    {p}bi AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c_ab
+           FROM {p}refbi
+           JOIN {p}vocab v1 ON v1.w = b.w1
+           JOIN {p}vocab v2 ON v2.w = b.w2
            GROUP BY 1, 2 HAVING count(*) >= {int(min_bigram)}),
-    consts AS (SELECT coalesce(sum(c_w), 1) AS n_uni,
-                      greatest(count(*), 1) AS v FROM vocab),
-    corpus AS (SELECT {id_col},
+    {p}consts AS (SELECT coalesce(sum(c_w), 1) AS n_uni,
+                      greatest(count(*), 1) AS v FROM {p}vocab),
+    {p}corpus AS (SELECT {id_col},
                       {_DUCK_TOKS.replace('text', text_col)} AS t
                FROM documents WHERE {doc_pred}),
-    pos AS (
+    {p}pos AS (
         SELECT {id_col},
                unnest(list_transform(range(1, len(t)),
                       i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS b
-        FROM corpus WHERE len(t) >= 2),
-    terms AS (
+        FROM {p}corpus WHERE len(t) >= 2),
+    {p}terms AS (
         SELECT {id_col},
                bi.c_ab IS NOT NULL AS hit,
                bi.c_ab IS NULL AND uc2.c_w IS NOT NULL AS backoff,
@@ -224,12 +278,12 @@ def _duck_score_ctes(ref_pred: str, doc_pred: str = "TRUE",
                        ln({BACKOFF} * uc2.c_w::DOUBLE / n_uni::DOUBLE)
                      ELSE ln({BACKOFF} / (n_uni + v)::DOUBLE)
                    END * {MICRO}) AS BIGINT) AS lp_micro
-        FROM pos
-        LEFT JOIN bi ON bi.w1 = pos.b.w1 AND bi.w2 = pos.b.w2
-        LEFT JOIN vocab uc1 ON uc1.w = pos.b.w1
-        LEFT JOIN vocab uc2 ON uc2.w = pos.b.w2
-        CROSS JOIN consts),
-    scored AS (
+        FROM {p}pos pos
+        LEFT JOIN {p}bi bi ON bi.w1 = pos.b.w1 AND bi.w2 = pos.b.w2
+        LEFT JOIN {p}vocab uc1 ON uc1.w = pos.b.w1
+        LEFT JOIN {p}vocab uc2 ON uc2.w = pos.b.w2
+        CROSS JOIN {p}consts),
+    {p}scored AS (
         SELECT {id_col},
                count(*) AS n_scored,
                sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS n_hit,
@@ -240,7 +294,7 @@ def _duck_score_ctes(ref_pred: str, doc_pred: str = "TRUE",
                -- ::BIGINT: DuckDB promotes integer SUM to HUGEINT, which
                -- poisons the driver's type-sensitive value hash
                sum(lp_micro)::BIGINT AS lp_micro
-        FROM terms GROUP BY {id_col})"""
+        FROM {p}terms GROUP BY {id_col})"""
 
 
 def duck_lm_score_sql(ref_pred: str, **kw) -> str:
@@ -250,6 +304,28 @@ def duck_lm_score_sql(ref_pred: str, **kw) -> str:
     SELECT {id_col}, n_scored, n_hit, n_backoff, n_oov, lp_micro,
            floor(lp_micro::DOUBLE / n_scored) / {MICRO} AS avg_logprob
     FROM scored
+    """
+
+
+def duck_moore_lewis_sql(in_pred: str, out_pred: str, k: int,
+                         **kw) -> str:
+    """SQL twin of moore_lewis_select: two prefixed score blocks, the
+    id-keyed join, the exact-BIGINT difference and the deterministic
+    (per-token gap desc, id) top-k cut."""
+    id_col = kw.get("id_col", "doc_id")
+    return f"""
+    WITH {_duck_score_ctes(in_pred, p="a_", **kw)},
+    {_duck_score_ctes(out_pred, p="b_", **kw)},
+    j AS (SELECT a.{id_col} AS {id_col}, a.n_scored,
+                 (a.lp_micro - b.lp_micro)::BIGINT AS diff_micro
+          FROM a_scored a JOIN b_scored b USING ({id_col}))
+    SELECT {id_col}, n_scored, diff_micro,
+           floor(diff_micro::DOUBLE / n_scored) / {MICRO} AS ml_score,
+           row_number() OVER (ORDER BY diff_micro::DOUBLE / n_scored
+                              DESC, {id_col} ASC) AS sel_rank
+    FROM j
+    ORDER BY diff_micro::DOUBLE / n_scored DESC, {id_col} ASC
+    LIMIT {int(k)}
     """
 
 

@@ -182,3 +182,125 @@ def test_sidecar_fingerprint_differs_across_rewrites(spark, tmp_path):
     assert fp1 != fp2
     # and the cache actually re-reads: external rewrite visible
     assert im.read_index_meta(spark, p)["bands"] == 16
+
+
+# -------------------------------------------------- r10 advisory fixes
+
+def test_graph_broadcast_count_memoized_across_fresh_frames(spark):
+    """_resolve_broadcast must not pay a count job on REPEATED
+    constructions over semantically-equal (but fresh) node frames —
+    the semanticHash memo keeps construction job-free after the first
+    auto-path resolve."""
+    from radmapper_spark.operators import graph
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def fresh_nodes():
+        return spark.range(500).select(
+            F.col("id").cast("string").alias("node"))
+
+    graph._NODE_COUNT_CACHE.clear()
+    assert graph._resolve_broadcast(None, fresh_nodes()) is True  # pays
+    sc.setJobGroup("g_memo", "g_memo")
+    try:
+        assert graph._resolve_broadcast(None, fresh_nodes()) is True
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(tracker.getJobIdsForGroup("g_memo")) == 0, (
+        "second construction over an equivalent node table ran a job")
+
+
+def test_gram_nan_element_raises_by_name(spark):
+    """A NaN/null ELEMENT inside a vector must fail with a message
+    naming the input problem, not an opaque int-conversion error from
+    the chunk-size computation (NaN silently skips the magnitude
+    guard)."""
+    from radmapper_spark.operators import linalg
+    bad = spark.createDataFrame(
+        [(1, [1.0, None]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="NaN or null ELEMENT"):
+        linalg.gram_matrix(bad, "embedding").collect()
+    with pytest.raises(Exception, match="NaN or null ELEMENT"):
+        linalg.column_sums(bad, "embedding").collect()
+
+
+def test_guarded_bigint_overflow_raises_not_nulls(spark):
+    """The embedding_gram entry's decimal->BIGINT boundary must raise
+    loudly on overflow (default-mode Spark silently NULLs the cast)."""
+    from radmapper_spark.entrypoints import _guarded_bigint
+    df = spark.createDataFrame(
+        [("1", "99999999999999999999"),
+         ("2", "42")], "i string, v string").select(
+        "i", F.col("v").cast("decimal(38,0)").alias("v"))
+    ok = df.filter(F.col("i") == "2").select(
+        _guarded_bigint(F.col("v"), F.lit("boom")).alias("b")).collect()
+    assert ok[0].b == 42
+    with pytest.raises(Exception, match="boom"):
+        df.select(_guarded_bigint(F.col("v"), F.lit("boom"))).collect()
+
+
+def test_opq_fit_never_evicts_plain_pq_books(spark):
+    """VERDICT r9 watch item: the OPQ entry's codebook-cache traffic
+    must not evict the plain-PQ books between bench passes. Structural
+    guarantee under test: _CODEBOOK_CACHE has NO implicit eviction —
+    only release_codebooks(cache_key) removes entries — and the OPQ
+    keys (rotated '_rv' vec_col + 'opq_rot' kind) can never collide
+    with plain-PQ keys under the same corpus key."""
+    import numpy as np
+    from radmapper_spark.operators import similarity
+    t = entrymod.load_tables(spark, SF_SMOKE)
+    q = (t["embeddings"].orderBy("vec_id").limit(3)
+         .select(F.col("vec_id").alias("qid"), "embedding"))
+    ck = "pq-evict-probe"
+    similarity.release_codebooks(ck)
+    similarity.pq_topk(t["embeddings"], q, k=5, m=16, ksub=16,
+                       rerank=8, cache_key=ck).collect()
+    pq_keys = {k for k in similarity._CODEBOOK_CACHE if k[0] == ck}
+    pq_books = {k: similarity._CODEBOOK_CACHE[k] for k in pq_keys}
+    assert pq_keys, "plain-PQ fit did not populate the cache"
+    similarity.opq_topk(t["embeddings"], q, k=5, m=16, ksub=16,
+                        rerank=8, cache_key=ck).collect()
+    after = set(similarity._CODEBOOK_CACHE)
+    assert pq_keys <= after, "OPQ fit evicted plain-PQ codebooks"
+    for k in pq_keys:  # same objects — not refit, not replaced
+        assert similarity._CODEBOOK_CACHE[k] is pq_books[k]
+    assert {k for k in after if k[0] == ck} - pq_keys, \
+        "OPQ fit cached nothing of its own"
+    similarity.release_codebooks(ck)
+
+
+# ------------------------------------------------ Moore-Lewis selection
+
+def test_moore_lewis_prefers_in_domain(spark):
+    """Cross-entropy difference must rank documents that look like the
+    in-domain reference ABOVE fluent-but-generic ones — the property
+    raw-perplexity selection lacks (Moore & Lewis 2010)."""
+    from radmapper_spark.operators import lm
+    in_ref = _docs(spark, [(100, "the quantum flux capacitor aligns "
+                                 "the quantum flux field")])
+    out_ref = _docs(spark, [(200, "the cat sat on the mat and the dog "
+                                  "ran in the park")])
+    docs = _docs(spark, [
+        (1, "the quantum flux capacitor aligns nicely"),   # in-domain
+        (2, "the cat sat on the mat"),                     # out-domain
+        (3, "the quantum field aligns the flux"),          # in-domain
+    ])
+    got = {r.doc_id: r.sel_rank
+           for r in lm.moore_lewis_select(docs, in_ref, out_ref,
+                                          k=3).collect()}
+    assert got[2] == 3, "generic doc must rank last"
+    assert set(got) == {1, 2, 3}
+
+
+def test_moore_lewis_k_validation(spark):
+    from radmapper_spark.operators import lm
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="k must be positive"):
+        lm.moore_lewis_select(docs, docs, docs, k=0)
+
+
+def test_moore_lewis_matches_oracle_sf001(spark):
+    df = entrymod.queries()["moore_lewis_select"](spark, SF_SMOKE)
+    assert_matches_oracle(
+        df, entrymod.oracle_sql()["moore_lewis_select"], SF_SMOKE)
