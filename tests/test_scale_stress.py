@@ -969,3 +969,45 @@ def test_opq_rotation_50k_vectors(spark):
     finally:
         emb.unpersist()
         similarity.release_codebooks("st50k")
+
+
+def test_lm_score_500k_docs(spark, big_docs):
+    """CCNet LM scoring at 500k docs / ~20M positions: the model lookup
+    is broadcast (the corpus is never shuffled at position grain — the
+    only corpus-keyed exchange is the final per-doc aggregate), and
+    lp_micro is bit-identical across partitionings (BIGINT micro-nat
+    sums). Moore-Lewis composes the same shape twice plus a doc-sized
+    join and a TakeOrderedAndProject cut."""
+    import time
+
+    from radmapper_spark.operators import lm
+
+    ref = big_docs.filter(F.col("source").isin("src0", "src1"))
+    out_ref = big_docs.filter(F.col("source").isin("src2", "src3"))
+    t0 = time.monotonic()
+    scored = lm.lm_score(big_docs, ref, top_v=500)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "corpus lookup fell to SMJ"
+    agg = scored.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("lp_micro").alias("lp"),
+                     F.sum("n_oov").alias("oov")).collect()[0]
+    dt = time.monotonic() - t0
+    print(f"  lm_score 500k docs: {dt:.1f}s "
+          f"(n={agg.n}, oov={agg.oov})")
+    assert agg.n == 500_000  # every doc has >= 10 tokens
+    again = (lm.lm_score(big_docs.repartition(7), ref, top_v=500)
+             .agg(F.sum("lp_micro").alias("lp")).collect()[0])
+    assert agg.lp == again.lp, "lp_micro sum drifted with partitioning"
+    assert dt < 300
+
+    t0 = time.monotonic()
+    sel = lm.moore_lewis_select(big_docs, ref, out_ref, k=150, top_v=500)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = sel.collect()
+    dt = time.monotonic() - t0
+    print(f"  moore_lewis_select 500k docs: {dt:.1f}s")
+    assert len(rows) == 150
+    assert [r.sel_rank for r in
+            sorted(rows, key=lambda r: r.sel_rank)] == list(range(1, 151))
