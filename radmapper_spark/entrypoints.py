@@ -2393,11 +2393,12 @@ def _pca_fit(spark: SparkSession, sf_dir: str, k: int):
 def _guarded_bigint(col, msg_col):
     """decimal -> BIGINT with a fail-loud overflow guard: default
     (non-ANSI) Spark silently NULLs an overflowing decimal->long cast;
-    this raises with ``msg_col`` instead. Values within BIGINT range
-    cast exactly."""
-    return (F.when(F.abs(col)
-                   <= F.lit(9223372036854775807).cast("decimal(38,0)"),
-                   col.cast("long"))
+    this raises with ``msg_col`` instead. The bounds are asymmetric
+    (BIGINT min is -2^63, max 2^63-1), so an abs() guard would
+    spuriously reject the representable -2^63."""
+    lo = F.lit(-9223372036854775808).cast("decimal(38,0)")
+    hi = F.lit(9223372036854775807).cast("decimal(38,0)")
+    return (F.when((col >= lo) & (col <= hi), col.cast("long"))
             .otherwise(F.raise_error(msg_col).cast("long")))
 
 
@@ -3663,9 +3664,15 @@ ENTRIES: dict = {
 # large_orders and events_by_type sit out and rotate first in r11.
 # embedding_probe / embedding_gram / embedding_pca / dsir_select /
 # ann_opq_topk hold r9 rows and stay outside; the r10 index_meta
-# change ((mtime, size) sidecar validation) is shared code that
-# neardup_probe + neardup_admit — both IN this window — re-prove
-# under the external gate.
+# change ((mtime, child name/len/mtime) sidecar fingerprint) is shared
+# code that neardup_probe + neardup_admit — both IN this window —
+# re-prove under the external gate. embedding_gram/pca DID gain r10
+# code (_guarded_bigint output boundary; linalg NaN fail-loud): both
+# are additive raise-paths that cannot change in-range values, and the
+# post-change three-SF sweep (309/309, BASELINE r10) re-proved the
+# entries against their oracles at all fixture SFs — the r9 graph
+# precedent for code-touched-but-locally-proven entries holding fresh
+# external rows.
 _R10_WINDOW = [
     "temporal_asof_join", "temporal_range_join", "text_vocabulary",
     "region_nation_revenue", "top_customer_per_nation",

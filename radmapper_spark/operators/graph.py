@@ -41,14 +41,19 @@ BROADCAST_MAX_BYTES_DEFAULT = 256 << 20
 BROADCAST_ROW_BYTES = 160
 
 
-# (session_key, analyzed-plan semanticHash) -> node count. Second-level
-# memo behind the per-object rm_node_count: callers that build a FRESH
-# DataFrame over the same logical node table each construction (so the
-# object attr can't stick) still skip the count job — semantically equal
-# plans hash equal. Bounded FIFO (counts are ints; the bound is hygiene,
-# not memory pressure).
+# (session_key, analyzed-plan semanticHash) -> (monotonic stamp, node
+# count). Second-level memo behind the per-object rm_node_count:
+# callers that build a FRESH DataFrame over the same logical node table
+# each construction (so the object attr can't stick) still skip the
+# count job — semantically equal plans hash equal. TTL-bounded: a
+# semantically-equal plan over EXTERNALLY GROWING data (a catalog table
+# being appended to) would otherwise pin a stale count forever and the
+# auto path could broadcast a table that outgrew the cap, so entries
+# expire after _NODE_COUNT_TTL_S and the next resolve re-counts.
+# Bounded FIFO (counts are ints; the bound is hygiene, not memory).
 _NODE_COUNT_CACHE: dict = {}
 _NODE_COUNT_CACHE_MAX = 64
+_NODE_COUNT_TTL_S = 300.0
 
 
 def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
@@ -94,12 +99,16 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
         # callers that reuse the same DataFrame object)
         ck = None
         if n is None:
+            import time
             try:
                 from ..session import session_key
                 ck = (session_key(nodes.sparkSession),
                       int(nodes._jdf.queryExecution().analyzed()
                           .semanticHash()))
-                n = _NODE_COUNT_CACHE.get(ck)
+                hitv = _NODE_COUNT_CACHE.get(ck)
+                if hitv is not None \
+                        and time.monotonic() - hitv[0] < _NODE_COUNT_TTL_S:
+                    n = hitv[1]
             except Exception:
                 ck = None
         if n is None:
@@ -108,9 +117,15 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
             except Exception:
                 return True
             if ck is not None:
+                # pop with a default: concurrent constructions at
+                # capacity may race to evict the same oldest key
                 while len(_NODE_COUNT_CACHE) >= _NODE_COUNT_CACHE_MAX:
-                    _NODE_COUNT_CACHE.pop(next(iter(_NODE_COUNT_CACHE)))
-                _NODE_COUNT_CACHE[ck] = n
+                    try:
+                        _NODE_COUNT_CACHE.pop(
+                            next(iter(_NODE_COUNT_CACHE)), None)
+                    except (StopIteration, RuntimeError):
+                        break
+                _NODE_COUNT_CACHE[ck] = (time.monotonic(), n)
         try:
             nodes.rm_node_count = n
         except Exception:
