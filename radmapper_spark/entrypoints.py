@@ -493,15 +493,34 @@ def dedup_minhash_lsh_sql() -> str:
     """
 
 
+# (session, sf_dir) -> persisted (id, simhash) fingerprint frame at the
+# entry's fixed params (nbits=60, portable). Fingerprints over an
+# IMMUTABLE corpus are a pure function of (corpus, params) — the same
+# once-per-session contract as the embedding sign-LSH base. Released by
+# release_edge_cache.
+_SIMHASH_CACHE: dict = {}
+
+
+def _simhash_base(spark: SparkSession, sf_dir: str):
+    return _cached_frames(
+        _SIMHASH_CACHE, spark, sf_dir,
+        lambda t: {"base": dedup.simhash_base(
+            t["documents"], nbits=60, hash_mode="portable").persist()},
+    )["base"]
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-simhash near-dup pairs (4×15-bit tables over a 60-bit
-    PORTABLE fingerprint, exact popcount verify) — the Manku-style scale
-    path; pigeonhole completeness for hamming<=3 needs only bands >
+    PORTABLE fingerprint, exact popcount verify INLINE on the band join
+    — r10 plan, see simhash_pairs) — the Manku-style scale path;
+    pigeonhole completeness for hamming<=3 needs only bands >
     max_hamming, so 4x15 bits is as complete as the xxhash64 default's
     4x16. Portable mode makes every fingerprint DuckDB-reproducible."""
     t = load_tables(spark, sf_dir)
     pairs = dedup.simhash_pairs(t["documents"], max_hamming=3, bands=4,
-                                band_bits=15, nbits=60, hash_mode="portable")
+                                band_bits=15, nbits=60,
+                                hash_mode="portable",
+                                base=_simhash_base(spark, sf_dir))
     return _carry_release(pairs, pairs.select(
         "id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")))
 
@@ -2118,7 +2137,8 @@ def release_edge_cache() -> int:
     one knob for callers like bench.py that must leave no persisted
     frames behind)."""
     n = 0
-    for cache in (_EDGE_CACHE, _SIGLSH_CACHE, _SEMASG_CACHE):
+    for cache in (_EDGE_CACHE, _SIGLSH_CACHE, _SEMASG_CACHE,
+                  _SIMHASH_CACHE):
         for e in cache.values():
             for f in e.values():
                 try:

@@ -291,7 +291,8 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3, bands: int = 4,
                   band_bits: int = 16, nbits: int = 64,
-                  hash_mode: str = "xxhash64") -> DataFrame:
+                  hash_mode: str = "xxhash64",
+                  base: DataFrame = None) -> DataFrame:
     """Near-duplicate pairs by banded SimHash — the scale path.
 
     Classic multi-table construction (Manku et al., WWW'07 "Detecting
@@ -299,49 +300,70 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     `bands` tables of `band_bits` each; any pair within Hamming distance
     `max_hamming` < `bands` agrees EXACTLY on at least one band
     (pigeonhole), so a per-band equi-join finds every true pair — no
-    unbounded collect_list, no all-pairs scan. Candidates are verified
-    with exact bit_count(xor) <= max_hamming.
+    unbounded collect_list, no all-pairs scan.
 
-    Shuffle profile mirrors minhash_lsh_pairs: fingerprints computed once
-    and persisted (id + 1 long per doc), candidate join carries only
-    (band, band_val, id), pair dedup before the verify re-join.
+    Plan (r10, mirrors the embedding-cosine band join): the band explode
+    CARRIES the 8-byte fingerprint, so the exact bit_count(xor) verify
+    runs INLINE on the raw band-join output — no candidate distinct
+    shuffle and no verify re-joins (measured at sf0.1: 277k raw
+    candidates of which only 5k are band-duplicates, so the old
+    distinct shuffled 272k narrow rows to save ~5k inline popcounts —
+    exactly backwards for a nanosecond JVM filter). Survivors (true
+    pairs x band-dup factor — hundreds) dedup in one tiny aggregate;
+    band-duplicates of a pair carry bit-identical hamming, so
+    min(hamming) is a pure dedup.
+
+    ``base``: callers holding the persisted (id, simhash) frame for an
+    IMMUTABLE corpus pass it in so repeated invocations skip the
+    fingerprint pass (same contract as embedding_cosine_pairs' `base`:
+    fingerprints are a pure function of (corpus, params)). The caller
+    owns its cache; the result's rm_release_cache is then a no-op.
     """
     assert bands * band_bits <= nbits
-    docs = drop_blank_docs(docs, text_col)
-    sh = simhash(docs, text_col, id_col, nbits=nbits,
-                 hash_mode=hash_mode).select(
-        F.col(id_col).alias("id"), "simhash").persist()
+    owns_base = base is None
+    if owns_base:
+        base = simhash_base(docs, text_col, id_col, nbits=nbits,
+                            hash_mode=hash_mode).persist()
     mask = (1 << band_bits) - 1
-    bandvals = sh.select(
+    bandvals = base.select(
         "id", "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.shiftrightunsigned(F.col("simhash"), b * band_bits)
                      .bitwiseAND(F.lit(mask)).alias("bval"))
             for b in range(bands)])).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    ).select("id", "simhash",
+             F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
     # SHUFFLE_HASH: near-uniform (band, bval) buckets — see the embedding
     # band join for the measured SMJ-sort argument
     a, b = bandvals.alias("a"), bandvals.alias("b").hint("shuffle_hash")
-    cand = (
+    out = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"),
                       F.col("a.bval") == F.col("b.bval"),
                       F.col("a.id") < F.col("b.id")])
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    out = (
-        cand.join(sh.select(F.col("id").alias("id_a"),
-                            F.col("simhash").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"),
-                        F.col("simhash").alias("sh_b")), "id_b")
         .withColumn("hamming",
-                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+                    F.bit_count(F.col("a.simhash")
+                                .bitwiseXOR(F.col("b.simhash"))))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"), "hamming")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
-    out.rm_release_cache = sh.unpersist
+    out.rm_release_cache = base.unpersist if owns_base else (lambda: None)
     return out
+
+
+def simhash_base(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", nbits: int = 64,
+                 hash_mode: str = "xxhash64") -> DataFrame:
+    """(id, simhash) fingerprint frame consumed by simhash_pairs — split
+    out so callers over an immutable corpus can persist it once per
+    session (the embedding sign_lsh_base contract). NOT persisted here;
+    callers decide caching."""
+    return simhash(drop_blank_docs(docs, text_col), text_col, id_col,
+                   nbits=nbits, hash_mode=hash_mode).select(
+        F.col(id_col).alias("id"), "simhash")
 
 
 # -------------------------------------------------------------- ngram jaccard
@@ -1256,7 +1278,8 @@ def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", span_tokens: int = 15,
                         min_doc_freq: int = 2,
                         max_doc_freq: int = 50,
-                        key_mode: str = "hash") -> DataFrame:
+                        key_mode: str = "hash",
+                        span_mode: str = "arrow") -> DataFrame:
     """Exact repeated-substring detection at SPAN granularity — the
     distributed, bucketed approximation of suffix-array substring dedup
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -1286,7 +1309,23 @@ def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
       can never merge two buckets (exactness does not ride on hash
       uniqueness).
     - "text": span alone — the portable mode mirroring the DuckDB
-      oracle SQL expression-for-expression."""
+      oracle SQL expression-for-expression.
+
+    ``span_mode`` picks the window-explode implementation (both
+    value-identical — identical token arrays in, identical distinct
+    (id, span) rows out):
+
+    - "arrow" (default): tokenization stays CATALYST (the exact
+      normalize/split expressions — no semantic drift), then an
+      Arrow-batched kernel emits each doc's distinct spans by offset-
+      slicing ONE ' '.join of the tokens — O(tokens) per doc. The
+      Catalyst form pays slice-allocate + array_join per POSITION
+      (O(span_tokens x tokens) string builds) and measured 3.2 s vs
+      1.0 s at sf0.1 on the operator's dominant stage. Per-doc
+      distinct inside the kernel also replaces the global (id, span)
+      dropDuplicates (a doc's spans all live in its own row, so
+      per-doc dedup IS complete (id, span) dedup).
+    - "catalyst": the pure-expression explode + dropDuplicates."""
     if key_mode == "hash":
         key = ["_k", "span"]
     elif key_mode == "text":
@@ -1294,10 +1333,6 @@ def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
     else:
         raise ValueError(f"unknown key_mode {key_mode!r} (hash|text)")
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    n = F.size(toks)
-    spans = F.when(n >= span_tokens, F.transform(
-        F.sequence(F.lit(0), n - F.lit(span_tokens)),
-        lambda i: F.array_join(F.slice(toks, i + 1, span_tokens), " ")))
     # ONE exchange serves all three span-keyed steps (subset rule, same
     # trick as label propagation): hash-partitioning on the span key
     # satisfies the (id, key) distinct, the per-key df count, AND
@@ -1306,13 +1341,58 @@ def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
     # the repartition: an inline xxhash64(span) partitioning expression
     # would not subset-match the downstream distinct/agg/join
     # requirements and would buy a second exchange.
-    base = (drop_blank_docs(docs, text_col)
-            .select(F.col(id_col).alias("id"),
-                    F.explode(spans).alias("span")))
-    if key_mode == "hash":
-        base = base.withColumn("_k", F.xxhash64("span"))
-    base = (base.repartition(*[F.col(c) for c in key])
-            .dropDuplicates(["id", *key]))
+    if span_mode == "arrow":
+        k_ = int(span_tokens)
+
+        def _spans(batches):
+            import pandas as pd
+            for pdf in batches:
+                ids, out_spans = [], []
+                for i, tk in zip(pdf["id"].to_numpy(), pdf["toks"]):
+                    tl = list(tk)
+                    t_ = len(tl)
+                    if t_ < k_:
+                        continue
+                    s = " ".join(tl)
+                    starts = [0] * (t_ + 1)
+                    off = 0
+                    for j, w in enumerate(tl):
+                        starts[j] = off
+                        off += len(w) + 1
+                    starts[t_] = off
+                    seen = set()
+                    for j in range(t_ - k_ + 1):
+                        sp = s[starts[j]:starts[j + k_] - 1]
+                        if sp not in seen:
+                            seen.add(sp)
+                            ids.append(i)
+                            out_spans.append(sp)
+                yield pd.DataFrame({"id": ids, "span": out_spans})
+
+        base = (drop_blank_docs(docs, text_col)
+                .select(F.col(id_col).alias("id"), toks.alias("toks"))
+                .mapInPandas(_spans, schema="id long, span string"))
+        if key_mode == "hash":
+            base = base.withColumn("_k", F.xxhash64("span"))
+        # already (id, span)-distinct (per-doc kernel dedup): the
+        # repartition alone feeds the df-count + self-join
+        base = base.repartition(*[F.col(c) for c in key])
+    elif span_mode == "catalyst":
+        n = F.size(toks)
+        spans = F.when(n >= span_tokens, F.transform(
+            F.sequence(F.lit(0), n - F.lit(span_tokens)),
+            lambda i: F.array_join(F.slice(toks, i + 1, span_tokens),
+                                   " ")))
+        base = (drop_blank_docs(docs, text_col)
+                .select(F.col(id_col).alias("id"),
+                        F.explode(spans).alias("span")))
+        if key_mode == "hash":
+            base = base.withColumn("_k", F.xxhash64("span"))
+        base = (base.repartition(*[F.col(c) for c in key])
+                .dropDuplicates(["id", *key]))
+    else:
+        raise ValueError(f"unknown span_mode {span_mode!r} "
+                         f"(arrow|catalyst)")
     keep = (base.groupBy(*key)
             .agg(F.count(F.lit(1)).alias("_df"))  # base is doc-distinct
             .filter((F.col("_df") >= min_doc_freq)

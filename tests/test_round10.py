@@ -122,22 +122,27 @@ def test_lm_score_matches_oracle_sf001(spark):
 
 # ------------------------------------------- substring hash-first join key
 
-def _span_modes(spark, sf_dir):
+def _span_modes(spark, sf_dir, span_mode="arrow"):
     from radmapper_spark.operators import dedup
     t = entrymod.load_tables(spark, sf_dir)
-    return {mode: dedup.repeated_span_pairs(t["documents"], key_mode=mode)
+    return {mode: dedup.repeated_span_pairs(t["documents"], key_mode=mode,
+                                            span_mode=span_mode)
             for mode in ("hash", "text")}
 
 
 def test_span_key_modes_value_identical(spark):
-    """The production (xxhash64(span), span) key and the portable
-    string key must produce identical pairs — the key never reaches
-    the output. sf0.001 here; sf0.01/0.1 in the gated sweep via the
-    entry (hash mode) vs the string-keyed oracle."""
-    dfs = _span_modes(spark, SF_SMOKE)
-    a = sorted(map(tuple, dfs["hash"].collect()))
-    b = sorted(map(tuple, dfs["text"].collect()))
-    assert a and a == b
+    """All four (key_mode x span_mode) combinations must produce
+    identical pairs — neither the join key nor the window-explode
+    implementation ever reaches the output. sf0.001 here; sf0.01/0.1
+    in the gated sweep via the entry (hash+arrow) vs the string-keyed
+    pure-SQL oracle."""
+    ref = None
+    for sm in ("arrow", "catalyst"):
+        for mode, df in _span_modes(spark, SF_SMOKE, sm).items():
+            rows = sorted(map(tuple, df.collect()))
+            if ref is None:
+                ref = rows
+            assert rows and rows == ref, f"{mode}/{sm} diverged"
 
 
 def test_span_hash_key_plan_shape(spark):
@@ -145,7 +150,7 @@ def test_span_hash_key_plan_shape(spark):
     extra exchange over text mode — the materialized-column trick is
     what keeps the subset rule satisfied (one span-keyed exchange
     serving distinct + df-count + self-join)."""
-    dfs = _span_modes(spark, SF_SMOKE)
+    dfs = _span_modes(spark, SF_SMOKE, "catalyst")
     plans = {m: df._jdf.queryExecution().executedPlan().toString()
              for m, df in dfs.items()}
     assert "xxhash64" in plans["hash"]

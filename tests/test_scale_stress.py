@@ -1013,3 +1013,28 @@ def test_lm_score_500k_docs(spark, big_docs):
     assert len(rows) == 150
     assert [r.sel_rank for r in
             sorted(rows, key=lambda r: r.sel_rank)] == list(range(1, 151))
+
+
+def test_repeated_spans_500k_docs(spark, big_docs):
+    """Repeated-span pairs at 500k docs (~20M tokens): the r10 Arrow
+    window-explode kernel (O(tokens) offset slicing) and the Catalyst
+    expression form produce identical pair sets at scale, and the
+    df-bounded bucket design keeps the self-join priced by shared-span
+    buckets, never all-pairs."""
+    import time
+
+    from radmapper_spark.operators import dedup
+
+    # 500k random-vocab docs make almost every 15-token span unique
+    # (df < 2) — use 8-token spans over a slice so shared spans exist
+    docs = big_docs.filter(F.col("doc_id") % 10 == 0)  # 50k docs
+    t0 = time.monotonic()
+    a = dedup.repeated_span_pairs(docs, span_tokens=8, span_mode="arrow")
+    rows_a = sorted(map(tuple, a.collect()))
+    dt = time.monotonic() - t0
+    print(f"  repeated_span_pairs[arrow] 50k docs: {len(rows_a)} pairs "
+          f"{dt:.1f}s")
+    assert dt < 240
+    rows_b = sorted(map(tuple, dedup.repeated_span_pairs(
+        docs, span_tokens=8, span_mode="catalyst").collect()))
+    assert rows_a == rows_b, "arrow/catalyst span explode diverged at scale"
