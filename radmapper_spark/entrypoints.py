@@ -769,6 +769,69 @@ def substring_dup_spans_sql() -> str:
     """
 
 
+def substring_removal_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document removal ranges for duplicated text
+    (dedup.substring_removal_spans; Lee et al. 2022's deliverable):
+    merged [cut_start, cut_end) character intervals over the normalized
+    text covered by 15-token runs occurring in >= 2 distinct documents.
+    Deterministic integer arithmetic end to end (code-point offsets,
+    gaps-and-islands merge) — oracle-exact."""
+    t = load_tables(spark, sf_dir)
+    return dedup.substring_removal_spans(t["documents"], span_tokens=15,
+                                         min_doc_freq=2)
+
+
+def substring_removal_spans_sql() -> str:
+    k = 15
+    return f"""
+    WITH w AS (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS words
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    tok AS (
+        SELECT doc_id, i, words[i] AS w
+        FROM (SELECT doc_id, words,
+                     unnest(range(1, len(words) + 1))::INT AS i
+              FROM w WHERE len(words) >= {k})),
+    pos AS (
+        SELECT doc_id, i,
+               coalesce(sum(len(w) + 1) OVER (PARTITION BY doc_id
+                        ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)::BIGINT AS start
+        FROM tok),
+    spans AS (
+        SELECT doc_id, i,
+               array_to_string(words[i:i+{k - 1}], ' ') AS span
+        FROM (SELECT doc_id, words,
+                     unnest(range(1, len(words) - {k} + 2))::INT AS i
+              FROM w)),
+    occ AS (
+        SELECT s.doc_id, s.span, p.start,
+               p.start + len(s.span) AS fin
+        FROM spans s JOIN pos p ON p.doc_id = s.doc_id AND p.i = s.i),
+    dup AS (SELECT span FROM occ GROUP BY span
+            HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT o.doc_id, o.start, o.fin
+             FROM occ o JOIN dup USING (span)),
+    isl AS (
+        SELECT doc_id, start, fin,
+               CASE WHEN start > coalesce(max(fin) OVER (
+                        PARTITION BY doc_id ORDER BY start, fin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) THEN 1 ELSE 0 END AS brk
+        FROM hits),
+    grp AS (
+        SELECT doc_id, start, fin,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start, fin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM isl)
+    SELECT doc_id, min(start)::BIGINT AS cut_start,
+           max(fin)::BIGINT AS cut_end, count(*)::BIGINT AS n_spans
+    FROM grp GROUP BY doc_id, island
+    """
+
+
 def neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental ADMISSION loop on the persisted minhash
     index: index the base corpus (doc_id % 7 >= 2), ADMIT the
@@ -3668,9 +3731,11 @@ ENTRIES: dict = {
     "lm_score": (lm_score, lm_score_sql),
     "lm_bucket": (lm_bucket, lm_bucket_sql),
     # NEW r10, registered OUTSIDE the frozen window (position 51+,
-    # the quality_probe precedent): first external row lands in the
-    # r11 rotation; local three-SF oracle gating covers it every run
+    # the quality_probe precedent): first external rows land in the
+    # r11 rotation; local three-SF oracle gating covers them every run
     "moore_lewis_select": (moore_lewis_select, moore_lewis_select_sql),
+    "substring_removal_spans": (substring_removal_spans,
+                                substring_removal_spans_sql),
 }
 
 # =========== r10 window rotation. The driver's correctness gate checks

@@ -1407,3 +1407,91 @@ def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared_spans")))
+
+
+def substring_removal_spans(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            span_tokens: int = 15,
+                            min_doc_freq: int = 2) -> DataFrame:
+    """Per-document REMOVAL ranges for duplicated text — the actual
+    deliverable of suffix-array substring dedup (Lee et al. 2022): for
+    every document, the merged character intervals (over the normalized
+    text) covered by ``span_tokens``-token runs that occur in at least
+    ``min_doc_freq`` DISTINCT documents. Downstream pipelines cut these
+    ranges out of the training corpus.
+
+    Output: (id_col, cut_start, cut_end, n_spans) with 0-based
+    [cut_start, cut_end) character offsets into
+    ``normalize_text(text)`` and n_spans the number of duplicated span
+    occurrences merged into the range. Offsets count CODE POINTS (the
+    Python/DuckDB length semantics; the kernel computes start AND end,
+    so Spark's UTF-16 ``length`` never enters the arithmetic).
+
+    Plan: the same Arrow offset-slicing kernel shape as
+    repeated_span_pairs emits EVERY span occurrence with its interval;
+    ONE span-keyed exchange (hash-first (xxhash64, span) key) serves
+    the distinct-doc-frequency count AND the filter join back onto the
+    occurrences; interval merge is per-document gaps-and-islands — a
+    doc-keyed window over per-doc-bounded rows (running max(end), new
+    island when start exceeds it), never a global sort. No unbounded
+    state anywhere: buckets are span-frequency-shaped, islands are
+    doc-local."""
+    from pyspark.sql import Window
+
+    k_ = int(span_tokens)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def _occ(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, spans_, st_, en_ = [], [], [], []
+            for i, tk in zip(pdf["id"].to_numpy(), pdf["toks"]):
+                tl = list(tk)
+                t_ = len(tl)
+                if t_ < k_:
+                    continue
+                s = " ".join(tl)
+                starts = [0] * (t_ + 1)
+                off = 0
+                for j, w in enumerate(tl):
+                    starts[j] = off
+                    off += len(w) + 1
+                starts[t_] = off
+                for j in range(t_ - k_ + 1):
+                    a, b = starts[j], starts[j + k_] - 1
+                    ids.append(i)
+                    spans_.append(s[a:b])
+                    st_.append(a)
+                    en_.append(b)
+            yield pd.DataFrame({"id": ids, "span": spans_,
+                                "start": st_, "end": en_})
+
+    occ = (drop_blank_docs(docs, text_col)
+           .select(F.col(id_col).alias("id"), toks.alias("toks"))
+           .mapInPandas(_occ, schema="id long, span string, "
+                                     "start long, end long")
+           .withColumn("_k", F.xxhash64("span"))
+           .repartition(F.col("_k"), F.col("span")))
+    # distinct-doc frequency per span; the exchange above serves this
+    # aggregate AND the join back (subset rule, as in the pairs op)
+    dup = (occ.groupBy("_k", "span")
+           .agg(F.count_distinct("id").alias("_df"))
+           .filter(F.col("_df") >= int(min_doc_freq))
+           .select("_k", "span"))
+    hits = occ.join(dup, ["_k", "span"]).select("id", "start", "end")
+    # gaps-and-islands interval merge, doc-local: rows per doc are
+    # bounded by that doc's token count, so the window never sees
+    # unbounded partitions
+    w_ord = Window.partitionBy("id").orderBy("start", "end")
+    run_max = F.max("end").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = (F.col("start") > F.coalesce(run_max, F.lit(-1)))
+    island = F.sum(new_island.cast("int")).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    return (hits.withColumn("_isl", island)
+            .groupBy("id", "_isl")
+            .agg(F.min("start").alias("cut_start"),
+                 F.max("end").alias("cut_end"),
+                 F.count(F.lit(1)).alias("n_spans"))
+            .select(F.col("id").alias(id_col), "cut_start", "cut_end",
+                    "n_spans"))

@@ -34,6 +34,8 @@ ARROW_ALLOWED = {
                                # kernel replaces O(k x tokens) slice+
                                # array_join builds, measured 3.2->1.0 s
                                # at sf0.1 on the dominant stage)
+    "substring_removal_spans",  # same offset-sliced window kernel,
+                                # emitting per-occurrence intervals
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

@@ -309,3 +309,56 @@ def test_moore_lewis_matches_oracle_sf001(spark):
     df = entrymod.queries()["moore_lewis_select"](spark, SF_SMOKE)
     assert_matches_oracle(
         df, entrymod.oracle_sql()["moore_lewis_select"], SF_SMOKE)
+
+
+# ------------------------------------------- substring removal spans
+
+def test_removal_spans_semantics(spark):
+    """Hand-built corpus: a shared 6-token run produces exactly its
+    char interval in both docs; overlapping duplicated spans merge
+    into ONE island; text unique to a doc is never cut."""
+    from radmapper_spark.operators import dedup
+    shared = "one two three four five six"          # 6 shared tokens
+    d1 = f"alpha {shared} omega"
+    d2 = f"{shared} zulu"
+    docs = _docs(spark, [(1, d1), (2, d2)])
+    out = {(r.doc_id): (r.cut_start, r.cut_end, r.n_spans)
+           for r in dedup.substring_removal_spans(
+               docs, span_tokens=6, min_doc_freq=2).collect()}
+    # doc 1: 'alpha ' is 6 chars -> shared run at [6, 6+len(shared))
+    assert out[1] == (6, 6 + len(shared), 1)
+    # doc 2: run starts at 0
+    assert out[2] == (0, len(shared), 1)
+
+
+def test_removal_spans_merge_overlapping(spark):
+    """Two overlapping duplicated windows merge into one cut range
+    with n_spans = 2; a doc-unique middle never splits it."""
+    from radmapper_spark.operators import dedup
+    run = "a b c d"                                  # 4 tokens
+    docs = _docs(spark, [(1, f"{run} x"), (2, f"{run} x"),
+                         (3, "q w e r t")])
+    out = {r.doc_id: (r.cut_start, r.cut_end, r.n_spans)
+           for r in dedup.substring_removal_spans(
+               docs, span_tokens=3, min_doc_freq=2).collect()}
+    # docs 1/2 share 'a b c', 'b c d', 'c d x' -> one merged interval
+    # covering the whole 'a b c d x' string, 3 overlapping spans
+    full = len("a b c d x")
+    assert out[1] == (0, full, 3) and out[2] == (0, full, 3)
+    assert 3 not in out
+
+
+def test_removal_spans_self_repetition_not_cut(spark):
+    """min_doc_freq counts DISTINCT docs: a span repeated inside ONE
+    document only is not duplication across the corpus."""
+    from radmapper_spark.operators import dedup
+    docs = _docs(spark, [(1, "p q r p q r"), (2, "x y z w v u")])
+    out = dedup.substring_removal_spans(
+        docs, span_tokens=3, min_doc_freq=2).collect()
+    assert out == []
+
+
+def test_removal_spans_matches_oracle_sf001(spark):
+    df = entrymod.queries()["substring_removal_spans"](spark, SF_SMOKE)
+    assert_matches_oracle(
+        df, entrymod.oracle_sql()["substring_removal_spans"], SF_SMOKE)
