@@ -1274,6 +1274,53 @@ def compact_signlsh_index(spark, path: str) -> int:
 
 # -------------------------------------------------- repeated span pairs
 
+def _span_window_kernel(k: int, emit_offsets: bool):
+    """Factory for the Arrow span-window kernel shared by
+    repeated_span_pairs (distinct spans per doc) and
+    substring_removal_spans (every occurrence with its [start, end)
+    code-point interval). ONE implementation of the offset arithmetic
+    — the Catalyst expression form and both DuckDB oracles mirror it,
+    so a fix applied to a second copy could silently diverge the two
+    operators (r10 self-review finding). The returned closure is
+    self-contained (captures only ints; pandas imported inside) so it
+    ships by value to executors that cannot import this module."""
+    def _kernel(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, spans_, st_, en_ = [], [], [], []
+            for i, tk in zip(pdf["id"].to_numpy(), pdf["toks"]):
+                tl = list(tk)
+                t_ = len(tl)
+                if t_ < k:
+                    continue
+                s = " ".join(tl)
+                starts = [0] * (t_ + 1)
+                off = 0
+                for j, w in enumerate(tl):
+                    starts[j] = off
+                    off += len(w) + 1
+                starts[t_] = off
+                seen = set()
+                for j in range(t_ - k + 1):
+                    a, b = starts[j], starts[j + k] - 1
+                    sp = s[a:b]
+                    if emit_offsets:
+                        ids.append(i)
+                        spans_.append(sp)
+                        st_.append(a)
+                        en_.append(b)
+                    elif sp not in seen:
+                        seen.add(sp)
+                        ids.append(i)
+                        spans_.append(sp)
+            out = {"id": ids, "span": spans_}
+            if emit_offsets:
+                out["start"] = st_
+                out["end"] = en_
+            yield pd.DataFrame(out)
+    return _kernel
+
+
 def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", span_tokens: int = 15,
                         min_doc_freq: int = 2,
@@ -1342,36 +1389,10 @@ def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
     # would not subset-match the downstream distinct/agg/join
     # requirements and would buy a second exchange.
     if span_mode == "arrow":
-        k_ = int(span_tokens)
-
-        def _spans(batches):
-            import pandas as pd
-            for pdf in batches:
-                ids, out_spans = [], []
-                for i, tk in zip(pdf["id"].to_numpy(), pdf["toks"]):
-                    tl = list(tk)
-                    t_ = len(tl)
-                    if t_ < k_:
-                        continue
-                    s = " ".join(tl)
-                    starts = [0] * (t_ + 1)
-                    off = 0
-                    for j, w in enumerate(tl):
-                        starts[j] = off
-                        off += len(w) + 1
-                    starts[t_] = off
-                    seen = set()
-                    for j in range(t_ - k_ + 1):
-                        sp = s[starts[j]:starts[j + k_] - 1]
-                        if sp not in seen:
-                            seen.add(sp)
-                            ids.append(i)
-                            out_spans.append(sp)
-                yield pd.DataFrame({"id": ids, "span": out_spans})
-
         base = (drop_blank_docs(docs, text_col)
                 .select(F.col(id_col).alias("id"), toks.alias("toks"))
-                .mapInPandas(_spans, schema="id long, span string"))
+                .mapInPandas(_span_window_kernel(int(span_tokens), False),
+                             schema="id long, span string"))
         if key_mode == "hash":
             base = base.withColumn("_k", F.xxhash64("span"))
         # already (id, span)-distinct (per-doc kernel dedup): the
@@ -1438,38 +1459,12 @@ def substring_removal_spans(docs: DataFrame, text_col: str = "text",
     doc-local."""
     from pyspark.sql import Window
 
-    k_ = int(span_tokens)
     toks = F.split(normalize_text(F.col(text_col)), " ")
-
-    def _occ(batches):
-        import pandas as pd
-        for pdf in batches:
-            ids, spans_, st_, en_ = [], [], [], []
-            for i, tk in zip(pdf["id"].to_numpy(), pdf["toks"]):
-                tl = list(tk)
-                t_ = len(tl)
-                if t_ < k_:
-                    continue
-                s = " ".join(tl)
-                starts = [0] * (t_ + 1)
-                off = 0
-                for j, w in enumerate(tl):
-                    starts[j] = off
-                    off += len(w) + 1
-                starts[t_] = off
-                for j in range(t_ - k_ + 1):
-                    a, b = starts[j], starts[j + k_] - 1
-                    ids.append(i)
-                    spans_.append(s[a:b])
-                    st_.append(a)
-                    en_.append(b)
-            yield pd.DataFrame({"id": ids, "span": spans_,
-                                "start": st_, "end": en_})
-
     occ = (drop_blank_docs(docs, text_col)
            .select(F.col(id_col).alias("id"), toks.alias("toks"))
-           .mapInPandas(_occ, schema="id long, span string, "
-                                     "start long, end long")
+           .mapInPandas(_span_window_kernel(int(span_tokens), True),
+                        schema="id long, span string, "
+                               "start long, end long")
            .withColumn("_k", F.xxhash64("span"))
            .repartition(F.col("_k"), F.col("span")))
     # distinct-doc frequency per span; the exchange above serves this

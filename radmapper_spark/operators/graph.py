@@ -81,8 +81,19 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
     # memoized on the frame object: callers over an immutable graph pass
     # the same (persisted) node table to every invocation, so the count
     # job runs once per node set, not once per construction (the same
-    # first-construction-only contract as the IVF codebook fits)
-    n = getattr(nodes, "rm_node_count", None)
+    # first-construction-only contract as the IVF codebook fits). The
+    # attr carries the SAME (stamp, count) shape as _NODE_COUNT_CACHE
+    # and honors the same TTL — otherwise a caller reusing one
+    # DataFrame object over externally growing data would pin a stale
+    # count forever, the exact staleness the TTL exists to bound.
+    import time
+    n = None
+    attr = getattr(nodes, "rm_node_count", None)
+    if attr is not None:
+        stamp, cnt = (attr if isinstance(attr, tuple)
+                      else (time.monotonic(), attr))  # caller-set ints
+        if time.monotonic() - stamp < _NODE_COUNT_TTL_S:
+            n = cnt
     if n is None:
         try:  # CBO-computed row count, when ANALYZE/stats ran (job-free)
             rc = (nodes._jdf.queryExecution().optimizedPlan()
@@ -98,8 +109,8 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
         # (r9 advisory finding: the object-attr memo alone only helps
         # callers that reuse the same DataFrame object)
         ck = None
+        stamp = time.monotonic()
         if n is None:
-            import time
             try:
                 from ..session import session_key
                 ck = (session_key(nodes.sparkSession),
@@ -108,7 +119,9 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
                 hitv = _NODE_COUNT_CACHE.get(ck)
                 if hitv is not None \
                         and time.monotonic() - hitv[0] < _NODE_COUNT_TTL_S:
-                    n = hitv[1]
+                    # carry the ORIGINAL stamp: re-stamping a cache hit
+                    # would roll the TTL forward forever
+                    stamp, n = hitv
             except Exception:
                 ck = None
         if n is None:
@@ -116,6 +129,7 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
                 n = nodes.count()
             except Exception:
                 return True
+            stamp = time.monotonic()
             if ck is not None:
                 # pop with a default: concurrent constructions at
                 # capacity may race to evict the same oldest key
@@ -125,9 +139,9 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
                             next(iter(_NODE_COUNT_CACHE)), None)
                     except (StopIteration, RuntimeError):
                         break
-                _NODE_COUNT_CACHE[ck] = (time.monotonic(), n)
+                _NODE_COUNT_CACHE[ck] = (stamp, n)
         try:
-            nodes.rm_node_count = n
+            nodes.rm_node_count = (stamp, n)
         except Exception:
             pass
     return n * BROADCAST_ROW_BYTES <= mx

@@ -149,13 +149,18 @@ def test_span_hash_key_plan_shape(spark):
     """Hash mode must (1) actually key on xxhash64 and (2) not buy an
     extra exchange over text mode — the materialized-column trick is
     what keeps the subset rule satisfied (one span-keyed exchange
-    serving distinct + df-count + self-join)."""
-    dfs = _span_modes(spark, SF_SMOKE, "catalyst")
-    plans = {m: df._jdf.queryExecution().executedPlan().toString()
-             for m, df in dfs.items()}
-    assert "xxhash64" in plans["hash"]
-    assert "xxhash64" not in plans["text"]
-    assert plans["hash"].count("Exchange") == plans["text"].count("Exchange")
+    serving distinct + df-count + self-join). Asserted for BOTH
+    window-explode implementations: the arrow path is what production
+    runs, and a regression in its mapInPandas/repartition subset-rule
+    interaction must not hide behind a catalyst-only guard."""
+    for sm in ("arrow", "catalyst"):
+        dfs = _span_modes(spark, SF_SMOKE, sm)
+        plans = {m: df._jdf.queryExecution().executedPlan().toString()
+                 for m, df in dfs.items()}
+        assert "xxhash64" in plans["hash"], sm
+        assert "xxhash64" not in plans["text"], sm
+        assert (plans["hash"].count("Exchange")
+                == plans["text"].count("Exchange")), sm
 
 
 def test_span_key_mode_validation(spark):
