@@ -437,6 +437,23 @@ def dedup_groups_sql() -> str:
     """
 
 
+# (session, sf_dir) -> persisted (id, minhash) signature frame at the
+# entry's fixed params (32 hashes, k=5 shingles, portable). Same
+# once-per-session pure-function-of-corpus contract as the sign-LSH and
+# simhash bases; the shingling pass is this operator's dominant cost.
+# Released by release_edge_cache.
+_MINHASH_CACHE: dict = {}
+
+
+def _minhash_base(spark: SparkSession, sf_dir: str):
+    return _cached_frames(
+        _MINHASH_CACHE, spark, sf_dir,
+        lambda t: {"base": dedup.minhash_base(
+            t["documents"], num_hashes=32, shingle_k=5,
+            hash_mode="portable").persist()},
+    )["base"]
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded minhash-LSH near-dup pairs in PORTABLE hash mode: every hash
     (md5-prefix base, Carter-Wegman family, polynomial band combine) is
@@ -444,7 +461,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates — same plan shape as the xxhash64 production default."""
     t = load_tables(spark, sf_dir)
     pairs = dedup.minhash_lsh_pairs(t["documents"], jaccard_threshold=0.5,
-                                    hash_mode="portable")
+                                    hash_mode="portable",
+                                    base=_minhash_base(spark, sf_dir))
     return _carry_release(pairs, pairs.select(
         "id_a", "id_b", F.round(F.col("est_jaccard"), 6).alias("est_jaccard")))
 
@@ -2201,7 +2219,7 @@ def release_edge_cache() -> int:
     frames behind)."""
     n = 0
     for cache in (_EDGE_CACHE, _SIGLSH_CACHE, _SEMASG_CACHE,
-                  _SIMHASH_CACHE):
+                  _SIMHASH_CACHE, _MINHASH_CACHE):
         for e in cache.values():
             for f in e.values():
                 try:
