@@ -850,6 +850,62 @@ def substring_removal_spans_sql() -> str:
     """
 
 
+def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the substring removal ranges — the full Lee et al. 2022
+    loop closed (r10 verdict item #2): substring_removal_spans emits
+    per-document [cut_start, cut_end) intervals, apply_removal_spans
+    cuts them out of the normalized text. One row per non-blank
+    document with the scrubbed training text itself, so the oracle
+    hash-checks the TEXT, not just the range arithmetic. Docs without
+    duplicated runs pass through intact (n_cut = 0)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    spans = dedup.substring_removal_spans(docs, span_tokens=15,
+                                          min_doc_freq=2)
+    return dedup.apply_removal_spans(docs, spans)
+
+
+def substring_scrub_sql() -> str:
+    return f"""
+    WITH cuts AS (SELECT * FROM ({substring_removal_spans_sql()})),
+    norm AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+    segs AS (
+        SELECT doc_id, cut_start, cut_end,
+               coalesce(max(cut_end) OVER (PARTITION BY doc_id
+                        ORDER BY cut_start, cut_end
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS prev_end
+        FROM cuts),
+    pieces AS (
+        SELECT g.doc_id, g.cut_start AS ord,
+               substring(n.s, (g.prev_end + 1)::INT,
+                         (g.cut_start - g.prev_end)::INT) AS piece
+        FROM segs g JOIN norm n USING (doc_id)
+        UNION ALL
+        SELECT m.doc_id, 9223372036854775807,
+               substring(n.s, (m.last_end + 1)::INT) AS piece
+        FROM (SELECT doc_id, max(cut_end) AS last_end
+              FROM cuts GROUP BY doc_id) m
+        JOIN norm n USING (doc_id)),
+    scrub AS (
+        SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+        FROM pieces GROUP BY doc_id),
+    stats AS (
+        SELECT doc_id, count(*)::BIGINT AS n_cut,
+               sum(cut_end - cut_start)::BIGINT AS n_chars_cut
+        FROM cuts GROUP BY doc_id)
+    SELECT n.doc_id,
+           coalesce(st.n_cut, 0)::BIGINT AS n_cut,
+           coalesce(st.n_chars_cut, 0)::BIGINT AS n_chars_cut,
+           coalesce(sc.clean_text, n.s) AS clean_text
+    FROM norm n
+    LEFT JOIN scrub sc USING (doc_id)
+    LEFT JOIN stats st USING (doc_id)
+    """
+
+
 def neardup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end incremental ADMISSION loop on the persisted minhash
     index: index the base corpus (doc_id % 7 >= 2), ADMIT the
@@ -3754,6 +3810,9 @@ ENTRIES: dict = {
     "moore_lewis_select": (moore_lewis_select, moore_lewis_select_sql),
     "substring_removal_spans": (substring_removal_spans,
                                 substring_removal_spans_sql),
+    # NEW r11: the apply side of the Lee et al. substring-dedup loop —
+    # scrubbed TEXT is oracle-checked, not just range arithmetic
+    "substring_scrub": (substring_scrub, substring_scrub_sql),
 }
 
 # =========== r10 window rotation. The driver's correctness gate checks

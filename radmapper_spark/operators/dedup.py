@@ -50,6 +50,49 @@ def exact_dedup_keep(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     return docs.join(reps, on=id_col, how="inner")
 
 
+def _stamp_base_params(frame: DataFrame, **params) -> DataFrame:
+    """Record the build parameters on a signature-base frame (plain
+    Python attr — pyspark DataFrames accept them and persist() returns
+    the same object). Pair generators that accept a caller-supplied
+    persisted ``base`` compare these against their own parameters and
+    FAIL LOUDLY on mismatch (r10 advice): a minhash base built with a
+    different num_hashes otherwise indexes past the signature array
+    (NULL band hashes -> silently dropped pairs), and a simhash base
+    with fewer nbits than bands*band_bits collapses high bands to a
+    single all-zero hot bucket."""
+    frame.rm_base_params = dict(params)
+    return frame
+
+
+def _check_base_params(base: DataFrame, op: str, **expect) -> None:
+    """Validate a caller-supplied signature base against the consuming
+    operator's parameters. Primary check: the rm_base_params attr every
+    builder in this module stamps. Fallback for attr-less frames (built
+    by hand, or round-tripped through a transformation that dropped the
+    attr): a cheap structural probe where the schema allows one —
+    minhash signature length is visible in a one-row sample; a packed
+    simhash bigint carries no width, so attr-less simhash bases are
+    accepted as-is (documented limit of the check)."""
+    params = getattr(base, "rm_base_params", None)
+    if params is not None:
+        bad = {k: (params[k], v) for k, v in expect.items()
+               if k in params and params[k] != v}
+        if bad:
+            raise ValueError(
+                f"{op}: caller-supplied base was built with mismatched "
+                f"parameters {{{', '.join(f'{k}: base={b!r} != caller={c!r}' for k, (b, c) in sorted(bad.items()))}}} "
+                f"— rebuild the base with the operator's parameters")
+        return
+    if "num_hashes" in expect and "minhash" in base.columns:
+        row = base.select(F.size("minhash").alias("n")).first()
+        if row is not None and row["n"] != expect["num_hashes"]:
+            raise ValueError(
+                f"{op}: caller-supplied base has {row['n']}-hash "
+                f"signatures but the operator expects "
+                f"{expect['num_hashes']} — band hashing would index "
+                f"past the array and silently drop pairs")
+
+
 def drop_blank_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Remove NULL / whitespace-only documents before near-dup pairing:
     blank docs have no shingles or tokens, so any signature computed for
@@ -151,10 +194,12 @@ def minhash_base(docs: DataFrame, text_col: str = "text",
     are a pure function of (corpus, params), and the shingling pass is
     the operator's dominant cost — measured 4.8 s to materialize vs
     0.24 s cached at sf0.1). NOT persisted here; callers decide."""
-    return minhash_signature(drop_blank_docs(docs, text_col), text_col,
-                             num_hashes, shingle_k,
-                             hash_mode=hash_mode).select(
-        F.col(id_col).alias("id"), "minhash")
+    return _stamp_base_params(
+        minhash_signature(drop_blank_docs(docs, text_col), text_col,
+                          num_hashes, shingle_k,
+                          hash_mode=hash_mode).select(
+            F.col(id_col).alias("id"), "minhash"),
+        num_hashes=num_hashes, shingle_k=shingle_k, hash_mode=hash_mode)
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -182,6 +227,10 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
     # over an IMMUTABLE corpus pass a persisted `base` instead and the
     # shingling is paid once per corpus ever (the sign_lsh_base contract)
     owns_base = base is None
+    if not owns_base:
+        _check_base_params(base, "minhash_lsh_pairs",
+                           num_hashes=num_hashes, shingle_k=shingle_k,
+                           hash_mode=hash_mode)
     sigs = (minhash_base(docs, text_col, id_col, num_hashes, shingle_k,
                          hash_mode=hash_mode).persist()
             if owns_base else base)
@@ -344,6 +393,9 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     if owns_base:
         base = simhash_base(docs, text_col, id_col, nbits=nbits,
                             hash_mode=hash_mode).persist()
+    else:
+        _check_base_params(base, "simhash_pairs",
+                           nbits=nbits, hash_mode=hash_mode)
     mask = (1 << band_bits) - 1
     bandvals = base.select(
         "id", "simhash",
@@ -381,9 +433,11 @@ def simhash_base(docs: DataFrame, text_col: str = "text",
     out so callers over an immutable corpus can persist it once per
     session (the embedding sign_lsh_base contract). NOT persisted here;
     callers decide caching."""
-    return simhash(drop_blank_docs(docs, text_col), text_col, id_col,
-                   nbits=nbits, hash_mode=hash_mode).select(
-        F.col(id_col).alias("id"), "simhash")
+    return _stamp_base_params(
+        simhash(drop_blank_docs(docs, text_col), text_col, id_col,
+                nbits=nbits, hash_mode=hash_mode).select(
+            F.col(id_col).alias("id"), "simhash"),
+        nbits=nbits, hash_mode=hash_mode)
 
 
 # -------------------------------------------------------------- ngram jaccard
@@ -629,13 +683,14 @@ def sign_lsh_base(emb: DataFrame, vec_col: str = "embedding",
     if emb.rdd.getNumPartitions() < min(par, 16):
         emb = emb.repartition(min(par, 16))
 
-    return (
+    return _stamp_base_params(
         emb.select(F.col(id_col).alias("id"),
                    sig_udf(F.col(vec_col)).alias("sg"))
         .select("id",
                 F.slice("sg", 1, bands).alias("bb"),
-                F.slice("sg", bands + 1, nwords).alias("wd"))
-    )
+                F.slice("sg", bands + 1, nwords).alias("wd")),
+        bands=bands, planes_per_band=planes_per_band,
+        sketch_planes=sketch_planes, seed=seed)
 
 
 def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
@@ -714,6 +769,10 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
     if owns_base:
         base = sign_lsh_base(emb, vec_col, id_col, bands, planes_per_band,
                              sketch_planes, seed).persist()
+    else:
+        _check_base_params(base, "embedding_cosine_pairs",
+                           bands=bands, planes_per_band=planes_per_band,
+                           sketch_planes=sketch_planes, seed=seed)
     # the banded frame CARRIES the sketch words (8 longs — cheap next to a
     # re-join), so the popcount prefilter runs INLINE on the raw join
     # output and the expensive distinct only sees survivors
@@ -1409,10 +1468,16 @@ def repeated_span_pairs(docs: DataFrame, text_col: str = "text",
     # would not subset-match the downstream distinct/agg/join
     # requirements and would buy a second exchange.
     if span_mode == "arrow":
+        # the mapInPandas schema derives the id field's type from the
+        # INPUT schema (the kernel emits ids untouched), so string/int
+        # doc ids behave identically to the Catalyst path and the
+        # sibling pair generators (r10 advice: a hardcoded 'id long'
+        # made string-id corpora fail with an Arrow cast error)
+        id_t = docs.schema[id_col].dataType.simpleString()
         base = (drop_blank_docs(docs, text_col)
                 .select(F.col(id_col).alias("id"), toks.alias("toks"))
                 .mapInPandas(_span_window_kernel(int(span_tokens), False),
-                             schema="id long, span string"))
+                             schema=f"id {id_t}, span string"))
         if key_mode == "hash":
             base = base.withColumn("_k", F.xxhash64("span"))
         # already (id, span)-distinct (per-doc kernel dedup): the
@@ -1480,10 +1545,12 @@ def substring_removal_spans(docs: DataFrame, text_col: str = "text",
     from pyspark.sql import Window
 
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    # id type follows the input schema (see repeated_span_pairs)
+    id_t = docs.schema[id_col].dataType.simpleString()
     occ = (drop_blank_docs(docs, text_col)
            .select(F.col(id_col).alias("id"), toks.alias("toks"))
            .mapInPandas(_span_window_kernel(int(span_tokens), True),
-                        schema="id long, span string, "
+                        schema=f"id {id_t}, span string, "
                                "start long, end long")
            .withColumn("_k", F.xxhash64("span"))
            .repartition(F.col("_k"), F.col("span")))
@@ -1510,3 +1577,65 @@ def substring_removal_spans(docs: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_spans"))
             .select(F.col("id").alias(id_col), "cut_start", "cut_end",
                     "n_spans"))
+
+
+def apply_removal_spans(docs: DataFrame, spans: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """APPLY per-document removal ranges to the corpus — the second half
+    of the Lee et al. 2022 substring-dedup loop (substring_removal_spans
+    emits the ranges; this operator produces the scrubbed training
+    text). Output one row per non-blank document: (id_col, n_cut,
+    n_chars_cut, clean_text) where clean_text is
+    ``normalize_text(text)`` with every [cut_start, cut_end) code-point
+    interval removed, n_cut the number of intervals applied and
+    n_chars_cut the code points removed. Documents with no ranges pass
+    through with the normalized text intact.
+
+    Plan shape: the ranges aggregate doc-locally into ONE sorted
+    interval array per document (bounded: intervals per doc are merged
+    and disjoint, so there are at most len(text)/2 of them), then a
+    single equi-join attaches the array to the corpus and the cut
+    itself is a pure Catalyst fold (aggregate over the interval array
+    concatenating the gap substrings) — map-only after the join, no
+    Python in the hot path, no second pass over the text. At 100 TB the
+    only cost beyond the corpus scan is the doc-keyed shuffle of the
+    (narrow) interval table; AQE broadcast-joins it when duplication is
+    sparse."""
+    s = normalize_text(F.col(text_col))
+    ranged = (spans.groupBy(F.col(id_col).alias("_id"))
+              .agg(F.sort_array(F.collect_list(F.struct(
+                       F.col("cut_start").alias("s"),
+                       F.col("cut_end").alias("e")))).alias("_cuts")))
+    base = (drop_blank_docs(docs, text_col)
+            .select(F.col(id_col), s.alias("_s"))
+            .join(ranged, F.col(id_col) == F.col("_id"), "left")
+            .drop("_id"))
+    cuts = F.coalesce("_cuts", F.array().cast(
+        "array<struct<s:bigint,e:bigint>>"))
+    txt = F.col("_s")
+    # fold state: (next uncut position, accumulated kept text). Offsets
+    # are CODE POINTS (the kernel/oracle semantics); Column.substr is
+    # code-point based in Spark, so the arithmetic lines up exactly.
+    folded = F.aggregate(
+        cuts,
+        F.struct(F.lit(0).cast("bigint").alias("pos"),
+                 F.lit("").alias("acc")),
+        lambda st, c: F.struct(
+            c["e"].alias("pos"),
+            F.concat(st["acc"],
+                     txt.substr((st["pos"] + 1).cast("int"),
+                                (c["s"] - st["pos"]).cast("int")))
+            .alias("acc")),
+        lambda st: F.concat(
+            st["acc"],
+            txt.substr((st["pos"] + 1).cast("int"),
+                       (F.length(txt) - st["pos"]).cast("int"))))
+    return base.select(
+        F.col(id_col),
+        F.coalesce(F.size("_cuts"), F.lit(0)).cast("bigint")
+        .alias("n_cut"),
+        F.coalesce(F.aggregate(cuts, F.lit(0).cast("bigint"),
+                               lambda a, c: a + (c["e"] - c["s"])),
+                   F.lit(0).cast("bigint")).alias("n_chars_cut"),
+        folded.alias("clean_text"))

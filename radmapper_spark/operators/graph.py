@@ -90,8 +90,18 @@ def _resolve_broadcast(flag, nodes: DataFrame) -> bool:
     n = None
     attr = getattr(nodes, "rm_node_count", None)
     if attr is not None:
-        stamp, cnt = (attr if isinstance(attr, tuple)
-                      else (time.monotonic(), attr))  # caller-set ints
+        if not isinstance(attr, tuple):
+            # caller-set plain int: stamp it ONCE, at first sight, by
+            # rewriting the attr — a per-call fresh stamp would reset
+            # the TTL clock on every resolve and the count would never
+            # expire for exactly the legacy int-attr callers the
+            # fallback exists for (r10 advice)
+            attr = (time.monotonic(), attr)
+            try:
+                nodes.rm_node_count = attr
+            except Exception:
+                pass
+        stamp, cnt = attr
         if time.monotonic() - stamp < _NODE_COUNT_TTL_S:
             n = cnt
     if n is None:

@@ -36,6 +36,10 @@ ARROW_ALLOWED = {
                                # at sf0.1 on the dominant stage)
     "substring_removal_spans",  # same offset-sliced window kernel,
                                 # emitting per-occurrence intervals
+    "substring_scrub",          # consumes the removal-span kernel's
+                                # ranges (the apply side itself is a
+                                # pure-Catalyst aggregate fold — the
+                                # Arrow node is the upstream kernel)
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

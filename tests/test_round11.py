@@ -1,0 +1,175 @@
+"""Round-11 verification: the three r10 ADVICE fixes (span-kernel id
+typing, signature-base parameter validation, graph node-count TTL
+stamping), plus the round's new operators — tests for those live in
+their own sections below as they land."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from radmapper_spark.operators import chunking, dedup, graph
+
+
+def _docs(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+DUPTXT = ("the quick brown fox jumps over the lazy dog again and again "
+          "until the fence falls and the farmer wakes to chase it away")
+
+
+# -------------------------------------------- advice 1: span-kernel id type
+
+def test_span_ops_accept_string_doc_ids(spark):
+    """r10 advice: the Arrow span kernel hardcoded 'id long'; a corpus
+    with STRING doc ids must behave identically to the Catalyst path
+    instead of failing with an Arrow cast error."""
+    rows = [("a1", DUPTXT), ("b2", DUPTXT), ("c3", "short unrelated")]
+    docs = _docs(spark, rows, "doc_id string, text string")
+    arrow = dedup.repeated_span_pairs(docs, span_tokens=5,
+                                      span_mode="arrow").collect()
+    cat = dedup.repeated_span_pairs(docs, span_tokens=5,
+                                    span_mode="catalyst").collect()
+    key = lambda r: (r.id_a, r.id_b, r.n_shared_spans)
+    assert sorted(map(key, arrow)) == sorted(map(key, cat))
+    assert arrow and arrow[0].id_a == "a1"
+    cuts = dedup.substring_removal_spans(docs, span_tokens=5,
+                                         min_doc_freq=2).collect()
+    assert cuts and {r.doc_id for r in cuts} == {"a1", "b2"}
+    assert all(isinstance(r.doc_id, str) for r in cuts)
+
+
+def test_span_ops_long_ids_unchanged(spark):
+    """Bigint ids keep the exact pre-fix schema (no regression)."""
+    docs = _docs(spark, [(1, DUPTXT), (2, DUPTXT)])
+    out = dedup.repeated_span_pairs(docs, span_tokens=5)
+    assert dict(out.dtypes)["id_a"] == "bigint"
+    assert out.collect()[0].n_shared_spans > 0
+
+
+# ----------------------------------------- advice 2: base param validation
+
+def test_minhash_base_param_mismatch_raises(spark):
+    docs = _docs(spark, [(1, DUPTXT), (2, DUPTXT)])
+    base = dedup.minhash_base(docs, num_hashes=16)
+    with pytest.raises(ValueError, match="num_hashes.*base=16"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, base=base)
+    # matching params pass through
+    ok = dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8, base=base)
+    assert ok.count() == 1
+
+
+def test_minhash_attrless_base_sample_check(spark):
+    """A base frame that lost its attr (round-tripped through a select)
+    still fails loudly via the one-row signature-length probe."""
+    docs = _docs(spark, [(1, DUPTXT), (2, DUPTXT)])
+    stripped = dedup.minhash_base(docs, num_hashes=16).select("id", "minhash")
+    assert getattr(stripped, "rm_base_params", None) is None
+    with pytest.raises(ValueError, match="16-hash"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, base=stripped)
+
+
+def test_simhash_base_param_mismatch_raises(spark):
+    docs = _docs(spark, [(1, DUPTXT), (2, DUPTXT)])
+    base = dedup.simhash_base(docs, hash_mode="portable", nbits=60)
+    with pytest.raises(ValueError, match="hash_mode"):
+        dedup.simhash_pairs(docs, hash_mode="xxhash64", base=base)
+
+
+def test_sign_lsh_base_param_mismatch_raises(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -0.25]) for i in range(4)],
+        "vec_id long, embedding array<float>")
+    base = dedup.sign_lsh_base(emb, bands=32, planes_per_band=8)
+    with pytest.raises(ValueError, match="bands"):
+        dedup.embedding_cosine_pairs(emb, bands=64, planes_per_band=8,
+                                     base=base)
+
+
+# ------------------------------------------- advice 3: node-count TTL stamp
+
+def test_plain_int_node_count_attr_expires(spark, monkeypatch):
+    """r10 advice: a caller-set plain-int rm_node_count must be stamped
+    ONCE (TTL clock starts at first observation), not re-stamped per
+    call — else it never expires for legacy int-attr callers."""
+    nodes = spark.range(3).select(F.col("id").alias("node"))
+    nodes.rm_node_count = 3  # legacy caller-set plain int
+    assert graph._resolve_broadcast(None, nodes) is True
+    stamped = nodes.rm_node_count
+    assert isinstance(stamped, tuple) and stamped[1] == 3
+    # second resolve must NOT refresh the stamp
+    graph._resolve_broadcast(None, nodes)
+    assert nodes.rm_node_count[0] == stamped[0]
+    # age the stamp past the TTL: the resolve re-counts and re-stamps
+    nodes.rm_node_count = (stamped[0] - graph._NODE_COUNT_TTL_S - 1, 3)
+    graph._NODE_COUNT_CACHE.clear()
+    assert graph._resolve_broadcast(None, nodes) is True
+    assert nodes.rm_node_count[0] > stamped[0] - 1  # fresh stamp after recount
+    assert nodes.rm_node_count[1] == 3
+
+
+# -------------------------------------------- apply_removal_spans (scrub)
+
+def test_apply_removal_spans_semantics(spark):
+    """Cuts remove exactly [cut_start, cut_end) from the NORMALIZED
+    text; docs without ranges pass through normalized-intact."""
+    docs = _docs(spark, [(1, "  AA bb   cc dd  "), (2, "keep me whole")])
+    spans = spark.createDataFrame([(1, 3, 8)],
+                                  "doc_id long, cut_start long, cut_end long")
+    out = {r.doc_id: r for r in
+           dedup.apply_removal_spans(docs, spans).collect()}
+    # normalized doc 1 = "aa bb cc dd"; cutting [3, 8) removes "bb cc"
+    assert (out[1].clean_text, out[1].n_cut, out[1].n_chars_cut) \
+        == ("aa  dd", 1, 5)
+    assert (out[2].clean_text, out[2].n_cut) == ("keep me whole", 0)
+
+
+def test_apply_removal_spans_full_and_multi_cut(spark):
+    docs = _docs(spark, [(1, "gone entirely"), (2, "a b c d e f")])
+    spans = spark.createDataFrame(
+        [(1, 0, 13), (2, 0, 3), (2, 6, 9)],
+        "doc_id long, cut_start long, cut_end long")
+    out = {r.doc_id: r for r in
+           dedup.apply_removal_spans(docs, spans).collect()}
+    assert (out[1].clean_text, out[1].n_chars_cut) == ("", 13)
+    # "a b c d e f" minus [0,3)="a b" and [6,9)="d e": kept pieces are
+    # s[3:6]=" c " and s[9:]=" f" (cuts are literal intervals — the
+    # surrounding separators survive)
+    assert (out[2].n_cut, out[2].n_chars_cut) == (2, 6)
+    assert out[2].clean_text == " c  f"
+
+
+def test_scrub_roundtrip_removes_duplicated_runs(spark):
+    """End-to-end: the scrubbed corpus has NO remaining k-token run
+    shared by >= 2 docs (the Lee et al. fixpoint property on docs whose
+    duplicated material is contiguous)."""
+    k = 6
+    docs = _docs(spark, [
+        (1, DUPTXT), (2, DUPTXT + " unique tail one"),
+        (3, "prefix three " + DUPTXT), (4, "totally unrelated text here")])
+    spans = dedup.substring_removal_spans(docs, span_tokens=k,
+                                          min_doc_freq=2)
+    clean = dedup.apply_removal_spans(docs, spans).select(
+        "doc_id", F.col("clean_text").alias("text"))
+    again = dedup.substring_removal_spans(clean, span_tokens=k,
+                                          min_doc_freq=2).collect()
+    assert again == []
+
+
+def test_scrub_chains_into_doc_chunks(spark):
+    """Composability (r10 verdict item #2): the scrubbed corpus feeds
+    chunking directly — chunk text comes from clean_text only."""
+    docs = _docs(spark, [(1, DUPTXT + " alpha beta gamma delta"),
+                         (2, DUPTXT)])
+    spans = dedup.substring_removal_spans(docs, span_tokens=6,
+                                          min_doc_freq=2)
+    clean = dedup.apply_removal_spans(docs, spans)
+    chunks = chunking.chunk_documents(
+        clean.select("doc_id", F.col("clean_text").alias("text")),
+        chunk_tokens=4, overlap=0)
+    got = chunks.filter(F.col("doc_id") == 1).orderBy("chunk_seq").collect()
+    assert got and all("quick" not in c.chunk_text for c in got)
+    assert "alpha" in got[0].chunk_text
