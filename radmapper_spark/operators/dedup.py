@@ -396,34 +396,51 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     else:
         _check_base_params(base, "simhash_pairs",
                            nbits=nbits, hash_mode=hash_mode)
+    out = hamming_band_pairs(base, hash_col="simhash",
+                             max_hamming=max_hamming, bands=bands,
+                             band_bits=band_bits)
+    out.rm_release_cache = base.unpersist if owns_base else (lambda: None)
+    return out
+
+
+def hamming_band_pairs(base: DataFrame, hash_col: str = "simhash",
+                       id_col: str = "id", max_hamming: int = 3,
+                       bands: int = 4, band_bits: int = 16) -> DataFrame:
+    """Banded Hamming-distance pair join over any (id, 64-bit-or-less
+    fingerprint) frame — the Manku et al. WWW'07 multi-table
+    construction shared by simhash_pairs (text) and phash_pairs
+    (image): any pair within Hamming distance ``max_hamming`` < bands
+    agrees exactly on at least one ``band_bits``-bit band (pigeonhole),
+    so a per-band equi-join finds every true pair with no all-pairs
+    scan. The band explode CARRIES the 8-byte fingerprint so the exact
+    bit_count(xor) verify runs INLINE on the raw band-join output (no
+    candidate distinct shuffle — see simhash_pairs' measured argument);
+    band-duplicate survivors dedup in one tiny aggregate."""
     mask = (1 << band_bits) - 1
     bandvals = base.select(
-        "id", "simhash",
+        F.col(id_col).alias("id"), F.col(hash_col).alias("_h"),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                     F.shiftrightunsigned(F.col(hash_col), b * band_bits)
                      .bitwiseAND(F.lit(mask)).alias("bval"))
             for b in range(bands)])).alias("bb"),
-    ).select("id", "simhash",
+    ).select("id", "_h",
              F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
     # SHUFFLE_HASH: near-uniform (band, bval) buckets — see the embedding
     # band join for the measured SMJ-sort argument
     a, b = bandvals.alias("a"), bandvals.alias("b").hint("shuffle_hash")
-    out = (
+    return (
         a.join(b, on=[F.col("a.band") == F.col("b.band"),
                       F.col("a.bval") == F.col("b.bval"),
                       F.col("a.id") < F.col("b.id")])
         .withColumn("hamming",
-                    F.bit_count(F.col("a.simhash")
-                                .bitwiseXOR(F.col("b.simhash"))))
+                    F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h"))))
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"), "hamming")
         .groupBy("id_a", "id_b")
         .agg(F.min("hamming").alias("hamming"))
     )
-    out.rm_release_cache = base.unpersist if owns_base else (lambda: None)
-    return out
 
 
 def simhash_base(docs: DataFrame, text_col: str = "text",

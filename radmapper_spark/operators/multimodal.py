@@ -159,3 +159,124 @@ def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
     scale = F.least(F.lit(max_side) / w, F.lit(max_side) / h, F.lit(1.0))
     return media.withColumn("target_width", F.ceil(w * scale).cast("int")) \
                 .withColumn("target_height", F.ceil(h * scale).cast("int"))
+
+
+def perceptual_hash(media: DataFrame, payload_col: str = "payload",
+                    id_col: str = "media_id", pixels: int = 61,
+                    bits: int = 60) -> DataFrame:
+    """Perceptual image hash (dHash, gradient variant) over the binary
+    payload column: decode to a ``pixels``-sample luminance strip, then
+    bit i of the hash is 1 iff strip[i+1] > strip[i] — near-identical
+    images land within small Hamming distance. ``bits`` <= 60 keeps the
+    hash a non-negative BIGINT (the module's portable-hash convention;
+    see dedup.simhash hash_mode="portable"), so every downstream band /
+    xor / popcount runs on plain JVM longs and the DuckDB oracle
+    reproduces it bit-for-bit.
+
+    Decode boundary (the module contract): with pillow on the executors
+    the strip is a real grayscale resize to (pixels, 1) — the 1-D
+    variant of classic 9x8 dHash. Without it, RM_MM_FAKE_DECODE=1
+    (default in tests) swaps a deterministic LOCALITY-PRESERVING fake:
+    the payload decodes as UTF-8 text (latin-1 on invalid bytes — byte
+    values) and pixel i is the sum of code points in the i-th of
+    ``pixels`` equal slices, mod 256 — a byte-level downsample, which
+    is exactly what a grayscale resize is, so near-identical payloads
+    still yield near-identical strips and the banded Hamming join is
+    exercised for real. With the env var unset and no PIL, raises.
+
+    NULL/empty payloads are dropped (a hash of nothing is the blank-doc
+    hot bucket — same rationale as dedup.drop_blank_docs). Map-only
+    Arrow pass: one output row per input row, no shuffle."""
+    import pandas as pd
+
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60], got {bits}")
+    if pixels != bits + 1:
+        raise ValueError(f"pixels must be bits + 1 (adjacent-gradient "
+                         f"comparisons), got {pixels} for {bits} bits")
+    fake_ok = os.environ.get("RM_MM_FAKE_DECODE", "1") == "1"
+    px_, bits_ = int(pixels), int(bits)
+
+    # self-contained closure: executors cannot import radmapper_spark
+    def hash_batches(batches):
+        import numpy as np
+        import pandas as pd
+        try:
+            import io as _io
+
+            from PIL import Image as _Image
+            have_pil = True
+        except ImportError:
+            have_pil = False
+
+        def strip_fake(payload):
+            try:
+                s = payload.decode("utf-8")
+            except UnicodeDecodeError:
+                s = payload.decode("latin-1")
+            cp = np.frompyfunc(ord, 1, 1)(np.array(list(s), dtype=object)
+                                          ).astype(np.int64) \
+                if s else np.zeros(0, dtype=np.int64)
+            L = len(cp)
+            bounds = [(i * L) // px_ for i in range(px_ + 1)]
+            return np.array([int(cp[bounds[i]:bounds[i + 1]].sum()) % 256
+                             for i in range(px_)], dtype=np.int64)
+
+        def strip(payload):
+            if have_pil:
+                try:
+                    img = _Image.open(_io.BytesIO(payload)) \
+                        .convert("L").resize((px_, 1))
+                    return np.asarray(img.getdata(), dtype=np.int64)
+                except Exception:
+                    if not fake_ok:
+                        raise
+            if fake_ok:
+                return strip_fake(payload)
+            raise NotImplementedError(
+                "image decode requires pillow on the executors "
+                "(pip install pillow, or ship via --py-files)")
+
+        weights = np.int64(1) << np.arange(bits_, dtype=np.int64)
+        for pdf in batches:
+            keep = pdf[payload_col].map(
+                lambda b: b is not None and len(b) > 0)
+            pdf = pdf[keep]
+            hashes = []
+            for p in pdf[payload_col]:
+                s = strip(bytes(p))
+                hashes.append(int(((s[1:] > s[:-1]).astype(np.int64)
+                                   * weights).sum()))
+            yield pd.DataFrame({"media_id": pdf[id_col],
+                                "phash": pd.Series(hashes, dtype="int64",
+                                                   index=pdf.index)})
+
+    # id type follows the input schema (the r10 span-kernel lesson:
+    # never hardcode the id field of a mapInPandas schema)
+    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        hash_batches,
+        T.StructType([T.StructField("media_id",
+                                    media.schema[id_col].dataType),
+                      T.StructField("phash", T.LongType())]))
+
+
+def phash_neardup_pairs(media: DataFrame, payload_col: str = "payload",
+                        id_col: str = "media_id", max_hamming: int = 3,
+                        bands: int = 4, band_bits: int = 15,
+                        bits: int = 60) -> DataFrame:
+    """Image near-duplicate pairs: perceptual dHash + the banded
+    Hamming join shared with text simhash (dedup.hamming_band_pairs —
+    the Manku multi-table construction). Guaranteed recall for
+    ``max_hamming`` < ``bands`` by pigeonhole. Output (id_a, id_b,
+    hamming). Plan: one map-only Arrow hash pass, band explode, SHJ
+    band self-join with the inline popcount verify — the identical
+    100 TB shape as dedup_simhash."""
+    from . import dedup as _dedup
+
+    assert bands * band_bits <= bits and max_hamming < bands
+    hashes = perceptual_hash(media, payload_col, id_col,
+                             pixels=bits + 1, bits=bits)
+    return _dedup.hamming_band_pairs(hashes, hash_col="phash",
+                                     id_col="media_id",
+                                     max_hamming=max_hamming,
+                                     bands=bands, band_bits=band_bits)

@@ -1,0 +1,158 @@
+"""Corpus-trained BPE tokenizer (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units" — re-expressed from the
+public paper, not translated from any implementation): learn a bounded
+merge table from corpus word frequencies, then tokenize distributed with
+the merges as a broadcast literal — so chunking/packing token budgets
+become EXACT instead of whitespace estimates (r10 verdict item #6).
+
+Scale shape (the DSIR bounded-broadcast-table contract):
+
+- TRAIN: one distributed word-frequency aggregate, a
+  TakeOrderedAndProject cut to the ``top_words`` most frequent words
+  (the training vocabulary — bounded by construction), then the merge
+  loop runs DRIVER-SIDE in pure Python over those <= top_words rows
+  (O(top_words * n_merges) work on tiny strings — microseconds; a
+  distributed iteration would pay n_merges job launches to process a
+  few KB). The corpus is touched exactly once.
+- APPLY: merges ship as an ARRAY LITERAL inside a pure-Catalyst
+  ``aggregate`` fold (string ``replace`` per merge, in rank order) —
+  map-only, zero shuffle, zero Python; at 100 TB tokenization is part
+  of the corpus scan.
+
+The symbol-sequence encoding makes one BPE merge equal ONE string
+replace: a word's symbol sequence is rendered ``|s1||s2||s3|`` (every
+symbol wrapped in '|'), so merging the pair (a, b) is
+``replace(seq, '|a||b|', '|ab|')`` — left-to-right, non-overlapping,
+boundary-exact (the doubled separator means a pattern can never match
+across a symbol boundary, and consecutive occurrences don't share
+separators, so ``a a a a -> aa aa`` exactly like greedy BPE). Both
+Spark's ``replace`` and DuckDB's have these semantics, which is what
+makes the DuckDB oracle able to re-run the ENTIRE pipeline — training
+iterations included — in pure SQL.
+
+Token alphabet: words are normalized to [a-z0-9]+ (lowercase, every
+other character is a separator), so the '|' sentinel can never appear
+inside a symbol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_SEP_RE = "[^a-z0-9]+"
+
+
+def _norm_words(text_col):
+    """Normalized word array: lowercase, non-alnum runs are separators.
+    Mirrored verbatim by the oracle SQL's regexp_replace/string_split."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(text_col), WORD_SEP_RE, " "), " "),
+        lambda w: w != "")
+
+
+def _seq(word: str) -> str:
+    return "".join(f"|{c}|" for c in word)
+
+
+def bpe_train_local(word_freqs, n_merges: int):
+    """Pure-Python BPE merge-table training over a (word, freq) list —
+    the driver-side half of bpe_train, factored out so tests (and the
+    oracle-construction argument) can exercise it standalone. Pair
+    counts are per adjacent position weighted by word frequency; ties
+    break deterministically by (count DESC, lhs ASC, rhs ASC) — the
+    exact ORDER BY the oracle SQL's per-iteration argmax uses. Stops
+    early when no pair remains. Returns [(lhs, rhs), ...] in rank
+    order."""
+    seqs = {w: _seq(w) for w, _ in word_freqs}
+    freqs = dict(word_freqs)
+    merges = []
+    for _ in range(int(n_merges)):
+        counts: dict = {}
+        for w, s in seqs.items():
+            toks = s.strip("|").split("||")
+            f = freqs[w]
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append(best)
+        pat, rep = f"|{best[0]}||{best[1]}|", f"|{best[0]}{best[1]}|"
+        seqs = {w: s.replace(pat, rep) for w, s in seqs.items()}
+    return merges
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text",
+              n_merges: int = 16, top_words: int = 256):
+    """Train a BPE merge table on the corpus: ONE distributed
+    word-frequency pass, a bounded top-``top_words`` cut (count DESC,
+    word ASC — fully deterministic at the boundary), then the merge
+    loop driver-side (see module docstring for why that is the right
+    100 TB shape). Returns the merge list [(lhs, rhs), ...]."""
+    freq = (docs.select(F.explode(_norm_words(F.col(text_col)))
+                        .alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    top = (freq.orderBy(F.col("freq").desc(), F.col("word").asc())
+           .limit(int(top_words)).collect())  # bounded by construction
+    return bpe_train_local([(r["word"], r["freq"]) for r in top],
+                           n_merges)
+
+
+def _merge_fold(col, merges):
+    """Catalyst fold applying the merge list in rank order to a
+    '|'-wrapped symbol-sequence column. Merges are a broadcast literal
+    array; each step is one JVM string replace."""
+    if not merges:
+        return col
+    lits = F.array(*[
+        F.struct(F.lit(f"|{a}||{b}|").alias("pat"),
+                 F.lit(f"|{a}{b}|").alias("rep"))
+        for a, b in merges])
+    return F.aggregate(lits, col,
+                       lambda acc, m: F.replace(acc, m["pat"], m["rep"]))
+
+
+def bpe_token_expr(word_col, merges):
+    """Column expression: number of BPE tokens for one normalized word.
+    seq -> fold merges -> count symbols = '|' chars / 2."""
+    seq = F.regexp_replace(word_col, "(.)", r"|$1|")
+    folded = _merge_fold(seq, merges)
+    return ((F.length(folded)
+             - F.length(F.replace(folded, F.lit("|"), F.lit("")))) / 2) \
+        .cast("bigint")
+
+
+def bpe_token_counts(docs: DataFrame, merges, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document EXACT BPE token counts under a trained merge table:
+    (id_col, n_words, n_tokens). Documents with no normalized words
+    emit no row (mirrored by the oracle's join-through-words shape).
+    Map-only: the fold runs inline per word occurrence — no
+    distinct-words join, no shuffle beyond the input scan."""
+    toks = _norm_words(F.col(text_col))
+    per_word = F.transform(toks, lambda w: bpe_token_expr(w, merges))
+    return (docs
+            .select(F.col(id_col), toks.alias("_w"), per_word.alias("_n"))
+            .filter(F.size("_w") > 0)
+            .select(F.col(id_col),
+                    F.size("_w").cast("bigint").alias("n_words"),
+                    F.aggregate("_n", F.lit(0).cast("bigint"),
+                                lambda a, x: a + x).alias("n_tokens")))
+
+
+def bpe_tokenize(docs: DataFrame, merges, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document BPE token arrays: (id_col, tokens array<string>).
+    Same map-only fold as bpe_token_counts, emitting the symbols
+    themselves (split the folded sequence on the doubled separator)."""
+    toks = _norm_words(F.col(text_col))
+    per_word = F.transform(
+        toks, lambda w: F.split(
+            F.btrim(_merge_fold(F.regexp_replace(w, "(.)", r"|$1|"),
+                                merges), F.lit("|")),
+            r"\|\|"))
+    return (docs.select(F.col(id_col), toks.alias("_w"),
+                        per_word.alias("_t"))
+            .filter(F.size("_w") > 0)
+            .select(F.col(id_col), F.flatten("_t").alias("tokens")))

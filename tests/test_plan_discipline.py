@@ -40,6 +40,8 @@ ARROW_ALLOWED = {
                                 # ranges (the apply side itself is a
                                 # pure-Catalyst aggregate fold — the
                                 # Arrow node is the upstream kernel)
+    "image_phash_neardup",      # perceptual-hash decode boundary
+                                # (mapInPandas; banding/verify stay JVM)
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from radmapper_spark.operators import chunking, dedup, graph
+from radmapper_spark.operators import multimodal as mm
 
 
 def _docs(spark, rows, schema="doc_id long, text string"):
@@ -173,3 +174,85 @@ def test_scrub_chains_into_doc_chunks(spark):
     got = chunks.filter(F.col("doc_id") == 1).orderBy("chunk_seq").collect()
     assert got and all("quick" not in c.chunk_text for c in got)
     assert "alpha" in got[0].chunk_text
+
+
+# ------------------------------------------- perceptual-hash image near-dup
+
+def _media(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, text string") \
+        .select("media_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+def _ref_phash(text, pixels=61, bits=60):
+    """Independent pure-Python reference of the fake-decode dHash."""
+    cp = [ord(c) for c in text]
+    L = len(cp)
+    px = [sum(cp[(i * L) // pixels:((i + 1) * L) // pixels]) % 256
+          for i in range(pixels)]
+    return sum((1 << i) for i in range(bits) if px[i + 1] > px[i])
+
+
+def test_perceptual_hash_matches_reference(spark):
+    texts = ["some sample document text here", "x", "aa " * 100]
+    media = _media(spark, list(enumerate(texts)))
+    got = {r.media_id: r.phash for r in mm.perceptual_hash(media).collect()}
+    assert got == {i: _ref_phash(t) for i, t in enumerate(texts)}
+    # non-negative 60-bit: the portable-hash convention
+    assert all(0 <= h < (1 << 60) for h in got.values())
+
+
+def test_phash_banding_recall_exact_under_max_hamming(spark):
+    """Pigeonhole recall: EVERY pair within hamming <= 3 must be found
+    by the banded join — compare against a brute-force popcount over
+    all pairs of hashes."""
+    from itertools import combinations
+    base = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+            "do eiusmod tempor incididunt ut labore et dolore magna")
+    # perturbations: same length (chunk boundaries stable) with small
+    # character nudges -> small, varied hamming distances
+    texts = [base]
+    for i, ch in [(3, "f"), (9, "t"), (17, "z"), (30, "q"), (55, "m")]:
+        texts.append(base[:i] + ch + base[i + 1:])
+    texts += ["totally different content here entirely unrelated words",
+              base[::-1]]
+    media = _media(spark, list(enumerate(texts)))
+    hashes = {r.media_id: r.phash
+              for r in mm.perceptual_hash(media).collect()}
+    brute = {(a, b): bin(hashes[a] ^ hashes[b]).count("1")
+             for a, b in combinations(sorted(hashes), 2)
+             if bin(hashes[a] ^ hashes[b]).count("1") <= 3}
+    assert brute, "fixture must produce at least one near pair"
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in mm.phash_neardup_pairs(media, max_hamming=3).collect()}
+    assert got == brute
+
+
+def test_perceptual_hash_drops_empty_payloads(spark):
+    media = spark.createDataFrame(
+        [(1, b""), (2, None), (3, b"real content here")],
+        "media_id long, payload binary")
+    got = mm.perceptual_hash(media).collect()
+    assert [r.media_id for r in got] == [3]
+
+
+def test_perceptual_hash_raises_without_fake_decode(spark, monkeypatch):
+    """Production contract: no PIL + RM_MM_FAKE_DECODE unset -> the task
+    raises instead of silently faking (same boundary as
+    extract_features)."""
+    monkeypatch.setenv("RM_MM_FAKE_DECODE", "0")
+    media = _media(spark, [(1, "text")])
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("pillow installed; the raise path is unreachable")
+    except ImportError:
+        pass
+    with pytest.raises(Exception, match="pillow|NotImplemented"):
+        mm.perceptual_hash(media).collect()
+
+
+def test_perceptual_hash_param_guards(spark):
+    media = _media(spark, [(1, "text")])
+    with pytest.raises(ValueError, match="bits"):
+        mm.perceptual_hash(media, bits=64, pixels=65)
+    with pytest.raises(ValueError, match="pixels"):
+        mm.perceptual_hash(media, bits=60, pixels=60)
