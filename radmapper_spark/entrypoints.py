@@ -4007,50 +4007,57 @@ ENTRIES: dict = {
     "bpe_token_count": (bpe_token_count, bpe_token_count_sql),
 }
 
-# =========== r10 window rotation. The driver's correctness gate checks
-# the FIRST 50 registered entries. This round rotates in: the entries
-# whose last hard driver row is r8 (they hit the 2-round freshness
-# limit now), quality_probe (registered after the r9 window froze —
-# first external row), and the two NEW lm entries. That is 52
-# candidates for 50 slots; two slot trades, each to the simplest
-# headline aggregate holding a 1-round... (r8) green row with code
-# untouched since r5 and full local three-SF gating every run:
-# large_orders and events_by_type sit out and rotate first in r11.
-# embedding_probe / embedding_gram / embedding_pca / dsir_select /
-# ann_opq_topk hold r9 rows and stay outside; the r10 index_meta
-# change ((mtime, child name/len/mtime) sidecar fingerprint) is shared
-# code that neardup_probe + neardup_admit — both IN this window —
-# re-prove under the external gate. embedding_gram/pca DID gain r10
-# code (_guarded_bigint output boundary; linalg NaN fail-loud): both
-# are additive raise-paths that cannot change in-range values, and the
-# post-change three-SF sweep (309/309, BASELINE r10) re-proved the
-# entries against their oracles at all fixture SFs — the r9 graph
-# precedent for code-touched-but-locally-proven entries holding fresh
-# external rows.
-_R10_WINDOW = [
-    "temporal_asof_join", "temporal_range_join", "text_vocabulary",
-    "region_nation_revenue", "top_customer_per_nation",
-    "rm_datalog_join", "rm_table_paths", "skew_salted_join",
-    "skew_salted_agg", "dataset_split", "stats_profile",
-    "rm_nested_docs", "top_revenue_orders", "rm_express_map",
-    "rm_express_reduce", "multimodal_features", "pipeline_corpus_clean",
-    "dedup_token_jaccard", "sample_per_group", "dedup_exact",
-    "text_fingerprint", "text_lang_id", "text_token_count",
-    "text_quality", "rm_qvar_project", "rm_eav_wildcard",
-    "rm_scalar_battery", "rm_datetime_ops", "string_battery",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_running_totals", "stream_dedup", "stream_join",
-    "dedup_groups", "dedup_simhash", "ann_bruteforce_topk",
-    "neardup_probe", "neardup_admit", "semantic_dedup",
-    # code touched in r10 (embedding-cosine signature-base untimed
-    # cache; substring hash-first join key) — re-prove externally
-    "substring_dup_spans", "dedup_embedding_cosine",
-    "dedup_minhash_lsh", "graph_pagerank", "graph_communities",
-    "ann_ivf_topk",
-    # first external rows: quality_probe (r9 latecomer) + the r10
-    # lm entries
-    "quality_probe", "lm_score", "lm_bucket",
+# =========== r11 window rotation. The driver's correctness gate checks
+# the FIRST 50 registered entries. Registry is 107 after this round's
+# three new entries, so a 50-slot window can keep at most 100 entries
+# within the 2-round freshness target — slips are structural and are
+# documented here every round. This window, in priority order:
+#
+# 1. The four rotation OBLIGATIONS from the r10 verdict: large_orders
+#    + events_by_type (last external row r8 — the two documented r10
+#    slot trades, at the freshness limit) and moore_lewis_select +
+#    substring_removal_spans (registered r10 after the window froze —
+#    first external rows ever).
+# 2. The three NEW r11 entries (substring_scrub, image_phash_neardup,
+#    bpe_token_count) — registered BEFORE this window froze, so they
+#    land first external rows this round instead of becoming next
+#    round's latecomer debt.
+# 3. substring_dup_spans: its arrow-path mapInPandas schema is now
+#    DERIVED from the input id type (r10 advice #1) — value-identical
+#    for the fixtures' bigint ids, but a changed default code path
+#    re-proves under the external gate.
+# 4. 42 of the 50 entries whose last row is r9 (they hit the 2-round
+#    limit now). The 8 that slip to r12 — window_battery, events_pivot,
+#    sales_rollup, brand_revenue, events_unpivot, user_cohorts,
+#    customer_deciles, events_json_extract — are plain headline SQL
+#    aggregates, code untouched for 5+ rounds, every one green in the
+#    full local three-SF sweep each round (the r10 trade pattern); they
+#    rotate FIRST in r12.
+#
+# Entries with r10 rows whose shared code gained only additive
+# raise-paths this round (minhash/simhash/embedding-cosine base
+# validation, the graph TTL stamp fix) stay outside on the r10
+# precedent: raise-paths cannot change in-range values and the
+# post-change three-SF sweep re-proves them locally.
+_R11_WINDOW = [
+    "large_orders", "events_by_type", "moore_lewis_select",
+    "substring_removal_spans", "substring_scrub",
+    "image_phash_neardup", "bpe_token_count", "substring_dup_spans",
+    "ann_opq_topk", "ann_pq_topk", "ann_range_search",
+    "blocklist_scrub", "cdc_merge", "customers_without_orders",
+    "decontam_ngram", "doc_chunks", "doc_chunks_cdc", "dq_checks",
+    "dsir_select", "embedding_gram", "embedding_kmeans",
+    "embedding_kmeans_lloyd", "embedding_pca", "embedding_probe",
+    "embedding_quantize", "event_funnel", "event_markov",
+    "events_anomalies", "events_gapfill", "events_twap",
+    "fuzzy_part_names", "lang_id_eval", "mixture_sample",
+    "numeric_battery", "orders_above_customer_avg",
+    "pricing_summary", "seq_pack", "source_mixture",
+    "stats_histogram", "stats_outliers", "temporal_rollup",
+    "temporal_sessionize", "text_bigram_pmi", "text_bm25",
+    "text_inverted_index", "text_pii_scrub", "text_repetition",
+    "text_tfidf", "urgent_and_low_customers", "weighted_sample",
 ]
-assert len(_R10_WINDOW) == 50 and set(_R10_WINDOW) <= set(ENTRIES)
+assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(ENTRIES)
 ENTRIES = {k: ENTRIES[k] for k in
-           _R10_WINDOW + [k for k in ENTRIES if k not in set(_R10_WINDOW)]}
+           _R11_WINDOW + [k for k in ENTRIES if k not in set(_R11_WINDOW)]}
