@@ -17,7 +17,7 @@ from . import headline
 from .lang.interp import Interp
 from .operators import (decontam, dedup, multimodal, similarity, temporal,
                         textstats, tokenizer)
-from .session import load_tables, session_key
+from .session import invalidate_tables, load_tables, session_key
 from .streaming import windows as W
 
 DEC = "decimal(18,2)"
@@ -2355,6 +2355,11 @@ def _cached_frames(cache: dict, spark: SparkSession, sf_dir: str,
                 f.unpersist()
             except Exception:
                 pass
+        # the rebuild must not read through the table memo either: its
+        # DataFrames pin the file listing (lengths/split offsets) from
+        # first load, so a real rewrite would rebuild derived frames
+        # over stale scans or crash on changed file sizes (r11 review)
+        invalidate_tables(spark, sf_dir)
     if cache_key not in cache:
         for k in [k for k in cache if k != cache_key]:
             _CACHE_FPRINTS.pop((id(cache), k), None)

@@ -69,10 +69,14 @@ def _check_base_params(base: DataFrame, op: str, **expect) -> None:
     operator's parameters. Primary check: the rm_base_params attr every
     builder in this module stamps. Fallback for attr-less frames (built
     by hand, or round-tripped through a transformation that dropped the
-    attr): a cheap structural probe where the schema allows one —
-    minhash signature length is visible in a one-row sample; a packed
-    simhash bigint carries no width, so attr-less simhash bases are
-    accepted as-is (documented limit of the check)."""
+    attr): a structural probe where the schema allows one — minhash
+    signature LENGTH is visible in a one-row sample (the probe result
+    is memoized back onto the frame object so repeated calls don't
+    re-pay the job). DOCUMENTED LIMIT: values carry no witness for
+    shingle_k/hash_mode (minhash) or nbits/hash_mode (a packed simhash
+    bigint), so an attr-less base mismatched ONLY in those still passes
+    — keep the stamped attr (or the frame's parquet round-trip
+    parameters) authoritative for them."""
     params = getattr(base, "rm_base_params", None)
     if params is not None:
         bad = {k: (params[k], v) for k, v in expect.items()
@@ -91,6 +95,13 @@ def _check_base_params(base: DataFrame, op: str, **expect) -> None:
                 f"signatures but the operator expects "
                 f"{expect['num_hashes']} — band hashing would index "
                 f"past the array and silently drop pairs")
+        if row is not None:
+            # memoize ONLY the probed fact (never the caller's
+            # unverified expectations) so the next call skips the job
+            try:
+                base.rm_base_params = {"num_hashes": int(row["n"])}
+            except Exception:
+                pass
 
 
 def drop_blank_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:

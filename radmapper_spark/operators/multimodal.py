@@ -251,32 +251,55 @@ def perceptual_hash(media: DataFrame, payload_col: str = "payload",
                                 "phash": pd.Series(hashes, dtype="int64",
                                                    index=pdf.index)})
 
+    from .dedup import _stamp_base_params
+
     # id type follows the input schema (the r10 span-kernel lesson:
     # never hardcode the id field of a mapInPandas schema)
-    return media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-        hash_batches,
-        T.StructType([T.StructField("media_id",
-                                    media.schema[id_col].dataType),
-                      T.StructField("phash", T.LongType())]))
+    return _stamp_base_params(
+        media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+            hash_batches,
+            T.StructType([T.StructField("media_id",
+                                        media.schema[id_col].dataType),
+                          T.StructField("phash", T.LongType())])),
+        bits=bits_)
 
 
 def phash_neardup_pairs(media: DataFrame, payload_col: str = "payload",
                         id_col: str = "media_id", max_hamming: int = 3,
                         bands: int = 4, band_bits: int = 15,
-                        bits: int = 60) -> DataFrame:
+                        bits: int = 60,
+                        base: DataFrame = None) -> DataFrame:
     """Image near-duplicate pairs: perceptual dHash + the banded
     Hamming join shared with text simhash (dedup.hamming_band_pairs —
     the Manku multi-table construction). Guaranteed recall for
     ``max_hamming`` < ``bands`` by pigeonhole. Output (id_a, id_b,
     hamming). Plan: one map-only Arrow hash pass, band explode, SHJ
     band self-join with the inline popcount verify — the identical
-    100 TB shape as dedup_simhash."""
+    100 TB shape as dedup_simhash. The hash frame is PERSISTED for the
+    self-join (the module's persist-the-base contract: with real PIL
+    decode the hash pass is the dominant cost and must not run on both
+    join sides) and released via the result's ``rm_release_cache``
+    handle; callers over an immutable corpus pass a persisted ``base``
+    (id, phash) instead and own its cache."""
     from . import dedup as _dedup
 
-    assert bands * band_bits <= bits and max_hamming < bands
-    hashes = perceptual_hash(media, payload_col, id_col,
-                             pixels=bits + 1, bits=bits)
-    return _dedup.hamming_band_pairs(hashes, hash_col="phash",
-                                     id_col="media_id",
-                                     max_hamming=max_hamming,
-                                     bands=bands, band_bits=band_bits)
+    if bands * band_bits > bits:
+        raise ValueError(f"bands*band_bits ({bands}*{band_bits}) must "
+                         f"fit in the {bits}-bit hash")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) — "
+            f"the pigeonhole recall guarantee needs at least one "
+            f"untouched band per true pair")
+    owns_base = base is None
+    if owns_base:
+        base = perceptual_hash(media, payload_col, id_col,
+                               pixels=bits + 1, bits=bits).persist()
+    else:
+        _dedup._check_base_params(base, "phash_neardup_pairs", bits=bits)
+    out = _dedup.hamming_band_pairs(base, hash_col="phash",
+                                    id_col="media_id",
+                                    max_hamming=max_hamming,
+                                    bands=bands, band_bits=band_bits)
+    out.rm_release_cache = base.unpersist if owns_base else (lambda: None)
+    return out

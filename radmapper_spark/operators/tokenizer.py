@@ -40,15 +40,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-WORD_SEP_RE = "[^a-z0-9]+"
-
-
-def _norm_words(text_col):
-    """Normalized word array: lowercase, non-alnum runs are separators.
-    Mirrored verbatim by the oracle SQL's regexp_replace/string_split."""
-    return F.filter(
-        F.split(F.regexp_replace(F.lower(text_col), WORD_SEP_RE, " "), " "),
-        lambda w: w != "")
+# ONE owner for the [a-z0-9]+ word-normalization contract the oracle SQL
+# mirrors: decontam._words (r11 review — a second equivalent
+# construction here would let a future tweak silently desynchronize
+# tokenizer/decontam word semantics)
+from .decontam import _words as _norm_words
 
 
 def _seq(word: str) -> str:

@@ -129,3 +129,19 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
         del _TABLE_CACHE[k]  # dead sessions: plans only, no data held
     _TABLE_CACHE[cache_key] = out
     return dict(out)
+
+
+def invalidate_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Drop the table memo for (session, sf_dir) AND Spark's own cached
+    file listings under the directory. A memoized DataFrame pins the
+    FileStatus listing (file lengths, split offsets) captured at first
+    load, so after an external rewrite a re-executed plan can read the
+    new file with stale offsets (EOF / corrupt-footer failures) — the
+    derived-frame staleness contract in entrypoints._cached_frames
+    calls this before rebuilding (r11 review finding #1)."""
+    _TABLE_CACHE.pop((session_key(spark), sf_dir), None)
+    for name in TABLES:
+        try:
+            spark.catalog.refreshByPath(f"{sf_dir}/{name}.parquet")
+        except Exception:
+            pass  # table absent under a partial/custom dir: nothing cached

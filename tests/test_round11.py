@@ -257,6 +257,28 @@ def test_perceptual_hash_param_guards(spark):
         mm.perceptual_hash(media, bits=64, pixels=65)
     with pytest.raises(ValueError, match="pixels"):
         mm.perceptual_hash(media, bits=60, pixels=60)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        mm.phash_neardup_pairs(media, max_hamming=4, bands=4)
+    with pytest.raises(ValueError, match="fit"):
+        mm.phash_neardup_pairs(media, bands=5, band_bits=15, bits=60)
+
+
+def test_phash_pairs_base_contract(spark):
+    """The persist-the-base contract (r11 review): owned bases are
+    persisted and released via rm_release_cache; caller-supplied bases
+    are param-validated and never released by the operator."""
+    media = _media(spark, [(1, DUPTXT), (2, DUPTXT)])
+    out = mm.phash_neardup_pairs(media)
+    assert out.count() == 1
+    out.rm_release_cache()  # owned base: handle releases the persist
+    base = mm.perceptual_hash(media, bits=50, pixels=51)
+    assert base.rm_base_params == {"bits": 50}  # builder stamps
+    with pytest.raises(ValueError, match="bits"):
+        mm.phash_neardup_pairs(media, bits=60, base=base)
+    ok = mm.phash_neardup_pairs(media, bits=50, bands=3, band_bits=15,
+                                max_hamming=2, base=base)
+    assert ok.count() == 1
+    ok.rm_release_cache()  # caller-owned base: a no-op
 
 
 # ------------------------------------------------------- BPE tokenizer
@@ -373,13 +395,20 @@ def test_cached_frames_rebuild_on_input_change(spark, tmp_path):
 
     cache: dict = {}
     a = E._cached_frames(cache, spark, str(sfd), build)["docs"]
+    n_before = a.count()
     b = E._cached_frames(cache, spark, str(sfd), build)["docs"]
     assert len(calls) == 1 and a is b  # hit: no rebuild, same frame
-    # rewrite the input (mtime_ns changes even when content doesn't)
-    shutil.copy("/root/testdata/sf0.001/documents.parquet",
-                sfd / "documents.parquet")
+    # REAL rewrite — different content AND size (the r11 review case:
+    # the rebuild must not read through the table memo's pinned file
+    # listing, which would scan the new file with stale offsets)
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE t AS SELECT * FROM "
+                f"'{sfd}/documents.parquet' LIMIT 100")
+    con.execute(f"COPY t TO '{sfd}/documents.parquet' (FORMAT PARQUET)")
     c = E._cached_frames(cache, spark, str(sfd), build)["docs"]
     assert len(calls) == 2 and c is not a  # fingerprint miss: rebuilt
     assert not a.is_cached  # stale entry was unpersisted
+    assert c.count() == 100 and n_before != 100  # fresh data, not memoized
     # cleanup
     cache.pop((E.session_key(spark), str(sfd)))["docs"].unpersist()

@@ -1085,6 +1085,7 @@ def test_phash_neardup_500k_media(spark, big_docs):
     pairs = mm.phash_neardup_pairs(media, max_hamming=2)
     n = pairs.count()
     dt = time.monotonic() - t0
+    pairs.rm_release_cache()
     print(f"  phash_neardup 500k media: {n} pairs {dt:.1f}s")
     assert dt < 300
     # exact-duplicate payloads must appear (hamming 0 recall is exact)
@@ -1112,7 +1113,6 @@ def test_bpe_500k_docs(spark, big_docs):
           f"apply {row['w']} words -> {row['t']} tokens {t2 - t1:.1f}s")
     assert len(merges) == 16
     assert row["n"] == 500_000
-    # every word is >= 1 token and the 10-word vocab is fully merged
-    # well under 16 merges only if frequent — tokens never exceed chars
-    assert row["w"] <= row["t"] or len(merges) > 0
+    # every word is >= 1 token, so tokens can never undercount words
+    assert row["w"] <= row["t"]
     assert t2 - t0 < 300
