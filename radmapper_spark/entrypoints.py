@@ -2389,6 +2389,7 @@ def release_edge_cache() -> int:
                     pass
             n += 1
         cache.clear()
+    _BPE_CACHE.clear()  # tiny python lists — no frames, cleared for hygiene
     n += purge_probe_indexes()
     return n
 
@@ -2935,6 +2936,29 @@ def moore_lewis_select_sql() -> str:
 
 _BPE_MERGES, _BPE_TOPW = 16, 256
 
+# (session, sf_dir) -> (sf fingerprint, merges list). The trained merge
+# table is a pure function of the immutable corpus + params — memoized
+# like the IVF/PQ codebook fits so only the FIRST construction pays the
+# training job (the lazy-construction gate asserts the second build is
+# job-free). Values are tiny python lists (no persisted frames);
+# staleness follows the same _sf_fingerprint contract as
+# _cached_frames.
+_BPE_CACHE: dict = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str):
+    key = (session_key(spark), sf_dir)
+    fp = _sf_fingerprint(sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    merges = tokenizer.bpe_train(load_tables(spark, sf_dir)["documents"],
+                                 n_merges=_BPE_MERGES,
+                                 top_words=_BPE_TOPW)
+    _BPE_CACHE.clear()  # one live (session, sf_dir) entry, like the frame caches
+    _BPE_CACHE[key] = (fp, merges)
+    return merges
+
 
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-document token counts under a corpus-trained BPE merge
@@ -2950,9 +2974,7 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly SQL replace semantics) and re-applies it, so training AND
     application are value-gated end to end."""
     docs = load_tables(spark, sf_dir)["documents"]
-    merges = tokenizer.bpe_train(docs, n_merges=_BPE_MERGES,
-                                 top_words=_BPE_TOPW)
-    return tokenizer.bpe_token_counts(docs, merges)
+    return tokenizer.bpe_token_counts(docs, _bpe_merges(spark, sf_dir))
 
 
 def bpe_token_count_sql() -> str:
