@@ -152,3 +152,47 @@ def bpe_tokenize(docs: DataFrame, merges, text_col: str = "text",
                         per_word.alias("_t"))
             .filter(F.size("_w") > 0)
             .select(F.col(id_col), F.flatten("_t").alias("tokens")))
+
+
+def bpe_chunk_documents(docs: DataFrame, merges,
+                        chunk_tokens: int = 32,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window chunking in EXACT BPE-token space — what a
+    training pipeline actually needs at context-length boundaries
+    (chunking.chunk_documents counts whitespace words; this counts the
+    tokens the model will see, so every emitted window except a doc's
+    ragged tail is exactly ``chunk_tokens`` long). Output mirrors
+    chunk_documents: (doc_id, chunk_seq 1-based, chunk_start in TOKEN
+    units, n_chunk_tokens, chunk_text = space-joined BPE tokens).
+
+    Plan shape: the same map-only fold as bpe_tokenize builds each
+    document's token array in the corpus scan, then a transform over
+    window starts + posexplode — zero shuffle, zero Python, merges
+    broadcast as a literal. Documents with no normalized words emit no
+    chunks."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    toks = _norm_words(F.col(text_col))
+    per_word = F.transform(
+        toks, lambda w: F.split(
+            F.btrim(_merge_fold(F.regexp_replace(w, "(.)", r"|$1|"),
+                                merges), F.lit("|")),
+            r"\|\|"))
+    n = F.size("_t")
+    starts = F.sequence(F.lit(0), n - F.lit(1), F.lit(int(chunk_tokens)))
+    windows = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.slice(F.col("_t"), s + 1, int(chunk_tokens)).alias("win")))
+    return (docs
+            .select(F.col(id_col).alias("doc_id"),
+                    F.flatten(per_word).alias("_t"))
+            .filter(F.size("_t") > 0)
+            .select("doc_id", F.posexplode(windows).alias("chunk_seq", "_c"))
+            .select("doc_id",
+                    (F.col("chunk_seq") + 1).alias("chunk_seq"),
+                    F.col("_c.start").cast("bigint").alias("chunk_start"),
+                    F.size("_c.win").cast("bigint").alias("n_chunk_tokens"),
+                    F.array_join("_c.win", " ").alias("chunk_text")))

@@ -42,6 +42,9 @@ ARROW_ALLOWED = {
                                 # Arrow node is the upstream kernel)
     "image_phash_neardup",      # perceptual-hash decode boundary
                                 # (mapInPandas; banding/verify stay JVM)
+    # image_dedup_groups is NOT here: its phash/Arrow work runs inside
+    # dedup_groups' eager bounded pair-collect (EAGER_ALLOWED below),
+    # so the RETURNED plan is a pure-JVM join against the label frame
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
@@ -147,6 +150,8 @@ EAGER_ALLOWED = {
     "neardup_probe",
     "embedding_probe",
     "neardup_admit",
+    # composes dedup_groups (the bounded union-find collect above)
+    "image_dedup_groups",
 }
 
 

@@ -371,6 +371,50 @@ def test_bpe_packing_budget_exactness(spark):
         assert r.pack_fill <= 24
 
 
+# ------------------------------------------- composed loops (second batch)
+
+def test_bpe_chunk_documents_windows(spark):
+    """Chunk boundaries are exact token windows: every chunk except the
+    ragged tail is exactly chunk_tokens long, chunk text re-concatenates
+    to the full token stream, starts are multiples of chunk_tokens."""
+    docs = _docs(spark, [(1, "low lower lowest newer new " * 4),
+                         (2, "tiny"), (3, "!!!")])
+    merges = tk.bpe_train(docs, n_merges=6, top_words=32)
+    toks = {r.doc_id: r.tokens
+            for r in tk.bpe_tokenize(docs, merges).collect()}
+    chunks = tk.bpe_chunk_documents(docs, merges, chunk_tokens=7).collect()
+    assert {r.doc_id for r in chunks} == {1, 2}  # wordless doc 3 absent
+    by_doc: dict = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_seq)):
+        assert r.chunk_start == (r.chunk_seq - 1) * 7
+        by_doc.setdefault(r.doc_id, []).extend(r.chunk_text.split(" "))
+        tail = r.chunk_seq * 7 >= len(toks[r.doc_id])
+        assert r.n_chunk_tokens == (7 if not tail
+                                    else len(toks[r.doc_id]) - r.chunk_start)
+    for d, stream in by_doc.items():
+        assert stream == toks[d]  # chunks re-concatenate to the stream
+
+
+def test_image_dedup_groups_composition(spark):
+    """The composed loop: phash pairs -> connected components. A trio of
+    identical payloads collapses to one min-id component; unrelated
+    media stay singletons labeled by themselves. (Transitive closure
+    itself is proven in the dedup CC tests; this pins the composition
+    and the release-handle forwarding.)"""
+    t = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+         "eiusmod tempor incididunt ut labore et dolore magna aliqua ok")
+    media = _media(spark, [(1, t), (2, t), (3, t), (9, "unrelated words "
+                                                       "here entirely")])
+    pairs = mm.phash_neardup_pairs(media, max_hamming=3)
+    comp = dedup.dedup_groups(
+        media.select(F.col("media_id").alias("doc_id")), pairs,
+        id_col="doc_id").collect()
+    pairs.rm_release_cache()
+    got = {r.doc_id: r.component for r in comp}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[9] == 9  # singleton keeps itself
+
+
 # ---------------------------------------- session-cache staleness contract
 
 def test_cached_frames_rebuild_on_input_change(spark, tmp_path):

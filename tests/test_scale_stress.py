@@ -1116,3 +1116,30 @@ def test_bpe_500k_docs(spark, big_docs):
     # every word is >= 1 token, so tokens can never undercount words
     assert row["w"] <= row["t"]
     assert t2 - t0 < 300
+
+
+def test_bpe_chunks_500k_docs(spark, big_docs):
+    """r11: exact-token chunking at 500k docs — the token-array fold +
+    window explode stays map-only; every non-tail chunk is exactly the
+    budget."""
+    import time
+
+    from radmapper_spark.operators import tokenizer as tk
+
+    merges = tk.bpe_train(big_docs, n_merges=16, top_words=256)
+    t0 = time.monotonic()
+    chunks = tk.bpe_chunk_documents(big_docs, merges, chunk_tokens=64)
+    row = chunks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chunk_tokens").alias("t"),
+        F.sum(F.when(F.col("n_chunk_tokens") == 64, 1).otherwise(0))
+        .alias("full")).collect()[0]
+    dt = time.monotonic() - t0
+    print(f"  bpe_chunks 500k docs: {row['n']} chunks, {row['t']} tokens, "
+          f"{row['full']} full {dt:.1f}s")
+    # exactly one non-full (tail) chunk per doc at most
+    assert row["n"] - row["full"] <= 500_000
+    # total chunked tokens == total corpus tokens (no loss, no overlap)
+    counts = tk.bpe_token_counts(big_docs, merges)
+    assert row["t"] == counts.agg(F.sum("n_tokens")).collect()[0][0]
+    assert dt < 300
