@@ -1440,8 +1440,11 @@ def image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.select(F.col("media_id").alias("doc_id")),
         pairs, id_col="doc_id").select(
             F.col("doc_id").alias("media_id"), "component")
-    # forward the persisted phash-base handle so bench/tests release it
-    out.rm_release_cache = pairs.rm_release_cache
+    # connected_components consumes the pairs EAGERLY at construction
+    # (localCheckpoint + count on its first lines), so the persisted
+    # phash base is dead by now — release it here instead of forwarding
+    # a handle the caller has to know about (r11 second review)
+    pairs.rm_release_cache()
     return out
 
 
@@ -2997,6 +3000,13 @@ def _bpe_merges(spark: SparkSession, sf_dir: str):
     hit = _BPE_CACHE.get(key)
     if hit is not None and hit[0] == fp:
         return hit[1]
+    if hit is not None:
+        # stale fingerprint: the retrain must not read through the
+        # table memo's pinned file listing either (the same rule as
+        # _cached_frames — retraining on a stale scan would then stamp
+        # the FRESH fingerprint onto merges trained from OLD data,
+        # masking the staleness permanently; r11 second review)
+        invalidate_tables(spark, sf_dir)
     merges = tokenizer.bpe_train(load_tables(spark, sf_dir)["documents"],
                                  n_merges=_BPE_MERGES,
                                  top_words=_BPE_TOPW)
@@ -3018,8 +3028,11 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled-separator encoding makes BPE's greedy left-to-right merge
     exactly SQL replace semantics) and re-applies it, so training AND
     application are value-gated end to end."""
+    # merges FIRST: a stale-fingerprint retrain invalidates the table
+    # memo, and docs must come from the post-invalidation load
+    merges = _bpe_merges(spark, sf_dir)
     docs = load_tables(spark, sf_dir)["documents"]
-    return tokenizer.bpe_token_counts(docs, _bpe_merges(spark, sf_dir))
+    return tokenizer.bpe_token_counts(docs, merges)
 
 
 def _bpe_cte_chain() -> str:
@@ -3106,8 +3119,9 @@ def bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain), rebuilds every document's ordered token STREAM and windows
     it — chunk boundaries, token counts AND the chunk text itself are
     value-gated."""
+    merges = _bpe_merges(spark, sf_dir)  # before docs — see bpe_token_count
     docs = load_tables(spark, sf_dir)["documents"]
-    return tokenizer.bpe_chunk_documents(docs, _bpe_merges(spark, sf_dir),
+    return tokenizer.bpe_chunk_documents(docs, merges,
                                          chunk_tokens=_BPE_CHUNK)
 
 
@@ -3118,7 +3132,11 @@ def bpe_chunks_sql() -> str:
         SELECT word, string_split(trim(seq, '|'), '||') AS tk
         FROM dw{n}),
     worder AS (
-        SELECT doc_id, ws, unnest(range(1, len(ws) + 1))::INT AS wi
+        -- parallel unnests zip positionally: the word and its ordinal
+        -- come out together WITHOUT carrying the whole ws list on every
+        -- row (that form is O(n_words^2) strings per doc; r11 review)
+        SELECT doc_id, unnest(ws) AS word,
+               unnest(range(1, len(ws) + 1))::INT AS wi
         FROM (SELECT doc_id,
                      list_filter(string_split(regexp_replace(lower(text),
                          '[^a-z0-9]+', ' ', 'g'), ' '),
@@ -3127,12 +3145,12 @@ def bpe_chunks_sql() -> str:
         WHERE len(ws) > 0),
     wtoks AS (
         SELECT w.doc_id, w.wi, s.tk
-        FROM worder w JOIN wseq s ON s.word = w.ws[w.wi]),
+        FROM worder w JOIN wseq s USING (word)),
     stream AS (
-        SELECT doc_id, tk[ti] AS tok,
+        SELECT doc_id, tok,
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY wi, ti) AS pos
-        FROM (SELECT doc_id, wi, tk,
+        FROM (SELECT doc_id, wi, unnest(tk) AS tok,
                      unnest(range(1, len(tk) + 1))::INT AS ti
               FROM wtoks))
     SELECT doc_id,

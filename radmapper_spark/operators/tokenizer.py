@@ -137,20 +137,30 @@ def bpe_token_counts(docs: DataFrame, merges, text_col: str = "text",
                                 lambda a, x: a + x).alias("n_tokens")))
 
 
+def _word_token_arrays(text_col, merges):
+    """Column expression: array-of-arrays — each normalized word's BPE
+    token list (wrap chars, fold merges, split on the doubled
+    separator). ONE owner for the wrap/fold/split expression shared by
+    bpe_tokenize and bpe_chunk_documents (a second copy could silently
+    desynchronize chunking from tokenization if the seq encoding ever
+    changes — r11 review)."""
+    return F.transform(
+        _norm_words(text_col),
+        lambda w: F.split(
+            F.btrim(_merge_fold(F.regexp_replace(w, "(.)", r"|$1|"),
+                                merges), F.lit("|")),
+            r"\|\|"))
+
+
 def bpe_tokenize(docs: DataFrame, merges, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-document BPE token arrays: (id_col, tokens array<string>).
     Same map-only fold as bpe_token_counts, emitting the symbols
     themselves (split the folded sequence on the doubled separator)."""
-    toks = _norm_words(F.col(text_col))
-    per_word = F.transform(
-        toks, lambda w: F.split(
-            F.btrim(_merge_fold(F.regexp_replace(w, "(.)", r"|$1|"),
-                                merges), F.lit("|")),
-            r"\|\|"))
-    return (docs.select(F.col(id_col), toks.alias("_w"),
-                        per_word.alias("_t"))
-            .filter(F.size("_w") > 0)
+    return (docs.select(F.col(id_col),
+                        _word_token_arrays(F.col(text_col), merges)
+                        .alias("_t"))
+            .filter(F.size("_t") > 0)
             .select(F.col(id_col), F.flatten("_t").alias("tokens")))
 
 
@@ -173,12 +183,7 @@ def bpe_chunk_documents(docs: DataFrame, merges,
     chunks."""
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
-    toks = _norm_words(F.col(text_col))
-    per_word = F.transform(
-        toks, lambda w: F.split(
-            F.btrim(_merge_fold(F.regexp_replace(w, "(.)", r"|$1|"),
-                                merges), F.lit("|")),
-            r"\|\|"))
+    per_word = _word_token_arrays(F.col(text_col), merges)
     n = F.size("_t")
     starts = F.sequence(F.lit(0), n - F.lit(1), F.lit(int(chunk_tokens)))
     windows = F.transform(

@@ -399,8 +399,7 @@ def test_image_dedup_groups_composition(spark):
     """The composed loop: phash pairs -> connected components. A trio of
     identical payloads collapses to one min-id component; unrelated
     media stay singletons labeled by themselves. (Transitive closure
-    itself is proven in the dedup CC tests; this pins the composition
-    and the release-handle forwarding.)"""
+    itself is proven in the dedup CC tests; this pins the composition.)"""
     t = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
          "eiusmod tempor incididunt ut labore et dolore magna aliqua ok")
     media = _media(spark, [(1, t), (2, t), (3, t), (9, "unrelated words "
@@ -413,6 +412,23 @@ def test_image_dedup_groups_composition(spark):
     got = {r.doc_id: r.component for r in comp}
     assert got[1] == got[2] == got[3] == 1
     assert got[9] == 9  # singleton keeps itself
+
+
+def test_image_dedup_groups_entry_releases_its_base(spark):
+    """The entrypoint consumes the pairs eagerly (connected components
+    checkpoints at construction) and releases its own persisted phash
+    base before returning — no handle to forward, nothing for bench to
+    leak (r11 second review: the forwarded handle was dead weight a
+    caller had to know to release)."""
+    import radmapper_spark.entrypoints as E
+    from tests.conftest import SF_SMOKE
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    out = E.ENTRIES["image_dedup_groups"][0](spark, SF_SMOKE)
+    assert jsc.getPersistentRDDs().size() == before  # base already freed
+    assert getattr(out, "rm_release_cache", None) is None
+    assert out.count() > 0
 
 
 # ---------------------------------------- session-cache staleness contract
