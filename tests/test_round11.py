@@ -472,3 +472,35 @@ def test_cached_frames_rebuild_on_input_change(spark, tmp_path):
     assert c.count() == 100 and n_before != 100  # fresh data, not memoized
     # cleanup
     cache.pop((E.session_key(spark), str(sfd)))["docs"].unpersist()
+
+
+# ------------------------------------------------- BPE property fuzzing
+
+def test_bpe_fold_matches_reference_on_random_corpora(spark):
+    """Property test: for random small corpora, the Catalyst replace
+    fold tokenizes every word exactly like an independent list-based
+    greedy merger, under merges trained by the pure-Python trainer —
+    two implementations of BPE application, one semantics. Covers
+    repeated-char words (the overlap edge: 'aaaa' -> 'aa aa'),
+    single-char words, and words made of merged symbols' substrings."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcd01", min_size=1, max_size=8)
+    corpus = st.lists(st.lists(word, min_size=1, max_size=6),
+                      min_size=1, max_size=4)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(corpus=corpus, n_merges=st.integers(min_value=0, max_value=8))
+    def check(corpus, n_merges):
+        docs = _docs(spark, [(i, " ".join(ws))
+                             for i, ws in enumerate(corpus)])
+        merges = tk.bpe_train(docs, n_merges=n_merges, top_words=64)
+        got = {r.doc_id: r.tokens
+               for r in tk.bpe_tokenize(docs, merges).collect()}
+        for i, ws in enumerate(corpus):
+            expect = [t for w in ws for t in _ref_bpe_apply(w, merges)]
+            assert got[i] == expect, (ws, merges)
+
+    check()
