@@ -1387,24 +1387,34 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(media, max_hamming=3)
 
 
-def image_phash_neardup_sql() -> str:
-    return """
-    WITH d AS (SELECT doc_id, text AS s, len(text) AS L FROM documents
-               WHERE text IS NOT NULL AND len(text) > 0),
+def _phash_cte(src: str, id_expr: str = "doc_id") -> str:
+    """px/ph CTE fragment: the 61-pixel code-point strip and the 60-bit
+    gradient hash over ``src`` (a CTE/table exposing ``id_expr``, s,
+    L). Shared by image_phash_neardup_sql (via its `d` CTE) and
+    stream_media_dedup_sql (echoed media union) so the fake-decode spec
+    lives in ONE SQL fragment."""
+    return f"""
     px AS (
-        SELECT doc_id,
+        SELECT {id_expr},
                list_transform(range(0, 61), i ->
                    coalesce(list_sum(list_transform(
                        range((i * L) // 61 + 1, ((i + 1) * L) // 61 + 1),
                        j -> unicode(s[j:j]))), 0) % 256) AS p
-        FROM d),
+        FROM {src}),
     ph AS (
-        SELECT doc_id,
+        SELECT {id_expr},
                list_sum(list_transform(range(0, 60), i ->
                    CASE WHEN p[i + 2] > p[i + 1]
                         THEN (1::BIGINT << i) ELSE 0::BIGINT END)
                )::BIGINT AS phash
-        FROM px),
+        FROM px)"""
+
+
+def image_phash_neardup_sql() -> str:
+    return f"""
+    WITH d AS (SELECT doc_id, text AS s, len(text) AS L FROM documents
+               WHERE text IS NOT NULL AND len(text) > 0),
+    {_phash_cte("d")},
     bv AS (
         SELECT doc_id, phash, unnest(range(0, 4)) AS b
         FROM ph),
@@ -1419,6 +1429,40 @@ def image_phash_neardup_sql() -> str:
           ON a.b = b.b AND a.bval = b.bval AND a.doc_id < b.doc_id)
     SELECT id_a, id_b, min(hamming)::INT AS hamming
     FROM cand WHERE hamming <= 3 GROUP BY id_a, id_b
+    """
+
+
+def stream_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media dedup (batch shape of the STREAM operator
+    multimodal.media_dedup — the image pipeline's admission filter):
+    documents-derived payloads plus a deterministic 10% echo (media_id
+    + 1000000, same bytes — the duplicate injection, mirroring
+    stream_dedup), one row per distinct phash with the min-id
+    representative and copy count. The streaming form is the same hash
+    pass + dropDuplicatesWithinWatermark (bounded per-hash state); the
+    file-stream test proves state carries across micro-batches. The
+    echo guarantees n_copies >= 2 rows at every SF (non-vacuous)."""
+    docs = (load_tables(spark, sf_dir)["documents"]
+            .filter(F.col("text").isNotNull() & (F.length("text") > 0)))
+    echo = (docs.filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    media = (docs.select("doc_id", "text").unionByName(echo)
+             .select(F.col("doc_id").alias("media_id"),
+                     F.encode("text", "UTF-8").alias("payload")))
+    return multimodal.media_dedup(media)
+
+
+def stream_media_dedup_sql() -> str:
+    return f"""
+    WITH d0 AS (SELECT doc_id, text FROM documents
+                WHERE text IS NOT NULL AND len(text) > 0),
+    u AS (SELECT doc_id AS mid, text AS s, len(text) AS L FROM d0
+          UNION ALL
+          SELECT doc_id + 1000000, text, len(text) FROM d0
+          WHERE doc_id % 10 = 0),
+    {_phash_cte("u", "mid")}
+    SELECT min(mid) AS media_id, phash, count(*)::BIGINT AS n_copies
+    FROM ph GROUP BY phash
     """
 
 
@@ -4160,6 +4204,9 @@ ENTRIES: dict = {
     # phash pairs -> connected components, and exact-BPE-token chunking
     "image_dedup_groups": (image_dedup_groups, image_dedup_groups_sql),
     "bpe_chunks": (bpe_chunks, bpe_chunks_sql),
+    # NEW r11: stream-native media dedup (phash admission filter) —
+    # batch shape oracle; the file-stream test proves cross-batch state
+    "stream_media_dedup": (stream_media_dedup, stream_media_dedup_sql),
 }
 
 # =========== r11 window rotation. The driver's correctness gate checks
@@ -4173,23 +4220,23 @@ ENTRIES: dict = {
 #    slot trades, at the freshness limit) and moore_lewis_select +
 #    substring_removal_spans (registered r10 after the window froze —
 #    first external rows ever).
-# 2. The five NEW r11 entries (substring_scrub, image_phash_neardup,
+# 2. The six NEW r11 entries (substring_scrub, image_phash_neardup,
 #    bpe_token_count, and the second batch image_dedup_groups +
-#    bpe_chunks) — all registered BEFORE this window froze, so they
-#    land first external rows this round instead of becoming next
-#    round's latecomer debt.
+#    bpe_chunks + stream_media_dedup) — all registered BEFORE this
+#    window froze, so they land first external rows this round instead
+#    of becoming next round's latecomer debt.
 # 3. substring_dup_spans: its arrow-path mapInPandas schema is now
 #    DERIVED from the input id type (r10 advice #1) — value-identical
 #    for the fixtures' bigint ids, but a changed default code path
 #    re-proves under the external gate.
-# 4. 40 of the 50 entries whose last row is r9 (they hit the 2-round
-#    limit now). The 10 that slip to r12 — window_battery, events_pivot,
+# 4. 39 of the 50 entries whose last row is r9 (they hit the 2-round
+#    limit now). The 11 that slip to r12 — window_battery, events_pivot,
 #    sales_rollup, brand_revenue, events_unpivot, user_cohorts,
 #    customer_deciles, events_json_extract, customers_without_orders,
-#    urgent_and_low_customers — are plain headline SQL aggregates, code
-#    untouched for 5+ rounds, every one green in the full local
-#    three-SF sweep each round (the r10 trade pattern); they rotate
-#    FIRST in r12.
+#    urgent_and_low_customers, orders_above_customer_avg — are plain
+#    headline SQL aggregates, code untouched for 5+ rounds, every one
+#    green in the full local three-SF sweep each round (the r10 trade
+#    pattern); they rotate FIRST in r12.
 #
 # Entries with r10 rows whose shared code gained only additive
 # raise-paths this round (minhash/simhash/embedding-cosine base
@@ -4200,7 +4247,7 @@ _R11_WINDOW = [
     "large_orders", "events_by_type", "moore_lewis_select",
     "substring_removal_spans", "substring_scrub",
     "image_phash_neardup", "bpe_token_count", "image_dedup_groups",
-    "bpe_chunks", "substring_dup_spans",
+    "bpe_chunks", "stream_media_dedup", "substring_dup_spans",
     "ann_opq_topk", "ann_pq_topk", "ann_range_search",
     "blocklist_scrub", "cdc_merge",
     "decontam_ngram", "doc_chunks", "doc_chunks_cdc", "dq_checks",
@@ -4209,7 +4256,7 @@ _R11_WINDOW = [
     "embedding_quantize", "event_funnel", "event_markov",
     "events_anomalies", "events_gapfill", "events_twap",
     "fuzzy_part_names", "lang_id_eval", "mixture_sample",
-    "numeric_battery", "orders_above_customer_avg",
+    "numeric_battery",
     "pricing_summary", "seq_pack", "source_mixture",
     "stats_histogram", "stats_outliers", "temporal_rollup",
     "temporal_sessionize", "text_bigram_pmi", "text_bm25",

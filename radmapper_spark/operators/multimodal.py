@@ -303,3 +303,37 @@ def phash_neardup_pairs(media: DataFrame, payload_col: str = "payload",
                                     bands=bands, band_bits=band_bits)
     out.rm_release_cache = base.unpersist if owns_base else (lambda: None)
     return out
+
+
+def media_dedup(media: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id", bits: int = 60,
+                streaming: bool = False, ts_col: str = "ts",
+                watermark: str = "2 hours") -> DataFrame:
+    """Media dedup by perceptual hash — the stream-native admission
+    filter for incoming image batches (the text pipeline's
+    dedup_events, at the perceptual level: re-encoded or
+    metadata-tweaked copies of one image share a phash even when their
+    bytes differ, which is exactly why byte-level dedup misses them).
+
+    streaming=True: phash via the map-only Arrow pass (mapInPandas is
+    stream-capable), then dropDuplicatesWithinWatermark on the hash —
+    per-hash state expires once the watermark passes, so state stays
+    bounded on an unbounded stream; the FIRST arrival of each phash
+    survives. Batch twin (the oracle-checked shape): one row per
+    distinct phash with the MINIMUM id as the deterministic
+    representative plus the copy count — (id_col, phash, n_copies).
+
+    Near-duplicate (hamming > 0) admission belongs to the banded index
+    path (phash_neardup_pairs / the persisted-index probes); this
+    operator is the exact-fingerprint gate in front of it."""
+    hashes = perceptual_hash(media, payload_col, id_col,
+                             pixels=bits + 1, bits=bits)
+    if streaming:
+        ts = media.select(F.col(id_col), F.col(ts_col))
+        joined = hashes.join(ts, on=id_col)
+        return (joined.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["phash"]))
+    return (hashes.groupBy("phash")
+            .agg(F.min("media_id").alias(id_col),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select(id_col, "phash", "n_copies"))

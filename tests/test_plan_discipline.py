@@ -42,6 +42,7 @@ ARROW_ALLOWED = {
                                 # Arrow node is the upstream kernel)
     "image_phash_neardup",      # perceptual-hash decode boundary
                                 # (mapInPandas; banding/verify stay JVM)
+    "stream_media_dedup",       # same decode boundary; dedup agg is JVM
     # image_dedup_groups is NOT here: its phash/Arrow work runs inside
     # dedup_groups' eager bounded pair-collect (EAGER_ALLOWED below),
     # so the RETURNED plan is a pure-JVM join against the label frame

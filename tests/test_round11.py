@@ -414,19 +414,29 @@ def test_image_dedup_groups_composition(spark):
     assert got[9] == 9  # singleton keeps itself
 
 
-def test_image_dedup_groups_entry_releases_its_base(spark):
+def test_image_dedup_groups_entry_releases_its_base(spark, monkeypatch):
     """The entrypoint consumes the pairs eagerly (connected components
     checkpoints at construction) and releases its own persisted phash
     base before returning — no handle to forward, nothing for bench to
     leak (r11 second review: the forwarded handle was dead weight a
-    caller had to know to release)."""
+    caller had to know to release). The base is captured through the
+    release handle's bound self (a global persistent-RDD count is NOT
+    usable here: connected_components' internal localCheckpoint
+    legitimately registers a GC-bounded persisted RDD)."""
     import radmapper_spark.entrypoints as E
     from tests.conftest import SF_SMOKE
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    captured = {}
+    orig = E.multimodal.phash_neardup_pairs
+
+    def wrapper(*a, **k):
+        out = orig(*a, **k)
+        captured["base"] = out.rm_release_cache.__self__
+        return out
+
+    monkeypatch.setattr(E.multimodal, "phash_neardup_pairs", wrapper)
     out = E.ENTRIES["image_dedup_groups"][0](spark, SF_SMOKE)
-    assert jsc.getPersistentRDDs().size() == before  # base already freed
+    assert captured["base"].is_cached is False  # released by the entry
     assert getattr(out, "rm_release_cache", None) is None
     assert out.count() > 0
 
@@ -504,3 +514,42 @@ def test_bpe_fold_matches_reference_on_random_corpora(spark):
             assert got[i] == expect, (ws, merges)
 
     check()
+
+
+# ----------------------------------------------- streaming media dedup
+
+def test_stream_media_dedup_state_across_batches(spark, tmp_path):
+    """media_dedup(streaming=True) on a file stream: perceptual-hash
+    duplicates arriving in a LATER micro-batch are dropped against
+    state carried across batches; survivors' phash set equals the batch
+    twin's."""
+    import datetime
+
+    from radmapper_spark.operators import multimodal as mm2
+
+    t0 = datetime.datetime(2024, 1, 1)
+    texts = [f"document number {i} with some distinct words {i * 7}"
+             for i in range(30)]
+    rows1 = [(i, texts[i].encode(), t0) for i in range(30)]
+    # echo batch: same payloads, new ids, later ts -> same phash
+    rows2 = [(1000 + i, texts[i].encode(),
+              t0 + datetime.timedelta(minutes=5)) for i in range(0, 30, 3)]
+    schema = "media_id long, payload binary, ts timestamp"
+    src = str(tmp_path / "media_in")
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = mm2.media_dedup(stream, streaming=True, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("rm_media_dedup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT media_id, phash FROM rm_media_dedup").collect()
+    batch = mm2.media_dedup(
+        spark.createDataFrame(rows1 + rows2, schema)).collect()
+    # every echo (id >= 1000) was dropped against batch-1 state
+    assert all(r.media_id < 1000 for r in got)
+    assert {r.phash for r in got} == {r.phash for r in batch}
+    assert len(got) == len({r.phash for r in got})  # one row per phash
