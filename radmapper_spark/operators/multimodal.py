@@ -163,7 +163,7 @@ def resize_meta(media: DataFrame, max_side: int = 256) -> DataFrame:
 
 def perceptual_hash(media: DataFrame, payload_col: str = "payload",
                     id_col: str = "media_id", pixels: int = 61,
-                    bits: int = 60) -> DataFrame:
+                    bits: int = 60, carry_cols: tuple = ()) -> DataFrame:
     """Perceptual image hash (dHash, gradient variant) over the binary
     payload column: decode to a ``pixels``-sample luminance strip, then
     bit i of the hash is 1 iff strip[i+1] > strip[i] — near-identical
@@ -196,6 +196,10 @@ def perceptual_hash(media: DataFrame, payload_col: str = "payload",
                          f"comparisons), got {pixels} for {bits} bits")
     fake_ok = os.environ.get("RM_MM_FAKE_DECODE", "1") == "1"
     px_, bits_ = int(pixels), int(bits)
+    # extra columns carried through the Arrow pass untouched (e.g. the
+    # event-time column for the streaming dedup path — carrying beats a
+    # post-hoc stream-stream join, whose state is unbounded)
+    carry_ = tuple(carry_cols)
 
     # self-contained closure: executors cannot import radmapper_spark
     def hash_batches(batches):
@@ -247,20 +251,25 @@ def perceptual_hash(media: DataFrame, payload_col: str = "payload",
                 s = strip(bytes(p))
                 hashes.append(int(((s[1:] > s[:-1]).astype(np.int64)
                                    * weights).sum()))
-            yield pd.DataFrame({"media_id": pdf[id_col],
-                                "phash": pd.Series(hashes, dtype="int64",
-                                                   index=pdf.index)})
+            out = {"media_id": pdf[id_col],
+                   "phash": pd.Series(hashes, dtype="int64",
+                                      index=pdf.index)}
+            for c in carry_:
+                out[c] = pdf[c]  # pass-through, untouched
+            yield pd.DataFrame(out)
 
     from .dedup import _stamp_base_params
 
-    # id type follows the input schema (the r10 span-kernel lesson:
-    # never hardcode the id field of a mapInPandas schema)
+    # id + carried types follow the input schema (the r10 span-kernel
+    # lesson: never hardcode field types of a mapInPandas schema)
+    schema = T.StructType(
+        [T.StructField("media_id", media.schema[id_col].dataType),
+         T.StructField("phash", T.LongType())]
+        + [T.StructField(c, media.schema[c].dataType) for c in carry_])
     return _stamp_base_params(
-        media.select(F.col(id_col), F.col(payload_col)).mapInPandas(
-            hash_batches,
-            T.StructType([T.StructField("media_id",
-                                        media.schema[id_col].dataType),
-                          T.StructField("phash", T.LongType())])),
+        media.select(F.col(id_col), F.col(payload_col),
+                     *[F.col(c) for c in carry_])
+        .mapInPandas(hash_batches, schema),
         bits=bits_)
 
 
@@ -315,24 +324,33 @@ def media_dedup(media: DataFrame, payload_col: str = "payload",
     metadata-tweaked copies of one image share a phash even when their
     bytes differ, which is exactly why byte-level dedup misses them).
 
-    streaming=True: phash via the map-only Arrow pass (mapInPandas is
-    stream-capable), then dropDuplicatesWithinWatermark on the hash —
+    streaming=True: the event-time column is CARRIED THROUGH the
+    map-only Arrow hash pass (no stream-stream join — joining the hash
+    frame back to the source on id would buffer both sides' state
+    without bound, the exact shape streaming/joins.py watermarks both
+    sides to avoid), then dropDuplicatesWithinWatermark on the hash —
     per-hash state expires once the watermark passes, so state stays
     bounded on an unbounded stream; the FIRST arrival of each phash
-    survives. Batch twin (the oracle-checked shape): one row per
-    distinct phash with the MINIMUM id as the deterministic
-    representative plus the copy count — (id_col, phash, n_copies).
+    survives. Output: (id_col, phash, ts_col). Batch twin (the
+    oracle-checked shape): one row per distinct phash with the MINIMUM
+    id as the deterministic representative plus the copy count —
+    (id_col, phash, n_copies).
 
     Near-duplicate (hamming > 0) admission belongs to the banded index
     path (phash_neardup_pairs / the persisted-index probes); this
     operator is the exact-fingerprint gate in front of it."""
+    if streaming:
+        from ..streaming.windows import _ensure_ltz
+
+        hashes = perceptual_hash(media, payload_col, id_col,
+                                 pixels=bits + 1, bits=bits,
+                                 carry_cols=(ts_col,))
+        return (_ensure_ltz(hashes.withColumnRenamed("media_id", id_col),
+                            ts_col)
+                .withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(["phash"]))
     hashes = perceptual_hash(media, payload_col, id_col,
                              pixels=bits + 1, bits=bits)
-    if streaming:
-        ts = media.select(F.col(id_col), F.col(ts_col))
-        joined = hashes.join(ts, on=id_col)
-        return (joined.withWatermark(ts_col, watermark)
-                .dropDuplicatesWithinWatermark(["phash"]))
     return (hashes.groupBy("phash")
             .agg(F.min("media_id").alias(id_col),
                  F.count(F.lit(1)).alias("n_copies"))

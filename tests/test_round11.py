@@ -553,3 +553,47 @@ def test_stream_media_dedup_state_across_batches(spark, tmp_path):
     assert all(r.media_id < 1000 for r in got)
     assert {r.phash for r in got} == {r.phash for r in batch}
     assert len(got) == len({r.phash for r in got})  # one row per phash
+
+
+def test_stream_media_dedup_custom_id_and_ntz_ts(spark, tmp_path):
+    """r11 third review: the streaming path must honor a non-default
+    id_col (the hash pass always emits 'media_id' internally) and a
+    TIMESTAMP_NTZ event-time column (the newer driver-parquet surface —
+    _ensure_ltz casts before withWatermark, like every other streaming
+    path)."""
+    import datetime
+
+    from radmapper_spark.operators import multimodal as mm2
+
+    t0 = datetime.datetime(2024, 1, 1)
+    variants = ["lorem ipsum dolor sit amet " * 4,
+                "a completely different document body here " * 3,
+                "third unique content with other words entirely " * 3]
+    rows = [(i, variants[i % 3].encode(), t0) for i in range(9)]
+    schema = "doc_id long, payload binary, ts timestamp_ntz"
+    src = str(tmp_path / "media_ntz")
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(schema).parquet(src))
+    out = mm2.media_dedup(stream, id_col="doc_id", streaming=True,
+                          watermark="1 hour")
+    assert set(out.columns) == {"doc_id", "phash", "ts"}
+    q = (out.writeStream.format("memory").queryName("rm_media_ntz")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id, phash FROM rm_media_ntz").collect()
+    assert len(got) == 3  # 3 distinct payload variants -> 3 phashes
+    assert len({r.phash for r in got}) == 3
+
+
+def test_perceptual_hash_carry_cols_passthrough(spark):
+    """carry_cols ride the Arrow pass untouched with schema-derived
+    types, and empty-payload rows drop their carried values too."""
+    import datetime
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    media = spark.createDataFrame(
+        [(1, b"abc", t0, "x"), (2, b"", t0, "y")],
+        "media_id long, payload binary, ts timestamp, tag string")
+    out = mm.perceptual_hash(media, carry_cols=("ts", "tag")).collect()
+    assert len(out) == 1
+    assert (out[0].media_id, out[0].ts, out[0].tag) == (1, t0, "x")
