@@ -17,7 +17,7 @@ from . import headline
 from .lang.interp import Interp
 from .operators import (decontam, dedup, multimodal, similarity, temporal,
                         textstats, tokenizer)
-from .session import invalidate_tables, load_tables, session_key
+from .session import load_tables, session_key, sf_fingerprint
 from .streaming import windows as W
 
 DEC = "decimal(18,2)"
@@ -2390,21 +2390,9 @@ def customer_deciles_sql() -> str:
 _EDGE_CACHE: dict = {}
 
 
-def _sf_fingerprint(sf_dir: str):
-    """(name, mtime_ns, size) of every parquet file under sf_dir — the
-    staleness witness for the derived-frame caches below. mtime_ns (not
-    seconds) so same-tick rewrites are distinguishable, the same lesson
-    the persisted-index sidecar fingerprint learned in r10
-    (index_meta.py)."""
-    import os as _os
-    try:
-        return tuple(sorted(
-            (n, _os.stat(p).st_mtime_ns, _os.stat(p).st_size)
-            for n in _os.listdir(sf_dir)
-            if n.endswith(".parquet")
-            for p in (_os.path.join(sf_dir, n),)))
-    except OSError:
-        return None
+# Staleness witness shared with the table memo (session.py): one stat
+# per file, mtime_ns so same-tick rewrites are distinguishable.
+_sf_fingerprint = sf_fingerprint
 
 
 # staleness witnesses for _cached_frames entries, keyed
@@ -2447,11 +2435,12 @@ def _cached_frames(cache: dict, spark: SparkSession, sf_dir: str,
                 f.unpersist()
             except Exception:
                 pass
-        # the rebuild must not read through the table memo either: its
-        # DataFrames pin the file listing (lengths/split offsets) from
-        # first load, so a real rewrite would rebuild derived frames
-        # over stale scans or crash on changed file sizes (r11 review)
-        invalidate_tables(spark, sf_dir)
+    # No explicit invalidate_tables here: load_tables itself now
+    # revalidates its memo's fingerprint on every hit (session.py), so
+    # neither the stale-hit rebuild NOR a first-ever build (cache miss
+    # after an external rewrite — the r11-advice medium gap) can read
+    # through a pinned file listing and stamp a fresh fingerprint onto
+    # frames built from stale scans.
     if cache_key not in cache:
         for k in [k for k in cache if k != cache_key]:
             _CACHE_FPRINTS.pop((id(cache), k), None)
@@ -3044,13 +3033,11 @@ def _bpe_merges(spark: SparkSession, sf_dir: str):
     hit = _BPE_CACHE.get(key)
     if hit is not None and hit[0] == fp:
         return hit[1]
-    if hit is not None:
-        # stale fingerprint: the retrain must not read through the
-        # table memo's pinned file listing either (the same rule as
-        # _cached_frames — retraining on a stale scan would then stamp
-        # the FRESH fingerprint onto merges trained from OLD data,
-        # masking the staleness permanently; r11 second review)
-        invalidate_tables(spark, sf_dir)
+    # No explicit invalidate on the retrain paths (stale hit OR first
+    # build): load_tables self-validates its memo's fingerprint
+    # (session.py), so the retrain can never read a pinned stale file
+    # listing and stamp the fresh fingerprint onto merges trained from
+    # old data (r11 second review + r11-advice medium first-build gap).
     merges = tokenizer.bpe_train(load_tables(spark, sf_dir)["documents"],
                                  n_merges=_BPE_MERGES,
                                  top_words=_BPE_TOPW)

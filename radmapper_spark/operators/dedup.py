@@ -72,11 +72,16 @@ def _check_base_params(base: DataFrame, op: str, **expect) -> None:
     attr): a structural probe where the schema allows one — minhash
     signature LENGTH is visible in a one-row sample (the probe result
     is memoized back onto the frame object so repeated calls don't
-    re-pay the job). DOCUMENTED LIMIT: values carry no witness for
-    shingle_k/hash_mode (minhash) or nbits/hash_mode (a packed simhash
-    bigint), so an attr-less base mismatched ONLY in those still passes
-    — keep the stamped attr (or the frame's parquet round-trip
-    parameters) authoritative for them."""
+    re-pay the job), and for packed-hash bases (simhash/phash bigints)
+    a one-row min/max range probe that catches a base packed with MORE
+    bits than the consumer expects (r11 advice: a hand-built 64-bit
+    base fed to a 60-bit-band operator would otherwise collapse the
+    high bands to one hot bucket). DOCUMENTED LIMIT: values carry no
+    witness for shingle_k/hash_mode (minhash) or for a base packed with
+    FEWER bits than expected (small values fit any wider range), so an
+    attr-less base mismatched ONLY in those still passes — keep the
+    stamped attr (or the frame's parquet round-trip parameters)
+    authoritative for them."""
     params = getattr(base, "rm_base_params", None)
     if params is not None:
         bad = {k: (params[k], v) for k, v in expect.items()
@@ -102,6 +107,38 @@ def _check_base_params(base: DataFrame, op: str, **expect) -> None:
                 base.rm_base_params = {"num_hashes": int(row["n"])}
             except Exception:
                 pass
+        return
+    # Packed-hash range probe (simhash: `nbits`; phash: `bits`). The
+    # builders pack into the LOW n bits of a non-negative bigint, so an
+    # observed value outside [0, 2^n) proves the base was built wider
+    # than the consumer's band layout assumes. Vacuous at n == 64 (the
+    # full signed range is in play) — nothing checkable there.
+    for key, col in (("nbits", "simhash"), ("bits", "phash")):
+        if key in expect and expect[key] < 64 and col in base.columns:
+            probed = getattr(base, "_rm_probed_hash_range", None)
+            if probed is None:
+                row = base.agg(F.min(col).alias("lo"),
+                               F.max(col).alias("hi")).first()
+                if row is None or row["lo"] is None:
+                    return  # empty base: nothing to witness
+                probed = (int(row["lo"]), int(row["hi"]))
+                try:
+                    # the observed range is a fact about the frame, but
+                    # it does NOT pin the build params — memoized on a
+                    # separate attr so rm_base_params stays authoritative
+                    base._rm_probed_hash_range = probed
+                except Exception:
+                    pass
+            lo, hi = probed
+            if lo < 0 or hi >= (1 << expect[key]):
+                raise ValueError(
+                    f"{op}: caller-supplied base holds hash values in "
+                    f"[{lo}, {hi}], outside the {expect[key]}-bit range "
+                    f"the operator's band layout expects — a wider-packed "
+                    f"base would collapse the high bands to one hot "
+                    f"bucket; rebuild the base with the operator's "
+                    f"parameters")
+            return
 
 
 def drop_blank_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:

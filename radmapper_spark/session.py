@@ -69,13 +69,38 @@ TS_NANO_COLS = {
 }
 
 
-# (session_key(session), sf_dir) -> table-name -> DataFrame. DataFrames
-# are immutable logical plans, so handing every caller the same dict is
-# safe; what this saves is the 10 parquet footer reads + schema
-# resolutions a fresh load pays (~0.3 s per call — measurable x90 queries
-# x2 bench passes). No persisted data is held, so there is nothing to
-# release; stale sessions are evicted on the next different-key call.
+# (session_key(session), sf_dir) -> (sf_fingerprint, table-name ->
+# DataFrame). DataFrames are immutable logical plans, so handing every
+# caller the same dict is safe; what this saves is the 10 parquet footer
+# reads + schema resolutions a fresh load pays (~0.3 s per call —
+# measurable x90 queries x2 bench passes). No persisted data is held, so
+# there is nothing to release; stale sessions are evicted on the next
+# different-key call. The fingerprint recorded at memo-build time is
+# revalidated on EVERY hit (file stats only — no jobs), so no caller can
+# read through a pinned file listing after an external rewrite — in
+# particular a derived-frame cache's FIRST build (cache miss) no longer
+# needs its own invalidate call to avoid stamping a fresh fingerprint
+# onto frames built from stale scans (r11 advice, medium).
 _TABLE_CACHE: dict = {}
+
+
+def sf_fingerprint(sf_dir: str):
+    """(name, mtime_ns, size) of every parquet file under sf_dir — the
+    staleness witness for the table memo above and the derived-frame
+    caches in entrypoints. mtime_ns (not seconds) so same-tick rewrites
+    are distinguishable (the persisted-index sidecar lesson,
+    index_meta.py). One os.stat per file: separate stat calls for mtime
+    and size could interleave with a rewrite and yield a chimeric
+    (old-mtime, new-size) witness (r11 advice)."""
+    try:
+        out = []
+        for n in sorted(os.listdir(sf_dir)):
+            if n.endswith(".parquet"):
+                st = os.stat(os.path.join(sf_dir, n))
+                out.append((n, st.st_mtime_ns, st.st_size))
+        return tuple(out)
+    except OSError:
+        return None
 
 
 def session_key(spark: SparkSession) -> tuple:
@@ -101,9 +126,15 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
     from pyspark.sql import functions as F
 
     cache_key = (session_key(spark), sf_dir)
+    fp = sf_fingerprint(sf_dir)
     hit = _TABLE_CACHE.get(cache_key)
     if hit is not None:
-        return dict(hit)
+        if hit[0] == fp:
+            return dict(hit[1])
+        # External rewrite since the memo was built: the memoized
+        # DataFrames pin the old file listing and Spark's FileIndex
+        # caches the old split offsets — drop both before re-reading.
+        invalidate_tables(spark, sf_dir)
     # The driver may hand us a session built without our configs; this conf
     # is runtime-settable and required to read the TIMESTAMP(NANOS) parquet.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -127,7 +158,10 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
         out[name] = df
     for k in [k for k in _TABLE_CACHE if k[0] != cache_key[0]]:
         del _TABLE_CACHE[k]  # dead sessions: plans only, no data held
-    _TABLE_CACHE[cache_key] = out
+    # fp was computed BEFORE the reads: if a rewrite raced the load, the
+    # stamp is older than the data and the next call rebuilds — the
+    # conservative direction (never a fresh stamp over stale scans).
+    _TABLE_CACHE[cache_key] = (fp, out)
     return dict(out)
 
 
@@ -136,9 +170,10 @@ def invalidate_tables(spark: SparkSession, sf_dir: str) -> None:
     file listings under the directory. A memoized DataFrame pins the
     FileStatus listing (file lengths, split offsets) captured at first
     load, so after an external rewrite a re-executed plan can read the
-    new file with stale offsets (EOF / corrupt-footer failures) — the
-    derived-frame staleness contract in entrypoints._cached_frames
-    calls this before rebuilding (r11 review finding #1)."""
+    new file with stale offsets (EOF / corrupt-footer failures) —
+    load_tables calls this itself whenever its memo's fingerprint goes
+    stale (r11 review finding #1 + the r11-advice first-build gap), so
+    every consumer inherits the staleness contract."""
     _TABLE_CACHE.pop((session_key(spark), sf_dir), None)
     for name in TABLES:
         try:
