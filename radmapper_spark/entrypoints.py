@@ -3013,6 +3013,89 @@ def moore_lewis_select_sql() -> str:
         f"source IN ({_DSIR_TARGET})", f"source IN ({_ML_OUT})", k=_ML_K)
 
 
+# ===================================================== NB quality classifier
+
+_NB_POS = f"source IN ({_DSIR_TARGET})"      # curated stand-in (= DSIR/LM)
+_NB_NEG = f"source NOT IN ({_DSIR_TARGET})"  # the raw pool
+
+
+def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import classifier
+    docs = load_tables(spark, sf_dir)["documents"]
+    return classifier.nb_score(docs, docs.filter(F.expr(_NB_POS)),
+                               docs.filter(F.expr(_NB_NEG)))
+
+
+def nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style quality classifier (operators.classifier; Brown et
+    al. 2020 Appendix A, re-expressed with multinomial Naive Bayes so
+    training is pure counting): positive class = the curated stand-in
+    slice (src0-src2, the DSIR/LM target set), negative = the rest;
+    every document scored. Engine-exact: per-token log-probs and both
+    priors are floored micro-nats summed as BIGINTs, so the DuckDB twin
+    reproduces score_micro bit-for-bit. Scale shape: the model is ONE
+    <= top_v-row broadcast table carrying both class counts; the corpus
+    is never shuffled at token grain."""
+    return _nb_scored(spark, sf_dir)
+
+
+def nb_quality_score_sql() -> str:
+    from .operators import classifier
+    return classifier.duck_nb_score_sql(_NB_POS, _NB_NEG)
+
+
+def nb_pareto_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3's documented Pareto admission rule over the NB scores
+    (operators.classifier.pareto_filter): keep a document iff a
+    Pareto(9) sample drawn DETERMINISTICALLY from its portable md5 hash
+    exceeds 1 - quality, quality mapping the per-token log-odds onto
+    [0, 1]. The CDF inversion avoids pow() (a multiplication chain), so
+    the kept set is bit-reproducible in DuckDB. Map-only over the
+    scored frame; append-stable admission at any scale."""
+    from .operators import classifier
+    return classifier.pareto_filter(_nb_scored(spark, sf_dir))
+
+
+def nb_pareto_filter_sql() -> str:
+    from .operators import classifier
+    return classifier.duck_pareto_filter_sql(_NB_POS, _NB_NEG)
+
+
+# ==================================================== embedding decontam
+
+_EDC_BENCH = "vec_id % 17 = 0"   # benchmark stand-in: bounded eval slice
+_EDC_TAU = 0.42                  # same floor as embedding_probe's verify
+
+
+def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (operators.decontam.embedding_decontam):
+    corpus rows whose embedding cosine-matches ANY benchmark row at
+    >= 0.42 — the embedding-space complement of decontam_ngram
+    (paraphrased benchmark leakage shares no 8-gram but still lands
+    next to the benchmark in embedding space). The benchmark slice is
+    bounded by construction and BROADCASTS; pairs are threshold-filtered
+    before the per-row aggregate, so only matches reach the exchange."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return decontam.embedding_decontam(
+        emb.filter(~F.expr(_EDC_BENCH)), emb.filter(F.expr(_EDC_BENCH)),
+        threshold=_EDC_TAU)
+
+
+def decontam_embedding_sql() -> str:
+    return f"""
+    SELECT c.vec_id,
+           max(round(list_cosine_similarity(c.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6))
+               AS max_cosine,
+           count(*)::BIGINT AS n_hits
+    FROM embeddings c, embeddings b
+    WHERE NOT (c.{_EDC_BENCH}) AND b.{_EDC_BENCH}
+      AND list_cosine_similarity(c.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) >= {_EDC_TAU}
+    GROUP BY c.vec_id
+    """
+
+
 # =============================================================== BPE tokenizer
 
 _BPE_MERGES, _BPE_TOPW = 16, 256
@@ -4194,6 +4277,14 @@ ENTRIES: dict = {
     # NEW r11: stream-native media dedup (phash admission filter) —
     # batch shape oracle; the file-stream test proves cross-batch state
     "stream_media_dedup": (stream_media_dedup, stream_media_dedup_sql),
+    # NEW r12: GPT-3-style quality classifier (NB train + score, exact
+    # micro-nat arithmetic) and its documented Pareto admission rule
+    # with a deterministic hash-derived draw (classifier.py)
+    "nb_quality_score": (nb_quality_score, nb_quality_score_sql),
+    "nb_pareto_filter": (nb_pareto_filter, nb_pareto_filter_sql),
+    # NEW r12: embedding-space decontamination — the semantic complement
+    # of decontam_ngram (broadcast benchmark, exact cosine)
+    "decontam_embedding": (decontam_embedding, decontam_embedding_sql),
 }
 
 # =========== r11 window rotation. The driver's correctness gate checks

@@ -96,6 +96,44 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: int = 8,
                     .alias("contaminated")))
 
 
+def embedding_decontam(corpus: DataFrame, benchmark: DataFrame,
+                       threshold: float = 0.42,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """SEMANTIC decontamination: flag corpus rows whose embedding is
+    near-identical (cosine >= threshold) to ANY benchmark embedding —
+    the embedding-space complement of the n-gram overlap test above
+    (paraphrased or reformatted benchmark leakage shares no 8-gram but
+    still lands next to the benchmark in embedding space; this is the
+    published recipe of e.g. the Phi / OLMo decontamination reports).
+
+    Output: flagged rows only — (id_col, max_cosine, n_hits) where
+    max_cosine is the strongest benchmark match (rounded to 1e-6 AFTER
+    the raw-value threshold, the dedup_embedding_cosine contract) and
+    n_hits the number of benchmark rows over the threshold.
+
+    Scale shape: the benchmark set is bounded (a few thousand eval
+    rows) so it BROADCASTS; the corpus side is ONE scan — the pair
+    stream is filtered at the threshold BEFORE the per-doc aggregate,
+    so only actual matches reach the (tiny) id-keyed exchange. The
+    corpus is never shuffled at pair grain. Exact cosine, no LSH: at
+    |benchmark| << |corpus| the candidate-generation machinery would
+    cost more than the broadcast product it prunes."""
+    from .similarity import _dot, _norm, _to_double
+
+    c = corpus.select(F.col(id_col),
+                      _to_double(F.col(vec_col)).alias("_cv"))
+    b = benchmark.select(_to_double(F.col(vec_col)).alias("_bv"))
+    cos = _dot(F.col("_cv"), F.col("_bv")) \
+        / (_norm(F.col("_cv")) * _norm(F.col("_bv")))
+    return (c.crossJoin(F.broadcast(b))
+            .select(F.col(id_col), cos.alias("_cos"))
+            .filter(F.col("_cos") >= float(threshold))
+            .groupBy(id_col)
+            .agg(F.max(F.round(F.col("_cos"), 6)).alias("max_cosine"),
+                 F.count(F.lit(1)).alias("n_hits")))
+
+
 def blocklist_scrub(docs: DataFrame, terms: list, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Mask denylisted terms: (doc_id, n_blocked, clean_text) with each

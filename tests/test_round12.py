@@ -182,3 +182,183 @@ def test_stamped_attr_still_authoritative(spark):
     base.rm_base_params = {"bits": 64}
     with pytest.raises(ValueError, match="mismatched"):
         dedup._check_base_params(base, "phash_neardup_pairs", bits=60)
+
+
+# ------------------------------------------- NB quality classifier (r12)
+
+def _nb_reference(docs, pos_ids, neg_ids, top_v=2000):
+    """Independent pure-Python multinomial NB with Laplace smoothing —
+    same tokenization, same micro-nat floors as classifier.py, written
+    from the textbook formula (no shared code)."""
+    import math
+    import re
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z]+", s.lower()) if t]
+
+    from collections import Counter
+    cp, cn = Counter(), Counter()
+    for did, text in docs:
+        for w in toks(text):
+            if did in pos_ids:
+                cp[w] += 1
+            if did in neg_ids:
+                cn[w] += 1
+    vocab = sorted(set(cp) | set(cn),
+                   key=lambda w: (-(cp[w] + cn[w]), w))[:top_v]
+    vs = set(vocab)
+    n_pos = sum(cp[w] for w in vocab)
+    n_neg = sum(cn[w] for w in vocab)
+    v = max(len(vocab), 1)
+    d_pos, d_neg = len(pos_ids), len(neg_ids)
+    prior = (math.floor(math.log((d_pos + 1) / (d_pos + d_neg + 2)) * 1e6)
+             - math.floor(math.log((d_neg + 1) / (d_pos + d_neg + 2)) * 1e6))
+    out = {}
+    for did, text in docs:
+        ts = toks(text)
+        if not ts:
+            continue
+        lp_p = sum(math.floor(math.log(
+            ((cp[w] if w in vs else 0) + 1) / (n_pos + v)) * 1e6)
+            for w in ts)
+        lp_n = sum(math.floor(math.log(
+            ((cn[w] if w in vs else 0) + 1) / (n_neg + v)) * 1e6)
+            for w in ts)
+        out[did] = (len(ts), lp_p, lp_n, prior + lp_p - lp_n)
+    return out
+
+
+def test_nb_score_matches_pure_python_reference(spark):
+    """nb_score's counting, smoothing, priors and micro-nat floors all
+    match an independent textbook implementation on a hand corpus with
+    OOV tokens, shared tokens, and an empty doc."""
+    from radmapper_spark.operators import classifier
+
+    rows = [(1, "good clean prose about science"),
+            (2, "good prose good prose science"),
+            (3, "spam spam buy now buy spam"),
+            (4, "buy now spam offer now"),
+            (5, "science prose with zzznovel tokens"),
+            (6, "   "),  # empty after tokenize: must not appear
+            (7, "buy science")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    pos = docs.filter(F.col("doc_id").isin(1, 2))
+    neg = docs.filter(F.col("doc_id").isin(3, 4))
+    got = {r["doc_id"]: (r["n_tokens"], r["lp_pos_micro"],
+                         r["lp_neg_micro"], r["score_micro"], r["label"])
+           for r in classifier.nb_score(docs, pos, neg).collect()}
+    want = _nb_reference(rows, {1, 2}, {3, 4})
+    assert set(got) == set(want)  # doc 6 absent from both
+    for did, (n, lp_p, lp_n, score) in want.items():
+        assert got[did][:4] == (n, lp_p, lp_n, score), did
+        assert got[did][4] == ("pos" if score > 0 else "neg")
+    # sanity: the curated doc scores pos, the spam doc neg
+    assert got[1][4] == "pos" and got[3][4] == "neg"
+
+
+def test_nb_score_accepts_persisted_model(spark):
+    """The model= base contract: scoring under a prebuilt (persisted)
+    model is value-identical and the returned plan contains NO training
+    aggregate over the classes (single-pass map + per-doc reduce)."""
+    from radmapper_spark.operators import classifier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "alpha alpha")],
+        "doc_id: long, text: string")
+    pos, neg = docs.filter("doc_id = 1"), docs.filter("doc_id > 1")
+    vocab, consts = classifier.nb_model(pos, neg)
+    vocab, consts = vocab.persist(), consts.persist()
+    try:
+        vocab.count(), consts.count()  # materialize the model
+        base = classifier.nb_score(docs, pos, neg).collect()
+        via_model = classifier.nb_score(docs, model=(vocab, consts))
+        plan = via_model._jdf.queryExecution().executedPlan().toString()
+        assert sorted(map(tuple, via_model.collect())) \
+            == sorted(map(tuple, base))
+        # scoring reads the cached model, it does not re-run training
+        # (the training subtree text survives inside InMemoryRelation,
+        # so assert on the cache READ, not on operator absence)
+        assert plan.count("InMemoryTableScan") >= 2
+    finally:
+        vocab.unpersist()
+        consts.unpersist()
+
+
+def test_nb_empty_class_floors_not_ln0(spark):
+    """An empty negative class must not produce NULL/-inf scores: the
+    Laplace-smoothed priors and the greatest(v,1) floor keep every term
+    finite."""
+    from radmapper_spark.operators import classifier
+
+    docs = spark.createDataFrame([(1, "alpha beta"), (2, "beta gamma")],
+                                 "doc_id: long, text: string")
+    out = classifier.nb_score(docs, docs, docs.filter("doc_id < 0")) \
+        .collect()
+    assert len(out) == 2
+    assert all(r["score_micro"] is not None for r in out)
+    assert all(r["label"] == "pos" for r in out)  # everything is pos-ish
+
+
+def test_pareto_filter_matches_python_and_is_monotone(spark):
+    """The deterministic Pareto admission: (1) every keep decision
+    matches a pure-Python recomputation (md5 uniform + CDF inversion);
+    (2) the acceptance threshold is monotone decreasing in quality, so
+    a kept document stays kept if its quality only improves."""
+    import hashlib
+
+    from radmapper_spark.operators import classifier
+
+    scored = spark.createDataFrame(
+        [(i, 10, (i - 50) * 200_000) for i in range(100)],
+        "doc_id: long, n_tokens: long, score_micro: long")
+    kept = {r["doc_id"]: r for r in
+            classifier.pareto_filter(scored).collect()}
+
+    def py_keep(did, n_tokens, score_micro):
+        import math
+        m = math.floor(score_micro / n_tokens)
+        q = min(max((m + 1e6) / 2e6, 0.0), 1.0)
+        u = (int(hashlib.md5(f"pareto:{did}".encode())
+                 .hexdigest()[:15], 16) + 1) / float(1 << 60)
+        inv = 1.0 / (2.0 - q)
+        return u > 1.0 - ((inv * inv) * (inv * inv)
+                          * ((inv * inv) * (inv * inv))) * inv, q, u
+
+    n_expected = 0
+    for i in range(100):
+        keep, q, u = py_keep(i, 10, (i - 50) * 200_000)
+        assert (i in kept) == keep, i
+        if keep:
+            n_expected += 1
+            assert abs(kept[i]["quality"] - q) == 0.0
+            assert abs(kept[i]["pareto_u"] - u) == 0.0
+    assert len(kept) == n_expected and 0 < n_expected < 100
+    # monotone: threshold(q) decreasing => keep set grows with quality
+    ths = [1.0 - (1.0 / (2.0 - q)) ** 9 for q in
+           [i / 20 for i in range(21)]]
+    assert all(a >= b for a, b in zip(ths, ths[1:]))
+
+
+def test_embedding_decontam_flags_exact_and_spares_orthogonal(spark):
+    """A corpus row equal to a benchmark row flags at cosine 1.0 with
+    the right hit count; an orthogonal row is absent from the output.
+    The plan broadcasts the benchmark side (no corpus-side pair
+    shuffle)."""
+    from radmapper_spark.operators import decontam
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id: long, embedding: array<float>")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]),      # exact copy of bench 100
+         (2, [0.0, 0.0, 1.0]),      # orthogonal to both
+         (3, [0.7071, 0.7071, 0.0])],  # 0.7071 cosine to BOTH
+        "vec_id: long, embedding: array<float>")
+    out = decontam.embedding_decontam(corpus, bench, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["max_cosine"] == 1.0 and rows[1]["n_hits"] == 1
+    assert rows[3]["n_hits"] == 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
