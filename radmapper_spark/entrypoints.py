@@ -4287,60 +4287,53 @@ ENTRIES: dict = {
     "decontam_embedding": (decontam_embedding, decontam_embedding_sql),
 }
 
-# =========== r11 window rotation. The driver's correctness gate checks
-# the FIRST 50 registered entries. Registry is 107 after this round's
-# three new entries, so a 50-slot window can keep at most 100 entries
-# within the 2-round freshness target — slips are structural and are
-# documented here every round. This window, in priority order:
+# =========== r12 window rotation. The driver's correctness gate checks
+# the FIRST 50 registered entries. Registry is 113 after this round's
+# three new entries (r11 history, corrected per r11 advice: it was 110
+# after SIX new r11 entries, not 107/three), so a 50-slot window keeps
+# at most 100 entries within the 2-round freshness target — 13 slips
+# are structural and are documented here every round. This window, in
+# priority order:
 #
-# 1. The four rotation OBLIGATIONS from the r10 verdict: large_orders
-#    + events_by_type (last external row r8 — the two documented r10
-#    slot trades, at the freshness limit) and moore_lewis_select +
-#    substring_removal_spans (registered r10 after the window froze —
-#    first external rows ever).
-# 2. The six NEW r11 entries (substring_scrub, image_phash_neardup,
-#    bpe_token_count, and the second batch image_dedup_groups +
-#    bpe_chunks + stream_media_dedup) — all registered BEFORE this
-#    window froze, so they land first external rows this round instead
-#    of becoming next round's latecomer debt.
-# 3. substring_dup_spans: its arrow-path mapInPandas schema is now
-#    DERIVED from the input id type (r10 advice #1) — value-identical
-#    for the fixtures' bigint ids, but a changed default code path
-#    re-proves under the external gate.
-# 4. 39 of the 50 entries whose last row is r9 (they hit the 2-round
-#    limit now). The 11 that slip to r12 — window_battery, events_pivot,
+# 1. The 11 r11 slips, whose last external row is r9 (3 rounds old —
+#    TOP priority, the named r11 trade): window_battery, events_pivot,
 #    sales_rollup, brand_revenue, events_unpivot, user_cohorts,
 #    customer_deciles, events_json_extract, customers_without_orders,
-#    urgent_and_low_customers, orders_above_customer_avg — are plain
-#    headline SQL aggregates, code untouched for 5+ rounds, every one
-#    green in the full local three-SF sweep each round (the r10 trade
-#    pattern); they rotate FIRST in r12.
-#
-# Entries with r10 rows whose shared code gained only additive
-# raise-paths this round (minhash/simhash/embedding-cosine base
-# validation, the graph TTL stamp fix) stay outside on the r10
-# precedent: raise-paths cannot change in-range values and the
-# post-change three-SF sweep re-proves them locally.
-_R11_WINDOW = [
-    "large_orders", "events_by_type", "moore_lewis_select",
-    "substring_removal_spans", "substring_scrub",
-    "image_phash_neardup", "bpe_token_count", "image_dedup_groups",
-    "bpe_chunks", "stream_media_dedup", "substring_dup_spans",
-    "ann_opq_topk", "ann_pq_topk", "ann_range_search",
-    "blocklist_scrub", "cdc_merge",
-    "decontam_ngram", "doc_chunks", "doc_chunks_cdc", "dq_checks",
-    "dsir_select", "embedding_gram", "embedding_kmeans",
-    "embedding_kmeans_lloyd", "embedding_pca", "embedding_probe",
-    "embedding_quantize", "event_funnel", "event_markov",
-    "events_anomalies", "events_gapfill", "events_twap",
-    "fuzzy_part_names", "lang_id_eval", "mixture_sample",
-    "numeric_battery",
-    "pricing_summary", "seq_pack", "source_mixture",
-    "stats_histogram", "stats_outliers", "temporal_rollup",
-    "temporal_sessionize", "text_bigram_pmi", "text_bm25",
-    "text_inverted_index", "text_pii_scrub", "text_repetition",
-    "text_tfidf", "weighted_sample",
+#    urgent_and_low_customers, orders_above_customer_avg.
+# 2. The three NEW r12 entries (nb_quality_score, nb_pareto_filter,
+#    decontam_embedding) — registered BEFORE this window froze, so they
+#    land first external rows this round instead of becoming latecomer
+#    debt (the r11 pattern).
+# 3. 36 of the 49 entries whose last row is r10 (they hit the 2-round
+#    limit now; substring_dup_spans re-proved in r11, so it is not
+#    among them). The 13 that slip to r13 — rm_datalog_join,
+#    rm_datetime_ops, rm_eav_wildcard, rm_express_map,
+#    rm_express_reduce, rm_nested_docs, rm_qvar_project,
+#    rm_scalar_battery, rm_table_paths, string_battery (the language
+#    battery: lang/ core frozen since r7, re-proven against the 229+
+#    reference golden corpus every run) plus region_nation_revenue,
+#    top_revenue_orders, top_customer_per_nation (plain headline SQL
+#    aggregates untouched since r2) — every one green in the full
+#    local three-SF sweep each round; they rotate FIRST in r13.
+_R12_WINDOW = [
+    "window_battery", "events_pivot", "sales_rollup", "brand_revenue",
+    "events_unpivot", "user_cohorts", "customer_deciles",
+    "events_json_extract", "customers_without_orders",
+    "urgent_and_low_customers", "orders_above_customer_avg",
+    "nb_quality_score", "nb_pareto_filter", "decontam_embedding",
+    "ann_bruteforce_topk", "ann_ivf_topk", "dataset_split",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_groups",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_token_jaccard",
+    "graph_communities", "graph_pagerank", "lm_bucket", "lm_score",
+    "multimodal_features", "neardup_admit", "neardup_probe",
+    "pipeline_corpus_clean", "quality_probe", "sample_per_group",
+    "semantic_dedup", "skew_salted_agg", "skew_salted_join",
+    "stats_profile", "stream_dedup", "stream_join",
+    "stream_running_totals", "stream_session", "stream_sliding",
+    "stream_tumbling", "temporal_asof_join", "temporal_range_join",
+    "text_fingerprint", "text_lang_id", "text_quality",
+    "text_token_count", "text_vocabulary",
 ]
-assert len(_R11_WINDOW) == 50 and set(_R11_WINDOW) <= set(ENTRIES)
+assert len(_R12_WINDOW) == 50 and set(_R12_WINDOW) <= set(ENTRIES)
 ENTRIES = {k: ENTRIES[k] for k in
-           _R11_WINDOW + [k for k in ENTRIES if k not in set(_R11_WINDOW)]}
+           _R12_WINDOW + [k for k in ENTRIES if k not in set(_R12_WINDOW)]}
