@@ -1143,3 +1143,84 @@ def test_bpe_chunks_500k_docs(spark, big_docs):
     counts = tk.bpe_token_counts(big_docs, merges)
     assert row["t"] == counts.agg(F.sum("n_tokens")).collect()[0][0]
     assert dt < 300
+
+
+def test_nb_classifier_500k_docs(spark, big_docs):
+    """r12: NB quality classifier at 500k docs (~20M tokens). The
+    scoring lookup is ONE broadcast join (the model table carries both
+    class counts); the only corpus-keyed exchange is the per-doc
+    aggregate, and score_micro sums are bit-identical across
+    partitionings (BIGINT micro-nat floors). The Pareto admission is
+    map-only and its kept set is partitioning-independent too (pure
+    function of score + portable hash)."""
+    import time
+
+    from radmapper_spark.operators import classifier
+
+    pos = big_docs.filter(F.col("source").isin("src0", "src1"))
+    neg = big_docs.filter(~F.col("source").isin("src0", "src1"))
+    t0 = time.monotonic()
+    scored = classifier.nb_score(big_docs, pos, neg, top_v=500)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side token lookup must be the broadcast join; the only
+    # SortMergeJoins allowed are the two bounded training
+    # instantiations of the vocab full-outer count join
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 2
+    agg = scored.agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("score_micro").alias("s")).collect()[0]
+    dt = time.monotonic() - t0
+    print(f"  nb_score 500k docs: {dt:.1f}s (n={agg.n})")
+    assert agg.n == 500_000  # every doc has >= 10 tokens
+    again = (classifier.nb_score(big_docs.repartition(7), pos, neg,
+                                 top_v=500)
+             .agg(F.sum("score_micro").alias("s")).collect()[0])
+    assert agg.s == again.s, "score_micro drifted with partitioning"
+    assert dt < 300
+
+    t0 = time.monotonic()
+    kept = classifier.pareto_filter(scored).count()
+    kept2 = classifier.pareto_filter(
+        classifier.nb_score(big_docs.repartition(13), pos, neg,
+                            top_v=500)).count()
+    dt = time.monotonic() - t0
+    print(f"  pareto_filter 500k docs: kept {kept} in {dt:.1f}s")
+    assert kept == kept2
+    assert 0 < kept < 500_000
+    assert dt < 300
+
+
+def test_embedding_decontam_200k_vectors(spark):
+    """r12: semantic decontamination at 200k corpus vectors x 512
+    benchmark rows — the benchmark broadcasts, the pair stream is
+    threshold-filtered before the aggregate, and the corpus side never
+    sort-merge-shuffles."""
+    import time
+
+    from radmapper_spark.operators import decontam
+
+    dim = 16
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: (F.pmod(F.xxhash64(F.col("id"), i), 1000) / 500.0
+                   - F.lit(1.0)).cast("float"))
+    corpus = spark.range(200_000).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding"))
+    bench = spark.range(1_000_000, 1_000_512).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding"))
+    # plant exact copies so the flag set is non-empty by construction
+    planted = corpus.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    t0 = time.monotonic()
+    out = decontam.embedding_decontam(corpus, bench.union(planted),
+                                      threshold=0.95)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = out.collect()
+    dt = time.monotonic() - t0
+    print(f"  embedding_decontam 200k x 520: {len(rows)} flagged "
+          f"in {dt:.1f}s")
+    flagged = {r["vec_id"] for r in rows}
+    assert set(range(8)) <= flagged  # the planted copies all flag at 1.0
+    assert dt < 300
