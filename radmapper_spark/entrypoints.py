@@ -2428,8 +2428,14 @@ def _cached_frames(cache: dict, spark: SparkSession, sf_dir: str,
     outright and never touch these fixture-shaped caches."""
     cache_key = (session_key(spark), sf_dir)
     fkey = (id(cache), cache_key)
+    fp_now = _sf_fingerprint(sf_dir)
+    fp_rec = _CACHE_FPRINTS.get(fkey)
+    # a None witness on either side is a MISMATCH, not a match — when
+    # fingerprinting is blind the cache must fail to stale-serving's
+    # conservative side and rebuild (r12 review; same rule as
+    # load_tables' memo)
     if cache_key in cache \
-            and _CACHE_FPRINTS.get(fkey) != _sf_fingerprint(sf_dir):
+            and (fp_rec is None or fp_now is None or fp_rec != fp_now):
         for f in cache.pop(cache_key).values():
             try:
                 f.unpersist()
@@ -2449,7 +2455,9 @@ def _cached_frames(cache: dict, spark: SparkSession, sf_dir: str,
                     f.unpersist()
                 except Exception:
                     pass
-        _CACHE_FPRINTS[fkey] = _sf_fingerprint(sf_dir)
+        # stamp the fingerprint taken BEFORE the build (a rewrite racing
+        # the build leaves an older stamp -> next hit rebuilds)
+        _CACHE_FPRINTS[fkey] = fp_now
         cache[cache_key] = build(load_tables(spark, sf_dir))
     return cache[cache_key]
 
@@ -3114,7 +3122,9 @@ def _bpe_merges(spark: SparkSession, sf_dir: str):
     key = (session_key(spark), sf_dir)
     fp = _sf_fingerprint(sf_dir)
     hit = _BPE_CACHE.get(key)
-    if hit is not None and hit[0] == fp:
+    # a None fingerprint (blind witness) never matches — retrain rather
+    # than risk serving merges pinned over a rewritten corpus
+    if hit is not None and fp is not None and hit[0] == fp:
         return hit[1]
     # No explicit invalidate on the retrain paths (stale hit OR first
     # build): load_tables self-validates its memo's fingerprint

@@ -55,17 +55,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import portable_hash as PH
+# the micro-nat grid, the tokenization, and its SQL twin are IMPORTED
+# from lm.py (not copied) so the two scoring families can never
+# silently fork (r12 review)
+from .lm import _DUCK_TOKS, MICRO, lm_tokens as _toks
 
-MICRO = 1_000_000.0    # micro-nat grid (shared with lm.py)
 PARETO_ALPHA = 9       # GPT-3's documented alpha
 _U_DENOM = float(1 << 60)
-
-
-def _toks(text_col):
-    """Tokenization shared with lm.py/textstats: lower, split on
-    non-letters, drop empties."""
-    return F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
-                    lambda t: t != "")
 
 
 def nb_model(pos_docs: DataFrame, neg_docs: DataFrame,
@@ -205,9 +201,6 @@ def pareto_filter(scored: DataFrame, id_col: str = "doc_id",
 
 
 # =========================================================== DuckDB oracle
-
-_DUCK_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z]+'),"
-              " t -> t <> '')")
 
 
 def _duck_nb_ctes(pos_pred: str, neg_pred: str, doc_pred: str = "TRUE",

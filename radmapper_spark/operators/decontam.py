@@ -121,11 +121,18 @@ def embedding_decontam(corpus: DataFrame, benchmark: DataFrame,
     cost more than the broadcast product it prunes."""
     from .similarity import _dot, _norm, _to_double
 
+    # norms hoisted into the frames (the ivf_topk scoring contract,
+    # similarity.py): the pair stream evaluates ONE dot per
+    # (corpus, benchmark) pair, not a dot plus two fresh norm folds —
+    # same IEEE doubles, |corpus| + |benchmark| norm folds instead of
+    # 2 x |corpus| x |benchmark| (r12 review)
     c = corpus.select(F.col(id_col),
-                      _to_double(F.col(vec_col)).alias("_cv"))
-    b = benchmark.select(_to_double(F.col(vec_col)).alias("_bv"))
+                      _to_double(F.col(vec_col)).alias("_cv")) \
+        .withColumn("_cn", _norm(F.col("_cv")))
+    b = benchmark.select(_to_double(F.col(vec_col)).alias("_bv")) \
+        .withColumn("_bn", _norm(F.col("_bv")))
     cos = _dot(F.col("_cv"), F.col("_bv")) \
-        / (_norm(F.col("_cv")) * _norm(F.col("_bv")))
+        / (F.col("_cn") * F.col("_bn"))
     return (c.crossJoin(F.broadcast(b))
             .select(F.col(id_col), cos.alias("_cos"))
             .filter(F.col("_cos") >= float(threshold))

@@ -73,15 +73,22 @@ def _check_base_params(base: DataFrame, op: str, **expect) -> None:
     signature LENGTH is visible in a one-row sample (the probe result
     is memoized back onto the frame object so repeated calls don't
     re-pay the job), and for packed-hash bases (simhash/phash bigints)
-    a one-row min/max range probe that catches a base packed with MORE
-    bits than the consumer expects (r11 advice: a hand-built 64-bit
-    base fed to a 60-bit-band operator would otherwise collapse the
-    high bands to one hot bucket). DOCUMENTED LIMIT: values carry no
-    witness for shingle_k/hash_mode (minhash) or for a base packed with
-    FEWER bits than expected (small values fit any wider range), so an
-    attr-less base mismatched ONLY in those still passes — keep the
-    stamped attr (or the frame's parquet round-trip parameters)
-    authoritative for them."""
+    a BOUNDED-SAMPLE min/max range probe (limit(256) before the
+    aggregate — never a full scan of a caller-supplied 100 TB base)
+    that catches a base packed with MORE bits than the consumer expects
+    (r11 advice: a hand-built 64-bit base fed to a 60-bit-band operator
+    would otherwise collapse the high bands to one hot bucket). The
+    sample makes the wider-packed check probabilistic, but the miss
+    odds are vanishing: a uniformly packed 64-bit value lands inside a
+    60-bit range w.p. 1/16 per row, so 256 rows all fitting by chance
+    is 16^-256 — and the memo only helps same-object reuse, so the
+    probe must stay cheap for parquet-round-tripped frames that arrive
+    as fresh objects every read (r12 review). DOCUMENTED LIMIT: values
+    carry no witness for shingle_k/hash_mode (minhash) or for a base
+    packed with FEWER bits than expected (small values fit any wider
+    range), so an attr-less base mismatched ONLY in those still passes
+    — keep the stamped attr (or the frame's parquet round-trip
+    parameters) authoritative for them."""
     params = getattr(base, "rm_base_params", None)
     if params is not None:
         bad = {k: (params[k], v) for k, v in expect.items()
@@ -117,14 +124,16 @@ def _check_base_params(base: DataFrame, op: str, **expect) -> None:
         if key in expect and expect[key] < 64 and col in base.columns:
             probed = getattr(base, "_rm_probed_hash_range", None)
             if probed is None:
-                row = base.agg(F.min(col).alias("lo"),
-                               F.max(col).alias("hi")).first()
+                row = (base.select(col).limit(256)
+                       .agg(F.min(col).alias("lo"),
+                            F.max(col).alias("hi")).first())
                 if row is None or row["lo"] is None:
                     return  # empty base: nothing to witness
                 probed = (int(row["lo"]), int(row["hi"]))
                 try:
-                    # the observed range is a fact about the frame, but
-                    # it does NOT pin the build params — memoized on a
+                    # the observed range is a fact about (a sample of)
+                    # the frame — a valid witness for REJECTION but it
+                    # does NOT pin the build params — memoized on a
                     # separate attr so rm_base_params stays authoritative
                     base._rm_probed_hash_range = probed
                 except Exception:

@@ -56,13 +56,20 @@ BACKOFF = 0.4          # stupid-backoff discount (Brants et al. 2007)
 MICRO = 1_000_000.0    # micro-nat grid for the floored per-term log-prob
 
 
+def lm_tokens(text_col: str):
+    """THE scoring tokenization (lower, split on non-letters, drop
+    empties) as a Column expression — shared by this module and
+    classifier.py so the two scoring families can never silently fork
+    (its SQL twin is _DUCK_TOKS below)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+                    lambda t: t != "")
+
+
 def _bigram_rows(docs: DataFrame, text_col: str, keep_cols=()) -> DataFrame:
     """One row per adjacent-bigram OCCURRENCE: (*keep_cols, w1, w2).
     Tokenization matches textstats/selection (lower, split on
     non-letters); documents with < 2 tokens contribute nothing."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
-                    lambda t: t != "")
-    base = docs.select(*keep_cols, toks.alias("_t"))
+    base = docs.select(*keep_cols, lm_tokens(text_col).alias("_t"))
     n = F.size(F.col("_t"))
     bigrams = F.when(n >= 2, F.transform(
         F.sequence(F.lit(0), n - F.lit(2)),
@@ -81,9 +88,7 @@ def _model_tables(ref_docs: DataFrame, text_col: str, top_v: int,
     Moore-Lewis single-corpus-pass shape). Unigrams are counted from
     their own explode (counting both legs of every bigram would
     double-count interior tokens)."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
-                    lambda t: t != "")
-    uni_all = (ref_docs.select(F.explode(toks).alias("w"))
+    uni_all = (ref_docs.select(F.explode(lm_tokens(text_col)).alias("w"))
                .groupBy("w").agg(F.count(F.lit(1)).alias("c_w")))
     vocab = (uni_all.orderBy(F.col("c_w").desc(), F.col("w").asc())
              .limit(top_v))

@@ -129,7 +129,13 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict:
     fp = sf_fingerprint(sf_dir)
     hit = _TABLE_CACHE.get(cache_key)
     if hit is not None:
-        if hit[0] == fp:
+        # None (fingerprinting failed, e.g. listdir EACCES while the
+        # reads themselves would work) must compare UNEQUAL even to a
+        # None stamp: treating None == None as fresh would silently
+        # revert to never-validating exactly when the witness is blind
+        # (r12 review). The conservative direction is a spurious
+        # rebuild per call — plans only, no data re-read until action.
+        if hit[0] is not None and hit[0] == fp:
             return dict(hit[1])
         # External rewrite since the memo was built: the memoized
         # DataFrames pin the old file listing and Spark's FileIndex

@@ -155,8 +155,8 @@ def test_packed_hash_probe_accepts_compliant_base_and_memoizes(spark):
     dedup._check_base_params(base, "phash_neardup_pairs", bits=60)
     assert base._rm_probed_hash_range == (0, (1 << 60) - 1)
     assert getattr(base, "rm_base_params", None) is None
-    # memoized: poison agg to prove no second job runs
-    base.agg = None
+    # memoized: poison the probe's entry point to prove no second job
+    base.select = None
     dedup._check_base_params(base, "phash_neardup_pairs", bits=60)
     # but a tighter consumer still rejects via the memoized range
     with pytest.raises(ValueError, match="outside the 48-bit range"):
@@ -169,7 +169,7 @@ def test_packed_hash_probe_vacuous_at_64_bits(spark):
     from radmapper_spark.operators import dedup
 
     base = _fake_media_base(spark, [-5]).withColumnRenamed("phash", "simhash")
-    base.agg = None  # would raise if the probe ran a job
+    base.select = None  # would raise if the probe ran a job
     dedup._check_base_params(base, "simhash_pairs", nbits=64)
 
 
