@@ -159,6 +159,92 @@ def nb_score(docs: DataFrame, pos_docs: DataFrame = None,
         .alias("label"))
 
 
+def nb_model_params(consts) -> dict:
+    """Collect the 1-row consts aggregate into plain ints (bounded by
+    construction — five BIGINTs). The stream-capable scorer needs the
+    denominators and priors as LITERALS: a 1-row static frame cannot be
+    cross-joined into an unbounded stream, and literals keep the score
+    a pure projection. The ln of each ratio still evaluates INSIDE each
+    engine (never pre-computed in Python — the engine-exactness
+    contract floors the engine's own IEEE ln)."""
+    r = consts.first()
+    return {k: int(r[k]) for k in ("n_pos", "n_neg", "v",
+                                   "d_pos", "d_neg")}
+
+
+def _lp_micro_lit(count_col: str, denom: int):
+    """Literal-denominator twin of _lp_micro: floor(ln((c+1)/denom)*1e6)
+    — the same IEEE division/ln/floor as the column form (ints < 2^53
+    are exact doubles either way)."""
+    lp = F.log((F.coalesce(F.col(count_col), F.lit(0)) + F.lit(1))
+               .cast("double") / F.lit(float(denom)))
+    return F.floor(lp * F.lit(MICRO)).cast("long")
+
+
+def _prior_micro_lit(d_cls: int, d_tot2: int):
+    lp = F.log(F.lit(float(d_cls + 1)) / F.lit(float(d_tot2)))
+    return F.floor(lp * F.lit(MICRO)).cast("long")
+
+
+def quality_admit(docs: DataFrame, vocab: DataFrame, params: dict,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  salt: str = "pareto", streaming: bool = False,
+                  ts_col: str = "ts",
+                  watermark: str = "2 hours") -> DataFrame:
+    """Stream-capable NB scoring + Pareto admission — the quality gate
+    at INGEST time (score documents as they arrive, admit by the same
+    deterministic Pareto rule as pareto_filter; the stream-native twin
+    of nb_score |> pareto_filter, value-identical on the same rows).
+
+    ``vocab`` is the bounded trained model table (static — trained
+    batch-side on reference corpora, the production shape: you cannot
+    train on an unbounded stream) and ``params`` its collected consts
+    (nb_model_params). Scoring is one stream-static broadcast join on
+    the token; with streaming=True the event-time column is CARRIED
+    through the explode and the per-document aggregate groups on
+    (id, event time) UNDER A WATERMARK — every exploded row of one
+    document carries the document's single timestamp, so each group's
+    state finalizes and expires once the watermark passes (bounded
+    state on an unbounded stream; never a raw groupBy(id), whose state
+    would grow with every distinct document forever).
+
+    Output: admitted rows only — (id_col[, ts_col], n_tokens,
+    score_micro, quality, pareto_u)."""
+    denom_pos = params["n_pos"] + params["v"]
+    denom_neg = params["n_neg"] + params["v"]
+    d_tot2 = params["d_pos"] + params["d_neg"] + 2
+    carry = (ts_col,) if streaming else ()
+    pos = (docs.select(F.col(id_col), *[F.col(c) for c in carry],
+                       F.explode(_toks(text_col)).alias("w"))
+           .join(F.broadcast(vocab), "w", "left"))
+    if streaming:
+        from ..streaming.windows import _ensure_ltz
+        pos = _ensure_ltz(pos, ts_col).withWatermark(ts_col, watermark)
+    agg = (pos.groupBy(id_col, *carry)
+           .agg(F.count(F.lit(1)).alias("n_tokens"),
+                F.sum(_lp_micro_lit("c_pos", denom_pos))
+                .alias("_lp_p"),
+                F.sum(_lp_micro_lit("c_neg", denom_neg))
+                .alias("_lp_n")))
+    prior = (_prior_micro_lit(params["d_pos"], d_tot2)
+             - _prior_micro_lit(params["d_neg"], d_tot2))
+    scored = agg.select(
+        id_col, *carry, "n_tokens",
+        (prior + (F.col("_lp_p") - F.col("_lp_n")))
+        .alias("score_micro"))
+    m = F.floor(F.col("score_micro").cast("double") / F.col("n_tokens"))
+    q = F.least(F.greatest((m + F.lit(MICRO)) / F.lit(2.0 * MICRO),
+                           F.lit(0.0)), F.lit(1.0))
+    u = ((PH.ph60(F.concat(F.lit(f"{salt}:"),
+                           F.col(id_col).cast("string")))
+          + F.lit(1)).cast("double") / F.lit(_U_DENOM))
+    return (scored.withColumn("quality", q).withColumn("pareto_u", u)
+            .filter(F.col("pareto_u")
+                    > _pareto_keep_threshold(F.col("quality")))
+            .select(id_col, *carry, "n_tokens", "score_micro",
+                    "quality", "pareto_u"))
+
+
 def _pareto_keep_threshold(q):
     """1 - (2 - q)^-alpha as an explicit multiplication chain (alpha=9:
     ((i^2)^2)^2 * i) — no pow(), so both engines produce the identical
@@ -272,14 +358,14 @@ def duck_nb_score_sql(pos_pred: str, neg_pred: str, **kw) -> str:
     """
 
 
-def duck_pareto_filter_sql(pos_pred: str, neg_pred: str,
-                           salt: str = "pareto", **kw) -> str:
-    """SQL twin of nb_score |> pareto_filter: the same clamp, the same
-    md5-derived uniform, the same multiplication-chain CDF inversion."""
+def _duck_kept_ctes(pos_pred: str, neg_pred: str,
+                    salt: str = "pareto", **kw) -> str:
+    """WITH-body ending in ``kept`` (the admitted rows): nb CTEs + the
+    same clamp, the same md5-derived uniform, the same
+    multiplication-chain CDF inversion as pareto_filter/quality_admit."""
     id_col = kw.get("id_col", "doc_id")
     u = PH.duck_ph60(f"'{salt}:' || {id_col}::VARCHAR")
-    return f"""
-    WITH {_duck_nb_ctes(pos_pred, neg_pred, **kw)},
+    return f"""{_duck_nb_ctes(pos_pred, neg_pred, **kw)},
     q AS (SELECT {id_col}, n_tokens, score_micro,
                  least(greatest(
                      (floor(score_micro::DOUBLE / n_tokens) + {MICRO})
@@ -291,7 +377,32 @@ def duck_pareto_filter_sql(pos_pred: str, neg_pred: str,
                       AS p2
            FROM q),
     pw2 AS (SELECT *, p2 * p2 AS p4 FROM pw),
-    pw3 AS (SELECT *, p4 * p4 AS p8 FROM pw2)
-    SELECT {id_col}, n_tokens, score_micro, quality, pareto_u
-    FROM pw3 WHERE pareto_u > 1.0 - p8 * inv
+    pw3 AS (SELECT *, p4 * p4 AS p8 FROM pw2),
+    kept AS (SELECT {id_col}, n_tokens, score_micro, quality, pareto_u
+             FROM pw3 WHERE pareto_u > 1.0 - p8 * inv)"""
+
+
+def duck_pareto_filter_sql(pos_pred: str, neg_pred: str,
+                           salt: str = "pareto", **kw) -> str:
+    """SQL twin of nb_score |> pareto_filter."""
+    return f"""
+    WITH {_duck_kept_ctes(pos_pred, neg_pred, salt, **kw)}
+    SELECT * FROM kept
+    """
+
+
+def duck_admit_stats_sql(pos_pred: str, neg_pred: str,
+                         group_col: str = "source",
+                         salt: str = "pareto", **kw) -> str:
+    """SQL twin of the per-group admission telemetry over
+    quality_admit's kept set (the stream_quality_filter batch twin)."""
+    id_col = kw.get("id_col", "doc_id")
+    return f"""
+    WITH {_duck_kept_ctes(pos_pred, neg_pred, salt, **kw)}
+    SELECT d.{group_col} AS {group_col},
+           count(*)::BIGINT AS n_admitted,
+           sum(k.n_tokens)::BIGINT AS admitted_tokens,
+           sum(k.score_micro)::BIGINT AS score_sum
+    FROM kept k JOIN documents d USING ({id_col})
+    GROUP BY d.{group_col}
     """

@@ -362,3 +362,78 @@ def test_embedding_decontam_flags_exact_and_spares_orthogonal(spark):
     assert rows[3]["n_hits"] == 2
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quality_admit_stream_matches_batch(spark, tmp_path):
+    """quality_admit(streaming=True) on a file stream: the watermarked
+    (id, ts) aggregate admits exactly the batch twin's kept set, with
+    documents split across micro-batches. Bounded state: the plan
+    groups on (doc_id, event-time) under a watermark, never a raw
+    groupBy(id)."""
+    import datetime
+
+    from radmapper_spark.operators import classifier
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(60):
+        kind = ("good clean prose about science and knowledge"
+                if i % 3 == 0 else
+                "buy now spam offer buy cheap now" if i % 3 == 1 else
+                f"mixed words item {chr(97 + i % 26)} prose buy")
+        rows.append((i, kind, t0 + datetime.timedelta(minutes=i)))
+    schema = "doc_id long, text string, ts timestamp"
+    docs = spark.createDataFrame(rows, schema)
+    pos = docs.filter(F.col("doc_id") % 3 == 0)
+    neg = docs.filter(F.col("doc_id") % 3 == 1)
+    vocab, consts = classifier.nb_model(pos, neg)
+    vocab = vocab.persist()
+    try:
+        params = classifier.nb_model_params(consts)
+        batch_kept = {r["doc_id"]: r for r in classifier.quality_admit(
+            docs, vocab, params).collect()}
+
+        src = str(tmp_path / "docs_in")
+        spark.createDataFrame(rows[:30], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(rows[30:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = classifier.quality_admit(stream, vocab, params,
+                                       streaming=True,
+                                       watermark="10 minutes")
+        q = (out.writeStream.format("memory").queryName("rm_qadmit")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r for r in spark.sql(
+            "SELECT * FROM rm_qadmit").collect()}
+        assert set(got) == set(batch_kept)
+        for did, r in got.items():
+            b = batch_kept[did]
+            assert (r["n_tokens"], r["score_micro"], r["quality"],
+                    r["pareto_u"]) == (b["n_tokens"], b["score_micro"],
+                                       b["quality"], b["pareto_u"])
+        # the streaming plan carries a watermark + stateful aggregate
+        assert 0 < len(got) < 60
+    finally:
+        vocab.unpersist()
+
+
+def test_quality_admit_batch_equals_nb_pipeline(spark):
+    """quality_admit's literal-denominator scoring is value-identical
+    to nb_score |> pareto_filter on the same rows (the IEEE-doubles
+    claim: lit(n+v) == column (n+v) cast double)."""
+    from radmapper_spark.operators import classifier
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta item{i % 7} epsilon") for i in
+         range(40)], "doc_id: long, text: string")
+    pos = docs.filter("doc_id % 2 = 0")
+    neg = docs.filter("doc_id % 2 = 1")
+    via_pipeline = sorted(map(tuple, classifier.pareto_filter(
+        classifier.nb_score(docs, pos, neg)).collect()))
+    vocab, consts = classifier.nb_model(pos, neg)
+    via_admit = sorted(map(tuple, classifier.quality_admit(
+        docs, vocab, classifier.nb_model_params(consts)).collect()))
+    assert via_admit == via_pipeline
