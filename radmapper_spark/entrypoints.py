@@ -3526,6 +3526,30 @@ def dataset_split_sql() -> str:
     return f"SELECT doc_id, {b} AS bucket, {case} AS split FROM documents"
 
 
+_SHUF_SHARD = 100
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + fixed-size sharding
+    (operators.sampling.corpus_shuffle): every doc gets a permutation
+    rank ordered by the portable md5 hash of its salted id, then
+    shard/shard_pos arithmetic — the offline "shuffle once, read shards
+    sequentially" layout a training run ingests. The rank is the
+    distributed global_rank (range exchange + P-row offsets, never a
+    single-partition window); the permutation is a pure function of the
+    ids, so the DuckDB row_number twin reproduces it exactly."""
+    from .operators import sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = sampling.corpus_shuffle(docs, "doc_id", _SHUF_SHARD)
+    return _carry_release(
+        out, out.select("doc_id", "shuffle_rank", "shard", "shard_pos"))
+
+
+def corpus_shuffle_sql() -> str:
+    from .operators import sampling
+    return sampling.duck_corpus_shuffle_sql("doc_id", _SHUF_SHARD)
+
+
 def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified downsample: at most 50 docs per language, chosen by
     hash order (uniform within group, reproducible, append-stable)."""
@@ -4357,13 +4381,16 @@ ENTRIES: dict = {
     # NEW r12: embedding-space decontamination — the semantic complement
     # of decontam_ngram (broadcast benchmark, exact cosine)
     "decontam_embedding": (decontam_embedding, decontam_embedding_sql),
+    # NEW r12 (second batch, also in-window): deterministic global
+    # training shuffle + fixed-size sharding via distributed global_rank
+    "corpus_shuffle": (corpus_shuffle, corpus_shuffle_sql),
 }
 
 # =========== r12 window rotation. The driver's correctness gate checks
-# the FIRST 50 registered entries. Registry is 114 after this round's
-# four new entries (r11 history, corrected per r11 advice: it was 110
+# the FIRST 50 registered entries. Registry is 115 after this round's
+# five new entries (r11 history, corrected per r11 advice: it was 110
 # after SIX new r11 entries, not 107/three), so a 50-slot window keeps
-# at most 100 entries within the 2-round freshness target — 14 slips
+# at most 100 entries within the 2-round freshness target — 15 slips
 # are structural and are documented here every round. This window, in
 # priority order:
 #
@@ -4372,36 +4399,37 @@ ENTRIES: dict = {
 #    sales_rollup, brand_revenue, events_unpivot, user_cohorts,
 #    customer_deciles, events_json_extract, customers_without_orders,
 #    urgent_and_low_customers, orders_above_customer_avg.
-# 2. The four NEW r12 entries (nb_quality_score, nb_pareto_filter,
-#    decontam_embedding, stream_quality_filter) — registered BEFORE
-#    this window froze, so they land first external rows this round
-#    instead of becoming latecomer debt (the r11 pattern).
-# 3. 35 of the 49 entries whose last row is r10 (they hit the 2-round
+# 2. The five NEW r12 entries (nb_quality_score, nb_pareto_filter,
+#    decontam_embedding, stream_quality_filter, corpus_shuffle) —
+#    registered BEFORE this window froze, so they land first external
+#    rows this round instead of becoming latecomer debt (the r11
+#    pattern).
+# 3. 34 of the 49 entries whose last row is r10 (they hit the 2-round
 #    limit now; substring_dup_spans re-proved in r11, so it is not
-#    among them). The 14 that slip to r13 — rm_datalog_join,
+#    among them). The 15 that slip to r13 — rm_datalog_join,
 #    rm_datetime_ops, rm_eav_wildcard, rm_express_map,
 #    rm_express_reduce, rm_nested_docs, rm_qvar_project,
 #    rm_scalar_battery, rm_table_paths, string_battery (the language
 #    battery: lang/ core frozen since r7, re-proven against the 229+
 #    reference golden corpus every run) plus region_nation_revenue,
 #    top_revenue_orders, top_customer_per_nation (plain headline SQL
-#    aggregates untouched since r2) and dataset_split (a map-only
-#    deterministic hash split, frozen since r4) — every one green in
-#    the full local three-SF sweep each round; they rotate FIRST in
-#    r13.
+#    aggregates untouched since r2) and dataset_split + sample_per_group
+#    (map-only deterministic hash ops, frozen since r4/r9) — every one
+#    green in the full local three-SF sweep each round; they rotate
+#    FIRST in r13.
 _R12_WINDOW = [
     "window_battery", "events_pivot", "sales_rollup", "brand_revenue",
     "events_unpivot", "user_cohorts", "customer_deciles",
     "events_json_extract", "customers_without_orders",
     "urgent_and_low_customers", "orders_above_customer_avg",
     "nb_quality_score", "nb_pareto_filter", "decontam_embedding",
-    "stream_quality_filter",
+    "stream_quality_filter", "corpus_shuffle",
     "ann_bruteforce_topk", "ann_ivf_topk",
     "dedup_embedding_cosine", "dedup_exact", "dedup_groups",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_token_jaccard",
     "graph_communities", "graph_pagerank", "lm_bucket", "lm_score",
     "multimodal_features", "neardup_admit", "neardup_probe",
-    "pipeline_corpus_clean", "quality_probe", "sample_per_group",
+    "pipeline_corpus_clean", "quality_probe",
     "semantic_dedup", "skew_salted_agg", "skew_salted_join",
     "stats_profile", "stream_dedup", "stream_join",
     "stream_running_totals", "stream_session", "stream_sliding",

@@ -136,3 +136,65 @@ def weighted_sample_per_group(df: DataFrame, group_col: str, id_col: str,
             .orderBy(key.desc(), F.col(id_col).asc()))
         .alias("sample_rank"))
     return ranked.filter(F.col("sample_rank") <= k)
+
+
+def corpus_shuffle(df: DataFrame, id_col: str, shard_size: int,
+                   salt: str = "shuffle") -> DataFrame:
+    """Deterministic global training shuffle + fixed-size sharding —
+    the "shuffle once offline, read shards sequentially every epoch"
+    preparation step of a training pipeline (random access at train
+    time traded for one offline permutation; the standard recipe behind
+    e.g. webdataset/TFRecord shard layouts). The permutation key is the
+    portable 60-bit md5 hash of the salted id (uniform; ties broken by
+    id), so the order is a PURE FUNCTION of (salt, ids): re-runs, other
+    cluster sizes, and the DuckDB oracle all produce the identical
+    permutation — no rand(), no seed-per-partition trap.
+
+    Rank comes from ranking.global_rank (range exchange + P-row
+    offsets — never a single-partition window); then
+    shard = (rank-1) div shard_size and shard_pos = (rank-1) mod
+    shard_size, so every shard except the last holds exactly
+    ``shard_size`` rows. At 100 TB this is the pipeline's one
+    legitimate global sort and it runs on an 8-byte key; the output is
+    ready for a partitionBy("shard") write (sources/writers.py).
+
+    Output: df's columns + (shuffle_rank, shard, shard_pos). Carries
+    ``rm_release_cache`` for the rank's internal range-partitioned
+    cache."""
+    if shard_size <= 0:
+        raise ValueError(f"corpus_shuffle: shard_size must be positive, "
+                         f"got {shard_size}")
+    from .ranking import _free_name, global_rank
+    key = _free_name(df, "_rm_shufkey")
+    keyed = df.withColumn(
+        key, PH.ph60(F.concat(F.lit(f"{salt}:"),
+                              F.col(id_col).cast("string"))))
+    ranked = global_rank(keyed,
+                         [F.col(key).asc(), F.col(id_col).asc()],
+                         rank_col="shuffle_rank")
+    r0 = F.col("shuffle_rank") - F.lit(1)
+    out = (ranked
+           .withColumn("shard", F.floor(r0 / F.lit(int(shard_size)))
+                       .cast("long"))
+           .withColumn("shard_pos", (r0 % F.lit(int(shard_size)))
+                       .cast("long"))
+           .drop(key))
+    out.rm_release_cache = ranked.rm_release_cache
+    return out
+
+
+def duck_corpus_shuffle_sql(id_expr: str, shard_size: int,
+                            salt: str = "shuffle",
+                            from_table: str = "documents") -> str:
+    """DuckDB twin of corpus_shuffle's (id, rank, shard, pos) columns."""
+    h = PH.duck_ph60(f"'{salt}:' || ({id_expr})::VARCHAR")
+    return f"""
+    SELECT {id_expr},
+           row_number() OVER (ORDER BY {h} ASC, {id_expr} ASC)
+               AS shuffle_rank,
+           ((row_number() OVER (ORDER BY {h} ASC, {id_expr} ASC)) - 1)
+               // {int(shard_size)} AS shard,
+           ((row_number() OVER (ORDER BY {h} ASC, {id_expr} ASC)) - 1)
+               % {int(shard_size)} AS shard_pos
+    FROM {from_table}
+    """

@@ -437,3 +437,51 @@ def test_quality_admit_batch_equals_nb_pipeline(spark):
     via_admit = sorted(map(tuple, classifier.quality_admit(
         docs, vocab, classifier.nb_model_params(consts)).collect()))
     assert via_admit == via_pipeline
+
+
+def test_corpus_shuffle_permutation_and_shards(spark):
+    """corpus_shuffle assigns a 1..n bijection, exact shard sizes
+    (every shard but the last holds exactly shard_size rows), is
+    invariant to input partitioning, and releases its internal cache."""
+    from radmapper_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(257)], "doc_id: long")
+    out = sampling.corpus_shuffle(df, "doc_id", shard_size=100)
+    rows = out.collect()
+    out.rm_release_cache()
+    ranks = sorted(r["shuffle_rank"] for r in rows)
+    assert ranks == list(range(1, 258))  # bijection
+    from collections import Counter
+    sizes = Counter(r["shard"] for r in rows)
+    assert sizes == {0: 100, 1: 100, 2: 57}
+    for r in rows:
+        assert r["shard"] * 100 + r["shard_pos"] == r["shuffle_rank"] - 1
+    # partitioning-invariant permutation (pure function of the ids)
+    out2 = sampling.corpus_shuffle(df.repartition(7), "doc_id",
+                                   shard_size=100)
+    perm2 = {r["doc_id"]: r["shuffle_rank"] for r in out2.collect()}
+    out2.rm_release_cache()
+    assert perm2 == {r["doc_id"]: r["shuffle_rank"] for r in rows}
+    # it actually shuffles: the permutation is not the identity
+    assert any(perm2[i] != i + 1 for i in range(257))
+    with pytest.raises(ValueError, match="shard_size"):
+        sampling.corpus_shuffle(df, "doc_id", shard_size=0)
+
+
+def test_corpus_shuffle_no_single_partition_window(spark):
+    """The rank must come from the distributed range-exchange recipe —
+    no empty-partition-spec window (the classic scale killer) anywhere
+    in the plan."""
+    from radmapper_spark.operators import sampling
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = sampling.corpus_shuffle(df, "doc_id", shard_size=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    out.rm_release_cache()
+    # range partitioning present; every Window is partitioned (Spark
+    # prints 'Window [...], [part spec]' — an empty spec would surface
+    # as the WindowExec warning shape global_rank exists to avoid)
+    assert "rangepartitioning" in plan.lower()
+    import re
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "empty-partition-spec window found"

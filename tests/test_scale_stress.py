@@ -1224,3 +1224,36 @@ def test_embedding_decontam_200k_vectors(spark):
     flagged = {r["vec_id"] for r in rows}
     assert set(range(8)) <= flagged  # the planted copies all flag at 1.0
     assert dt < 300
+
+
+def test_corpus_shuffle_2m_rows(spark):
+    """r12: deterministic global shuffle at 2M rows — the one
+    legitimate global sort in the pipeline, on an 8-byte key: range
+    exchange + P-row offsets, exact 1..n permutation, exact shard
+    sizes."""
+    import time
+
+    from radmapper_spark.operators import sampling
+
+    n, shard = 2_000_000, 4096
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    t0 = time.monotonic()
+    out = sampling.corpus_shuffle(df, "doc_id", shard_size=shard)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("shuffle_rank").alias("ranks"),
+        F.min("shuffle_rank").alias("lo"),
+        F.max("shuffle_rank").alias("hi"),
+        F.sum(F.when((F.col("shard_pos") < 0)
+                     | (F.col("shard_pos") >= shard), 1)
+              .otherwise(0)).alias("bad_pos")).collect()[0]
+    full = (out.groupBy("shard").count()
+            .filter((F.col("count") != shard)
+                    & (F.col("shard") != (n - 1) // shard)).count())
+    dt = time.monotonic() - t0
+    out.rm_release_cache()
+    print(f"  corpus_shuffle 2M rows: {dt:.1f}s")
+    assert (agg.rows, agg.ranks, agg.lo, agg.hi, agg.bad_pos) \
+        == (n, n, 1, n, 0)
+    assert full == 0  # every non-tail shard exactly shard_size
+    assert dt < 120
