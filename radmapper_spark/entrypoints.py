@@ -3550,6 +3550,31 @@ def corpus_shuffle_sql() -> str:
     return sampling.duck_corpus_shuffle_sql("doc_id", _SHUF_SHARD)
 
 
+def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-proportional deterministic interleaving
+    (operators.sampling.mixture_interleave): a global reading order
+    whose every prefix holds each source in its corpus-wide proportion
+    — the read-time complement of mixture_sample (no runtime sampler;
+    an early-stopped run has still seen the right mixture). Per-source
+    hash order via a PARTITIONED window, fractional-position stride
+    keys, then the distributed global_rank. Engine-exact: the stride
+    key is one IEEE division of exact integers; the DuckDB twin
+    reproduces the exact order."""
+    from .operators import sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = sampling.mixture_interleave(docs, "source", "doc_id",
+                                      shard_size=_SHUF_SHARD)
+    return _carry_release(
+        out, out.select("doc_id", "source", "interleave_rank",
+                        "shard", "shard_pos"))
+
+
+def mixture_interleave_sql() -> str:
+    from .operators import sampling
+    return sampling.duck_mixture_interleave_sql(
+        "source", "doc_id", shard_size=_SHUF_SHARD)
+
+
 def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified downsample: at most 50 docs per language, chosen by
     hash order (uniform within group, reproducible, append-stable)."""
@@ -4384,13 +4409,16 @@ ENTRIES: dict = {
     # NEW r12 (second batch, also in-window): deterministic global
     # training shuffle + fixed-size sharding via distributed global_rank
     "corpus_shuffle": (corpus_shuffle, corpus_shuffle_sql),
+    # NEW r12 (second batch): source-proportional interleaving — every
+    # prefix of the reading order holds the corpus-wide mixture
+    "mixture_interleave": (mixture_interleave, mixture_interleave_sql),
 }
 
 # =========== r12 window rotation. The driver's correctness gate checks
-# the FIRST 50 registered entries. Registry is 115 after this round's
-# five new entries (r11 history, corrected per r11 advice: it was 110
+# the FIRST 50 registered entries. Registry is 116 after this round's
+# six new entries (r11 history, corrected per r11 advice: it was 110
 # after SIX new r11 entries, not 107/three), so a 50-slot window keeps
-# at most 100 entries within the 2-round freshness target — 15 slips
+# at most 100 entries within the 2-round freshness target — 16 slips
 # are structural and are documented here every round. This window, in
 # priority order:
 #
@@ -4399,14 +4427,15 @@ ENTRIES: dict = {
 #    sales_rollup, brand_revenue, events_unpivot, user_cohorts,
 #    customer_deciles, events_json_extract, customers_without_orders,
 #    urgent_and_low_customers, orders_above_customer_avg.
-# 2. The five NEW r12 entries (nb_quality_score, nb_pareto_filter,
-#    decontam_embedding, stream_quality_filter, corpus_shuffle) —
+# 2. The six NEW r12 entries (nb_quality_score, nb_pareto_filter,
+#    decontam_embedding, stream_quality_filter, corpus_shuffle,
+#    mixture_interleave) —
 #    registered BEFORE this window froze, so they land first external
 #    rows this round instead of becoming latecomer debt (the r11
 #    pattern).
-# 3. 34 of the 49 entries whose last row is r10 (they hit the 2-round
+# 3. 33 of the 49 entries whose last row is r10 (they hit the 2-round
 #    limit now; substring_dup_spans re-proved in r11, so it is not
-#    among them). The 15 that slip to r13 — rm_datalog_join,
+#    among them). The 16 that slip to r13 — rm_datalog_join,
 #    rm_datetime_ops, rm_eav_wildcard, rm_express_map,
 #    rm_express_reduce, rm_nested_docs, rm_qvar_project,
 #    rm_scalar_battery, rm_table_paths, string_battery (the language
@@ -4414,7 +4443,8 @@ ENTRIES: dict = {
 #    reference golden corpus every run) plus region_nation_revenue,
 #    top_revenue_orders, top_customer_per_nation (plain headline SQL
 #    aggregates untouched since r2) and dataset_split + sample_per_group
-#    (map-only deterministic hash ops, frozen since r4/r9) — every one
+#    + stats_profile (map-only hash/describe ops, frozen since r4-r9)
+#    — every one
 #    green in the full local three-SF sweep each round; they rotate
 #    FIRST in r13.
 _R12_WINDOW = [
@@ -4423,7 +4453,7 @@ _R12_WINDOW = [
     "events_json_extract", "customers_without_orders",
     "urgent_and_low_customers", "orders_above_customer_avg",
     "nb_quality_score", "nb_pareto_filter", "decontam_embedding",
-    "stream_quality_filter", "corpus_shuffle",
+    "stream_quality_filter", "corpus_shuffle", "mixture_interleave",
     "ann_bruteforce_topk", "ann_ivf_topk",
     "dedup_embedding_cosine", "dedup_exact", "dedup_groups",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_token_jaccard",
@@ -4431,7 +4461,7 @@ _R12_WINDOW = [
     "multimodal_features", "neardup_admit", "neardup_probe",
     "pipeline_corpus_clean", "quality_probe",
     "semantic_dedup", "skew_salted_agg", "skew_salted_join",
-    "stats_profile", "stream_dedup", "stream_join",
+    "stream_dedup", "stream_join",
     "stream_running_totals", "stream_session", "stream_sliding",
     "stream_tumbling", "temporal_asof_join", "temporal_range_join",
     "text_fingerprint", "text_lang_id", "text_quality",

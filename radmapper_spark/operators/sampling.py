@@ -198,3 +198,83 @@ def duck_corpus_shuffle_sql(id_expr: str, shard_size: int,
                % {int(shard_size)} AS shard_pos
     FROM {from_table}
     """
+
+
+def mixture_interleave(df: DataFrame, group_col: str, id_col: str,
+                       shard_size: int = 0,
+                       salt: str = "interleave") -> DataFrame:
+    """Source-proportional deterministic interleaving: a global reading
+    order in which every prefix holds each source in (approximately)
+    its corpus-wide proportion — the read-time complement of a domain
+    mixture (no runtime sampler needed; a training run that stops early
+    has still seen the right mixture). The classic stride construction:
+    within each source, rows get a deterministic hash order
+    (row_number over a PARTITIONED window — scalable, never an empty
+    partition spec); row r of a source with n rows gets interleave key
+    (r - 0.5) / n, and the global order sorts by that key (ties broken
+    by (group, id)). Uniform strides of unequal sizes mesh
+    proportionally — the same fractional-position rule as weighted
+    fair queueing.
+
+    Engine-exact: the key is ONE IEEE division of exact integers
+    ((2r-1)/2n computed as (r - 0.5)/n — both engines produce the
+    identical double), and the final rank is ranking.global_rank.
+    With shard_size > 0, shard/shard_pos arithmetic is appended (the
+    corpus_shuffle layout, mixture-balanced per shard).
+
+    Output: df's columns + (interleave_rank[, shard, shard_pos]).
+    Carries rm_release_cache."""
+    from .ranking import _free_name, global_rank
+    rk, nk, kk = (_free_name(df, "_rm_gr"), _free_name(df, "_rm_gn"),
+                  _free_name(df, "_rm_ik"))
+    h = PH.ph60(F.concat(F.lit(f"{salt}:"),
+                         F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(),
+                                              F.col(id_col).asc())
+    keyed = (df.withColumn(rk, F.row_number().over(w).cast("long"))
+             .withColumn(nk, F.count(F.lit(1))
+                         .over(Window.partitionBy(group_col))
+                         .cast("long"))
+             .withColumn(kk, (F.col(rk).cast("double") - F.lit(0.5))
+                         / F.col(nk).cast("double")))
+    ranked = global_rank(
+        keyed, [F.col(kk).asc(), F.col(group_col).asc(),
+                F.col(id_col).asc()],
+        rank_col="interleave_rank")
+    out = ranked.drop(rk, nk, kk)
+    if shard_size:
+        r0 = F.col("interleave_rank") - F.lit(1)
+        out = (out.withColumn("shard",
+                              F.floor(r0 / F.lit(int(shard_size)))
+                              .cast("long"))
+               .withColumn("shard_pos", (r0 % F.lit(int(shard_size)))
+                           .cast("long")))
+    out.rm_release_cache = ranked.rm_release_cache
+    return out
+
+
+def duck_mixture_interleave_sql(group_expr: str, id_expr: str,
+                                shard_size: int = 0,
+                                salt: str = "interleave",
+                                from_table: str = "documents") -> str:
+    """DuckDB twin of mixture_interleave's output columns."""
+    h = PH.duck_ph60(f"'{salt}:' || ({id_expr})::VARCHAR")
+    shard_cols = ""
+    if shard_size:
+        shard_cols = f""",
+           (interleave_rank - 1) // {int(shard_size)} AS shard,
+           (interleave_rank - 1) % {int(shard_size)} AS shard_pos"""
+    return f"""
+    WITH keyed AS (
+        SELECT {id_expr}, {group_expr},
+               (row_number() OVER (PARTITION BY {group_expr}
+                                   ORDER BY {h} ASC, {id_expr} ASC)
+                ::DOUBLE - 0.5)
+               / (count(*) OVER (PARTITION BY {group_expr}))::DOUBLE
+                   AS ik
+        FROM {from_table})
+    SELECT {id_expr}, {group_expr},
+           row_number() OVER (ORDER BY ik ASC, {group_expr} ASC,
+                              {id_expr} ASC) AS interleave_rank{shard_cols}
+    FROM keyed
+    """

@@ -485,3 +485,74 @@ def test_corpus_shuffle_no_single_partition_window(spark):
     import re
     for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
         assert m.group(1).strip(), "empty-partition-spec window found"
+
+
+def test_mixture_interleave_prefix_proportionality(spark):
+    """mixture_interleave: every prefix of the reading order holds each
+    source within 1 of its proportional share (uniform strides of the
+    fractional-position construction mesh like weighted fair queueing);
+    the permutation is a bijection, partitioning-invariant, and
+    shard arithmetic is consistent with the rank."""
+    from collections import Counter
+
+    from radmapper_spark.operators import sampling
+
+    # unequal sources: 60 a, 30 b, 10 c
+    rows = [(i, "a" if i < 60 else "b" if i < 90 else "c")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id: long, source: string")
+    out = sampling.mixture_interleave(df, "source", "doc_id",
+                                      shard_size=16)
+    got = sorted(out.collect(), key=lambda r: r["interleave_rank"])
+    out.rm_release_cache()
+    assert [r["interleave_rank"] for r in got] == list(range(1, 101))
+    share = {"a": 0.6, "b": 0.3, "c": 0.1}
+    seen = Counter()
+    for m, r in enumerate(got, start=1):
+        seen[r["source"]] += 1
+        for s, frac in share.items():
+            assert abs(seen[s] - m * frac) <= 1, (m, s, seen)
+    for r in got:
+        assert r["shard"] * 16 + r["shard_pos"] == r["interleave_rank"] - 1
+    # partitioning-invariant
+    out2 = sampling.mixture_interleave(df.repartition(7), "source",
+                                       "doc_id", shard_size=16)
+    perm2 = {r["doc_id"]: r["interleave_rank"] for r in out2.collect()}
+    out2.rm_release_cache()
+    assert perm2 == {r["doc_id"]: r["interleave_rank"] for r in got}
+
+
+def test_nb_score_random_corpora_fuzz(spark):
+    """Property test: nb_score matches the independent pure-Python NB on
+    random small corpora (random words incl. repeats, OOV-only docs,
+    single-char tokens, docs in both/neither class)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from radmapper_spark.operators import classifier
+
+    word = st.text(alphabet="abcz", min_size=1, max_size=4)
+    doc = st.lists(word, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(doc, min_size=2, max_size=8), st.data())
+    def run(texts, data):
+        rows = list(enumerate(texts))
+        n = len(rows)
+        pos_ids = set(data.draw(st.sets(
+            st.integers(0, n - 1), min_size=1, max_size=n)))
+        neg_pool = [i for i in range(n)]
+        neg_ids = set(data.draw(st.sets(
+            st.sampled_from(neg_pool), min_size=1, max_size=n)))
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        pos = df.filter(F.col("doc_id").isin(*pos_ids))
+        neg = df.filter(F.col("doc_id").isin(*neg_ids))
+        got = {r["doc_id"]: (r["n_tokens"], r["lp_pos_micro"],
+                             r["lp_neg_micro"], r["score_micro"])
+               for r in classifier.nb_score(df, pos, neg, top_v=5)
+               .collect()}
+        want = _nb_reference(rows, pos_ids, neg_ids, top_v=5)
+        assert got == want
+
+    run()
