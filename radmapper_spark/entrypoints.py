@@ -3079,16 +3079,17 @@ def nb_pareto_filter_sql() -> str:
 _NB_PARAMS_CACHE: dict = {}
 
 
-def _nb_quality_params(spark: SparkSession, sf_dir: str) -> dict:
+def _nb_quality_params(spark: SparkSession, sf_dir: str, consts) -> dict:
+    """Memoized collect of the caller's consts frame (the five ints) —
+    the caller hands in the consts from the ONE nb_model construction
+    it already made, so the training plan is never built twice
+    (r12 second review)."""
     from .operators import classifier
     key = (session_key(spark), sf_dir)
     fp = _sf_fingerprint(sf_dir)
     hit = _NB_PARAMS_CACHE.get(key)
     if hit is not None and fp is not None and hit[0] == fp:
         return hit[1]
-    docs = load_tables(spark, sf_dir)["documents"]
-    _vocab, consts = classifier.nb_model(docs.filter(F.expr(_NB_POS)),
-                                         docs.filter(F.expr(_NB_NEG)))
     params = classifier.nb_model_params(consts)
     _NB_PARAMS_CACHE.clear()  # one live entry, like the frame caches
     _NB_PARAMS_CACHE[key] = (fp, params)
@@ -3110,9 +3111,9 @@ def stream_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows (literal vs column denominators are the same IEEE doubles)."""
     from .operators import classifier
     docs = load_tables(spark, sf_dir)["documents"]
-    vocab, _consts = classifier.nb_model(docs.filter(F.expr(_NB_POS)),
-                                         docs.filter(F.expr(_NB_NEG)))
-    params = _nb_quality_params(spark, sf_dir)
+    vocab, consts = classifier.nb_model(docs.filter(F.expr(_NB_POS)),
+                                        docs.filter(F.expr(_NB_NEG)))
+    params = _nb_quality_params(spark, sf_dir, consts)
     kept = classifier.quality_admit(docs, vocab, params)
     return (kept.join(docs.select("doc_id", "source"), "doc_id")
             .groupBy("source")

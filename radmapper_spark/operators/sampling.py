@@ -138,6 +138,29 @@ def weighted_sample_per_group(df: DataFrame, group_col: str, id_col: str,
     return ranked.filter(F.col("sample_rank") <= k)
 
 
+def _with_shards(df: DataFrame, rank_col: str,
+                 shard_size: int) -> DataFrame:
+    """THE shard layout rule, shared by corpus_shuffle and
+    mixture_interleave (and mirrored by _duck_shard_cols below):
+    shard = (rank-1) div shard_size, shard_pos = (rank-1) mod
+    shard_size — every shard but the last holds exactly shard_size
+    rows. One definition so a future layout change cannot silently
+    fork the two operators or their oracles (r12 second review)."""
+    r0 = F.col(rank_col) - F.lit(1)
+    return (df.withColumn("shard", F.floor(r0 / F.lit(int(shard_size)))
+                          .cast("long"))
+            .withColumn("shard_pos", (r0 % F.lit(int(shard_size)))
+                        .cast("long")))
+
+
+def _duck_shard_cols(rank_col: str, shard_size: int) -> str:
+    """SQL twin of _with_shards' two columns (appended to a SELECT over
+    a subquery that already computed ``rank_col``)."""
+    return f""",
+           ({rank_col} - 1) // {int(shard_size)} AS shard,
+           ({rank_col} - 1) % {int(shard_size)} AS shard_pos"""
+
+
 def corpus_shuffle(df: DataFrame, id_col: str, shard_size: int,
                    salt: str = "shuffle") -> DataFrame:
     """Deterministic global training shuffle + fixed-size sharding —
@@ -172,13 +195,7 @@ def corpus_shuffle(df: DataFrame, id_col: str, shard_size: int,
     ranked = global_rank(keyed,
                          [F.col(key).asc(), F.col(id_col).asc()],
                          rank_col="shuffle_rank")
-    r0 = F.col("shuffle_rank") - F.lit(1)
-    out = (ranked
-           .withColumn("shard", F.floor(r0 / F.lit(int(shard_size)))
-                       .cast("long"))
-           .withColumn("shard_pos", (r0 % F.lit(int(shard_size)))
-                       .cast("long"))
-           .drop(key))
+    out = _with_shards(ranked, "shuffle_rank", shard_size).drop(key)
     out.rm_release_cache = ranked.rm_release_cache
     return out
 
@@ -189,14 +206,12 @@ def duck_corpus_shuffle_sql(id_expr: str, shard_size: int,
     """DuckDB twin of corpus_shuffle's (id, rank, shard, pos) columns."""
     h = PH.duck_ph60(f"'{salt}:' || ({id_expr})::VARCHAR")
     return f"""
-    SELECT {id_expr},
-           row_number() OVER (ORDER BY {h} ASC, {id_expr} ASC)
-               AS shuffle_rank,
-           ((row_number() OVER (ORDER BY {h} ASC, {id_expr} ASC)) - 1)
-               // {int(shard_size)} AS shard,
-           ((row_number() OVER (ORDER BY {h} ASC, {id_expr} ASC)) - 1)
-               % {int(shard_size)} AS shard_pos
-    FROM {from_table}
+    SELECT {id_expr}, shuffle_rank{_duck_shard_cols("shuffle_rank",
+                                                    shard_size)}
+    FROM (SELECT {id_expr},
+                 row_number() OVER (ORDER BY {h} ASC, {id_expr} ASC)
+                     AS shuffle_rank
+          FROM {from_table})
     """
 
 
@@ -224,6 +239,9 @@ def mixture_interleave(df: DataFrame, group_col: str, id_col: str,
 
     Output: df's columns + (interleave_rank[, shard, shard_pos]).
     Carries rm_release_cache."""
+    if shard_size < 0:
+        raise ValueError(f"mixture_interleave: shard_size must be >= 0 "
+                         f"(0 disables sharding), got {shard_size}")
     from .ranking import _free_name, global_rank
     rk, nk, kk = (_free_name(df, "_rm_gr"), _free_name(df, "_rm_gn"),
                   _free_name(df, "_rm_ik"))
@@ -243,12 +261,7 @@ def mixture_interleave(df: DataFrame, group_col: str, id_col: str,
         rank_col="interleave_rank")
     out = ranked.drop(rk, nk, kk)
     if shard_size:
-        r0 = F.col("interleave_rank") - F.lit(1)
-        out = (out.withColumn("shard",
-                              F.floor(r0 / F.lit(int(shard_size)))
-                              .cast("long"))
-               .withColumn("shard_pos", (r0 % F.lit(int(shard_size)))
-                           .cast("long")))
+        out = _with_shards(out, "interleave_rank", shard_size)
     out.rm_release_cache = ranked.rm_release_cache
     return out
 
@@ -259,11 +272,10 @@ def duck_mixture_interleave_sql(group_expr: str, id_expr: str,
                                 from_table: str = "documents") -> str:
     """DuckDB twin of mixture_interleave's output columns."""
     h = PH.duck_ph60(f"'{salt}:' || ({id_expr})::VARCHAR")
-    shard_cols = ""
-    if shard_size:
-        shard_cols = f""",
-           (interleave_rank - 1) // {int(shard_size)} AS shard,
-           (interleave_rank - 1) % {int(shard_size)} AS shard_pos"""
+    # DuckDB lateral alias reference: shard cols read the rank alias
+    # defined in the same SELECT — the one shared layout rule
+    shard_cols = (_duck_shard_cols("interleave_rank", shard_size)
+                  if shard_size else "")
     return f"""
     WITH keyed AS (
         SELECT {id_expr}, {group_expr},

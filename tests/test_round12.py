@@ -405,7 +405,13 @@ def test_quality_admit_stream_matches_batch(spark, tmp_path):
                                        watermark="10 minutes")
         q = (out.writeStream.format("memory").queryName("rm_qadmit")
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        try:
+            # a False return = timeout with the query still running: a
+            # partially-filled memory table would fail confusingly and
+            # leak the query into later tests (r12 second review)
+            assert q.awaitTermination(120), "stream did not finish"
+        finally:
+            q.stop()
         got = {r["doc_id"]: r for r in spark.sql(
             "SELECT * FROM rm_qadmit").collect()}
         assert set(got) == set(batch_kept)
