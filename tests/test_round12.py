@@ -562,3 +562,103 @@ def test_nb_score_random_corpora_fuzz(spark):
         assert got == want
 
     run()
+
+
+def test_corpus_shuffle_sharded_write_roundtrip(spark, tmp_path):
+    """The claimed write layout works end to end: shuffle -> partitioned
+    parquet write by shard -> read back. Every shard directory holds
+    exactly its rows, ranks survive the roundtrip, and reading ONE
+    shard yields a contiguous rank range (the sequential-read
+    property training ingestion relies on)."""
+    import os
+
+    from radmapper_spark.operators import sampling
+
+    df = spark.range(230).withColumnRenamed("id", "doc_id")
+    out = sampling.corpus_shuffle(df, "doc_id", shard_size=64)
+    dest = str(tmp_path / "shards")
+    out.write.partitionBy("shard").mode("overwrite").parquet(dest)
+    out.rm_release_cache()
+    back = spark.read.parquet(dest)
+    assert back.count() == 230
+    assert sorted(r["shuffle_rank"] for r in back.collect()) \
+        == list(range(1, 231))
+    shard_dirs = sorted(d for d in os.listdir(dest)
+                        if d.startswith("shard="))
+    assert shard_dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+    one = spark.read.parquet(f"{dest}/shard=1")
+    ranks = sorted(r["shuffle_rank"] for r in one.collect())
+    assert ranks == list(range(65, 129))  # contiguous range, full shard
+
+
+def test_quality_admit_state_evicts_under_watermark(spark, tmp_path):
+    """The bounded-state claim, pinned on the state-store metrics: as
+    the watermark advances across micro-batches, old (doc, ts) group
+    states are EVICTED (numRowsRemoved > 0) and the live state count
+    stays below the total number of groups ever seen — state does NOT
+    grow with every distinct document (the raw-groupBy(id) failure
+    quality_admit's docstring rules out). Admitted set still equals
+    the batch twin. (Note: Spark 4.1 update-mode aggregation does not
+    DROP a late input row — verified during this round — so the
+    contract worth pinning is eviction/boundedness, not late-drop.)"""
+    import datetime
+    import os as _os
+    import time as _time
+
+    from radmapper_spark.operators import classifier
+
+    t0 = datetime.datetime(2024, 1, 1)
+    schema = "doc_id long, text string, ts timestamp"
+    # three arrival waves, each 3 hours apart in EVENT time, landing in
+    # separate micro-batches (mtimes pinned 60s apart) — wave N's
+    # watermark (1h delay) passes wave N-1's groups, evicting them
+    waves = [[(b * 10 + i,
+               "good science prose knowledge" if i < 3
+               else "spam buy now offer cheap",
+               t0 + datetime.timedelta(hours=3 * b))
+              for i in range(6)] for b in range(3)]
+    docs = spark.createDataFrame(sum(waves, []), schema)
+    pos = docs.filter("doc_id % 10 < 3")
+    neg = docs.filter("doc_id % 10 >= 3")
+    vocab, consts = classifier.nb_model(pos, neg)
+    vocab = vocab.persist()
+    try:
+        params = classifier.nb_model_params(consts)
+        batch_ids = {r["doc_id"] for r in classifier.quality_admit(
+            docs, vocab, params, salt="evict").collect()}
+        assert batch_ids  # the pos docs saturate quality -> admitted
+
+        src = str(tmp_path / "evict_in")
+        now = _time.time()
+        for b, rows in enumerate(waves):
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append" if b else "overwrite").parquet(src)
+        for n in _os.listdir(src):
+            if n.endswith(".parquet"):
+                p = _os.path.join(src, n)
+                b = max(r.doc_id for r in spark.read.parquet(p)
+                        .select("doc_id").collect()) // 10
+                _os.utime(p, (now - 600 + b * 60,) * 2)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = classifier.quality_admit(stream, vocab, params,
+                                       salt="evict", streaming=True,
+                                       watermark="1 hour")
+        q = (out.writeStream.format("memory").queryName("rm_qevict")
+             .outputMode("update").trigger(availableNow=True).start())
+        try:
+            assert q.awaitTermination(120), "stream did not finish"
+            progress = list(q.recentProgress)
+        finally:
+            q.stop()
+        got_ids = {r["doc_id"] for r in
+                   spark.sql("SELECT * FROM rm_qevict").collect()}
+        assert got_ids == batch_ids  # stream == batch twin
+        removed = sum(pr["stateOperators"][0]["numRowsRemoved"]
+                      for pr in progress if pr["stateOperators"])
+        peak = max(pr["stateOperators"][0]["numRowsTotal"]
+                   for pr in progress if pr["stateOperators"])
+        assert removed > 0, "watermark never evicted any group state"
+        assert peak < 18, f"state held all {peak} groups — unbounded"
+    finally:
+        vocab.unpersist()
