@@ -2478,6 +2478,12 @@ def release_edge_cache() -> int:
                     pass
             n += 1
         cache.clear()
+        # drop the matching fingerprint stamps too: hits require cache
+        # membership so orphans are inert today, but they are a slow
+        # leak and a stale-hit hazard if a future refactor consults
+        # _CACHE_FPRINTS independently of the cache dict (r12 advice)
+        for fk in [fk for fk in _CACHE_FPRINTS if fk[0] == id(cache)]:
+            _CACHE_FPRINTS.pop(fk, None)
     _BPE_CACHE.clear()  # tiny python lists — no frames, cleared for hygiene
     _NB_PARAMS_CACHE.clear()  # five ints — same hygiene
     n += purge_probe_indexes()
@@ -3029,10 +3035,28 @@ _NB_NEG = f"source NOT IN ({_DSIR_TARGET})"  # the raw pool
 
 
 def _nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored frame shared by nb_quality_score / nb_pareto_filter — in
+    the SCALE SHAPE nb_score's own docstring prescribes (r12 verdict
+    item #1): nb_model is built ONCE, its 1-row consts collected
+    through the memoized _nb_quality_params (fingerprint-bounded, so
+    the lazy-construction gate's second build stays job-free) and
+    re-entering the plan as literal columns over a 1-row local
+    relation. The scoring plan then instantiates the training subtree
+    exactly once — the vocab broadcast join; ONE aggregate over each
+    class per plan (plan-shape lock: test_round13) — instead of the
+    lazy one-shot form's two, which re-aggregated a 100 TB negative
+    class twice per action. Values are bit-identical: the literals are
+    the same BIGINTs the column form carried, entering the same
+    (c+1)/(N+V) doubles."""
     from .operators import classifier
     docs = load_tables(spark, sf_dir)["documents"]
-    return classifier.nb_score(docs, docs.filter(F.expr(_NB_POS)),
-                               docs.filter(F.expr(_NB_NEG)))
+    vocab, consts = classifier.nb_model(docs.filter(F.expr(_NB_POS)),
+                                        docs.filter(F.expr(_NB_NEG)))
+    p = _nb_quality_params(spark, sf_dir, consts)
+    consts_lit = spark.range(1).select(
+        *[F.lit(int(p[k])).cast("long").alias(k)
+          for k in ("n_pos", "n_neg", "v", "d_pos", "d_neg")])
+    return classifier.nb_score(docs, model=(vocab, consts_lit))
 
 
 def nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3042,9 +3066,11 @@ def nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice (src0-src2, the DSIR/LM target set), negative = the rest;
     every document scored. Engine-exact: per-token log-probs and both
     priors are floored micro-nats summed as BIGINTs, so the DuckDB twin
-    reproduces score_micro bit-for-bit. Scale shape: the model is ONE
-    <= top_v-row broadcast table carrying both class counts; the corpus
-    is never shuffled at token grain."""
+    reproduces score_micro bit-for-bit. Scale shape (demonstrated by
+    THIS entry's plan, not just documented — see _nb_scored): the model
+    is ONE <= top_v-row broadcast table carrying both class counts plus
+    five literal consts; each class is aggregated once per plan; the
+    corpus is never shuffled at token grain."""
     return _nb_scored(spark, sf_dir)
 
 
@@ -3549,6 +3575,52 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_shuffle_sql() -> str:
     from .operators import sampling
     return sampling.duck_corpus_shuffle_sql("doc_id", _SHUF_SHARD)
+
+
+_SHUF_EPOCHS = (1, 2, 3)
+
+
+def corpus_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-PARAMETERIZED training shuffle (r12 verdict item #5;
+    operators.sampling.corpus_shuffle with epoch=): real training
+    reshuffles every epoch, and here the whole reshuffle is one salt
+    component — epoch e's permutation orders by ph60("shuffle:e{e}:" +
+    id), so each epoch is an INDEPENDENT deterministic permutation of
+    the same id set (no data rewrite; only the 8-byte rank sort
+    recomputes). The entry materializes epochs 1-3 side by side —
+    (epoch, doc_id, shuffle_rank, shard, shard_pos) — so the oracle
+    value-gates that every epoch is a complete exact-sharded
+    permutation AND that the three differ (the union hash pins all
+    three orders). Cross-epoch distinctness + append-stability are
+    property-tested in test_round13."""
+    from functools import reduce
+
+    from .operators import sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    outs, rels = [], []
+    for e in _SHUF_EPOCHS:
+        o = sampling.corpus_shuffle(docs, "doc_id", _SHUF_SHARD, epoch=e)
+        rels.append(o.rm_release_cache)
+        outs.append(o.select(
+            F.lit(e).cast("int").alias("epoch"),
+            "doc_id", "shuffle_rank", "shard", "shard_pos"))
+    out = reduce(lambda a, b: a.unionByName(b), outs)
+
+    def release(_rels=tuple(rels)):
+        for r in _rels:
+            r()
+
+    out.rm_release_cache = release
+    return out
+
+
+def corpus_shuffle_epoch_sql() -> str:
+    from .operators import sampling
+    return " UNION ALL ".join(
+        f"SELECT {e}::INT AS epoch, * FROM ("
+        + sampling.duck_corpus_shuffle_sql("doc_id", _SHUF_SHARD, epoch=e)
+        + ")"
+        for e in _SHUF_EPOCHS)
 
 
 def mixture_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4413,6 +4485,10 @@ ENTRIES: dict = {
     # NEW r12 (second batch): source-proportional interleaving — every
     # prefix of the reading order holds the corpus-wide mixture
     "mixture_interleave": (mixture_interleave, mixture_interleave_sql),
+    # NEW r13: per-epoch reshuffle — epoch folds into the permutation
+    # salt; epochs 1-3 materialized side by side and value-gated
+    "corpus_shuffle_epoch": (corpus_shuffle_epoch,
+                             corpus_shuffle_epoch_sql),
 }
 
 # =========== r12 window rotation. The driver's correctness gate checks

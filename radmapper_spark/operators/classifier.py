@@ -204,9 +204,20 @@ def quality_admit(docs: DataFrame, vocab: DataFrame, params: dict,
     through the explode and the per-document aggregate groups on
     (id, event time) UNDER A WATERMARK — every exploded row of one
     document carries the document's single timestamp, so each group's
-    state finalizes and expires once the watermark passes (bounded
-    state on an unbounded stream; never a raw groupBy(id), whose state
-    would grow with every distinct document forever).
+    STATE is evicted once the watermark passes (bounded state on an
+    unbounded stream; never a raw groupBy(id), whose state would grow
+    with every distinct document forever).
+
+    Late-data contract (verified on Spark 4.1 with a minimal repro,
+    r12): the watermark guarantees state EVICTION only — update-mode
+    aggregation does NOT drop a late input row whose event time is
+    below the watermark; it re-creates the group and emits it again.
+    So an at-least-once source replaying a document AFTER its state
+    was evicted produces a DUPLICATE admission row downstream. Pair
+    this operator with an exactly-once source, or dedupe admissions
+    downstream on (id_col, ts_col) — or run in append output mode,
+    which withholds unfinalized groups instead of re-emitting them
+    and is the safer default when the sink cannot upsert.
 
     Output: admitted rows only — (id_col[, ts_col], n_tokens,
     score_micro, quality, pareto_u)."""

@@ -78,17 +78,25 @@ def _check_base_params(base: DataFrame, op: str, **expect) -> None:
     that catches a base packed with MORE bits than the consumer expects
     (r11 advice: a hand-built 64-bit base fed to a 60-bit-band operator
     would otherwise collapse the high bands to one hot bucket). The
-    sample makes the wider-packed check probabilistic, but the miss
-    odds are vanishing: a uniformly packed 64-bit value lands inside a
-    60-bit range w.p. 1/16 per row, so 256 rows all fitting by chance
-    is 16^-256 — and the memo only helps same-object reuse, so the
-    probe must stay cheap for parquet-round-tripped frames that arrive
-    as fresh objects every read (r12 review). DOCUMENTED LIMIT: values
-    carry no witness for shingle_k/hash_mode (minhash) or for a base
-    packed with FEWER bits than expected (small values fit any wider
-    range), so an attr-less base mismatched ONLY in those still passes
-    — keep the stamped attr (or the frame's parquet round-trip
-    parameters) authoritative for them."""
+    sample makes the wider-packed check probabilistic, and it is a
+    PREFIX sample, not a uniform one: Spark's limit() reads the first
+    rows of the first partition(s), so the 16^-256 miss-odds figure
+    (each uniformly packed 64-bit value fits a 60-bit range w.p. 1/16)
+    holds only when row order is independent of the packed value. A
+    base SORTED by the packed hash keeps its out-of-range values past
+    the prefix and passes the probe (r12 advice) — the probe is a
+    cheap rejection witness for the common unsorted layout, never a
+    guarantee. It stays a bounded prefix read on purpose: a uniform
+    df.sample() needs a fraction (unknowable without a count) and a
+    cross-partition sample pays a job over every file of a 100 TB
+    base; the memo only helps same-object reuse, so the probe must
+    stay cheap for parquet-round-tripped frames that arrive as fresh
+    objects every read (r12 review). DOCUMENTED LIMIT: values carry no
+    witness for shingle_k/hash_mode (minhash) or for a base packed
+    with FEWER bits than expected (small values fit any wider range),
+    so an attr-less base mismatched ONLY in those — or hash-sorted as
+    above — still passes; keep the stamped attr (or the frame's
+    parquet round-trip parameters) authoritative for them."""
     params = getattr(base, "rm_base_params", None)
     if params is not None:
         bad = {k: (params[k], v) for k, v in expect.items()

@@ -161,17 +161,39 @@ def _duck_shard_cols(rank_col: str, shard_size: int) -> str:
            ({rank_col} - 1) % {int(shard_size)} AS shard_pos"""
 
 
+def _epoch_salt(salt: str, epoch) -> str:
+    """Effective permutation salt for an epoch. epoch=None keeps the
+    bare salt (byte-compatible with every pre-epoch layout); an integer
+    epoch folds into the hash input, so each epoch is an INDEPENDENT
+    deterministic permutation of the same id set — real training
+    reshuffles per epoch, and this is the whole reshuffle: no data
+    moves, only the rank recomputes (r12 verdict item #5)."""
+    if epoch is None:
+        return salt
+    e = int(epoch)
+    if e < 0:
+        raise ValueError(f"epoch must be >= 0, got {epoch}")
+    return f"{salt}:e{e}"
+
+
 def corpus_shuffle(df: DataFrame, id_col: str, shard_size: int,
-                   salt: str = "shuffle") -> DataFrame:
+                   salt: str = "shuffle",
+                   epoch: int | None = None) -> DataFrame:
     """Deterministic global training shuffle + fixed-size sharding —
     the "shuffle once offline, read shards sequentially every epoch"
     preparation step of a training pipeline (random access at train
     time traded for one offline permutation; the standard recipe behind
     e.g. webdataset/TFRecord shard layouts). The permutation key is the
     portable 60-bit md5 hash of the salted id (uniform; ties broken by
-    id), so the order is a PURE FUNCTION of (salt, ids): re-runs, other
-    cluster sizes, and the DuckDB oracle all produce the identical
-    permutation — no rand(), no seed-per-partition trap.
+    id), so the order is a PURE FUNCTION of (salt, epoch, ids):
+    re-runs, other cluster sizes, and the DuckDB oracle all produce the
+    identical permutation — no rand(), no seed-per-partition trap.
+    ``epoch`` (optional) folds into the salt (_epoch_salt), giving
+    every training epoch its own independent permutation of the same
+    id set while epoch=None stays byte-compatible with the un-epoched
+    layout; each epoch's order is append-stable (new ids interleave
+    without reordering existing ones — the hash depends only on the
+    id).
 
     Rank comes from ranking.global_rank (range exchange + P-row
     offsets — never a single-partition window); then
@@ -190,7 +212,7 @@ def corpus_shuffle(df: DataFrame, id_col: str, shard_size: int,
     from .ranking import _free_name, global_rank
     key = _free_name(df, "_rm_shufkey")
     keyed = df.withColumn(
-        key, PH.ph60(F.concat(F.lit(f"{salt}:"),
+        key, PH.ph60(F.concat(F.lit(f"{_epoch_salt(salt, epoch)}:"),
                               F.col(id_col).cast("string"))))
     ranked = global_rank(keyed,
                          [F.col(key).asc(), F.col(id_col).asc()],
@@ -202,9 +224,10 @@ def corpus_shuffle(df: DataFrame, id_col: str, shard_size: int,
 
 def duck_corpus_shuffle_sql(id_expr: str, shard_size: int,
                             salt: str = "shuffle",
-                            from_table: str = "documents") -> str:
+                            from_table: str = "documents",
+                            epoch: int | None = None) -> str:
     """DuckDB twin of corpus_shuffle's (id, rank, shard, pos) columns."""
-    h = PH.duck_ph60(f"'{salt}:' || ({id_expr})::VARCHAR")
+    h = PH.duck_ph60(f"'{_epoch_salt(salt, epoch)}:' || ({id_expr})::VARCHAR")
     return f"""
     SELECT {id_expr}, shuffle_rank{_duck_shard_cols("shuffle_rank",
                                                     shard_size)}
