@@ -9,6 +9,7 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_result(df: DataFrame, path: str, fmt: str = "parquet",
@@ -50,6 +51,34 @@ def write_result(df: DataFrame, path: str, fmt: str = "parquet",
         w.saveAsTable(path)
         return
     w.save(path)
+
+
+def write_training_shards(df: DataFrame, path: str,
+                          shard_col: str = "shard",
+                          pos_col: str = "shard_pos") -> None:
+    """Materialize a shuffled+sharded frame (operators.sampling's
+    layout contract: shard = (rank-1) div size, shard_pos = (rank-1)
+    mod size) as the on-disk artifact a training run actually reads:
+    one hive directory per shard (``shard=K/``) holding ONE parquet
+    file whose rows are physically ordered by ``pos_col`` — ingestion
+    is then a sequential scan of shard directories in numeric order,
+    no sorting, no random access (the webdataset/TFRecord shard-layout
+    recipe on parquet).
+
+    Plan shape: one hash exchange on the shard id co-locates each
+    shard's rows in a single task (shards are FIXED-SIZE by the
+    upstream arithmetic, so tasks are byte-balanced by construction), a
+    task-local sort by (shard, pos) puts them in physical order, and
+    partitionBy(shard) splits each task's run into one file per shard
+    directory. No global sort here — the upstream rank already paid the
+    pipeline's one legitimate global sort on an 8-byte key. The layout
+    is append-friendly at 100 TB: a grown corpus or another epoch
+    writes NEW shard directories without rewriting existing files."""
+    (df.repartition(F.col(shard_col))
+       .sortWithinPartitions(shard_col, pos_col)
+       .write.mode("overwrite")
+       .partitionBy(shard_col)
+       .parquet(path))
 
 
 def write_document(value, path: str) -> None:

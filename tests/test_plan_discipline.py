@@ -153,6 +153,13 @@ EAGER_ALLOWED = {
     "neardup_admit",
     # composes dedup_groups (the bounded union-find collect above)
     "image_dedup_groups",
+    # materialized-artifact probe (same contract as the index probes):
+    # re-opens the once-written shard tree each call — the jobs are
+    # partition-directory listing / parquet footer reads bounded by the
+    # shard count, never a corpus scan (the build itself runs once,
+    # memoized per session+sf like the ANN/minhash indexes)
+    "materialize_training_shards",
+    "pipeline_training_shards",
 }
 
 

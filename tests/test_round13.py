@@ -108,3 +108,133 @@ def test_epoch_rejects_negative(spark):
     df = spark.range(5).selectExpr("id AS doc_id")
     with pytest.raises(ValueError):
         sampling.corpus_shuffle(df, "doc_id", 10, epoch=-1)
+
+
+# ------------------------------------------ materialized training shards
+
+def test_training_shards_layout_and_roundtrip(spark):
+    """The materialized artifact must honor every layout invariant a
+    sequential-reading trainer depends on: exact shard sizes,
+    contiguous rank ranges per shard, ONE file per shard directory,
+    rows physically ordered by shard_pos inside each file — and the
+    read-back values must equal an independent recomputation of the
+    composition (write->read is lossless)."""
+    import glob
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import radmapper_spark.entrypoints as ep
+
+    df = entrymod.queries()["materialize_training_shards"](spark, SF)
+    p = df.toPandas()
+    n, size = len(p), ep._TRAIN_SHARD
+    assert n > 0
+    # complete permutation + shard arithmetic
+    assert sorted(p["shuffle_rank"]) == list(range(1, n + 1))
+    assert ((p["shuffle_rank"] - 1) // size == p["shard"]).all()
+    assert ((p["shuffle_rank"] - 1) % size == p["shard_pos"]).all()
+    sizes = p.groupby("shard").size()
+    assert (sizes.drop(sizes.index.max()) == size).all(), \
+        "a non-final shard is not exactly shard_size rows"
+    # read-back equals recompute (the files hold the exact values)
+    rec = ep._training_chunks(spark, SF)
+    q = rec.select(*ep._TRAIN_COLS).toPandas()
+    rec.rm_release_cache()
+    key = ["shuffle_rank"]
+    pd.testing.assert_frame_equal(
+        p.sort_values(key).reset_index(drop=True)[list(ep._TRAIN_COLS)],
+        q.sort_values(key).reset_index(drop=True)[list(ep._TRAIN_COLS)],
+        check_dtype=False)
+    # on-disk layout: one parquet file per shard dir, physical
+    # shard_pos order 0..k-1 inside each file
+    path = next(v for k, v in ep._PROBE_INDEX_CACHE.items()
+                if k[2] == "train_shards")
+    shard_dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
+    assert len(shard_dirs) == p["shard"].nunique()
+    for d in shard_dirs:
+        parts = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"{d}: {len(parts)} files (want 1)"
+    for d in (shard_dirs[0], shard_dirs[len(shard_dirs) // 2],
+              shard_dirs[-1]):
+        f = [os.path.join(d, x) for x in os.listdir(d)
+             if x.endswith(".parquet")][0]
+        pos = pq.read_table(f, columns=["shard_pos"])["shard_pos"] \
+            .to_pylist()
+        assert pos == list(range(len(pos))), \
+            f"{f}: rows not physically ordered by shard_pos"
+
+
+# -------------------------------------------- rotation-tier invariant
+
+def test_rotation_window_invariant():
+    """The freshness-debt arithmetic as a TESTED invariant (r12 verdict
+    item #2), recomputed from the committed CORRECTNESS_r*.json history
+    instead of trusted to a hand-maintained comment. Definitions:
+    last_green(e) = newest round whose driver row for e is fully green
+    (rows+schema+hash, no err); N = that maximum + 1 (the round being
+    built); urgency(e) = (N - last_green(e)) - tier_bound(e), with
+    never-proven entries at +inf. Asserts:
+
+    1. the declared window IS the registered prefix the driver checks;
+    2. never-proven entries are in the window (no latecomer debt);
+    3. no entry OUTSIDE the window is past its tier bound (a forgotten
+       slip fails here the round it would breach, not at judge time);
+    4. the window is a priority-order prefix: nothing outside is more
+       urgent than anything inside (ties may fall either side).
+    """
+    import glob
+    import json
+    import re
+
+    import radmapper_spark.entrypoints as ep
+
+    last, rounds = {}, set()
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        r = int(re.search(r"r(\d+)", f).group(1))
+        rounds.add(r)
+        qs = json.load(open(f))
+        qs = qs.get("queries", qs)
+        for k, v in qs.items():
+            if (isinstance(v, dict) and v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match", True) and not v.get("err")):
+                last[k] = max(r, last.get(k, 0))
+    n_round = max(rounds) + 1
+    registry = list(ep.ENTRIES)
+    window = list(ep._CURRENT_WINDOW)
+
+    # 1. window == the registered prefix (what the driver gate checks)
+    assert window == registry[:len(window)], \
+        "declared window is not the registered prefix"
+    assert len(set(window)) == len(window) == 50
+
+    def bound(e):
+        return ep._ROTATION_TIERS[
+            "frozen" if e in ep._FROZEN_ENTRIES else "active"]
+
+    def urgency(e):
+        if e not in last:
+            return float("inf")
+        return (n_round - last[e]) - bound(e)
+
+    inside = set(window)
+    # 2. no latecomer debt
+    never = [e for e in registry if e not in last]
+    assert set(never) <= inside, f"never-proven entries outside: {never}"
+    # 3. nothing outside may be past its bound
+    breaches = [(e, urgency(e)) for e in registry
+                if e not in inside and urgency(e) > 0]
+    assert not breaches, f"entries breach tier bounds outside the " \
+                         f"window: {breaches}"
+    # 4. priority-prefix: min(inside) >= max(outside)
+    min_in = min(urgency(e) for e in window)
+    max_out = max(urgency(e) for e in registry if e not in inside)
+    assert min_in >= max_out, (
+        f"window is not a priority prefix: an inside entry has urgency "
+        f"{min_in} < an outside entry's {max_out} — rotate the more "
+        f"urgent entry in")
+    # tier sanity: every frozen entry exists, bounds are the policy
+    assert ep._FROZEN_ENTRIES <= set(registry)
+    assert ep._ROTATION_TIERS == {"frozen": 3, "active": 2}

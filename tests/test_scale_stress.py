@@ -1257,3 +1257,64 @@ def test_corpus_shuffle_2m_rows(spark):
         == (n, n, 1, n, 0)
     assert full == 0  # every non-tail shard exactly shard_size
     assert dt < 120
+
+
+def test_training_shard_write_1m_rows(spark, tmp_path_factory):
+    """r13: the materialized shard ARTIFACT at >=1M rows — write the
+    shuffled+sharded frame as hive-partitioned parquet, read it back,
+    and prove (a) shard-size exactness survives the write (every
+    non-tail shard directory holds exactly shard_size rows), (b) order
+    determinism: an independent recomputation of the permutation
+    assigns every id the identical rank the files hold, and (c) the
+    physical within-file order is shard_pos on a sampled shard."""
+    import glob
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from radmapper_spark.operators import sampling
+    from radmapper_spark.sources import writers
+
+    n, shard = 1_200_000, 4096
+    df = spark.range(n).selectExpr("id * 3 + 1 AS chunk_id",
+                                   "id % 997 AS payload")
+    path = str(tmp_path_factory.mktemp("shards") / "train")
+    t0 = time.monotonic()
+    out = sampling.corpus_shuffle(df, "chunk_id", shard, salt="stress")
+    writers.write_training_shards(out, path)
+    out.rm_release_cache()
+    dt_w = time.monotonic() - t0
+    back = spark.read.parquet(path)
+    t0 = time.monotonic()
+    # (a) exactness after the roundtrip
+    agg = back.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("shuffle_rank").alias("ranks"),
+        F.min("shuffle_rank").alias("lo"),
+        F.max("shuffle_rank").alias("hi")).collect()[0]
+    assert (agg.rows, agg.ranks, agg.lo, agg.hi) == (n, n, 1, n)
+    bad = (back.groupBy("shard").count()
+           .filter((F.col("count") != shard)
+                   & (F.col("shard") != (n - 1) // shard)).count())
+    assert bad == 0
+    # (b) order determinism: recompute, every rank identical
+    out2 = sampling.corpus_shuffle(df, "chunk_id", shard, salt="stress")
+    mismatch = (back.select("chunk_id",
+                            F.col("shuffle_rank").alias("r_disk"))
+                .join(out2.select("chunk_id", "shuffle_rank"), "chunk_id")
+                .filter(F.col("r_disk") != F.col("shuffle_rank")).count())
+    out2.rm_release_cache()
+    assert mismatch == 0
+    dt_v = time.monotonic() - t0
+    # (c) physical order inside a sampled shard file
+    d = sorted(glob.glob(os.path.join(path, "shard=7")))[0]
+    f = [os.path.join(d, x) for x in os.listdir(d)
+         if x.endswith(".parquet")]
+    assert len(f) == 1
+    pos = pq.read_table(f[0], columns=["shard_pos"])["shard_pos"] \
+        .to_pylist()
+    assert pos == list(range(shard))
+    print(f"  training-shard write 1.2M rows: write {dt_w:.1f}s, "
+          f"verify {dt_v:.1f}s, {(n - 1) // shard + 1} shard dirs")
+    assert dt_w < 180
