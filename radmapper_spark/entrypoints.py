@@ -651,7 +651,7 @@ def purge_probe_indexes() -> int:
     from .operators.index_meta import invalidate_index_meta
 
     n = 0
-    for path in _PROBE_INDEX_CACHE.values():
+    for _fp, path in _PROBE_INDEX_CACHE.values():
         shutil.rmtree(path, ignore_errors=True)
         invalidate_index_meta(path)  # keep the sidecar cache honest
         n += 1
@@ -666,19 +666,37 @@ _atexit.register(purge_probe_indexes)
 
 def _probe_index_path(spark: SparkSession, sf_dir: str, kind: str,
                       build) -> str:
-    key = (session_key(spark), sf_dir, kind)
-    if key not in _PROBE_INDEX_CACHE:
-        # evict DEAD sessions' index dirs (same policy as every other
-        # session-lifetime cache here): their tmp trees are unreachable
-        # garbage once the session key can no longer match
-        import shutil
+    """Memoized on-disk artifact per (session, sf_dir, kind), fingerprint-
+    revalidated on EVERY hit like the other derived caches (r13 review:
+    this was the one cache still trusting 'fixtures are immutable' — a
+    rewritten sf_dir would have kept serving the artifact built from the
+    old corpus). A None fingerprint (blind witness) never matches, so a
+    fingerprinting failure rebuilds rather than risking staleness."""
+    import shutil
 
-        for k in [k for k in _PROBE_INDEX_CACHE if k[0] != key[0]]:
-            shutil.rmtree(_PROBE_INDEX_CACHE.pop(k), ignore_errors=True)
-        path = _tempfile.mkdtemp(prefix=f"rm_{kind}_idx_")
-        build(path)
-        _PROBE_INDEX_CACHE[key] = path
-    return _PROBE_INDEX_CACHE[key]
+    key = (session_key(spark), sf_dir, kind)
+    fp_now = _sf_fingerprint(sf_dir)
+    hit = _PROBE_INDEX_CACHE.get(key)
+    if hit is not None:
+        fp_was, path = hit
+        if fp_was is not None and fp_now is not None and fp_was == fp_now:
+            return path
+        # stale (or unverifiable) artifact: drop the tree and rebuild
+        from .operators.index_meta import invalidate_index_meta
+        shutil.rmtree(path, ignore_errors=True)
+        invalidate_index_meta(path)
+        _PROBE_INDEX_CACHE.pop(key, None)
+    # evict DEAD sessions' index dirs (same policy as every other
+    # session-lifetime cache here): their tmp trees are unreachable
+    # garbage once the session key can no longer match
+    for k in [k for k in _PROBE_INDEX_CACHE if k[0] != key[0]]:
+        shutil.rmtree(_PROBE_INDEX_CACHE.pop(k)[1], ignore_errors=True)
+    path = _tempfile.mkdtemp(prefix=f"rm_{kind}_idx_")
+    # stamp the fingerprint taken BEFORE the build (a rewrite racing the
+    # build leaves an older stamp -> next hit rebuilds)
+    build(path)
+    _PROBE_INDEX_CACHE[key] = (fp_now, path)
+    return path
 
 
 def neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3388,24 +3406,63 @@ _TRAIN_SHARD = 1000
 _PIPE_SHARD = 100
 
 
-def _training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The pre-shuffle composition: BPE-exact 32-token windows keyed by
-    a single BIGINT chunk id, permutation-ranked and exact-sharded by
-    corpus_shuffle (salt='shards')."""
+def _shuffled_bpe_chunks(spark: SparkSession, sf_dir: str,
+                         shard_size: int, salt: str,
+                         doc_filter=None) -> DataFrame:
+    """Shared pre-write composition for both shard entries (r13 review:
+    one implementation, not three copies): BPE-exact 32-token windows
+    over the (optionally filtered) corpus, keyed by a single BIGINT
+    chunk id, permutation-ranked and exact-sharded by corpus_shuffle.
+    Merges are fetched BEFORE the corpus load so a stale-fingerprint
+    retrain invalidates the table memo first (see bpe_token_count);
+    ``doc_filter`` receives the loaded documents frame and returns the
+    subset to chunk (the pipeline's dedup+admission stages)."""
     from .operators import sampling
-    merges = _bpe_merges(spark, sf_dir)  # before docs — see bpe_token_count
+    merges = _bpe_merges(spark, sf_dir)
     docs = load_tables(spark, sf_dir)["documents"]
+    if doc_filter is not None:
+        docs = doc_filter(docs)
     chunks = tokenizer.bpe_chunk_documents(docs, merges,
                                            chunk_tokens=_BPE_CHUNK)
     keyed = chunks.withColumn(
         "chunk_id", (F.col("doc_id").cast("long") * F.lit(_CHUNK_STRIDE)
                      + F.col("chunk_seq").cast("long")))
-    return sampling.corpus_shuffle(keyed, "chunk_id", _TRAIN_SHARD,
-                                   salt="shards")
+    return sampling.corpus_shuffle(keyed, "chunk_id", shard_size,
+                                   salt=salt)
 
 
-_TRAIN_COLS = ("doc_id", "chunk_seq", "shuffle_rank", "shard",
-               "shard_pos", "n_chunk_tokens", "chunk_text")
+def _training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """materialize_training_shards' pre-write frame (salt 'shards')."""
+    return _shuffled_bpe_chunks(spark, sf_dir, _TRAIN_SHARD, "shards")
+
+
+# every column written to the shard artifact, in the exact order both
+# entries AND both DuckDB twins project — chunk_start included so no
+# on-disk column escapes the oracle's certification (r13 review)
+_TRAIN_COLS = ("doc_id", "chunk_seq", "chunk_start", "shuffle_rank",
+               "shard", "shard_pos", "n_chunk_tokens", "chunk_text")
+
+
+def _materialized_shards(spark: SparkSession, sf_dir: str, kind: str,
+                         frame_fn) -> DataFrame:
+    """Shared entry body: build frame_fn's shuffled+sharded frame ONCE
+    per (session, sf_dir) — fingerprint-revalidated via
+    _probe_index_path — write it with write_training_shards, and return
+    the READ-BACK files (so the oracle certifies the artifact)."""
+    from .sources import writers
+
+    def build(p):
+        shuffled = frame_fn(spark, sf_dir)
+        writers.write_training_shards(shuffled.select(*_TRAIN_COLS), p)
+        shuffled.rm_release_cache()
+
+    path = _probe_index_path(spark, sf_dir, kind, build)
+    back = spark.read.parquet(path)
+    # hive partition inference types shard as INT; the oracle's integer
+    # division is BIGINT — normalize
+    return back.select(
+        *[F.col(c).cast("long").alias(c) if c == "shard" else F.col(c)
+          for c in _TRAIN_COLS])
 
 
 def materialize_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3431,21 +3488,8 @@ def materialize_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariants (one file per shard, physical shard_pos order,
     contiguous rank ranges, exact shard sizes) are pinned by
     test_round13 + the RM_SCALE_STRESS >=1M-row stress."""
-    from .sources import writers
-
-    def build(p):
-        shuffled = _training_chunks(spark, sf_dir)
-        writers.write_training_shards(
-            shuffled.select(*_TRAIN_COLS, "chunk_start"), p)
-        shuffled.rm_release_cache()
-
-    path = _probe_index_path(spark, sf_dir, "train_shards", build)
-    back = spark.read.parquet(path)
-    # hive partition inference types shard as INT; the oracle's integer
-    # division is BIGINT — normalize
-    return back.select(
-        *[F.col(c).cast("long").alias(c) if c == "shard" else F.col(c)
-          for c in _TRAIN_COLS])
+    return _materialized_shards(spark, sf_dir, "train_shards",
+                                _training_chunks)
 
 
 def materialize_training_shards_sql() -> str:
@@ -3453,8 +3497,8 @@ def materialize_training_shards_sql() -> str:
     h = PH.duck_ph60("'shards:' || (chunk_id)::VARCHAR")
     from .operators.sampling import _duck_shard_cols
     return f"""
-    SELECT doc_id, chunk_seq, shuffle_rank{_duck_shard_cols(
-        "shuffle_rank", _TRAIN_SHARD)},
+    SELECT doc_id, chunk_seq, chunk_start,
+           shuffle_rank{_duck_shard_cols("shuffle_rank", _TRAIN_SHARD)},
            n_chunk_tokens, chunk_text
     FROM (SELECT *, row_number() OVER (ORDER BY {h} ASC, chunk_id ASC)
                  AS shuffle_rank
@@ -3466,31 +3510,21 @@ def materialize_training_shards_sql() -> str:
 
 def _pipeline_shard_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL pipeline composition feeding pipeline_training_shards:
-    exact near-form dedup (first doc per whitespace-normalized text —
-    pipeline_corpus_clean's rule) -> NB Pareto quality admission (the
+    exact near-form dedup (_first_per_norm_text — the rule shared with
+    pipeline_corpus_clean) -> NB Pareto quality admission (the
     nb_pareto_filter kept set, model trained once via _nb_scored's
     memoized consts) -> BPE-exact context windows -> deterministic
     shuffle + exact shards (salt 'pipe-shards', so the artifact is a
     different permutation than materialize_training_shards')."""
-    from pyspark.sql import Window
+    from .operators import classifier
 
-    from .operators import classifier, sampling
-    docs = load_tables(spark, sf_dir)["documents"]
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    w = Window.partitionBy(norm).orderBy(F.col("doc_id").asc())
-    deduped = (docs.withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") == 1).drop("_rn"))
-    admitted = classifier.pareto_filter(
-        _nb_scored(spark, sf_dir)).select("doc_id")
-    kept = deduped.join(admitted, "doc_id", "semi")
-    merges = _bpe_merges(spark, sf_dir)
-    chunks = tokenizer.bpe_chunk_documents(kept, merges,
-                                           chunk_tokens=_BPE_CHUNK)
-    keyed = chunks.withColumn(
-        "chunk_id", (F.col("doc_id").cast("long") * F.lit(_CHUNK_STRIDE)
-                     + F.col("chunk_seq").cast("long")))
-    return sampling.corpus_shuffle(keyed, "chunk_id", _PIPE_SHARD,
-                                   salt="pipe-shards")
+    def doc_filter(docs):
+        admitted = classifier.pareto_filter(
+            _nb_scored(spark, sf_dir)).select("doc_id")
+        return _first_per_norm_text(docs).join(admitted, "doc_id", "semi")
+
+    return _shuffled_bpe_chunks(spark, sf_dir, _PIPE_SHARD,
+                                "pipe-shards", doc_filter=doc_filter)
 
 
 def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3510,19 +3544,8 @@ def pipeline_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     write is hash-partitioned by fixed-size shard (byte-balanced
     tasks). Build memoized per (session, sf_dir) like every persisted
     artifact here."""
-    from .sources import writers
-
-    def build(p):
-        shuffled = _pipeline_shard_frame(spark, sf_dir)
-        writers.write_training_shards(
-            shuffled.select(*_TRAIN_COLS, "chunk_start"), p)
-        shuffled.rm_release_cache()
-
-    path = _probe_index_path(spark, sf_dir, "pipe_shards", build)
-    back = spark.read.parquet(path)
-    return back.select(
-        *[F.col(c).cast("long").alias(c) if c == "shard" else F.col(c)
-          for c in _TRAIN_COLS])
+    return _materialized_shards(spark, sf_dir, "pipe_shards",
+                                _pipeline_shard_frame)
 
 
 def pipeline_training_shards_sql() -> str:
@@ -3532,8 +3555,8 @@ def pipeline_training_shards_sql() -> str:
     h = PH.duck_ph60("'pipe-shards:' || (chunk_id)::VARCHAR")
     kept = classifier.duck_pareto_filter_sql(_NB_POS, _NB_NEG)
     return f"""
-    SELECT doc_id, chunk_seq, shuffle_rank{_duck_shard_cols(
-        "shuffle_rank", _PIPE_SHARD)},
+    SELECT doc_id, chunk_seq, chunk_start,
+           shuffle_rank{_duck_shard_cols("shuffle_rank", _PIPE_SHARD)},
            n_chunk_tokens, chunk_text
     FROM (SELECT *, row_number() OVER (ORDER BY {h} ASC, chunk_id ASC)
                  AS shuffle_rank
@@ -3554,6 +3577,19 @@ def pipeline_training_shards_sql() -> str:
 
 # =============================================================== corpus pipeline
 
+def _first_per_norm_text(docs: DataFrame) -> DataFrame:
+    """Exact near-form dedup: keep the FIRST doc_id per whitespace-
+    normalized text — the pipeline dedup rule, shared by
+    pipeline_corpus_clean and pipeline_training_shards so the two
+    entries (and their DuckDB twins) can never silently fork (r13
+    review). One wide exchange on the normalized-text hash."""
+    from pyspark.sql import Window
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy(norm).orderBy(F.col("doc_id").asc())
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END corpus cleaning pipeline as ONE composed DataFrame plan:
     quality scoring -> language ID -> filter (quality >= 0.6, identified
@@ -3562,15 +3598,11 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the point is that the composition stays a single lazy plan — one scan,
     stages fused by Catalyst, the dedup window the only wide exchange
     until the final (tiny) aggregate."""
-    from pyspark.sql import Window
     docs = load_tables(spark, sf_dir)["documents"]
     scored = textstats.lang_id(textstats.quality_score(docs))
     filtered = scored.filter((F.col("quality") >= 0.6)
                              & (F.col("lang_pred") != "und"))
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    w = Window.partitionBy(norm).orderBy(F.col("doc_id").asc())
-    kept = (filtered.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1))
+    kept = _first_per_norm_text(filtered)
     n_tok = F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     return (kept.groupBy("source", "lang_pred")
             .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -4685,8 +4717,8 @@ ENTRIES: dict = {
 # =============================== window rotation (tested invariant, r13+)
 #
 # The driver's correctness gate checks the FIRST 50 registered entries.
-# With a 118-entry registry, rotating 50 per round bounds worst-case
-# staleness at ceil(118/50) = 3 rounds — structurally, >= 18 entries are
+# With a 119-entry registry, rotating 50 per round bounds worst-case
+# staleness at ceil(119/50) = 3 rounds — structurally, >= 19 entries are
 # always 2 rounds stale and some reach 3. _ROTATION_TIERS turns that
 # arithmetic into POLICY (r12 verdict item #2): "active" entries must
 # land an external driver row at most every 2 rounds; "frozen" entries
@@ -4733,8 +4765,9 @@ _FROZEN_ENTRIES = frozenset({
 # 3. All 31 ACTIVE-tier entries whose last row is r11 (staleness 2 —
 #    at the active bound). The 19 frozen r11 entries (incl.
 #    pricing_summary) slip to r14 at staleness 3 <= frozen bound —
-#    they are next round's top tier, alongside the 48 r12-row actives
-#    reaching staleness 2.
+#    they are next round's top tier, alongside the 50 r12-row actives
+#    reaching staleness 2 (69 urgency-0 candidates for r14's 50 slots;
+#    the invariant test forces the cut to stay a priority prefix).
 _R13_WINDOW = [
     # --- tier 1: the 16 r10 slips
     "rm_datalog_join", "rm_datetime_ops", "rm_eav_wildcard",

@@ -167,7 +167,18 @@ def _epoch_salt(salt: str, epoch) -> str:
     epoch folds into the hash input, so each epoch is an INDEPENDENT
     deterministic permutation of the same id set — real training
     reshuffles per epoch, and this is the whole reshuffle: no data
-    moves, only the rank recomputes (r12 verdict item #5)."""
+    moves, only the rank recomputes (r12 verdict item #5).
+
+    The encoding is kept INJECTIVE by rejecting bare salts that already
+    end in the epoch suffix: otherwise salt='run:e2' with epoch=None
+    would produce the byte-identical permutation as salt='run' with
+    epoch=2, silently correlating two supposedly independent training
+    orders (r13 review)."""
+    import re
+    if re.search(r":e\d+$", salt):
+        raise ValueError(
+            f"salt {salt!r} ends in the reserved epoch suffix ':e<n>' — "
+            f"pass epoch= instead (the encoding must stay injective)")
     if epoch is None:
         return salt
     e = int(epoch)

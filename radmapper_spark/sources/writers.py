@@ -73,10 +73,19 @@ def write_training_shards(df: DataFrame, path: str,
     directory. No global sort here — the upstream rank already paid the
     pipeline's one legitimate global sort on an 8-byte key. The layout
     is append-friendly at 100 TB: a grown corpus or another epoch
-    writes NEW shard directories without rewriting existing files."""
+    writes NEW shard directories without rewriting existing files.
+
+    The one-file-per-shard contract is PINNED, not inherited: the
+    write sets maxRecordsPerFile=0 (no per-file row cap) explicitly,
+    because a session-level spark.sql.files.maxRecordsPerFile (a common
+    production setting) would otherwise split a shard across files and
+    break the physical-order contract mid-shard (r13 review). Shard
+    SIZE is the caller's file-size knob — it bounds every file by
+    construction, which is the honest control at this layout."""
     (df.repartition(F.col(shard_col))
        .sortWithinPartitions(shard_col, pos_col)
        .write.mode("overwrite")
+       .option("maxRecordsPerFile", 0)
        .partitionBy(shard_col)
        .parquet(path))
 

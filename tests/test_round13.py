@@ -149,7 +149,7 @@ def test_training_shards_layout_and_roundtrip(spark):
         check_dtype=False)
     # on-disk layout: one parquet file per shard dir, physical
     # shard_pos order 0..k-1 inside each file
-    path = next(v for k, v in ep._PROBE_INDEX_CACHE.items()
+    path = next(v for k, (_fp, v) in ep._PROBE_INDEX_CACHE.items()
                 if k[2] == "train_shards")
     shard_dirs = sorted(glob.glob(os.path.join(path, "shard=*")))
     assert len(shard_dirs) == p["shard"].nunique()
@@ -238,3 +238,45 @@ def test_rotation_window_invariant():
     # tier sanity: every frozen entry exists, bounds are the policy
     assert ep._FROZEN_ENTRIES <= set(registry)
     assert ep._ROTATION_TIERS == {"frozen": 3, "active": 2}
+
+
+def test_epoch_salt_encoding_is_injective(spark):
+    """A bare salt that already carries the epoch suffix must be
+    rejected: salt='run:e2'+epoch=None would otherwise collide with
+    salt='run'+epoch=2 (r13 review)."""
+    from radmapper_spark.operators import sampling
+    df = spark.range(5).selectExpr("id AS doc_id")
+    with pytest.raises(ValueError, match="epoch suffix"):
+        sampling.corpus_shuffle(df, "doc_id", 10, salt="run:e2")
+    with pytest.raises(ValueError, match="epoch suffix"):
+        sampling.duck_corpus_shuffle_sql("doc_id", 10, salt="run:e2")
+
+
+def test_probe_index_cache_revalidates_fingerprint(spark, tmp_path):
+    """_probe_index_path must rebuild when the sf_dir fingerprint
+    changes (r13 review: it was the one derived cache still assuming
+    immutable fixtures). Simulated with a writable corpus dir."""
+    import shutil
+
+    import radmapper_spark.entrypoints as ep
+
+    d = str(tmp_path / "sf")
+    shutil.copytree(SF, d)
+    builds = []
+    p1 = ep._probe_index_path(spark, d, "fprobe",
+                              lambda p: builds.append(p))
+    p2 = ep._probe_index_path(spark, d, "fprobe",
+                              lambda p: builds.append(p))
+    assert p1 == p2 and len(builds) == 1, "memo must hold while static"
+    # touch one parquet file -> fingerprint changes -> rebuild
+    import os
+    f = os.path.join(d, "documents.parquet")
+    with open(f, "ab") as fh:
+        fh.write(b"\x00")
+    p3 = ep._probe_index_path(spark, d, "fprobe",
+                              lambda p: builds.append(p))
+    assert len(builds) == 2, "rewritten corpus must invalidate the memo"
+    assert not os.path.exists(p1) or p3 != p1, "stale tree must be dropped"
+    # cleanup
+    ep._PROBE_INDEX_CACHE.pop((ep.session_key(spark), d, "fprobe"), None)
+    shutil.rmtree(p3, ignore_errors=True)
