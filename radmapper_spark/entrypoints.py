@@ -408,12 +408,12 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_groups(docs, pairs).select("doc_id", "component")
 
 
-def dedup_groups_sql() -> str:
-    # min-label fixpoint as a recursive CTE: the component minimum m
-    # satisfies m < v for every other member v, so it propagates along any
-    # path; rows are bounded by (node, smaller-reachable-label) pairs.
-    return """
-    WITH RECURSIVE
+# min-label fixpoint as a recursive CTE: the component minimum m
+# satisfies m < v for every other member v, so it propagates along any
+# path; rows are bounded by (node, smaller-reachable-label) pairs. The
+# body ends in ``comp`` (doc_id -> component) so dedup_keep_best_sql
+# can compose the same group derivation — one definition, no fork.
+_DUCK_GROUPS_CTES = """
     g AS (
         SELECT doc_id, source,
                list_distinct(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS grams
@@ -432,8 +432,15 @@ def dedup_groups_sql() -> str:
         UNION
         SELECT e.v AS node, cc.comp
         FROM cc JOIN edges e ON e.u = cc.node
-        WHERE cc.comp < e.v)
-    SELECT node AS doc_id, min(comp) AS component FROM cc GROUP BY node
+        WHERE cc.comp < e.v),
+    comp AS (SELECT node AS doc_id, min(comp) AS component
+             FROM cc GROUP BY node)"""
+
+
+def dedup_groups_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_DUCK_GROUPS_CTES}
+    SELECT doc_id, component FROM comp
     """
 
 
@@ -3114,6 +3121,135 @@ def nb_pareto_filter_sql() -> str:
     return classifier.duck_pareto_filter_sql(_NB_POS, _NB_NEG)
 
 
+# ============================================= r13: training-mix operators
+
+_TBS_BUDGET = 8000        # tokens — selective at every fixture SF
+_TBS_ORDER = "score_micro DESC, doc_id ASC"
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ordered selection under an exact global TOKEN budget
+    (operators.sampling.token_budget_select; the data-constrained
+    recipe: rank by quality, cut by tokens, not docs): documents
+    ordered by the NB classifier's exact BIGINT log-odds (best first,
+    ties on doc_id), kept while the exact global running token total
+    stays within 8000 tokens. The running total is
+    ranking.global_cumsum — global_rank's recipe generalized from
+    counting rows to summing integral weights (range exchange + P-row
+    weight offsets; never a single-partition window) — so the kept set
+    is a pure function of (scores, token counts), reproducible across
+    cluster sizes and in the DuckDB window twin."""
+    from .operators import sampling
+    scored = _nb_scored(spark, sf_dir)
+    out = sampling.token_budget_select(
+        scored, _TBS_BUDGET,
+        [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        "n_tokens")
+    return _carry_release(out, out.select(
+        "doc_id", "n_tokens", "score_micro", "select_rank",
+        "cum_tokens"))
+
+
+def token_budget_select_sql() -> str:
+    from .operators import classifier, sampling
+    return ("WITH " + classifier._duck_nb_ctes(_NB_POS, _NB_NEG)
+            + sampling.duck_token_budget_sql(
+                "nbscored", _TBS_BUDGET, _TBS_ORDER, "n_tokens",
+                "doc_id, n_tokens, score_micro"))
+
+
+_MIXT_K, _MIXT_ALPHA = 200, 0.5
+
+
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling over the (skewed) language
+    column (operators.sampling.mixture_temperature; the mBERT/XLM-R
+    alpha-sampling rule, alpha=0.5): per-language targets proportional
+    to count^alpha with exact largest-remainder integer allocation
+    (sum(target) == 200 exactly; sqrt is the one IEEE step and it is
+    correctly rounded, so the DuckDB twin reproduces the allocation
+    bit-for-bit), then each language keeps its first target_n docs in
+    portable hash order. Weight/target table bounded by the number of
+    languages and broadcast; one per-group rank shuffle over the
+    corpus."""
+    from .operators import sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    return sampling.mixture_temperature(docs, "lang", "doc_id",
+                                        _MIXT_K, alpha=_MIXT_ALPHA)
+
+
+def mixture_temperature_sql() -> str:
+    from .operators import sampling
+    return sampling.duck_mixture_temperature_sql(
+        "lang", "doc_id", _MIXT_K, alpha=_MIXT_ALPHA)
+
+
+_CURR_STAGES = 4
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum reading order (operators.sampling.curriculum_order;
+    Bengio et al. 2009): four exact quality quartiles over the NB
+    log-odds (stage 1 = highest quality = easiest), shuffled within
+    stage by the portable salted hash, final position from the
+    distributed global_rank, sharded with the corpus_shuffle layout.
+    Two range exchanges by construction (quantile cut, then staged
+    order) — each on a narrow key; stage assignment is the exact
+    distributed ntile (ranking.global_ntile), bit-identical to SQL
+    ntile."""
+    from .operators import sampling
+    scored = _nb_scored(spark, sf_dir)
+    out = sampling.curriculum_order(
+        scored, [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        _CURR_STAGES, "doc_id", shard_size=_SHUF_SHARD)
+    return _carry_release(out, out.select(
+        "doc_id", F.col("stage").cast("long").alias("stage"),
+        "curriculum_rank", "shard", "shard_pos"))
+
+
+def curriculum_order_sql() -> str:
+    from .operators import classifier, sampling
+    return ("WITH " + classifier._duck_nb_ctes(_NB_POS, _NB_NEG)
+            + sampling.duck_curriculum_sql(
+                "nbscored", _TBS_ORDER, _CURR_STAGES, "doc_id",
+                shard_size=_SHUF_SHARD))
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalization (operators.dedup
+    .keep_best): connected components over the oracle-expressible
+    token-jaccard pair set (the dedup_groups derivation, one
+    definition), then each component keeps its HIGHEST-NB-scored
+    member (ties on doc_id) instead of the arbitrary min-id
+    representative — near-dups waste tokens, so keep the best-written
+    copy. One id equi-join + one component-keyed window; components
+    are small, so the window is skew-safe."""
+    from .operators import dedup
+    t = load_tables(spark, sf_dir)
+    pairs = dedup_token_jaccard(spark, sf_dir)
+    groups = dedup.dedup_groups(t["documents"], pairs)
+    out = dedup.keep_best(groups, _nb_scored(spark, sf_dir))
+    return out.select("doc_id", "component", "score_micro", "n_members")
+
+
+def dedup_keep_best_sql() -> str:
+    from .operators import classifier
+    return f"""
+    WITH RECURSIVE {_DUCK_GROUPS_CTES},
+    {classifier._duck_nb_ctes(_NB_POS, _NB_NEG)}
+    SELECT doc_id, component, score_micro, n_members
+    FROM (SELECT c.doc_id AS doc_id, c.component AS component,
+                 s.score_micro AS score_micro,
+                 count(*) OVER (PARTITION BY c.component)::BIGINT
+                     AS n_members,
+                 row_number() OVER (PARTITION BY c.component
+                                    ORDER BY s.score_micro DESC,
+                                             c.doc_id ASC) AS rn
+          FROM comp c JOIN nbscored s USING (doc_id))
+    WHERE rn = 1
+    """
+
+
 # (session, sf_dir) -> (sf fingerprint, collected NB consts dict). The
 # five ints are a pure function of the immutable corpus + the fixed
 # class predicates — memoized like the BPE merge table so only the
@@ -4712,13 +4848,23 @@ ENTRIES: dict = {
     # one DuckDB statement re-derives the whole composition
     "pipeline_training_shards": (pipeline_training_shards,
                                  pipeline_training_shards_sql),
+    # NEW r13 (second batch): training-mix selection/ordering — the
+    # exact global prefix-sum budget cut, alpha-sampling with exact
+    # largest-remainder allocation, staged curriculum order, and
+    # quality-aware near-dup canonicalization
+    "token_budget_select": (token_budget_select,
+                            token_budget_select_sql),
+    "mixture_temperature": (mixture_temperature,
+                            mixture_temperature_sql),
+    "curriculum_order": (curriculum_order, curriculum_order_sql),
+    "dedup_keep_best": (dedup_keep_best, dedup_keep_best_sql),
 }
 
 # =============================== window rotation (tested invariant, r13+)
 #
 # The driver's correctness gate checks the FIRST 50 registered entries.
-# With a 119-entry registry, rotating 50 per round bounds worst-case
-# staleness at ceil(119/50) = 3 rounds — structurally, >= 19 entries are
+# With a 123-entry registry, rotating 50 per round bounds worst-case
+# staleness at ceil(123/50) = 3 rounds — structurally, >= 23 entries are
 # always 2 rounds stale and some reach 3. _ROTATION_TIERS turns that
 # arithmetic into POLICY (r12 verdict item #2): "active" entries must
 # land an external driver row at most every 2 rounds; "frozen" entries
@@ -4753,21 +4899,33 @@ _FROZEN_ENTRIES = frozenset({
     "temporal_sessionize",
     # sampling/packing ops frozen since r4-r9
     "seq_pack", "source_mixture", "mixture_sample", "weighted_sample",
+    # text-analysis ops on textstats.py, unchanged since r8 (file
+    # last touched by 3cfa948, pre-r10-record) and re-proven by the
+    # three-SF value-oracle sweep every round — frozen r13 to free
+    # window slots for the second r13 entry batch
+    "text_tfidf", "text_bm25", "text_inverted_index",
+    "text_bigram_pmi",
 })
 
 # r13 window, priority order (the test recomputes all of this):
 # 1. The 16 entries whose last external row is r10 (staleness 3 — AT
 #    the frozen bound, top priority; the named r12 trade).
-# 2. The three NEW r13 entries (corpus_shuffle_epoch,
-#    materialize_training_shards, pipeline_training_shards) —
-#    registered before the freeze, so they land first rows this round
-#    (zero latecomer debt, the r12 pattern).
-# 3. All 31 ACTIVE-tier entries whose last row is r11 (staleness 2 —
-#    at the active bound). The 19 frozen r11 entries (incl.
-#    pricing_summary) slip to r14 at staleness 3 <= frozen bound —
-#    they are next round's top tier, alongside the 50 r12-row actives
-#    reaching staleness 2 (69 urgency-0 candidates for r14's 50 slots;
-#    the invariant test forces the cut to stay a priority prefix).
+# 2. The seven NEW r13 entries (corpus_shuffle_epoch,
+#    materialize_training_shards, pipeline_training_shards,
+#    token_budget_select, mixture_temperature, curriculum_order,
+#    dedup_keep_best) — registered before the freeze, so they land
+#    first rows this round (zero latecomer debt, the r12 pattern).
+# 3. 27 of the 31 ACTIVE-tier entries whose last row is r11
+#    (staleness 2 — at the active bound). The other four (text_tfidf,
+#    text_bm25, text_inverted_index, text_bigram_pmi) moved to the
+#    frozen tier (textstats.py unchanged since r8; swept at three SFs
+#    locally every round) and slip to r14 at staleness 3 <= frozen
+#    bound. The 19 previously-frozen r11 entries (incl.
+#    pricing_summary) likewise slip within bound — r14's top tier is
+#    those 23 frozen r11 slips at the bound, alongside the 50 r12-row
+#    actives reaching staleness 2 (up to 73 urgency-0 candidates for
+#    r14's 50 slots; the invariant test forces the cut to stay a
+#    priority prefix).
 _R13_WINDOW = [
     # --- tier 1: the 16 r10 slips
     "rm_datalog_join", "rm_datetime_ops", "rm_eav_wildcard",
@@ -4776,10 +4934,15 @@ _R13_WINDOW = [
     "string_battery", "region_nation_revenue", "top_revenue_orders",
     "top_customer_per_nation", "dataset_split", "sample_per_group",
     "stats_profile",
-    # --- tier 2: new r13 entries
+    # --- tier 2: new r13 entries (never-proven — must land first rows)
     "corpus_shuffle_epoch", "materialize_training_shards",
-    "pipeline_training_shards",
-    # --- tier 3: the 31 active r11 entries
+    "pipeline_training_shards", "token_budget_select",
+    "mixture_temperature", "curriculum_order", "dedup_keep_best",
+    # --- tier 3: the 27 ACTIVE r11 entries (the four text_* entries
+    # that previously filled these slots moved to the frozen tier —
+    # textstats.py unchanged since r8, swept locally every round — and
+    # slip to r14 at staleness 3 <= frozen bound, making room for the
+    # second new-entry batch with zero latecomer debt)
     "ann_opq_topk", "ann_pq_topk", "ann_range_search",
     "blocklist_scrub", "bpe_chunks", "bpe_token_count", "cdc_merge",
     "decontam_ngram", "doc_chunks", "doc_chunks_cdc", "dsir_select",
@@ -4787,9 +4950,8 @@ _R13_WINDOW = [
     "embedding_pca", "embedding_probe", "embedding_quantize",
     "image_dedup_groups", "image_phash_neardup", "lang_id_eval",
     "moore_lewis_select", "stream_media_dedup", "substring_dup_spans",
-    "substring_removal_spans", "substring_scrub", "text_bigram_pmi",
-    "text_bm25", "text_inverted_index", "text_pii_scrub",
-    "text_repetition", "text_tfidf",
+    "substring_removal_spans", "substring_scrub", "text_pii_scrub",
+    "text_repetition",
 ]
 _CURRENT_WINDOW = _R13_WINDOW  # alias the invariant test reads
 assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(ENTRIES)

@@ -698,6 +698,44 @@ def dedup_groups(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return comp.select(F.col("node").alias(id_col), "component")
 
 
+def keep_best(groups: DataFrame, scored: DataFrame,
+              id_col: str = "doc_id",
+              component_col: str = "component",
+              score_col: str = "score_micro") -> DataFrame:
+    """Quality-aware canonicalization of near-dup groups: from each
+    duplicate component keep the member with the HIGHEST quality score
+    (ties broken by lowest id) instead of the arbitrary min-id
+    representative — the production dedup ending: near-dups waste
+    tokens, so keep the best-written copy, not the first-crawled one.
+
+    ``groups`` is a (id, component) frame (dedup_groups output);
+    ``scored`` carries (id, score). The join is INNER: a member absent
+    from ``scored`` (e.g. zero-token docs, which NB scoring skips)
+    cannot win and is not counted in ``n_members`` — document-level
+    presence filters belong upstream.
+
+    Scale shape: one equi-join on the id (both sides already carry it;
+    near-dup components are tiny so the per-component window after one
+    shuffle on the component key is skew-safe — AQE splits a
+    pathological hub), then a map filter. Both window functions share
+    the (component) partition key and one sort, so the plan carries a
+    single exchange for the ranking step.
+
+    Output: (id_col, component_col, score_col, n_members) — one row
+    per component, n_members = scored members of that component."""
+    j = (groups.select(id_col, component_col)
+         .join(scored.select(id_col, score_col), id_col))
+    from pyspark.sql import Window
+    wc = Window.partitionBy(component_col)
+    wr = wc.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    return (j.withColumn("n_members", F.count(F.lit(1)).over(wc)
+                         .cast("long"))
+            .withColumn("_rm_kb_rn", F.row_number().over(wr))
+            .filter(F.col("_rm_kb_rn") == 1)
+            .drop("_rm_kb_rn")
+            .select(id_col, component_col, score_col, "n_members"))
+
+
 # -------------------------------------------------------------- embedding cosine
 
 def sign_lsh_base(emb: DataFrame, vec_col: str = "embedding",

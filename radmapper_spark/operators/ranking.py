@@ -99,6 +99,81 @@ def global_rank(df: DataFrame, order_cols, rank_col: str = "rank",
     return out
 
 
+def global_cumsum(df: DataFrame, order_cols, weight_col: str,
+                  cum_col: str = "cum",
+                  rank_col: str = None) -> DataFrame:
+    """Exact global running total of an INTEGRAL weight column in a
+    total order — ``global_rank`` generalized from counting rows to
+    summing weights (rank is the cumsum of 1s). Same distributed
+    recipe: range-repartition on the order keys, per-partition weight
+    sums (a P-row aggregate), cumulative-sum those into partition
+    OFFSETS in a bounded P-row single task, broadcast the offsets back,
+    and emit per-partition running total + offset. One parallel range
+    shuffle instead of a single-partition window; everything stays lazy
+    (the persist pins the sampled range boundaries so the offsets
+    branch and the cumsum branch see identical partitioning).
+
+    ``weight_col`` must be an integral column: BIGINT sums are exact
+    and partition-order-independent, which is what makes the running
+    total reproducible across cluster sizes and in the DuckDB oracle
+    (a double sum would drift with partition order). ``order_cols``
+    must be a TOTAL order (callers pass a unique tiebreaker, same
+    contract as global_rank). When ``rank_col`` is set the global
+    row_number rides along on the same range exchange (no second
+    shuffle). Carries ``rm_release_cache``."""
+    spark = df.sparkSession
+    if weight_col not in df.columns:
+        raise ValueError(f"global_cumsum: weight column {weight_col!r} "
+                         f"not in frame (columns: {df.columns})")
+    wtype = df.schema[weight_col].dataType.simpleString()
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"global_cumsum: weight column {weight_col!r} is {wtype}; "
+            f"only integral weights sum exactly (order-independent) — "
+            f"pre-scale floats onto an integer grid first")
+    try:
+        p = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:
+        p = 200
+    pid, off, wsum = (_free_name(df, "_rm_pid"), _free_name(df, "_rm_off"),
+                      _free_name(df, "_rm_w"))
+    parts = (df.repartitionByRange(p, *order_cols)
+             .withColumn(pid, F.spark_partition_id())
+             .persist())
+    sums = (parts.groupBy(pid)
+            .agg(F.sum(F.col(weight_col).cast("long")).alias(wsum)))
+    woff = (Window.partitionBy(F.spark_partition_id())
+            .orderBy(pid)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = (sums.coalesce(1)
+            .withColumn(off, F.sum(wsum).over(woff) - F.col(wsum)))
+    w = (Window.partitionBy(pid).orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (parts.join(F.broadcast(offs.select(pid, off)), pid)
+           .withColumn(cum_col,
+                       (F.sum(F.col(weight_col).cast("long")).over(w)
+                        + F.col(off)).cast("long")))
+    if rank_col is not None:
+        # row_number over the SAME partitioning/ordering as the cumsum
+        # window (one physical sort serves both) + count-based offsets
+        # from a second P-row pass — exactly global_rank's bookkeeping
+        wr = Window.partitionBy(pid).orderBy(*order_cols)
+        rank_off = _free_name(df, "_rm_roff")
+        cnt = _free_name(df, "_rm_n")
+        counts = parts.groupBy(pid).agg(F.count(F.lit(1)).alias(cnt))
+        coffs = (counts.coalesce(1)
+                 .withColumn(rank_off,
+                             F.sum(cnt).over(woff) - F.col(cnt)))
+        out = (out.join(F.broadcast(coffs.select(pid, rank_off)), pid)
+               .withColumn(rank_col,
+                           (F.row_number().over(wr) + F.col(rank_off))
+                           .cast("long"))
+               .drop(rank_off))
+    out = out.drop(pid, off)
+    out.rm_release_cache = parts.unpersist
+    return out
+
+
 def global_ntile(df: DataFrame, k: int, order_cols,
                  tile_col: str = "tile") -> DataFrame:
     """Exact ntile(k) over an unbounded frame without a single-partition

@@ -324,3 +324,282 @@ def duck_mixture_interleave_sql(group_expr: str, id_expr: str,
                               {id_expr} ASC) AS interleave_rank{shard_cols}
     FROM keyed
     """
+
+
+# ------------------------------------------------- r13: training-mix ops
+
+#: weight grid for temperature-scaled mixture weights: floor(c^alpha *
+#: WGRID) puts the (correctly-rounded) root onto an exact BIGINT grid,
+#: so the weight table and every downstream integer division reproduce
+#: bit-for-bit in the DuckDB oracle.
+WGRID = 1_000_000
+
+
+def token_budget_select(scored: DataFrame, budget: int, order_cols,
+                        weight_col: str, cum_col: str = "cum_tokens",
+                        rank_col: str = "select_rank") -> DataFrame:
+    """Quality-ordered selection under an exact global TOKEN budget —
+    the "take the best data until the budget is spent" step of a
+    data-constrained training mix (cf. Data-Constrained Scaling Laws:
+    rank by a quality signal, cut by token count, not doc count). Rows
+    are ordered by ``order_cols`` (a total order — callers pass a
+    unique tiebreaker), the integral ``weight_col`` is running-summed
+    GLOBALLY AND EXACTLY via ranking.global_cumsum (range exchange +
+    P-row offsets — never a single-partition window), and a row is
+    kept iff its running total is still within ``budget`` (the first
+    overflowing row is dropped: every kept prefix fits the budget).
+
+    At 100 TB the plan is ONE range shuffle on the (typically 8-16
+    byte) order key plus bounded bookkeeping; the budget filter is a
+    map over the exchanged rows. BIGINT weights keep the running total
+    partition-order-independent, so the kept set is a pure function of
+    (scores, weights) — reproducible across cluster sizes and in the
+    DuckDB twin (duck_token_budget_sql).
+
+    Output: scored's columns + (rank_col, cum_col), filtered to the
+    kept prefix. Carries rm_release_cache."""
+    if budget < 0:
+        raise ValueError(f"token_budget_select: budget must be >= 0, "
+                         f"got {budget}")
+    from .ranking import global_cumsum
+    cum = global_cumsum(scored, order_cols, weight_col,
+                        cum_col=cum_col, rank_col=rank_col)
+    out = cum.filter(F.col(cum_col) <= F.lit(int(budget)))
+    out.rm_release_cache = cum.rm_release_cache
+    return out
+
+
+def duck_token_budget_sql(rel: str, budget: int, order_sql: str,
+                          weight_expr: str, select_cols: str,
+                          cum_col: str = "cum_tokens",
+                          rank_col: str = "select_rank") -> str:
+    """DuckDB twin of token_budget_select over relation text ``rel``
+    (any table / CTE name whose columns include the order + weight
+    columns). ROWS UNBOUNDED PRECEDING is explicit: with a total order
+    it equals the default RANGE frame, but we pin the frame the Spark
+    window uses."""
+    return f"""
+    SELECT {select_cols}, {rank_col}, {cum_col}
+    FROM (SELECT *,
+                 row_number() OVER (ORDER BY {order_sql}) AS {rank_col},
+                 sum({weight_expr}) OVER (
+                     ORDER BY {order_sql}
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS {cum_col}
+          FROM {rel})
+    WHERE {cum_col} <= {int(budget)}
+    """
+
+
+def _temp_weight(c, alpha: float):
+    """count^alpha on the exact WGRID BIGINT grid. alpha is restricted
+    to {1, 0.5, 0.25}: sqrt is CORRECTLY ROUNDED in IEEE 754 (unlike
+    pow with a fractional exponent, which is only faithfully rounded
+    and may differ between libm builds), so sqrt / sqrt∘sqrt /
+    identity are the temperature exponents both engines compute
+    bit-identically — the same no-fractional-pow rule as the Pareto
+    CDF inversion in classifier.pareto_filter."""
+    d = c.cast("double")
+    if alpha == 1.0:
+        root = d
+    elif alpha == 0.5:
+        root = F.sqrt(d)
+    elif alpha == 0.25:
+        root = F.sqrt(F.sqrt(d))
+    else:
+        raise ValueError(
+            f"mixture_temperature: alpha must be one of 1, 0.5, 0.25 "
+            f"(exactly-reproducible roots), got {alpha}")
+    return F.floor(root * F.lit(float(WGRID))).cast("long")
+
+
+def _duck_temp_weight(c_expr: str, alpha: float) -> str:
+    if alpha == 1.0:
+        root = f"({c_expr})::DOUBLE"
+    elif alpha == 0.5:
+        root = f"sqrt(({c_expr})::DOUBLE)"
+    elif alpha == 0.25:
+        root = f"sqrt(sqrt(({c_expr})::DOUBLE))"
+    else:
+        raise ValueError(f"alpha must be one of 1, 0.5, 0.25, got {alpha}")
+    return f"CAST(floor({root} * {WGRID}) AS BIGINT)"
+
+
+def mixture_temperature(df: DataFrame, group_col: str, id_col: str,
+                        k: int, alpha: float = 0.5,
+                        salt: str = "mixtemp") -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual /
+    multi-domain alpha-sampling rule of mBERT/XLM-R: sample group g
+    with probability proportional to count_g^alpha, alpha < 1 boosting
+    low-resource groups): choose per-group TARGET counts for a total
+    draw of ``k`` rows, then keep each group's first target_n rows in
+    deterministic hash order.
+
+    Exact integer allocation (largest-remainder / Hamilton): per-group
+    weights w_g = floor(count_g^alpha * WGRID) as BIGINTs, base quota
+    base_g = (k * w_g) div (sum w), and the leftover k - sum(base)
+    seats (< number of groups by construction) go to the largest
+    remainders (ties broken by group key) — so sum(target) == k
+    exactly, with no float accumulation anywhere: the only IEEE steps
+    are the correctly-rounded root and one multiply before the floor
+    (see _temp_weight). A group smaller than its target keeps all its
+    rows (rank caps at the group size; alpha-upsampling never invents
+    rows — repeat-epoch upsampling is corpus_shuffle's epoch= job).
+
+    Scale shape: the weight/target table is ONE map-side-combined
+    groupBy whose result is bounded by the number of groups (then a
+    bounded coalesce(1) window for the remainder seats — the
+    bounded_global_rank pattern), broadcast back; the kept set is one
+    per-group rank window (same shuffle as cap_per_group) + a map
+    filter. The corpus is shuffled once on the group key, never
+    all-pairs, never through a driver loop.
+
+    Output: (id_col, group_col, mix_rank, target_n) for kept rows.
+    """
+    if k <= 0:
+        raise ValueError(f"mixture_temperature: k must be positive, "
+                         f"got {k}")
+    c, w, tw = "_rm_mt_c", "_rm_mt_w", "_rm_mt_tw"
+    base, rem, sb = "_rm_mt_base", "_rm_mt_rem", "_rm_mt_sb"
+    weights = (df.groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias(c))
+               .withColumn(w, _temp_weight(F.col(c), alpha)))
+    tot = weights.agg(F.sum(w).alias(tw))
+    quot = (weights.crossJoin(F.broadcast(tot))
+            .withColumn(base, F.expr(f"CAST({int(k)} AS BIGINT) * {w} "
+                                     f"DIV {tw}"))
+            .withColumn(rem, F.expr(f"(CAST({int(k)} AS BIGINT) * {w}) "
+                                    f"% {tw}")))
+    spent = quot.agg(F.sum(base).alias(sb))
+    # leftover seats: a window over the BOUNDED per-group frame — the
+    # bounded_global_rank shape (coalesce(1) + pid partition key),
+    # intentional single task over <= n_groups rows
+    wseat = (Window.partitionBy(F.spark_partition_id())
+             .orderBy(F.col(rem).desc(), F.col(group_col).asc()))
+    targets = (quot.crossJoin(F.broadcast(spent))
+               .coalesce(1)
+               .withColumn("target_n",
+                           (F.col(base)
+                            + F.when(F.row_number().over(wseat)
+                                     <= F.lit(int(k)) - F.col(sb),
+                                     F.lit(1)).otherwise(F.lit(0)))
+                           .cast("long"))
+               .select(group_col, "target_n"))
+    h = PH.ph60(F.concat(F.lit(f"{salt}:"),
+                         F.col(id_col).cast("string")))
+    wrank = Window.partitionBy(group_col).orderBy(h.asc(),
+                                                  F.col(id_col).asc())
+    return (df.select(id_col, group_col)
+            .withColumn("mix_rank",
+                        F.row_number().over(wrank).cast("long"))
+            .join(F.broadcast(targets), group_col)
+            .filter(F.col("mix_rank") <= F.col("target_n"))
+            .select(id_col, group_col, "mix_rank", "target_n"))
+
+
+def duck_mixture_temperature_sql(group_expr: str, id_expr: str, k: int,
+                                 alpha: float = 0.5,
+                                 salt: str = "mixtemp",
+                                 from_table: str = "documents") -> str:
+    """DuckDB twin of mixture_temperature (same largest-remainder
+    integer allocation, same hash order)."""
+    wsql = _duck_temp_weight("c", alpha)
+    h = PH.duck_ph60(f"'{salt}:' || ({id_expr})::VARCHAR")
+    return f"""
+    WITH mtw AS (SELECT {group_expr} AS g, count(*) AS c,
+                        {wsql} AS w
+                 FROM {from_table} GROUP BY 1),
+    mtq AS (SELECT g, ({int(k)}::BIGINT * w) // (SELECT sum(w) FROM mtw)
+                       AS base,
+                   ({int(k)}::BIGINT * w) % (SELECT sum(w) FROM mtw)
+                       AS rem
+            FROM mtw),
+    mtt AS (SELECT g,
+                   (base + CASE WHEN row_number() OVER (
+                                    ORDER BY rem DESC, g ASC)
+                                <= {int(k)} - (SELECT sum(base) FROM mtq)
+                           THEN 1 ELSE 0 END)::BIGINT AS target_n
+            FROM mtq),
+    mtr AS (SELECT {id_expr}, {group_expr},
+                   row_number() OVER (PARTITION BY {group_expr}
+                                      ORDER BY {h} ASC, {id_expr} ASC)
+                       ::BIGINT AS mix_rank
+            FROM {from_table})
+    SELECT {id_expr}, {group_expr}, mix_rank, target_n
+    FROM mtr JOIN mtt ON mtr.{group_expr} = mtt.g
+    WHERE mix_rank <= target_n
+    """
+
+
+def curriculum_order(df: DataFrame, difficulty_cols, stages: int,
+                     id_col: str, salt: str = "curriculum",
+                     shard_size: int = 0,
+                     stage_col: str = "stage",
+                     rank_col: str = "curriculum_rank") -> DataFrame:
+    """Curriculum ordering: an exact global reading order that walks
+    difficulty STAGES in sequence while reading uniformly at random
+    WITHIN each stage — curriculum learning's standard schedule
+    (Bengio et al. 2009: sort by difficulty, shuffle within stage so
+    the model never sees a secondary ordering artifact). Stage
+    assignment is the exact distributed ntile (ranking.global_ntile)
+    over ``difficulty_cols`` (a total order — pass a tiebreaker);
+    the within-stage shuffle is the portable salted id hash; the final
+    position is ranking.global_rank over (stage, hash, id).
+
+    Two range exchanges by construction (a curriculum IS two distinct
+    total orders: the quantile cut by difficulty, then the staged
+    read order) — each on a narrow key, never a single-partition
+    window. With shard_size > 0 the corpus_shuffle shard layout is
+    appended, so each shard sits inside one stage (shard boundaries
+    never straddle stages when stage sizes are multiples of the shard
+    size; otherwise exactly one straddling shard per boundary).
+
+    Output: df's columns + (stage_col, rank_col[, shard, shard_pos]).
+    Carries rm_release_cache (releases BOTH internal range caches)."""
+    if stages <= 0:
+        raise ValueError(f"curriculum_order: stages must be positive, "
+                         f"got {stages}")
+    if shard_size < 0:
+        raise ValueError(f"curriculum_order: shard_size must be >= 0 "
+                         f"(0 disables sharding), got {shard_size}")
+    from .ranking import global_ntile, global_rank
+    staged = global_ntile(df, stages, difficulty_cols,
+                          tile_col=stage_col)
+    rel1 = staged.rm_release_cache
+    h = PH.ph60(F.concat(F.lit(f"{salt}:"),
+                         F.col(id_col).cast("string")))
+    ranked = global_rank(
+        staged, [F.col(stage_col).asc(), h.asc(), F.col(id_col).asc()],
+        rank_col=rank_col)
+    rel2 = ranked.rm_release_cache
+    out = (_with_shards(ranked, rank_col, shard_size) if shard_size
+           else ranked)
+
+    def release(_r1=rel1, _r2=rel2):
+        _r1()
+        _r2()
+
+    out.rm_release_cache = release
+    return out
+
+
+def duck_curriculum_sql(rel: str, difficulty_sql: str, stages: int,
+                        id_expr: str, salt: str = "curriculum",
+                        shard_size: int = 0,
+                        stage_col: str = "stage",
+                        rank_col: str = "curriculum_rank") -> str:
+    """DuckDB twin of curriculum_order's (id, stage, rank[, shard,
+    shard_pos]) columns over relation text ``rel``. SQL ntile uses the
+    identical bucket rule global_ntile implements (first n%k buckets
+    take one extra row)."""
+    h = PH.duck_ph60(f"'{salt}:' || ({id_expr})::VARCHAR")
+    shard_cols = (_duck_shard_cols(rank_col, shard_size)
+                  if shard_size else "")
+    return f"""
+    SELECT {id_expr}, {stage_col},
+           row_number() OVER (ORDER BY {stage_col} ASC, {h} ASC,
+                              {id_expr} ASC)::BIGINT
+               AS {rank_col}{shard_cols}
+    FROM (SELECT *, ntile({int(stages)}) OVER (ORDER BY {difficulty_sql})
+                        AS {stage_col}
+          FROM {rel})
+    """

@@ -280,3 +280,167 @@ def test_probe_index_cache_revalidates_fingerprint(spark, tmp_path):
     # cleanup
     ep._PROBE_INDEX_CACHE.pop((ep.session_key(spark), d, "fprobe"), None)
     shutil.rmtree(p3, ignore_errors=True)
+
+
+# ----------------------------------- r13 second batch: training-mix ops
+
+def test_global_cumsum_exact_vs_python(spark):
+    """global_cumsum must equal the Python prefix-sum in the same total
+    order, with every Window node keyed on the range-partition id
+    (never an empty partition spec)."""
+    from radmapper_spark.operators.ranking import global_cumsum
+    rows = [(i, (i * 37) % 101 + 1) for i in range(5000)]
+    df = (spark.createDataFrame(rows, "id long, w long")
+          .repartition(13))
+    out = global_cumsum(df, [F.col("w").asc(), F.col("id").asc()], "w",
+                        cum_col="cum", rank_col="rk")
+    got = {r["id"]: (r["rk"], r["cum"]) for r in out.collect()}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, "plan lost its windows — test is vacuous"
+    assert all("_rm_pid" in ln for ln in win_lines), win_lines
+    acc = 0
+    for rank, (i, w) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])),
+                                  start=1):
+        acc += w
+        assert got[i] == (rank, acc), (i, got[i], (rank, acc))
+    _release(out)
+
+
+def test_global_cumsum_rejects_float_weights(spark):
+    from radmapper_spark.operators.ranking import global_cumsum
+    df = spark.createDataFrame([(1, 1.5)], "id long, w double")
+    with pytest.raises(ValueError, match="integral"):
+        global_cumsum(df, [F.col("id")], "w")
+    with pytest.raises(ValueError, match="not in frame"):
+        global_cumsum(df.select("id"), [F.col("id")], "w")
+
+
+def test_token_budget_select_prefix_property(spark):
+    """Kept set = the maximal quality-ordered prefix within budget:
+    every kept row's running total <= budget, and the best dropped
+    row would overflow it. Edges: budget 0 keeps nothing; a budget
+    >= the corpus total keeps everything."""
+    from radmapper_spark.operators import sampling
+    rows = [(i, (i * 13) % 50 + 1, (i * 7) % 40 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, score long, w long")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    out = sampling.token_budget_select(df, 900, order, "w")
+    kept = [(r["id"], r["cum_tokens"]) for r in out.collect()]
+    _release(out)
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    acc, want = 0, []
+    for i, s, w in ordered:
+        acc += w
+        if acc > 900:
+            break
+        want.append((i, acc))
+    assert sorted(kept) == sorted(want)
+    assert want and want[-1][1] <= 900
+    empty = sampling.token_budget_select(df, 0, order, "w")
+    assert empty.count() == 0
+    _release(empty)
+    total = sum(w for _, _, w in rows)
+    full = sampling.token_budget_select(df, total, order, "w")
+    assert full.count() == len(rows)
+    _release(full)
+    with pytest.raises(ValueError, match="budget"):
+        sampling.token_budget_select(df, -1, order, "w")
+
+
+def test_mixture_temperature_allocation(spark):
+    """Exact largest-remainder allocation: targets sum to k when every
+    group can fill its quota; alpha < 1 boosts small groups relative
+    to their proportional share; a group smaller than its target keeps
+    all its rows; invalid alpha raises."""
+    from radmapper_spark.operators import sampling
+    rows = ([(i, "big") for i in range(800)]
+            + [(i + 1000, "mid") for i in range(150)]
+            + [(i + 2000, "small") for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    out = sampling.mixture_temperature(df, "g", "doc_id", 100, alpha=0.5)
+    got = out.collect()
+    targets = {r["g"]: r["target_n"] for r in got}
+    kept = {}
+    for r in got:
+        kept[r["g"]] = kept.get(r["g"], 0) + 1
+    assert sum(targets.values()) == 100
+    assert kept == targets  # every group filled its quota
+    # proportional shares would be 80/15/5; sqrt-temperature flattens
+    assert targets["big"] < 80 and targets["small"] > 5
+    # per-group kept rows are the hash-order prefix: ranks contiguous
+    ranks = sorted(r["mix_rank"] for r in got if r["g"] == "small")
+    assert ranks == list(range(1, targets["small"] + 1))
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.mixture_temperature(df, "g", "doc_id", 100, alpha=0.3)
+    with pytest.raises(ValueError, match="k must be positive"):
+        sampling.mixture_temperature(df, "g", "doc_id", 0)
+    # a tiny group cannot fill an upsampled quota: keeps all its rows
+    tiny = spark.createDataFrame(
+        [(i, "a") for i in range(99)] + [(500, "b")],
+        "doc_id long, g string")
+    out2 = sampling.mixture_temperature(tiny, "g", "doc_id", 50,
+                                        alpha=0.25)
+    kept2 = {}
+    for r in out2.collect():
+        kept2[r["g"]] = kept2.get(r["g"], 0) + 1
+    assert kept2["b"] == 1  # capped at the group size
+
+
+def test_curriculum_order_stage_contiguity(spark):
+    """The global order walks stages in sequence: every stage-s rank
+    precedes every stage-(s+1) rank, stage sizes follow the exact
+    ntile rule, and within a stage the order is the salted hash (not
+    the difficulty)."""
+    from radmapper_spark.functions import portable_hash as PH
+    from radmapper_spark.operators import sampling
+    rows = [(i, (i * 31) % 997) for i in range(503)]
+    df = spark.createDataFrame(rows, "doc_id long, diff long")
+    out = sampling.curriculum_order(
+        df, [F.col("diff").asc(), F.col("doc_id").asc()], 4, "doc_id",
+        shard_size=50)
+    got = out.select("doc_id", "stage", "curriculum_rank", "shard",
+                     "shard_pos").collect()
+    _release(out)
+    assert len(got) == 503
+    by_stage = {}
+    for r in got:
+        by_stage.setdefault(r["stage"], []).append(r)
+    # ntile(4) over 503 rows: 126, 126, 126, 125
+    assert {s: len(v) for s, v in by_stage.items()} == {
+        1: 126, 2: 126, 3: 126, 4: 125}
+    for s in (1, 2, 3):
+        assert (max(r["curriculum_rank"] for r in by_stage[s])
+                < min(r["curriculum_rank"] for r in by_stage[s + 1]))
+    # within-stage order is the salted portable hash, ties on id
+    h = {r["doc_id"]: r for r in got}
+    hdf = df.select(
+        "doc_id",
+        PH.ph60(F.concat(F.lit("curriculum:"),
+                         F.col("doc_id").cast("string"))).alias("h"))
+    hv = {r["doc_id"]: r["h"] for r in hdf.collect()}
+    s1 = sorted(by_stage[1], key=lambda r: r["curriculum_rank"])
+    assert [r["doc_id"] for r in s1] == [
+        d for d, _ in sorted(((r["doc_id"], hv[r["doc_id"]]) for r in s1),
+                             key=lambda t: (t[1], t[0]))]
+    # shard layout rides the rank
+    for r in got:
+        assert r["shard"] == (r["curriculum_rank"] - 1) // 50
+        assert r["shard_pos"] == (r["curriculum_rank"] - 1) % 50
+
+
+def test_keep_best_max_score_with_ties(spark):
+    """keep_best keeps the highest-scored member per component (ties ->
+    lowest id) and counts only SCORED members."""
+    from radmapper_spark.operators import dedup
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, component long")
+    scored = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (6, -2)],
+        "doc_id long, score_micro long")  # doc 5 unscored
+    got = {r["component"]: (r["doc_id"], r["score_micro"], r["n_members"])
+           for r in dedup.keep_best(groups, scored).collect()}
+    assert got == {1: (2, 30, 3),   # tie 2 vs 3 -> lowest id
+                   4: (4, 7, 1),    # doc 5 unscored: not counted
+                   6: (6, -2, 1)}

@@ -1318,3 +1318,113 @@ def test_training_shard_write_1m_rows(spark, tmp_path_factory):
     print(f"  training-shard write 1.2M rows: write {dt_w:.1f}s, "
           f"verify {dt_v:.1f}s, {(n - 1) // shard + 1} shard dirs")
     assert dt_w < 180
+
+
+def test_global_cumsum_2m_rows(spark):
+    """r13: exact global running total at 2M rows — the budget cut's
+    engine. The full prefix-sum is verified STRUCTURALLY (the windowed
+    reference is unrunnable at this scale by design): the final
+    cumulative value equals the exact total, ranks are the exact
+    1..n permutation, per-rank deltas are the row weights (spot-checked
+    via a self-join on adjacent ranks over a 1k-rank stripe), and the
+    plan never funnels the data through a single-partition window."""
+    import time
+
+    from radmapper_spark.operators.ranking import global_cumsum
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id"), 1000) + 1).alias("w"))
+    total = df.agg(F.sum("w")).collect()[0][0]
+    t0 = time.monotonic()
+    out = global_cumsum(df, [F.col("id").asc()], "w",
+                        cum_col="cum", rank_col="rk")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines and all("_rm_pid" in ln for ln in win_lines)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("rk").alias("ranks"),
+        F.max("cum").alias("hi"),
+        F.min(F.col("cum") - F.col("w")).alias("lo")).collect()[0]
+    assert (agg.rows, agg.ranks, agg.hi, agg.lo) == (n, n, total, 0)
+    # adjacency: cum[rk] - cum[rk-1] == w[rk] on a mid-stream stripe
+    stripe = out.filter((F.col("rk") >= 1_000_000)
+                        & (F.col("rk") < 1_001_000))
+    a, b = stripe.alias("a"), stripe.alias("b")
+    bad = (a.join(b, F.col("a.rk") == F.col("b.rk") + 1)
+           .filter(F.col("a.cum") - F.col("b.cum") != F.col("a.w"))
+           .count())
+    dt = time.monotonic() - t0
+    out.rm_release_cache()
+    print(f"  global_cumsum 2M rows: {dt:.1f}s")
+    assert bad == 0
+    assert dt < 120
+
+
+def test_token_budget_select_1m_rows(spark):
+    """r13: the budget cut at 1M rows — kept set is a contiguous rank
+    prefix, its total spends the budget maximally (adding the next
+    row's weight overflows), and nothing above the cut is kept."""
+    import time
+
+    from radmapper_spark.operators import sampling
+
+    n = 1_000_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), 10 ** 6).alias("score"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 512) + 1).alias("w"))
+    budget = 60_000_000  # ~ a quarter of the expected total
+    t0 = time.monotonic()
+    out = sampling.token_budget_select(
+        df, budget, [F.col("score").desc(), F.col("id").asc()], "w")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.max("select_rank").alias("hi_rank"),
+        F.max("cum_tokens").alias("spent"),
+        F.sum("w").alias("wsum")).collect()[0]
+    dt = time.monotonic() - t0
+    out.rm_release_cache()
+    print(f"  token_budget_select 1M rows: kept={agg.kept} "
+          f"spent={agg.spent} {dt:.1f}s")
+    assert agg.kept >= 1
+    assert agg.hi_rank == agg.kept          # contiguous prefix
+    assert agg.spent == agg.wsum <= budget  # running total is the sum
+    # maximality: the kept prefix + the next row's minimum possible
+    # weight (1) must overflow only if a dropped row exists; with
+    # w <= 512 the spent budget is within one max-weight of the line
+    assert agg.spent > budget - 513
+    assert dt < 120
+
+
+def test_mixture_temperature_1m_rows(spark):
+    """r13: temperature allocation at 1M rows over a skewed group
+    column — the weight table stays bounded (one row per group), the
+    targets sum exactly to k, and the kept set is the per-group rank
+    prefix."""
+    import time
+
+    from radmapper_spark.operators import sampling
+
+    n, k = 1_000_000, 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"),
+                 F.floor(F.log2(F.col("id") + 2)).cast("int"))
+        .alias("g"))  # exponentially skewed group sizes
+    t0 = time.monotonic()
+    out = sampling.mixture_temperature(df, "g", "doc_id", k, alpha=0.5)
+    rows = (out.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("kept"),
+                 F.max("target_n").alias("target"),
+                 F.max("mix_rank").alias("hi"))
+            .collect())
+    dt = time.monotonic() - t0
+    print(f"  mixture_temperature 1M rows, {len(rows)} groups: {dt:.1f}s")
+    assert sum(r.target for r in rows) == k
+    for r in rows:
+        assert r.kept == min(r.target, r.hi)
+        assert r.hi <= r.target  # prefix: max kept rank <= target
+    assert dt < 120
