@@ -137,37 +137,40 @@ def global_cumsum(df: DataFrame, order_cols, weight_col: str,
         p = 200
     pid, off, wsum = (_free_name(df, "_rm_pid"), _free_name(df, "_rm_off"),
                       _free_name(df, "_rm_w"))
+    rank_off, cnt = _free_name(df, "_rm_roff"), _free_name(df, "_rm_n")
     parts = (df.repartitionByRange(p, *order_cols)
              .withColumn(pid, F.spark_partition_id())
              .persist())
-    sums = (parts.groupBy(pid)
-            .agg(F.sum(F.col(weight_col).cast("long")).alias(wsum)))
+    # ONE P-row aggregate carries both the weight sums and (when the
+    # rank rides along) the row counts, so both offset kinds come from
+    # a single pass and a single broadcast join
+    aggs = [F.sum(F.col(weight_col).cast("long")).alias(wsum)]
+    if rank_col is not None:
+        aggs.append(F.count(F.lit(1)).alias(cnt))
+    sums = parts.groupBy(pid).agg(*aggs)
     woff = (Window.partitionBy(F.spark_partition_id())
             .orderBy(pid)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     offs = (sums.coalesce(1)
             .withColumn(off, F.sum(wsum).over(woff) - F.col(wsum)))
+    off_cols = [pid, off]
+    if rank_col is not None:
+        offs = offs.withColumn(rank_off,
+                               F.sum(cnt).over(woff) - F.col(cnt))
+        off_cols.append(rank_off)
     w = (Window.partitionBy(pid).orderBy(*order_cols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = (parts.join(F.broadcast(offs.select(pid, off)), pid)
+    out = (parts.join(F.broadcast(offs.select(*off_cols)), pid)
            .withColumn(cum_col,
                        (F.sum(F.col(weight_col).cast("long")).over(w)
                         + F.col(off)).cast("long")))
     if rank_col is not None:
         # row_number over the SAME partitioning/ordering as the cumsum
-        # window (one physical sort serves both) + count-based offsets
-        # from a second P-row pass — exactly global_rank's bookkeeping
+        # window — one physical sort serves both window functions
         wr = Window.partitionBy(pid).orderBy(*order_cols)
-        rank_off = _free_name(df, "_rm_roff")
-        cnt = _free_name(df, "_rm_n")
-        counts = parts.groupBy(pid).agg(F.count(F.lit(1)).alias(cnt))
-        coffs = (counts.coalesce(1)
-                 .withColumn(rank_off,
-                             F.sum(cnt).over(woff) - F.col(cnt)))
-        out = (out.join(F.broadcast(coffs.select(pid, rank_off)), pid)
-               .withColumn(rank_col,
-                           (F.row_number().over(wr) + F.col(rank_off))
-                           .cast("long"))
+        out = (out.withColumn(rank_col,
+                              (F.row_number().over(wr) + F.col(rank_off))
+                              .cast("long"))
                .drop(rank_off))
     out = out.drop(pid, off)
     out.rm_release_cache = parts.unpersist

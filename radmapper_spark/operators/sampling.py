@@ -397,10 +397,20 @@ def _temp_weight(c, alpha: float):
     and may differ between libm builds), so sqrt / sqrt∘sqrt /
     identity are the temperature exponents both engines compute
     bit-identically — the same no-fractional-pow rule as the Pareto
-    CDF inversion in classifier.pareto_filter."""
+    CDF inversion in classifier.pareto_filter.
+
+    alpha == 1 skips the grid entirely: counts are ALREADY exact
+    BIGINTs, and a uniform scale factor cancels exactly in the
+    downstream integer quotients ((k*c*M) div (S*M) == (k*c) div S,
+    remainders scale uniformly so seat order is unchanged) — skipping
+    it only widens the overflow headroom (k * WGRID * c must fit
+    INT64 otherwise; the fuzz test caught the alpha=1 overflow at
+    c ~ 3e11, k = 34). For the root alphas the product k * WGRID *
+    sqrt(c) stays inside INT64 for any k <= 1e6 over corpora up to
+    1e12 rows per group."""
     d = c.cast("double")
     if alpha == 1.0:
-        root = d
+        return c.cast("long")
     elif alpha == 0.5:
         root = F.sqrt(d)
     elif alpha == 0.25:
@@ -414,7 +424,7 @@ def _temp_weight(c, alpha: float):
 
 def _duck_temp_weight(c_expr: str, alpha: float) -> str:
     if alpha == 1.0:
-        root = f"({c_expr})::DOUBLE"
+        return f"({c_expr})::BIGINT"
     elif alpha == 0.5:
         root = f"sqrt(({c_expr})::DOUBLE)"
     elif alpha == 0.25:

@@ -444,3 +444,65 @@ def test_keep_best_max_score_with_ties(spark):
     assert got == {1: (2, 30, 3),   # tie 2 vs 3 -> lowest id
                    4: (4, 7, 1),    # doc 5 unscored: not counted
                    6: (6, -2, 1)}
+
+
+def test_mixture_temperature_allocation_fuzz_vs_python():
+    """Property fuzz of the largest-remainder allocation arithmetic
+    against a pure-Python IEEE reference (the engine-exactness family
+    pattern, cf. the NB fuzz): for random group counts, k, and alpha,
+    DuckDB computes the identical weights, quotas, and seat
+    assignments — sqrt is correctly rounded and everything after it is
+    BIGINT arithmetic, so all three engines (Python/DuckDB/Spark, the
+    last pinned by the unit test + 3-SF oracle) must agree exactly."""
+    import math
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from radmapper_spark.operators.sampling import WGRID
+
+    roots = {0.5: math.sqrt, 0.25: lambda x: math.sqrt(math.sqrt(x))}
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.dictionaries(st.integers(0, 40),
+                           st.integers(1, 10 ** 12),
+                           min_size=1, max_size=10),
+           st.integers(1, 10 ** 6),
+           st.sampled_from([1.0, 0.5, 0.25]))
+    def check(counts, k, alpha):
+        # pure-Python reference: one IEEE root + multiply, then ints
+        # (alpha=1 skips the grid — counts are already exact BIGINTs,
+        # and a uniform factor cancels in the integer quotients)
+        w = (dict(counts) if alpha == 1.0 else
+             {g: math.floor(roots[alpha](float(c)) * float(WGRID))
+              for g, c in counts.items()})
+        tw = sum(w.values())
+        base = {g: (k * wg) // tw for g, wg in w.items()}
+        rem = {g: (k * wg) % tw for g, wg in w.items()}
+        leftover = k - sum(base.values())
+        seats = sorted(counts, key=lambda g: (-rem[g], g))[:leftover]
+        want = {g: base[g] + (1 if g in seats else 0) for g in counts}
+        assert sum(want.values()) == k
+
+        from radmapper_spark.operators.sampling import _duck_temp_weight
+        w_sql = _duck_temp_weight("c", alpha)
+        values = ", ".join(f"({g}, {c})" for g, c in counts.items())
+        got = dict(duckdb.sql(f"""
+            WITH mtw AS (SELECT g, {w_sql} AS w
+                         FROM (VALUES {values}) AS t(g, c)),
+            mtq AS (SELECT g,
+                           ({k}::BIGINT * w) // (SELECT sum(w) FROM mtw)
+                               AS base,
+                           ({k}::BIGINT * w) % (SELECT sum(w) FROM mtw)
+                               AS rem
+                    FROM mtw)
+            SELECT g, base + CASE WHEN row_number() OVER (
+                                      ORDER BY rem DESC, g ASC)
+                                  <= {k} - (SELECT sum(base) FROM mtq)
+                             THEN 1 ELSE 0 END
+            FROM mtq
+        """).fetchall())
+        assert got == want, (counts, k, alpha)
+
+    check()
