@@ -408,12 +408,12 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_groups(docs, pairs).select("doc_id", "component")
 
 
-# min-label fixpoint as a recursive CTE: the component minimum m
-# satisfies m < v for every other member v, so it propagates along any
-# path; rows are bounded by (node, smaller-reachable-label) pairs. The
-# body ends in ``comp`` (doc_id -> component) so dedup_keep_best_sql
-# can compose the same group derivation — one definition, no fork.
-_DUCK_GROUPS_CTES = """
+# the oracle-expressible token-jaccard near-dup PAIR derivation,
+# ending in ``pairs`` (u < v) — shared by dedup_groups / keep_best
+# (via _DUCK_GROUPS_CTES below) and split_leakage_check, so the pair
+# semantics exist once in SQL just as they do in Spark (every consumer
+# calls the dedup_token_jaccard entry).
+_DUCK_PAIRS_CTES = """
     g AS (
         SELECT doc_id, source,
                list_distinct(string_split_regex(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS grams
@@ -425,7 +425,14 @@ _DUCK_GROUPS_CTES = """
         JOIN documents db ON db.doc_id = b.doc_id
         WHERE abs(da.n_chars - db.n_chars) <= 40
           AND len(list_intersect(a.grams, b.grams))::DOUBLE
-              / len(list_distinct(a.grams || b.grams)) >= 0.5),
+              / len(list_distinct(a.grams || b.grams)) >= 0.5)"""
+
+# min-label fixpoint as a recursive CTE: the component minimum m
+# satisfies m < v for every other member v, so it propagates along any
+# path; rows are bounded by (node, smaller-reachable-label) pairs. The
+# body ends in ``comp`` (doc_id -> component) so dedup_keep_best_sql
+# can compose the same group derivation — one definition, no fork.
+_DUCK_GROUPS_CTES = _DUCK_PAIRS_CTES + """,
     edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
     cc (node, comp) AS (
         SELECT doc_id, doc_id FROM documents
@@ -3232,6 +3239,37 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "component", "score_micro", "n_members")
 
 
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-contamination QA (operators.sampling.split_leakage): the
+    near-dup pairs (token-jaccard derivation, shared with dedup_groups)
+    whose endpoints hash into DIFFERENT train/val/test splits — the
+    leak an eval set must not have (a test doc with a train near-twin
+    is measured memorized, not generalized). Because hash_split is a
+    pure function of the id, both endpoints' splits are stamped INLINE
+    (no join against an assignment table): the check is MAP-ONLY over
+    the pair frame and adds zero shuffles to the dedup pipeline it
+    rides."""
+    from .operators import sampling
+    pairs = dedup_token_jaccard(spark, sf_dir)
+    out = sampling.split_leakage(pairs.select("id_a", "id_b"))
+    return out.select("id_a", "id_b", "split_a", "split_b")
+
+
+def split_leakage_check_sql() -> str:
+    from .operators import sampling
+    case_a = sampling.duck_split_case(
+        sampling.duck_bucket_sql("u", "split", 1000))
+    case_b = sampling.duck_split_case(
+        sampling.duck_bucket_sql("v", "split", 1000))
+    return f"""
+    WITH {_DUCK_PAIRS_CTES}
+    SELECT u AS id_a, v AS id_b, split_a, split_b
+    FROM (SELECT u, v, {case_a} AS split_a, {case_b} AS split_b
+          FROM pairs)
+    WHERE split_a <> split_b
+    """
+
+
 def dedup_keep_best_sql() -> str:
     from .operators import classifier
     return f"""
@@ -4858,13 +4896,17 @@ ENTRIES: dict = {
                             mixture_temperature_sql),
     "curriculum_order": (curriculum_order, curriculum_order_sql),
     "dedup_keep_best": (dedup_keep_best, dedup_keep_best_sql),
+    # NEW r13: split-contamination QA — near-dup pairs straddling
+    # train/val/test (map-only over the shared pair derivation)
+    "split_leakage_check": (split_leakage_check,
+                            split_leakage_check_sql),
 }
 
 # =============================== window rotation (tested invariant, r13+)
 #
 # The driver's correctness gate checks the FIRST 50 registered entries.
-# With a 123-entry registry, rotating 50 per round bounds worst-case
-# staleness at ceil(123/50) = 3 rounds — structurally, >= 23 entries are
+# With a 124-entry registry, rotating 50 per round bounds worst-case
+# staleness at ceil(124/50) = 3 rounds — structurally, >= 24 entries are
 # always 2 rounds stale and some reach 3. _ROTATION_TIERS turns that
 # arithmetic into POLICY (r12 verdict item #2): "active" entries must
 # land an external driver row at most every 2 rounds; "frozen" entries
@@ -4905,27 +4947,31 @@ _FROZEN_ENTRIES = frozenset({
     # window slots for the second r13 entry batch
     "text_tfidf", "text_bm25", "text_inverted_index",
     "text_bigram_pmi",
+    # sliding-window chunking on chunking.py, unchanged since r6b
+    # (033f277) — frozen r13, same local-sweep re-proof
+    "doc_chunks",
 })
 
 # r13 window, priority order (the test recomputes all of this):
 # 1. The 16 entries whose last external row is r10 (staleness 3 — AT
 #    the frozen bound, top priority; the named r12 trade).
-# 2. The seven NEW r13 entries (corpus_shuffle_epoch,
+# 2. The eight NEW r13 entries (corpus_shuffle_epoch,
 #    materialize_training_shards, pipeline_training_shards,
 #    token_budget_select, mixture_temperature, curriculum_order,
-#    dedup_keep_best) — registered before the freeze, so they land
-#    first rows this round (zero latecomer debt, the r12 pattern).
-# 3. 27 of the 31 ACTIVE-tier entries whose last row is r11
-#    (staleness 2 — at the active bound). The other four (text_tfidf,
-#    text_bm25, text_inverted_index, text_bigram_pmi) moved to the
-#    frozen tier (textstats.py unchanged since r8; swept at three SFs
-#    locally every round) and slip to r14 at staleness 3 <= frozen
-#    bound. The 19 previously-frozen r11 entries (incl.
-#    pricing_summary) likewise slip within bound — r14's top tier is
-#    those 23 frozen r11 slips at the bound, alongside the 50 r12-row
-#    actives reaching staleness 2 (up to 73 urgency-0 candidates for
-#    r14's 50 slots; the invariant test forces the cut to stay a
-#    priority prefix).
+#    dedup_keep_best, split_leakage_check) — registered before the
+#    freeze, so they land first rows this round (zero latecomer debt,
+#    the r12 pattern).
+# 3. 26 of the 31 ACTIVE-tier entries whose last row is r11
+#    (staleness 2 — at the active bound). The other five (text_tfidf,
+#    text_bm25, text_inverted_index, text_bigram_pmi, doc_chunks)
+#    moved to the frozen tier (textstats.py unchanged since r8,
+#    chunking.py since r6b; swept at three SFs locally every round)
+#    and slip to r14 at staleness 3 <= frozen bound. The 19
+#    previously-frozen r11 entries (incl. pricing_summary) likewise
+#    slip within bound — r14's top tier is those 24 frozen r11 slips
+#    at the bound, alongside the 50 r12-row actives reaching
+#    staleness 2 (up to 74 urgency-0 candidates for r14's 50 slots;
+#    the invariant test forces the cut to stay a priority prefix).
 _R13_WINDOW = [
     # --- tier 1: the 16 r10 slips
     "rm_datalog_join", "rm_datetime_ops", "rm_eav_wildcard",
@@ -4938,14 +4984,16 @@ _R13_WINDOW = [
     "corpus_shuffle_epoch", "materialize_training_shards",
     "pipeline_training_shards", "token_budget_select",
     "mixture_temperature", "curriculum_order", "dedup_keep_best",
-    # --- tier 3: the 27 ACTIVE r11 entries (the four text_* entries
-    # that previously filled these slots moved to the frozen tier —
-    # textstats.py unchanged since r8, swept locally every round — and
-    # slip to r14 at staleness 3 <= frozen bound, making room for the
-    # second new-entry batch with zero latecomer debt)
+    "split_leakage_check",
+    # --- tier 3: the 26 ACTIVE r11 entries (the four text_* entries
+    # and doc_chunks that previously filled these slots moved to the
+    # frozen tier — textstats.py unchanged since r8, chunking.py since
+    # r6b, both swept locally every round — and slip to r14 at
+    # staleness 3 <= frozen bound, making room for the second
+    # new-entry batch with zero latecomer debt)
     "ann_opq_topk", "ann_pq_topk", "ann_range_search",
     "blocklist_scrub", "bpe_chunks", "bpe_token_count", "cdc_merge",
-    "decontam_ngram", "doc_chunks", "doc_chunks_cdc", "dsir_select",
+    "decontam_ngram", "doc_chunks_cdc", "dsir_select",
     "embedding_gram", "embedding_kmeans", "embedding_kmeans_lloyd",
     "embedding_pca", "embedding_probe", "embedding_quantize",
     "image_dedup_groups", "image_phash_neardup", "lang_id_eval",

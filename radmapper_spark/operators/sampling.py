@@ -613,3 +613,50 @@ def duck_curriculum_sql(rel: str, difficulty_sql: str, stages: int,
                         AS {stage_col}
           FROM {rel})
     """
+
+
+def split_expr(id_col: str, splits: dict | None = None,
+               salt: str = "split", buckets: int = 1000):
+    """The hash_split ASSIGNMENT as a pure Column function of the id —
+    no materialized bucket column, so it can stamp split names onto
+    frames that only carry ids (e.g. a near-dup PAIR frame, where both
+    endpoints need a split each). Must stay value-identical to
+    hash_split's `split` column (locked by a test); the SQL twin is
+    duck_split_case(duck_bucket_sql(...))."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = _bucket(id_col, salt, buckets)
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = bucket < F.lit(int(round(acc * buckets)))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    return (F.lit(names[-1]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+
+
+def split_leakage(pairs: DataFrame, id_a: str = "id_a",
+                  id_b: str = "id_b", splits: dict | None = None,
+                  salt: str = "split", buckets: int = 1000) -> DataFrame:
+    """Split-contamination check: near-duplicate pairs whose endpoints
+    landed in DIFFERENT dataset splits — the leak an eval set must not
+    have (a test document with a train near-twin is measured memorized,
+    not generalized; cf. the decontamination literature, here applied
+    WITHIN the corpus between its own splits).
+
+    Because hash_split is a pure function of the id, no join against
+    the split assignment is needed: both endpoints' splits are computed
+    INLINE (split_expr), making the check MAP-ONLY over the pair frame
+    — the expensive part (candidate generation) is whatever bucketed
+    near-dup operator produced ``pairs``, already paid. At 100 TB this
+    adds zero shuffles to the dedup pipeline it rides.
+
+    Output: pairs' columns + (split_a, split_b), filtered to
+    straddling pairs."""
+    return (pairs.withColumn("split_a",
+                             split_expr(id_a, splits, salt, buckets))
+            .withColumn("split_b",
+                        split_expr(id_b, splits, salt, buckets))
+            .filter(F.col("split_a") != F.col("split_b")))

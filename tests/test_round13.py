@@ -506,3 +506,44 @@ def test_mixture_temperature_allocation_fuzz_vs_python():
         assert got == want, (counts, k, alpha)
 
     check()
+
+
+def test_split_expr_matches_hash_split(spark):
+    """split_expr must stamp the identical split hash_split assigns —
+    the lock that keeps the inline (join-free) form and the canonical
+    assignment from forking (split_leakage depends on it)."""
+    from radmapper_spark.operators import sampling
+    df = spark.range(2000).selectExpr("id AS doc_id")
+    via_split = {r["doc_id"]: r["split"]
+                 for r in sampling.hash_split(df, "doc_id").collect()}
+    via_expr = {r["doc_id"]: r["s"]
+                for r in df.select(
+                    "doc_id",
+                    sampling.split_expr("doc_id").alias("s")).collect()}
+    assert via_split == via_expr
+    counts = {}
+    for s in via_split.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]  # 0.8/0.1/0.1 sanity
+
+
+def test_split_leakage_semantics(spark):
+    """Only pairs whose endpoints land in different splits survive,
+    splits are stamped correctly per endpoint, and the op is map-only
+    (no Exchange in the plan — zero added shuffles)."""
+    from radmapper_spark.operators import sampling
+    ids = spark.range(300).selectExpr("id AS doc_id")
+    split_of = {r["doc_id"]: r["split"]
+                for r in sampling.hash_split(ids, "doc_id").collect()}
+    pairs = spark.createDataFrame(
+        [(a, a + 150) for a in range(150)], "id_a long, id_b long")
+    out = sampling.split_leakage(pairs)
+    assert "Exchange" not in \
+        out._jdf.queryExecution().executedPlan().toString()
+    got = {(r["id_a"], r["id_b"]): (r["split_a"], r["split_b"])
+           for r in out.collect()}
+    want = {(a, a + 150): (split_of[a], split_of[a + 150])
+            for a in range(150)
+            if split_of[a] != split_of[a + 150]}
+    assert got == want and 0 < len(want) < 150
