@@ -3270,6 +3270,73 @@ def split_leakage_check_sql() -> str:
     """
 
 
+def clean_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated eval set (operators.sampling.clean_holdout):
+    test-split documents with NO near-duplicate in the train split —
+    what split_leakage_check detects, this DELIVERS. Splits are
+    stamped inline (pure function of the id); offenders are removed
+    with one left-anti id join over the shared token-jaccard pair
+    derivation."""
+    from .operators import sampling
+    t = load_tables(spark, sf_dir)
+    pairs = dedup_token_jaccard(spark, sf_dir).select("id_a", "id_b")
+    out = sampling.clean_holdout(t["documents"], pairs)
+    return out.select("doc_id", "source", "lang")
+
+
+def clean_holdout_sql() -> str:
+    from .operators import sampling
+    case_d = sampling.duck_split_case(
+        sampling.duck_bucket_sql("d.doc_id", "split", 1000))
+    case_u = sampling.duck_split_case(
+        sampling.duck_bucket_sql("p.u", "split", 1000))
+    case_v = sampling.duck_split_case(
+        sampling.duck_bucket_sql("p.v", "split", 1000))
+    return f"""
+    WITH {_DUCK_PAIRS_CTES}
+    SELECT d.doc_id AS doc_id, d.source AS source, d.lang AS lang
+    FROM documents d
+    WHERE {case_d} = 'test'
+      AND NOT EXISTS (SELECT 1 FROM pairs p
+                      WHERE (p.u = d.doc_id AND {case_v} = 'train')
+                         OR (p.v = d.doc_id AND {case_u} = 'train'))
+    """
+
+
+_CAL_K = 10
+
+
+def nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration diagnostic (operators.classifier
+    .score_calibration): exact NB-score deciles (distributed ntile,
+    ties on doc_id) vs the true class rate per decile — the eval loop
+    a production quality gate runs to pick its admission quantile.
+    One id-grain join + a bounded 10-row aggregate."""
+    from .operators import classifier
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = _nb_scored(spark, sf_dir)
+    labels = docs.select(
+        "doc_id",
+        F.expr(f"CASE WHEN {_NB_POS} THEN 1 ELSE 0 END").alias("is_pos"))
+    out = classifier.score_calibration(scored, labels, k=_CAL_K)
+    return _carry_release(out, out.select("tile", "n_docs", "n_pos"))
+
+
+def nb_calibration_sql() -> str:
+    from .operators import classifier
+    return f"""
+    WITH {classifier._duck_nb_ctes(_NB_POS, _NB_NEG)},
+    caltiles AS (SELECT doc_id,
+                        ntile({_CAL_K}) OVER (ORDER BY score_micro DESC,
+                                              doc_id ASC) AS tile
+                 FROM nbscored)
+    SELECT tile::BIGINT AS tile, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN {_NB_POS} THEN 1 ELSE 0 END)::BIGINT AS n_pos
+    FROM caltiles JOIN documents USING (doc_id)
+    GROUP BY 1
+    """
+
+
 def dedup_keep_best_sql() -> str:
     from .operators import classifier
     return f"""
@@ -4900,13 +4967,17 @@ ENTRIES: dict = {
     # train/val/test (map-only over the shared pair derivation)
     "split_leakage_check": (split_leakage_check,
                             split_leakage_check_sql),
+    # NEW r13: the decontaminated eval set (what the leakage check
+    # detects, this delivers) and the classifier calibration loop
+    "clean_holdout": (clean_holdout, clean_holdout_sql),
+    "nb_calibration": (nb_calibration, nb_calibration_sql),
 }
 
 # =============================== window rotation (tested invariant, r13+)
 #
 # The driver's correctness gate checks the FIRST 50 registered entries.
-# With a 124-entry registry, rotating 50 per round bounds worst-case
-# staleness at ceil(124/50) = 3 rounds — structurally, >= 24 entries are
+# With a 126-entry registry, rotating 50 per round bounds worst-case
+# staleness at ceil(126/50) = 3 rounds — structurally, >= 26 entries are
 # always 2 rounds stale and some reach 3. _ROTATION_TIERS turns that
 # arithmetic into POLICY (r12 verdict item #2): "active" entries must
 # land an external driver row at most every 2 rounds; "frozen" entries
@@ -4950,28 +5021,32 @@ _FROZEN_ENTRIES = frozenset({
     # sliding-window chunking on chunking.py, unchanged since r6b
     # (033f277) — frozen r13, same local-sweep re-proof
     "doc_chunks",
+    # remaining textstats.py entries (same unchanged-since-r8 file as
+    # the four above) — frozen r13 for the third new-entry pair
+    "text_pii_scrub", "text_repetition",
 })
 
 # r13 window, priority order (the test recomputes all of this):
 # 1. The 16 entries whose last external row is r10 (staleness 3 — AT
 #    the frozen bound, top priority; the named r12 trade).
-# 2. The eight NEW r13 entries (corpus_shuffle_epoch,
+# 2. The ten NEW r13 entries (corpus_shuffle_epoch,
 #    materialize_training_shards, pipeline_training_shards,
 #    token_budget_select, mixture_temperature, curriculum_order,
-#    dedup_keep_best, split_leakage_check) — registered before the
-#    freeze, so they land first rows this round (zero latecomer debt,
-#    the r12 pattern).
-# 3. 26 of the 31 ACTIVE-tier entries whose last row is r11
-#    (staleness 2 — at the active bound). The other five (text_tfidf,
-#    text_bm25, text_inverted_index, text_bigram_pmi, doc_chunks)
-#    moved to the frozen tier (textstats.py unchanged since r8,
-#    chunking.py since r6b; swept at three SFs locally every round)
-#    and slip to r14 at staleness 3 <= frozen bound. The 19
-#    previously-frozen r11 entries (incl. pricing_summary) likewise
-#    slip within bound — r14's top tier is those 24 frozen r11 slips
-#    at the bound, alongside the 50 r12-row actives reaching
-#    staleness 2 (up to 74 urgency-0 candidates for r14's 50 slots;
-#    the invariant test forces the cut to stay a priority prefix).
+#    dedup_keep_best, split_leakage_check, clean_holdout,
+#    nb_calibration) — registered before the freeze, so they land
+#    first rows this round (zero latecomer debt, the r12 pattern).
+# 3. 24 of the 31 ACTIVE-tier entries whose last row is r11
+#    (staleness 2 — at the active bound). The other seven
+#    (text_tfidf, text_bm25, text_inverted_index, text_bigram_pmi,
+#    text_pii_scrub, text_repetition, doc_chunks) moved to the frozen
+#    tier (textstats.py unchanged since r8, chunking.py since r6b;
+#    swept at three SFs locally every round) and slip to r14 at
+#    staleness 3 <= frozen bound. The 19 previously-frozen r11
+#    entries (incl. pricing_summary) likewise slip within bound —
+#    r14's top tier is those 26 frozen r11 slips at the bound,
+#    alongside the 50 r12-row actives reaching staleness 2 (up to 76
+#    urgency-0 candidates for r14's 50 slots; the invariant test
+#    forces the cut to stay a priority prefix).
 _R13_WINDOW = [
     # --- tier 1: the 16 r10 slips
     "rm_datalog_join", "rm_datetime_ops", "rm_eav_wildcard",
@@ -4984,13 +5059,13 @@ _R13_WINDOW = [
     "corpus_shuffle_epoch", "materialize_training_shards",
     "pipeline_training_shards", "token_budget_select",
     "mixture_temperature", "curriculum_order", "dedup_keep_best",
-    "split_leakage_check",
-    # --- tier 3: the 26 ACTIVE r11 entries (the four text_* entries
+    "split_leakage_check", "clean_holdout", "nb_calibration",
+    # --- tier 3: the 24 ACTIVE r11 entries (the six text_* entries
     # and doc_chunks that previously filled these slots moved to the
     # frozen tier — textstats.py unchanged since r8, chunking.py since
     # r6b, both swept locally every round — and slip to r14 at
-    # staleness 3 <= frozen bound, making room for the second
-    # new-entry batch with zero latecomer debt)
+    # staleness 3 <= frozen bound, making room for the second and
+    # third new-entry batches with zero latecomer debt)
     "ann_opq_topk", "ann_pq_topk", "ann_range_search",
     "blocklist_scrub", "bpe_chunks", "bpe_token_count", "cdc_merge",
     "decontam_ngram", "doc_chunks_cdc", "dsir_select",
@@ -4998,8 +5073,7 @@ _R13_WINDOW = [
     "embedding_pca", "embedding_probe", "embedding_quantize",
     "image_dedup_groups", "image_phash_neardup", "lang_id_eval",
     "moore_lewis_select", "stream_media_dedup", "substring_dup_spans",
-    "substring_removal_spans", "substring_scrub", "text_pii_scrub",
-    "text_repetition",
+    "substring_removal_spans", "substring_scrub",
 ]
 _CURRENT_WINDOW = _R13_WINDOW  # alias the invariant test reads
 assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(ENTRIES)

