@@ -456,12 +456,15 @@ def mixture_temperature(df: DataFrame, group_col: str, id_col: str,
     rows — repeat-epoch upsampling is corpus_shuffle's epoch= job).
 
     Scale shape: the weight/target table is ONE map-side-combined
-    groupBy whose result is bounded by the number of groups (then a
-    bounded coalesce(1) window for the remainder seats — the
-    bounded_global_rank pattern), broadcast back; the kept set is one
-    per-group rank window (same shuffle as cap_per_group) + a map
-    filter. The corpus is shuffled once on the group key, never
-    all-pairs, never through a driver loop.
+    groupBy whose result is bounded by the number of groups; ALL the
+    allocation arithmetic (total weight, base quotas, remainder seats)
+    then runs as window sums over that single coalesced bounded
+    partition — the bounded_global_rank pattern, one pass, no
+    cross-joined scalar aggregates re-instantiating the corpus
+    aggregation. The kept set is one per-group rank window (same
+    shuffle as cap_per_group) + a map filter against the broadcast
+    target table. The corpus is aggregated once and shuffled once on
+    the group key, never all-pairs, never through a driver loop.
 
     Output: (id_col, group_col, mix_rank, target_n) for kept rows.
     """
@@ -470,23 +473,20 @@ def mixture_temperature(df: DataFrame, group_col: str, id_col: str,
                          f"got {k}")
     c, w, tw = "_rm_mt_c", "_rm_mt_w", "_rm_mt_tw"
     base, rem, sb = "_rm_mt_base", "_rm_mt_rem", "_rm_mt_sb"
-    weights = (df.groupBy(group_col)
+    # the whole bounded (<= n_groups rows) allocation on ONE task:
+    # coalesce(1) + pid-keyed windows (the bounded_global_rank shape)
+    wall = Window.partitionBy(F.spark_partition_id())
+    wseat = wall.orderBy(F.col(rem).desc(), F.col(group_col).asc())
+    targets = (df.groupBy(group_col)
                .agg(F.count(F.lit(1)).alias(c))
-               .withColumn(w, _temp_weight(F.col(c), alpha)))
-    tot = weights.agg(F.sum(w).alias(tw))
-    quot = (weights.crossJoin(F.broadcast(tot))
-            .withColumn(base, F.expr(f"CAST({int(k)} AS BIGINT) * {w} "
-                                     f"DIV {tw}"))
-            .withColumn(rem, F.expr(f"(CAST({int(k)} AS BIGINT) * {w}) "
-                                    f"% {tw}")))
-    spent = quot.agg(F.sum(base).alias(sb))
-    # leftover seats: a window over the BOUNDED per-group frame — the
-    # bounded_global_rank shape (coalesce(1) + pid partition key),
-    # intentional single task over <= n_groups rows
-    wseat = (Window.partitionBy(F.spark_partition_id())
-             .orderBy(F.col(rem).desc(), F.col(group_col).asc()))
-    targets = (quot.crossJoin(F.broadcast(spent))
+               .withColumn(w, _temp_weight(F.col(c), alpha))
                .coalesce(1)
+               .withColumn(tw, F.sum(w).over(wall))
+               .withColumn(base, F.expr(f"CAST({int(k)} AS BIGINT) "
+                                        f"* {w} DIV {tw}"))
+               .withColumn(rem, F.expr(f"(CAST({int(k)} AS BIGINT) "
+                                       f"* {w}) % {tw}"))
+               .withColumn(sb, F.sum(base).over(wall))
                .withColumn("target_n",
                            (F.col(base)
                             + F.when(F.row_number().over(wseat)
@@ -676,19 +676,23 @@ def clean_holdout(docs: DataFrame, pairs: DataFrame,
     with a LEFT ANTI join.
 
     Scale shape: the candidate pair frame is the dedup pipeline's
-    output (already paid); extracting offender ids is map-only over
-    pairs + a distinct bounded by the leak count; the anti join is one
-    id-grain hash join (AQE broadcasts it when the leak set is small —
-    the common case). The holdout filter itself pushes into the scan.
+    output (already paid) and is scanned ONCE — both offending
+    endpoints come out of a single explode projection (a per-direction
+    filter branch would instantiate the candidate join twice in the
+    plan); the distinct is bounded by the leak count; the anti join is
+    one id-grain hash join (AQE broadcasts it when the leak set is
+    small — the common case). The holdout filter itself pushes into
+    the scan.
 
     Output: docs' columns, filtered to the clean holdout rows."""
     sa = split_expr("id_a", splits, salt, buckets)
     sb = split_expr("id_b", splits, salt, buckets)
-    bad_a = (pairs.filter((sa == holdout) & (sb == against))
-             .select(F.col("id_a").alias(id_col)))
-    bad_b = (pairs.filter((sb == holdout) & (sa == against))
-             .select(F.col("id_b").alias(id_col)))
-    bad = bad_a.unionByName(bad_b).distinct()
+    bad = (pairs.select(F.explode(F.array(
+        F.when((sa == holdout) & (sb == against), F.col("id_a")),
+        F.when((sb == holdout) & (sa == against), F.col("id_b"))))
+        .alias(id_col))
+        .filter(F.col(id_col).isNotNull())
+        .distinct())
     return (docs.filter(split_expr(id_col, splits, salt, buckets)
                         == holdout)
             .join(bad, id_col, "left_anti"))
