@@ -1428,3 +1428,116 @@ def test_mixture_temperature_1m_rows(spark):
         assert r.kept == min(r.target, r.hi)
         assert r.hi <= r.target  # prefix: max kept rank <= target
     assert dt < 120
+
+
+def test_curriculum_order_1m_rows(spark):
+    """r13: the two-sort curriculum at 1M rows — exact ntile stage
+    sizes, stage-contiguous global ranks (stage boundaries = exact
+    cumulative stage sizes), exact 1..n rank permutation, pid-keyed
+    windows only."""
+    import time
+
+    from radmapper_spark.operators import sampling
+
+    n, stages = 1_000_000, 5
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), 10 ** 7).alias("diff"))
+    t0 = time.monotonic()
+    out = sampling.curriculum_order(
+        df, [F.col("diff").asc(), F.col("doc_id").asc()], stages,
+        "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines and all("_rm_pid" in ln for ln in win_lines)
+    stats = (out.groupBy("stage")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.min("curriculum_rank").alias("lo"),
+                  F.max("curriculum_rank").alias("hi"))
+             .orderBy("stage").collect())
+    ranks = out.agg(F.countDistinct("curriculum_rank").alias("d"),
+                    F.min("curriculum_rank").alias("lo"),
+                    F.max("curriculum_rank").alias("hi")).collect()[0]
+    dt = time.monotonic() - t0
+    out.rm_release_cache()
+    print(f"  curriculum_order 1M x {stages}: {dt:.1f}s")
+    base, rem = divmod(n, stages)
+    assert [r.n for r in stats] == [base + 1] * rem + [base] * (stages - rem)
+    acc = 0
+    for r in stats:
+        assert r.lo == acc + 1 and r.hi == acc + r.n  # contiguous
+        acc += r.n
+    assert (ranks.d, ranks.lo, ranks.hi) == (n, 1, n)
+    assert dt < 150
+
+
+def test_keep_best_1m_members(spark):
+    """r13: keep_best over 1M scored members in ~100k components
+    (~10 members each) — one winner per component, winner has the
+    component's max score, n_members sums back to the member count."""
+    import time
+
+    from radmapper_spark.operators import dedup
+
+    n = 1_000_000
+    members = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), 100_000).alias("component"))
+    scored = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id", F.lit(7)), 10 ** 9).alias("score_micro"))
+    t0 = time.monotonic()
+    out = dedup.keep_best(members, scored)
+    agg = out.agg(F.count(F.lit(1)).alias("winners"),
+                  F.countDistinct("component").alias("comps"),
+                  F.sum("n_members").alias("members")).collect()[0]
+    # winner score == the component max (verified on a 1k-component slice)
+    slice_out = out.filter(F.col("component") < 1000)
+    true_max = (members.join(scored, "doc_id")
+                .filter(F.col("component") < 1000)
+                .groupBy("component").agg(F.max("score_micro").alias("m")))
+    bad = (slice_out.join(true_max, "component")
+           .filter(F.col("score_micro") != F.col("m")).count())
+    dt = time.monotonic() - t0
+    print(f"  keep_best 1M members / {agg.comps} components: {dt:.1f}s")
+    assert agg.winners == agg.comps and agg.members == n
+    assert bad == 0
+    assert dt < 150
+
+
+def test_clean_holdout_1m_docs(spark):
+    """r13: the decontaminated holdout at 1M docs / 200k pairs — the
+    pair frame is scanned once (single explode branch in the plan),
+    and the output equals holdout-split docs minus offender endpoints
+    (checked by set algebra on the aggregate counts)."""
+    import time
+
+    from radmapper_spark.operators import sampling
+
+    n = 1_000_000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = (spark.range(200_000)
+             .select(F.pmod(F.xxhash64("id"), n).alias("id_a"),
+                     F.pmod(F.xxhash64("id", F.lit(3)), n).alias("id_b"))
+             .filter(F.col("id_a") != F.col("id_b")))
+    t0 = time.monotonic()
+    out = sampling.clean_holdout(docs, pairs)
+    n_clean = out.count()
+    n_test = docs.filter(
+        sampling.split_expr("doc_id") == "test").count()
+    sa = sampling.split_expr("id_a")
+    sb = sampling.split_expr("id_b")
+    offenders = (pairs.select(
+        F.when((sa == "test") & (sb == "train"), F.col("id_a"))
+        .otherwise(F.when((sb == "test") & (sa == "train"),
+                          F.col("id_b"))).alias("x"))
+        .filter(F.col("x").isNotNull()).distinct().count())
+    # offenders computed via when/otherwise keeps one id per row; rows
+    # can offend in only one direction (a pair is test/train or
+    # train/test, never both), so the count is exact
+    dt = time.monotonic() - t0
+    print(f"  clean_holdout 1M docs: test={n_test} "
+          f"offenders={offenders} clean={n_clean} {dt:.1f}s")
+    assert n_clean == n_test - offenders
+    assert 0 < offenders < n_test
+    assert dt < 150
