@@ -599,3 +599,41 @@ def test_score_calibration_counts(spark):
         want[tile] = (size, sum(p for _, _, p in chunk))
         idx += size
     assert got == want
+
+
+def test_token_budget_matches_model_hypothesis(spark):
+    """Hypothesis differential: random (score, weight) multisets and
+    budgets through token_budget_select must equal the Python prefix
+    model under adversarial partitioning (the offsets bookkeeping must
+    not depend on how rows land in partitions)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from radmapper_spark.operators import sampling
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(st.tuples(st.integers(-50, 50),
+                                   st.integers(1, 30)),
+                         min_size=1, max_size=120),
+           budget=st.integers(0, 600),
+           parts=st.sampled_from([1, 3, 17]))
+    def check(rows, budget, parts):
+        data = [(i, s, w) for i, (s, w) in enumerate(rows)]
+        df = (spark.createDataFrame(data, "id long, s long, w long")
+              .repartition(parts))
+        out = sampling.token_budget_select(
+            df, budget, [F.col("s").desc(), F.col("id").asc()], "w")
+        got = sorted((r["id"], r["select_rank"], r["cum_tokens"])
+                     for r in out.collect())
+        _release(out)
+        acc, want = 0, []
+        for rank, (i, s, w) in enumerate(
+                sorted(data, key=lambda t: (-t[1], t[0])), start=1):
+            acc += w
+            if acc > budget:
+                break
+            want.append((i, rank, acc))
+        assert got == sorted(want)
+
+    check()
