@@ -3733,6 +3733,37 @@ def materialize_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 _training_chunks)
 
 
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-facing MANIFEST of the materialized shard artifact: per
+    shard, its row count, exact token total, and contiguous global
+    rank range — what a training job consults for resumption points,
+    per-worker assignment, and token accounting, without scanning the
+    shards themselves. Computed OVER THE READ-BACK files (the memoized
+    materialize_training_shards artifact), so the oracle match
+    certifies the on-disk product's bookkeeping, and the aggregation
+    is one map-side-combined groupBy on the hive partition key —
+    bounded output (one row per shard)."""
+    df = materialize_training_shards(spark, sf_dir)
+    out = (df.groupBy(F.col("shard").cast("long").alias("shard"))
+           .agg(F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("n_chunk_tokens").cast("long"))
+                .alias("n_tokens"),
+                F.min("shuffle_rank").alias("rank_lo"),
+                F.max("shuffle_rank").alias("rank_hi")))
+    return _carry_release(df, out)
+
+
+def shard_manifest_sql() -> str:
+    return f"""
+    SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_rows,
+           sum(n_chunk_tokens)::BIGINT AS n_tokens,
+           min(shuffle_rank)::BIGINT AS rank_lo,
+           max(shuffle_rank)::BIGINT AS rank_hi
+    FROM ({materialize_training_shards_sql()})
+    GROUP BY 1
+    """
+
+
 def materialize_training_shards_sql() -> str:
     from .functions import portable_hash as PH
     h = PH.duck_ph60("'shards:' || (chunk_id)::VARCHAR")
@@ -4971,13 +5002,16 @@ ENTRIES: dict = {
     # detects, this delivers) and the classifier calibration loop
     "clean_holdout": (clean_holdout, clean_holdout_sql),
     "nb_calibration": (nb_calibration, nb_calibration_sql),
+    # NEW r13: trainer-facing per-shard manifest over the read-back
+    # materialized artifact (rows, tokens, contiguous rank range)
+    "shard_manifest": (shard_manifest, shard_manifest_sql),
 }
 
 # =============================== window rotation (tested invariant, r13+)
 #
 # The driver's correctness gate checks the FIRST 50 registered entries.
-# With a 126-entry registry, rotating 50 per round bounds worst-case
-# staleness at ceil(126/50) = 3 rounds — structurally, >= 26 entries are
+# With a 127-entry registry, rotating 50 per round bounds worst-case
+# staleness at ceil(127/50) = 3 rounds — structurally, >= 27 entries are
 # always 2 rounds stale and some reach 3. _ROTATION_TIERS turns that
 # arithmetic into POLICY (r12 verdict item #2): "active" entries must
 # land an external driver row at most every 2 rounds; "frozen" entries
@@ -5024,29 +5058,34 @@ _FROZEN_ENTRIES = frozenset({
     # remaining textstats.py entries (same unchanged-since-r8 file as
     # the four above) — frozen r13 for the third new-entry pair
     "text_pii_scrub", "text_repetition",
+    # chunking.py (r6b) + cdc.py (r9) both unchanged >= 3 rounds —
+    # frozen r13 for the shard_manifest slot
+    "doc_chunks_cdc",
 })
 
 # r13 window, priority order (the test recomputes all of this):
 # 1. The 16 entries whose last external row is r10 (staleness 3 — AT
 #    the frozen bound, top priority; the named r12 trade).
-# 2. The ten NEW r13 entries (corpus_shuffle_epoch,
+# 2. The eleven NEW r13 entries (corpus_shuffle_epoch,
 #    materialize_training_shards, pipeline_training_shards,
 #    token_budget_select, mixture_temperature, curriculum_order,
 #    dedup_keep_best, split_leakage_check, clean_holdout,
-#    nb_calibration) — registered before the freeze, so they land
-#    first rows this round (zero latecomer debt, the r12 pattern).
-# 3. 24 of the 31 ACTIVE-tier entries whose last row is r11
-#    (staleness 2 — at the active bound). The other seven
+#    nb_calibration, shard_manifest) — registered before the freeze,
+#    so they land first rows this round (zero latecomer debt, the r12
+#    pattern).
+# 3. 23 of the 31 ACTIVE-tier entries whose last row is r11
+#    (staleness 2 — at the active bound). The other eight
 #    (text_tfidf, text_bm25, text_inverted_index, text_bigram_pmi,
-#    text_pii_scrub, text_repetition, doc_chunks) moved to the frozen
-#    tier (textstats.py unchanged since r8, chunking.py since r6b;
-#    swept at three SFs locally every round) and slip to r14 at
-#    staleness 3 <= frozen bound. The 19 previously-frozen r11
-#    entries (incl. pricing_summary) likewise slip within bound —
-#    r14's top tier is those 26 frozen r11 slips at the bound,
-#    alongside the 50 r12-row actives reaching staleness 2 (up to 76
-#    urgency-0 candidates for r14's 50 slots; the invariant test
-#    forces the cut to stay a priority prefix).
+#    text_pii_scrub, text_repetition, doc_chunks, doc_chunks_cdc)
+#    moved to the frozen tier (textstats.py unchanged since r8,
+#    chunking.py since r6b, cdc.py since r9; swept at three SFs
+#    locally every round) and slip to r14 at staleness 3 <= frozen
+#    bound. The 19 previously-frozen r11 entries (incl.
+#    pricing_summary) likewise slip within bound — r14's top tier is
+#    those 27 frozen r11 slips at the bound, alongside the 50 r12-row
+#    actives reaching staleness 2 (up to 77 urgency-0 candidates for
+#    r14's 50 slots; the invariant test forces the cut to stay a
+#    priority prefix).
 _R13_WINDOW = [
     # --- tier 1: the 16 r10 slips
     "rm_datalog_join", "rm_datetime_ops", "rm_eav_wildcard",
@@ -5060,6 +5099,7 @@ _R13_WINDOW = [
     "pipeline_training_shards", "token_budget_select",
     "mixture_temperature", "curriculum_order", "dedup_keep_best",
     "split_leakage_check", "clean_holdout", "nb_calibration",
+    "shard_manifest",
     # --- tier 3: the 24 ACTIVE r11 entries (the six text_* entries
     # and doc_chunks that previously filled these slots moved to the
     # frozen tier — textstats.py unchanged since r8, chunking.py since
@@ -5068,7 +5108,7 @@ _R13_WINDOW = [
     # third new-entry batches with zero latecomer debt)
     "ann_opq_topk", "ann_pq_topk", "ann_range_search",
     "blocklist_scrub", "bpe_chunks", "bpe_token_count", "cdc_merge",
-    "decontam_ngram", "doc_chunks_cdc", "dsir_select",
+    "decontam_ngram", "dsir_select",
     "embedding_gram", "embedding_kmeans", "embedding_kmeans_lloyd",
     "embedding_pca", "embedding_probe", "embedding_quantize",
     "image_dedup_groups", "image_phash_neardup", "lang_id_eval",
