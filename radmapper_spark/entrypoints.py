@@ -5037,7 +5037,10 @@ _FROZEN_ENTRIES = frozenset({
     "top_customer_per_nation", "pricing_summary", "large_orders",
     "events_by_type",
     # map-only hash/describe/stats ops frozen since r4-r9
-    "dataset_split", "sample_per_group", "stats_profile",
+    # (dataset_split LEFT this tier in r13: hash_split's body now
+    # delegates to split_expr — value-identical and lock-tested, but
+    # the code path changed, so the entry is active again)
+    "sample_per_group", "stats_profile",
     "stats_histogram", "stats_outliers", "fuzzy_part_names",
     "dq_checks",
     # events/behavior/temporal operators frozen since r5-r6
@@ -5100,12 +5103,14 @@ _R13_WINDOW = [
     "mixture_temperature", "curriculum_order", "dedup_keep_best",
     "split_leakage_check", "clean_holdout", "nb_calibration",
     "shard_manifest",
-    # --- tier 3: the 24 ACTIVE r11 entries (the six text_* entries
-    # and doc_chunks that previously filled these slots moved to the
-    # frozen tier — textstats.py unchanged since r8, chunking.py since
-    # r6b, both swept locally every round — and slip to r14 at
-    # staleness 3 <= frozen bound, making room for the second and
-    # third new-entry batches with zero latecomer debt)
+    # --- tier 3: the 23 ACTIVE r11 entries (eight entries moved to
+    # the frozen tier for the new-entry slots: text_tfidf, text_bm25,
+    # text_inverted_index, text_bigram_pmi, text_pii_scrub,
+    # text_repetition, doc_chunks, doc_chunks_cdc — textstats.py
+    # unchanged since r8, chunking.py since r6b, cdc.py since r9, all
+    # swept locally every round — and slip to r14 at staleness 3 <=
+    # frozen bound, making room for the r13 batches with zero
+    # latecomer debt)
     "ann_opq_topk", "ann_pq_topk", "ann_range_search",
     "blocklist_scrub", "bpe_chunks", "bpe_token_count", "cdc_merge",
     "decontam_ngram", "dsir_select",

@@ -45,19 +45,12 @@ def hash_split(df: DataFrame, id_col: str, splits: dict | None = None,
                salt: str = "split", buckets: int = 1000) -> DataFrame:
     """Assign each row to a named split by hash bucket. splits maps name ->
     fraction (fractions sum to <= 1; remainder falls into the last split).
-    Map-only: adds `bucket` and `split` columns, no shuffle."""
-    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
-    out = df.withColumn("bucket", _bucket(id_col, salt, buckets))
-    expr = None
-    acc = 0.0
-    names = list(splits)
-    for name in names[:-1]:
-        acc += splits[name]
-        cond = F.col("bucket") < F.lit(int(round(acc * buckets)))
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    expr = (F.lit(names[-1]) if expr is None
-            else expr.otherwise(F.lit(names[-1])))
-    return out.withColumn("split", expr)
+    Map-only: adds `bucket` and `split` columns, no shuffle. The
+    assignment rule itself lives in split_expr (one definition — r13
+    review: this body was the ladder's second copy)."""
+    return (df.withColumn("bucket", _bucket(id_col, salt, buckets))
+            .withColumn("split",
+                        split_expr(id_col, splits, salt, buckets)))
 
 
 def duck_split_case(bucket_expr: str, splits: dict | None = None,
@@ -498,12 +491,20 @@ def mixture_temperature(df: DataFrame, group_col: str, id_col: str,
                          F.col(id_col).cast("string")))
     wrank = Window.partitionBy(group_col).orderBy(h.asc(),
                                                   F.col(id_col).asc())
-    return (df.select(id_col, group_col)
-            .withColumn("mix_rank",
-                        F.row_number().over(wrank).cast("long"))
-            .join(F.broadcast(targets), group_col)
-            .filter(F.col("mix_rank") <= F.col("target_n"))
-            .select(id_col, group_col, "mix_rank", "target_n"))
+    # NULL-SAFE group join (r13 review): groupBy counts a NULL group
+    # into the target table, and a plain equi-join would silently drop
+    # those rows — losing allocated seats with no error. eqNullSafe
+    # (IS NOT DISTINCT FROM in the DuckDB twin) keeps the null group a
+    # first-class mixture component.
+    tg = "_rm_mt_g"
+    ranked = (df.select(id_col, group_col)
+              .withColumn("mix_rank",
+                          F.row_number().over(wrank).cast("long")))
+    return (ranked.join(
+        F.broadcast(targets.withColumnRenamed(group_col, tg)),
+        F.col(group_col).eqNullSafe(F.col(tg)))
+        .filter(F.col("mix_rank") <= F.col("target_n"))
+        .select(id_col, group_col, "mix_rank", "target_n"))
 
 
 def duck_mixture_temperature_sql(group_expr: str, id_expr: str, k: int,
@@ -535,7 +536,7 @@ def duck_mixture_temperature_sql(group_expr: str, id_expr: str, k: int,
                        ::BIGINT AS mix_rank
             FROM {from_table})
     SELECT {id_expr}, {group_expr}, mix_rank, target_n
-    FROM mtr JOIN mtt ON mtr.{group_expr} = mtt.g
+    FROM mtr JOIN mtt ON mtr.{group_expr} IS NOT DISTINCT FROM mtt.g
     WHERE mix_rank <= target_n
     """
 

@@ -163,6 +163,9 @@ EAGER_ALLOWED = {
     # memoized per session+sf like the ANN/minhash indexes)
     "materialize_training_shards",
     "pipeline_training_shards",
+    # r13: the manifest aggregates OVER the read-back artifact — same
+    # bounded re-open jobs as its parent probe entry above
+    "shard_manifest",
 }
 
 

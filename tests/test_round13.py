@@ -521,6 +521,19 @@ def test_split_expr_matches_hash_split(spark):
                     "doc_id",
                     sampling.split_expr("doc_id").alias("s")).collect()}
     assert via_split == via_expr
+    # and under a NON-DEFAULT splits dict (the ladder must agree on
+    # every threshold, not just the 800/100/100 defaults)
+    alt = {"a": 0.25, "b": 0.5, "c": 0.25}
+    via_split2 = {r["doc_id"]: r["split"]
+                  for r in sampling.hash_split(df, "doc_id",
+                                               splits=alt).collect()}
+    via_expr2 = {r["doc_id"]: r["s"]
+                 for r in df.select(
+                     "doc_id",
+                     sampling.split_expr("doc_id", splits=alt)
+                     .alias("s")).collect()}
+    assert via_split2 == via_expr2
+    assert set(via_split2.values()) == {"a", "b", "c"}
     counts = {}
     for s in via_split.values():
         counts[s] = counts.get(s, 0) + 1
@@ -571,9 +584,17 @@ def test_clean_holdout_removes_exactly_leaked_test_docs(spark):
     want = sorted(d for d, s in split_of.items()
                   if s == "test" and d not in leaked)
     assert got == want
-    # a val<->test pair must NOT disqualify (only the against split)
-    assert any(split_of[a] == "test" and split_of[b] == "val"
-               for a, b in pair_rows) or True
+    # non-vacuity: the fixture must exercise the val-pair path — at
+    # least one test-doc has a val near-twin and NO train near-twin,
+    # and that doc must SURVIVE (only the against split disqualifies)
+    val_only = [a for a, b in pair_rows
+                if split_of[a] == "test" and split_of[b] == "val"
+                and a not in leaked]
+    val_only += [b for a, b in pair_rows
+                 if split_of[b] == "test" and split_of[a] == "val"
+                 and b not in leaked]
+    assert val_only, "fixture lost its test<->val pair — re-seed"
+    assert set(val_only) <= set(got)
 
 
 def test_score_calibration_counts(spark):
@@ -637,3 +658,19 @@ def test_token_budget_matches_model_hypothesis(spark):
         assert got == sorted(want)
 
     check()
+
+
+def test_mixture_temperature_null_group_keeps_seats(spark):
+    """A NULL group key is a first-class mixture component (r13
+    review): it gets counted, allocated, and JOINED back null-safely —
+    a plain equi-join would silently drop its allocated seats."""
+    from radmapper_spark.operators import sampling
+    rows = ([(i, "a") for i in range(300)]
+            + [(i + 1000, None) for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    got = sampling.mixture_temperature(df, "g", "doc_id", 40, alpha=0.5)
+    kept = {}
+    for r in got.collect():
+        kept[r["g"]] = kept.get(r["g"], 0) + 1
+    assert sum(kept.values()) == 40
+    assert kept.get(None, 0) > 0, "null group lost its seats"
