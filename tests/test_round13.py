@@ -674,3 +674,21 @@ def test_mixture_temperature_null_group_keeps_seats(spark):
         kept[r["g"]] = kept.get(r["g"], 0) + 1
     assert sum(kept.values()) == 40
     assert kept.get(None, 0) > 0, "null group lost its seats"
+
+
+@pytest.mark.parametrize("name", ["token_budget_select",
+                                  "curriculum_order"])
+def test_r13_ordering_entries_windows_are_partitioned(spark, name):
+    """Entry-level plan lock (the customer_deciles pattern): every
+    Window node in the physical plan must be keyed on the
+    range-partition id — the budget cut and the curriculum must never
+    regress to a single-partition window over the corpus — and the
+    plan must actually carry a range exchange (the distributed global
+    order; vacuity guard)."""
+    df = entrymod.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, f"{name}: plan lost its windows — vacuous"
+    assert all("_rm_pid" in ln for ln in win_lines), win_lines
+    assert "rangepartitioning" in plan, f"{name}: no range exchange"
+    _release(df)
