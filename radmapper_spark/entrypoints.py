@@ -3337,6 +3337,79 @@ def nb_calibration_sql() -> str:
     """
 
 
+_TBS_GROUP_BUDGET = 800
+
+
+def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE token-budget cut (operators.sampling
+    .token_budget_select_per_group): every source independently keeps
+    its best documents (NB log-odds order) until 800 tokens — the
+    per-domain cap of a training mix. Strictly cheaper than the global
+    cut: ONE hash shuffle on the source key and an ordinary
+    PARTITIONED window (no range exchange, no offset bookkeeping),
+    fully parallel across sources."""
+    from .operators import sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = (_nb_scored(spark, sf_dir)
+              .join(docs.select("doc_id", "source"), "doc_id"))
+    out = sampling.token_budget_select_per_group(
+        scored, "source", _TBS_GROUP_BUDGET,
+        [F.col("score_micro").desc(), F.col("doc_id").asc()],
+        "n_tokens")
+    return _carry_release(out, out.select(
+        "doc_id", "source", "n_tokens", "score_micro", "select_rank",
+        "cum_tokens"))
+
+
+def token_budget_per_source_sql() -> str:
+    from .operators import classifier, sampling
+    return ("WITH " + classifier._duck_nb_ctes(_NB_POS, _NB_NEG)
+            + ", tbps AS (SELECT s.*, d.source FROM nbscored s "
+            + "JOIN documents d USING (doc_id))"
+            + sampling.duck_token_budget_per_group_sql(
+                "tbps", "source", _TBS_GROUP_BUDGET, _TBS_ORDER,
+                "n_tokens", "doc_id, source, n_tokens, score_micro"))
+
+
+def dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication telemetry — the QA readout a corpus
+    pipeline publishes after dedup: per source, its document count,
+    how many documents sit in a multi-member near-dup group, and how
+    many distinct groups it holds (all exact BIGINTs; ratios are the
+    reader's division — no float in the gate). Composes the shared
+    dedup_groups derivation with one component-size aggregate and one
+    per-source rollup; components and the report are bounded."""
+    from .operators import dedup
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    pairs = dedup_token_jaccard(spark, sf_dir)
+    groups = dedup.dedup_groups(docs, pairs)
+    sizes = (groups.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("_rm_sz")))
+    return (groups.join(sizes, "component")
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("_rm_sz") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_dup_docs"),
+                 F.countDistinct("component").alias("n_groups")))
+
+
+def dedup_rate_report_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_DUCK_GROUPS_CTES},
+    sizes AS (SELECT component, count(*) AS sz
+              FROM comp GROUP BY component)
+    SELECT d.source AS source, count(*)::BIGINT AS n_docs,
+           sum(CASE WHEN s.sz > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dup_docs,
+           count(DISTINCT c.component)::BIGINT AS n_groups
+    FROM comp c JOIN sizes s USING (component)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """
+
+
 def dedup_keep_best_sql() -> str:
     from .operators import classifier
     return f"""
@@ -5005,13 +5078,18 @@ ENTRIES: dict = {
     # NEW r13: trainer-facing per-shard manifest over the read-back
     # materialized artifact (rows, tokens, contiguous rank range)
     "shard_manifest": (shard_manifest, shard_manifest_sql),
+    # NEW r13: per-domain budget cap (partitioned-window twin of the
+    # global budget cut) and per-source duplication telemetry
+    "token_budget_per_source": (token_budget_per_source,
+                                token_budget_per_source_sql),
+    "dedup_rate_report": (dedup_rate_report, dedup_rate_report_sql),
 }
 
 # =============================== window rotation (tested invariant, r13+)
 #
 # The driver's correctness gate checks the FIRST 50 registered entries.
-# With a 127-entry registry, rotating 50 per round bounds worst-case
-# staleness at ceil(127/50) = 3 rounds — structurally, >= 27 entries are
+# With a 129-entry registry, rotating 50 per round bounds worst-case
+# staleness at ceil(129/50) = 3 rounds — structurally, >= 29 entries are
 # always 2 rounds stale and some reach 3. _ROTATION_TIERS turns that
 # arithmetic into POLICY (r12 verdict item #2): "active" entries must
 # land an external driver row at most every 2 rounds; "frozen" entries
@@ -5064,31 +5142,34 @@ _FROZEN_ENTRIES = frozenset({
     # chunking.py (r6b) + cdc.py (r9) both unchanged >= 3 rounds —
     # frozen r13 for the shard_manifest slot
     "doc_chunks_cdc",
+    # selection.py unchanged since r10 (61dab66) and lang_id on the
+    # same frozen textstats.py — frozen r13 for the fourth batch
+    "dsir_select", "lang_id_eval",
 })
 
 # r13 window, priority order (the test recomputes all of this):
 # 1. The 16 entries whose last external row is r10 (staleness 3 — AT
 #    the frozen bound, top priority; the named r12 trade).
-# 2. The eleven NEW r13 entries (corpus_shuffle_epoch,
+# 2. The thirteen NEW r13 entries (corpus_shuffle_epoch,
 #    materialize_training_shards, pipeline_training_shards,
 #    token_budget_select, mixture_temperature, curriculum_order,
 #    dedup_keep_best, split_leakage_check, clean_holdout,
-#    nb_calibration, shard_manifest) — registered before the freeze,
-#    so they land first rows this round (zero latecomer debt, the r12
-#    pattern).
-# 3. 23 of the 31 ACTIVE-tier entries whose last row is r11
-#    (staleness 2 — at the active bound). The other eight
-#    (text_tfidf, text_bm25, text_inverted_index, text_bigram_pmi,
-#    text_pii_scrub, text_repetition, doc_chunks, doc_chunks_cdc)
-#    moved to the frozen tier (textstats.py unchanged since r8,
-#    chunking.py since r6b, cdc.py since r9; swept at three SFs
-#    locally every round) and slip to r14 at staleness 3 <= frozen
-#    bound. The 19 previously-frozen r11 entries (incl.
-#    pricing_summary) likewise slip within bound — r14's top tier is
-#    those 27 frozen r11 slips at the bound, alongside the 50 r12-row
-#    actives reaching staleness 2 (up to 77 urgency-0 candidates for
-#    r14's 50 slots; the invariant test forces the cut to stay a
-#    priority prefix).
+#    nb_calibration, shard_manifest, token_budget_per_source,
+#    dedup_rate_report) — registered before the freeze, so they land
+#    first rows this round (zero latecomer debt, the r12 pattern).
+# 3. 21 of the 31 ACTIVE-tier entries whose last row is r11
+#    (staleness 2 — at the active bound). The other ten (text_tfidf,
+#    text_bm25, text_inverted_index, text_bigram_pmi, text_pii_scrub,
+#    text_repetition, lang_id_eval, doc_chunks, doc_chunks_cdc,
+#    dsir_select) moved to the frozen tier (textstats.py unchanged
+#    since r8, chunking.py since r6b, cdc.py since r9, selection.py
+#    since r10; swept at three SFs locally every round) and slip to
+#    r14 at staleness 3 <= frozen bound. The 19 previously-frozen r11
+#    entries (incl. pricing_summary) likewise slip within bound —
+#    r14's top tier is those 29 frozen r11 slips at the bound,
+#    alongside the 50 r12-row actives reaching staleness 2 (up to 79
+#    urgency-0 candidates for r14's 50 slots; the invariant test
+#    forces the cut to stay a priority prefix).
 _R13_WINDOW = [
     # --- tier 1: the 16 r10 slips
     "rm_datalog_join", "rm_datetime_ops", "rm_eav_wildcard",
@@ -5102,7 +5183,7 @@ _R13_WINDOW = [
     "pipeline_training_shards", "token_budget_select",
     "mixture_temperature", "curriculum_order", "dedup_keep_best",
     "split_leakage_check", "clean_holdout", "nb_calibration",
-    "shard_manifest",
+    "shard_manifest", "token_budget_per_source", "dedup_rate_report",
     # --- tier 3: the 23 ACTIVE r11 entries (eight entries moved to
     # the frozen tier for the new-entry slots: text_tfidf, text_bm25,
     # text_inverted_index, text_bigram_pmi, text_pii_scrub,
@@ -5113,10 +5194,10 @@ _R13_WINDOW = [
     # latecomer debt)
     "ann_opq_topk", "ann_pq_topk", "ann_range_search",
     "blocklist_scrub", "bpe_chunks", "bpe_token_count", "cdc_merge",
-    "decontam_ngram", "dsir_select",
+    "decontam_ngram",
     "embedding_gram", "embedding_kmeans", "embedding_kmeans_lloyd",
     "embedding_pca", "embedding_probe", "embedding_quantize",
-    "image_dedup_groups", "image_phash_neardup", "lang_id_eval",
+    "image_dedup_groups", "image_phash_neardup",
     "moore_lewis_select", "stream_media_dedup", "substring_dup_spans",
     "substring_removal_spans", "substring_scrub",
 ]

@@ -697,3 +697,68 @@ def clean_holdout(docs: DataFrame, pairs: DataFrame,
     return (docs.filter(split_expr(id_col, splits, salt, buckets)
                         == holdout)
             .join(bad, id_col, "left_anti"))
+
+
+def token_budget_select_per_group(scored: DataFrame, group_col: str,
+                                  budget: int, order_cols,
+                                  weight_col: str,
+                                  cum_col: str = "cum_tokens",
+                                  rank_col: str = "select_rank"
+                                  ) -> DataFrame:
+    """Per-GROUP token-budget selection: each group independently keeps
+    its best rows until ``budget`` tokens — the per-domain/per-language
+    cap of a training mix (every domain contributes at most N tokens,
+    quality-first within the domain). The global variant
+    (token_budget_select) needs the distributed exact prefix-sum's
+    range exchange; the per-group cut is strictly cheaper — ONE hash
+    shuffle on the group key and an ordinary PARTITIONED window, fully
+    parallel across groups (AQE splits a skewed group's sort, and the
+    running sum is per-group so no offset bookkeeping exists at all).
+
+    Same exactness contract: integral weights only (BIGINT running
+    totals are partition-order-independent), total order within the
+    group via the caller's tiebreaker. A row is kept iff its in-group
+    running total is within budget (the first overflowing row drops).
+
+    Output: scored's columns + (rank_col, cum_col), filtered."""
+    if budget < 0:
+        raise ValueError(f"token_budget_select_per_group: budget must "
+                         f"be >= 0, got {budget}")
+    if weight_col not in scored.columns:
+        raise ValueError(f"token_budget_select_per_group: weight column "
+                         f"{weight_col!r} not in frame")
+    wtype = scored.schema[weight_col].dataType.simpleString()
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"token_budget_select_per_group: weight column "
+            f"{weight_col!r} is {wtype}; only integral weights sum "
+            f"exactly — pre-scale floats onto an integer grid first")
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (scored
+            .withColumn(rank_col, F.row_number().over(w).cast("long"))
+            .withColumn(cum_col,
+                        F.sum(F.col(weight_col).cast("long")).over(wcum)
+                        .cast("long"))
+            .filter(F.col(cum_col) <= F.lit(int(budget))))
+
+
+def duck_token_budget_per_group_sql(rel: str, group_expr: str,
+                                    budget: int, order_sql: str,
+                                    weight_expr: str, select_cols: str,
+                                    cum_col: str = "cum_tokens",
+                                    rank_col: str = "select_rank"
+                                    ) -> str:
+    """DuckDB twin of token_budget_select_per_group over relation text
+    ``rel``."""
+    return f"""
+    SELECT {select_cols}, {rank_col}, {cum_col}
+    FROM (SELECT *,
+                 row_number() OVER (PARTITION BY {group_expr}
+                                    ORDER BY {order_sql}) AS {rank_col},
+                 sum({weight_expr}) OVER (
+                     PARTITION BY {group_expr} ORDER BY {order_sql}
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS {cum_col}
+          FROM {rel})
+    WHERE {cum_col} <= {int(budget)}
+    """

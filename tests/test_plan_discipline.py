@@ -153,9 +153,11 @@ EAGER_ALLOWED = {
     "neardup_admit",
     # composes dedup_groups (the bounded union-find collect above)
     "image_dedup_groups",
-    # r13: keep_best composes dedup_groups too — same bounded
-    # union-find edge collect at construction, nothing else eager
+    # r13: keep_best / the rate report compose dedup_groups too — same
+    # bounded union-find edge collect at construction, nothing else
+    # eager
     "dedup_keep_best",
+    "dedup_rate_report",
     # materialized-artifact probe (same contract as the index probes):
     # re-opens the once-written shard tree each call — the jobs are
     # partition-directory listing / parquet footer reads bounded by the

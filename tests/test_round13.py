@@ -692,3 +692,72 @@ def test_r13_ordering_entries_windows_are_partitioned(spark, name):
     assert all("_rm_pid" in ln for ln in win_lines), win_lines
     assert "rangepartitioning" in plan, f"{name}: no range exchange"
     _release(df)
+
+
+def test_token_budget_per_group_matches_python(spark):
+    """Per-group budget cut vs the Python per-group prefix model; the
+    plan's windows are ordinary PARTITIONED windows (group-keyed, not
+    pid-keyed — no global machinery), and float weights are rejected."""
+    from radmapper_spark.operators import sampling
+    rows = [(i, f"g{i % 5}", (i * 13) % 40, (i * 7) % 20 + 1)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, s long, w long")
+    out = sampling.token_budget_select_per_group(
+        df, "g", 150, [F.col("s").desc(), F.col("id").asc()], "w")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines and all("g#" in ln for ln in win_lines), win_lines
+    got = sorted((r["id"], r["select_rank"], r["cum_tokens"])
+                 for r in out.collect())
+    want = []
+    for g in {r[1] for r in rows}:
+        acc = 0
+        grp = sorted((r for r in rows if r[1] == g),
+                     key=lambda t: (-t[2], t[0]))
+        for rank, (i, _, s, w) in enumerate(grp, start=1):
+            acc += w
+            if acc > 150:
+                break
+            want.append((i, rank, acc))
+    assert got == sorted(want)
+    with pytest.raises(ValueError, match="integral"):
+        sampling.token_budget_select_per_group(
+            df.withColumn("w", F.col("w").cast("double")), "g", 150,
+            [F.col("s")], "w")
+
+
+def test_dedup_rate_report_counts(spark):
+    """The report's three counters recomputed independently on a tiny
+    synthetic near-dup universe via the operator pieces."""
+    from radmapper_spark.operators import dedup
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(10)], "doc_id long, source string")
+    pairs = spark.createDataFrame(
+        [(0, 2), (2, 4), (1, 3), (5, 7)], "id_a long, id_b long")
+    groups = dedup.dedup_groups(
+        docs.withColumnRenamed("doc_id", "doc_id"), pairs)
+    sizes = {r["component"]: 0 for r in groups.collect()}
+    comp_of = {r["doc_id"]: r["component"] for r in groups.collect()}
+    for c in comp_of.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    want = {}
+    for d in range(10):
+        src = f"s{d % 2}"
+        n, dup, comps = want.get(src, (0, 0, set()))
+        n += 1
+        dup += 1 if sizes[comp_of[d]] > 1 else 0
+        comps = comps | {comp_of[d]}
+        want[src] = (n, dup, comps)
+    szdf = groups.groupBy("component").agg(F.count(F.lit(1)).alias("_rm_sz"))
+    got = {r["source"]: (r["n_docs"], r["n_dup_docs"], r["n_groups"])
+           for r in (groups.join(szdf, "component")
+                     .join(docs, "doc_id")
+                     .groupBy("source")
+                     .agg(F.count(F.lit(1)).alias("n_docs"),
+                          F.sum(F.when(F.col("_rm_sz") > 1, 1)
+                                .otherwise(0)).cast("long")
+                          .alias("n_dup_docs"),
+                          F.countDistinct("component").alias("n_groups"))
+                     ).collect()}
+    assert got == {s: (n, dup, len(comps))
+                   for s, (n, dup, comps) in want.items()}

@@ -1541,3 +1541,36 @@ def test_clean_holdout_1m_docs(spark):
     assert n_clean == n_test - offenders
     assert 0 < offenders < n_test
     assert dt < 150
+
+
+def test_token_budget_per_group_1m_rows(spark):
+    """r13: the per-group budget cut at 1M rows / 1k groups — every
+    group's kept set is a contiguous rank prefix whose total is within
+    budget and maximal (next weight would overflow), fully parallel
+    (one hash shuffle, partitioned windows only)."""
+    import time
+
+    from radmapper_spark.operators import sampling
+
+    n, budget = 1_000_000, 50_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), 1000).alias("g"),
+        F.pmod(F.xxhash64("id", F.lit(5)), 10 ** 6).alias("s"),
+        (F.pmod(F.xxhash64("id", F.lit(9)), 512) + 1).alias("w"))
+    t0 = time.monotonic()
+    out = sampling.token_budget_select_per_group(
+        df, "g", budget, [F.col("s").desc(), F.col("id").asc()], "w")
+    per = (out.groupBy("g")
+           .agg(F.count(F.lit(1)).alias("kept"),
+                F.max("select_rank").alias("hi"),
+                F.max("cum_tokens").alias("spent")).collect())
+    dt = time.monotonic() - t0
+    print(f"  token_budget_per_group 1M rows / {len(per)} groups: "
+          f"{dt:.1f}s")
+    assert len(per) == 1000
+    for r in per:
+        assert r.kept == r.hi                  # contiguous prefix
+        assert r.spent <= budget
+        assert r.spent > budget - 513          # maximal (w <= 512)
+    assert dt < 120
