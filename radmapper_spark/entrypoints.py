@@ -5147,6 +5147,61 @@ _FROZEN_ENTRIES = frozenset({
     "dsir_select", "lang_id_eval",
 })
 
+# Frozen-tier SOURCE PINS (r13): the freeze criterion — "the entry's
+# operator code path is unchanged" — enforced forward as a mechanical
+# invariant instead of a per-round git-archaeology claim. For every
+# frozen entry, the ENTRY FUNCTION's source plus each declared surface
+# below (a module, or "module:symbol" for a single operator function
+# inside an actively-edited module) is sha256-pinned in
+# tests/freeze_manifest.json; test_frozen_surfaces_unchanged recomputes
+# the digests via inspect.getsource and fails if pinned code changed
+# while the entry stayed frozen. Editing a frozen path therefore
+# REQUIRES either re-activating the entry (remove from _FROZEN_ENTRIES)
+# or consciously re-pinning (RM_REGEN_FREEZE=1) with the change in the
+# commit — silent drift is impossible. Helpers a pinned function calls
+# are NOT pinned; value-drift through helpers is what the per-round
+# three-SF oracle sweep catches (the frozen tier's other leg).
+_LANG_SURFACES = ("radmapper_spark.lang.interp",
+                  "radmapper_spark.lang.parser",
+                  "radmapper_spark.lang.columns",
+                  "radmapper_spark.functions.builtins")
+_FROZEN_SURFACES: dict = {
+    **{e: _LANG_SURFACES for e in (
+        "rm_datalog_join", "rm_datetime_ops", "rm_eav_wildcard",
+        "rm_express_map", "rm_express_reduce", "rm_nested_docs",
+        "rm_qvar_project", "rm_scalar_battery", "rm_table_paths",
+        "string_battery", "numeric_battery")},
+    **{e: ("radmapper_spark.headline",) for e in (
+        "region_nation_revenue", "top_revenue_orders",
+        "top_customer_per_nation", "pricing_summary", "large_orders",
+        "events_by_type")},
+    "sample_per_group": ("radmapper_spark.operators.sampling:cap_per_group",),
+    "stats_profile": ("radmapper_spark.operators.profiling:group_quantiles",),
+    "stats_histogram": ("radmapper_spark.operators.profiling:histogram",),
+    "stats_outliers": ("radmapper_spark.operators.profiling:iqr_outliers",),
+    "fuzzy_part_names": ("radmapper_spark.operators.dedup:fuzzy_pairs_levenshtein",),
+    "dq_checks": ("radmapper_spark.operators.quality",),
+    "events_gapfill": ("radmapper_spark.operators.temporal",),
+    "events_twap": (),  # inline — the entry-function pin IS the surface
+    "events_anomalies": ("radmapper_spark.operators.behavior:rolling_anomalies",),
+    "event_funnel": ("radmapper_spark.operators.behavior:funnel_stages",),
+    "event_markov": ("radmapper_spark.operators.behavior:event_transitions",),
+    "temporal_rollup": ("radmapper_spark.operators.temporal",),
+    "temporal_sessionize": ("radmapper_spark.operators.temporal",),
+    "seq_pack": ("radmapper_spark.operators.chunking",),
+    "source_mixture": ("radmapper_spark.operators.profiling:source_mixture",),
+    "mixture_sample": ("radmapper_spark.operators.sampling:mixture_sample",),
+    "weighted_sample": ("radmapper_spark.operators.sampling:weighted_sample_per_group",),
+    **{e: ("radmapper_spark.operators.textstats",) for e in (
+        "text_tfidf", "text_bm25", "text_inverted_index",
+        "text_bigram_pmi", "text_pii_scrub", "text_repetition",
+        "lang_id_eval")},
+    "doc_chunks": ("radmapper_spark.operators.chunking",),
+    "doc_chunks_cdc": ("radmapper_spark.operators.chunking",
+                       "radmapper_spark.operators.cdc"),
+    "dsir_select": ("radmapper_spark.operators.selection",),
+}
+
 # r13 window, priority order (the test recomputes all of this):
 # 1. The 16 entries whose last external row is r10 (staleness 3 — AT
 #    the frozen bound, top priority; the named r12 trade).

@@ -761,3 +761,64 @@ def test_dedup_rate_report_counts(spark):
                      ).collect()}
     assert got == {s: (n, dup, len(comps))
                    for s, (n, dup, comps) in want.items()}
+
+
+def _freeze_digests():
+    """Recompute the frozen-tier source digests: for every frozen
+    entry, the entrypoints entry function + each declared surface
+    (module or module:symbol)."""
+    import hashlib
+    import importlib
+    import inspect
+
+    import radmapper_spark.entrypoints as ep
+
+    def digest(src: str) -> str:
+        return hashlib.sha256(src.encode()).hexdigest()[:16]
+
+    out = {}
+    for entry in sorted(ep._FROZEN_ENTRIES):
+        surfaces = {"entry": digest(inspect.getsource(
+            ep.ENTRIES[entry][0]))}
+        for spec in ep._FROZEN_SURFACES[entry]:
+            if ":" in spec:
+                mod, sym = spec.split(":")
+                obj = getattr(importlib.import_module(mod), sym)
+            else:
+                obj = importlib.import_module(spec)
+            surfaces[spec] = digest(inspect.getsource(obj))
+        out[entry] = surfaces
+    return out
+
+
+def test_frozen_surfaces_unchanged():
+    """THE freeze criterion as a forward invariant: a frozen entry's
+    pinned operator source must match tests/freeze_manifest.json.
+    Editing pinned code while the entry stays frozen fails here —
+    either re-activate the entry (remove from _FROZEN_ENTRIES) or
+    consciously re-pin with RM_REGEN_FREEZE=1 in the same commit.
+    Also asserts every frozen entry HAS a surface declaration (a new
+    freeze without pins fails loudly)."""
+    import json
+    import os
+
+    import radmapper_spark.entrypoints as ep
+
+    path = os.path.join(os.path.dirname(__file__),
+                        "freeze_manifest.json")
+    got = _freeze_digests()
+    assert set(got) == set(ep._FROZEN_ENTRIES)
+    assert set(ep._FROZEN_SURFACES) == set(ep._FROZEN_ENTRIES), \
+        "every frozen entry needs a _FROZEN_SURFACES declaration"
+    if os.environ.get("RM_REGEN_FREEZE") == "1":
+        with open(path, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+    want = json.load(open(path))
+    drifted = {e: {k: (want.get(e, {}).get(k), v)
+                   for k, v in s.items()
+                   if want.get(e, {}).get(k) != v}
+               for e, s in got.items()
+               if s != want.get(e)}
+    assert not drifted, (
+        f"frozen entries' pinned source changed without re-activation "
+        f"or re-pin: {drifted}")
