@@ -779,7 +779,10 @@ def _freeze_digests():
     out = {}
     for entry in sorted(ep._FROZEN_ENTRIES):
         surfaces = {"entry": digest(inspect.getsource(
-            ep.ENTRIES[entry][0]))}
+            ep.ENTRIES[entry][0])),
+            # the DuckDB twin is part of the frozen contract too — a
+            # drifting oracle would silently move the goalposts
+            "oracle": digest(inspect.getsource(ep.ENTRIES[entry][1]))}
         for spec in ep._FROZEN_SURFACES[entry]:
             if ":" in spec:
                 mod, sym = spec.split(":")
