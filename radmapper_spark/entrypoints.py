@@ -3377,22 +3377,13 @@ def dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many documents sit in a multi-member near-dup group, and how
     many distinct groups it holds (all exact BIGINTs; ratios are the
     reader's division — no float in the gate). Composes the shared
-    dedup_groups derivation with one component-size aggregate and one
-    per-source rollup; components and the report are bounded."""
+    dedup_groups derivation with operators.dedup.rate_report (one
+    component-size aggregate + one per-source rollup; bounded)."""
     from .operators import dedup
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
     pairs = dedup_token_jaccard(spark, sf_dir)
-    groups = dedup.dedup_groups(docs, pairs)
-    sizes = (groups.groupBy("component")
-             .agg(F.count(F.lit(1)).alias("_rm_sz")))
-    return (groups.join(sizes, "component")
-            .join(docs.select("doc_id", "source"), "doc_id")
-            .groupBy("source")
-            .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.when(F.col("_rm_sz") > 1, 1).otherwise(0))
-                 .cast("long").alias("n_dup_docs"),
-                 F.countDistinct("component").alias("n_groups")))
+    return dedup.rate_report(dedup.dedup_groups(docs, pairs), docs)
 
 
 def dedup_rate_report_sql() -> str:
@@ -5239,14 +5230,15 @@ _R13_WINDOW = [
     "mixture_temperature", "curriculum_order", "dedup_keep_best",
     "split_leakage_check", "clean_holdout", "nb_calibration",
     "shard_manifest", "token_budget_per_source", "dedup_rate_report",
-    # --- tier 3: the 23 ACTIVE r11 entries (eight entries moved to
+    # --- tier 3: the 21 ACTIVE r11 entries (ten entries moved to
     # the frozen tier for the new-entry slots: text_tfidf, text_bm25,
     # text_inverted_index, text_bigram_pmi, text_pii_scrub,
-    # text_repetition, doc_chunks, doc_chunks_cdc — textstats.py
-    # unchanged since r8, chunking.py since r6b, cdc.py since r9, all
-    # swept locally every round — and slip to r14 at staleness 3 <=
-    # frozen bound, making room for the r13 batches with zero
-    # latecomer debt)
+    # text_repetition, lang_id_eval, doc_chunks, doc_chunks_cdc,
+    # dsir_select — textstats.py unchanged since r8, chunking.py since
+    # r6b, cdc.py since r9, selection.py since r10, all source-PINNED
+    # in tests/freeze_manifest.json and swept locally every round —
+    # and slip to r14 at staleness 3 <= frozen bound, making room for
+    # the r13 batches with zero latecomer debt)
     "ann_opq_topk", "ann_pq_topk", "ann_range_search",
     "blocklist_scrub", "bpe_chunks", "bpe_token_count", "cdc_merge",
     "decontam_ngram",

@@ -698,6 +698,27 @@ def dedup_groups(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return comp.select(F.col("node").alias(id_col), "component")
 
 
+def rate_report(groups: DataFrame, docs: DataFrame,
+                id_col: str = "doc_id",
+                source_col: str = "source") -> DataFrame:
+    """Per-source duplication telemetry over a (id, component) group
+    frame: document count, documents sitting in a multi-member group,
+    and distinct groups — all exact BIGINTs (ratios are the reader's
+    division; no float in a gate). One component-size aggregate + one
+    per-source rollup; every output past the group labeling is
+    bounded. Shared by the dedup_rate_report entry and its unit test
+    (one implementation, r13 second review)."""
+    sizes = (groups.groupBy("component")
+             .agg(F.count(F.lit(1)).alias("_rm_sz")))
+    return (groups.join(sizes, "component")
+            .join(docs.select(id_col, source_col), id_col)
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("_rm_sz") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_dup_docs"),
+                 F.countDistinct("component").alias("n_groups")))
+
+
 def keep_best(groups: DataFrame, scored: DataFrame,
               id_col: str = "doc_id",
               component_col: str = "component",

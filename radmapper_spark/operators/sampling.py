@@ -469,7 +469,12 @@ def mixture_temperature(df: DataFrame, group_col: str, id_col: str,
     # the whole bounded (<= n_groups rows) allocation on ONE task:
     # coalesce(1) + pid-keyed windows (the bounded_global_rank shape)
     wall = Window.partitionBy(F.spark_partition_id())
-    wseat = wall.orderBy(F.col(rem).desc(), F.col(group_col).asc())
+    # seat tiebreak: NULLS LAST explicitly — Spark's bare asc() is
+    # nulls-first while DuckDB's is nulls-last, so without the pin the
+    # one remainder seat of two equal-weight groups (one NULL) lands
+    # on different groups per engine (r13 second review)
+    wseat = wall.orderBy(F.col(rem).desc(),
+                         F.col(group_col).asc_nulls_last())
     targets = (df.groupBy(group_col)
                .agg(F.count(F.lit(1)).alias(c))
                .withColumn(w, _temp_weight(F.col(c), alpha))
@@ -526,7 +531,8 @@ def duck_mixture_temperature_sql(group_expr: str, id_expr: str, k: int,
             FROM mtw),
     mtt AS (SELECT g,
                    (base + CASE WHEN row_number() OVER (
-                                    ORDER BY rem DESC, g ASC)
+                                    ORDER BY rem DESC,
+                                             g ASC NULLS LAST)
                                 <= {int(k)} - (SELECT sum(base) FROM mtq)
                            THEN 1 ELSE 0 END)::BIGINT AS target_n
             FROM mtq),

@@ -748,17 +748,8 @@ def test_dedup_rate_report_counts(spark):
         dup += 1 if sizes[comp_of[d]] > 1 else 0
         comps = comps | {comp_of[d]}
         want[src] = (n, dup, comps)
-    szdf = groups.groupBy("component").agg(F.count(F.lit(1)).alias("_rm_sz"))
     got = {r["source"]: (r["n_docs"], r["n_dup_docs"], r["n_groups"])
-           for r in (groups.join(szdf, "component")
-                     .join(docs, "doc_id")
-                     .groupBy("source")
-                     .agg(F.count(F.lit(1)).alias("n_docs"),
-                          F.sum(F.when(F.col("_rm_sz") > 1, 1)
-                                .otherwise(0)).cast("long")
-                          .alias("n_dup_docs"),
-                          F.countDistinct("component").alias("n_groups"))
-                     ).collect()}
+           for r in dedup.rate_report(groups, docs).collect()}
     assert got == {s: (n, dup, len(comps))
                    for s, (n, dup, comps) in want.items()}
 
@@ -809,10 +800,13 @@ def test_frozen_surfaces_unchanged():
 
     path = os.path.join(os.path.dirname(__file__),
                         "freeze_manifest.json")
-    got = _freeze_digests()
-    assert set(got) == set(ep._FROZEN_ENTRIES)
+    # the declaration check must run BEFORE the digest pass: a new
+    # freeze without pins would otherwise die as a bare KeyError
+    # inside _freeze_digests instead of this message (r13 second
+    # review)
     assert set(ep._FROZEN_SURFACES) == set(ep._FROZEN_ENTRIES), \
         "every frozen entry needs a _FROZEN_SURFACES declaration"
+    got = _freeze_digests()
     if os.environ.get("RM_REGEN_FREEZE") == "1":
         with open(path, "w") as f:
             json.dump(got, f, indent=1, sort_keys=True)
@@ -825,3 +819,20 @@ def test_frozen_surfaces_unchanged():
     assert not drifted, (
         f"frozen entries' pinned source changed without re-activation "
         f"or re-pin: {drifted}")
+
+
+def test_mixture_temperature_null_tiebreak_nulls_last(spark):
+    """The remainder-seat tiebreak is NULLS LAST on both engines (r13
+    second review: Spark's bare asc() is nulls-first, DuckDB's is
+    nulls-last — two equal-weight groups, one NULL, with one leftover
+    seat would diverge). With equal counts and odd k, the seat must go
+    to the NON-null group."""
+    from radmapper_spark.operators import sampling
+    rows = ([(i, "x") for i in range(100)]
+            + [(i + 1000, None) for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    got = sampling.mixture_temperature(df, "g", "doc_id", 31, alpha=1.0)
+    kept = {}
+    for r in got.collect():
+        kept[r["g"]] = kept.get(r["g"], 0) + 1
+    assert kept == {"x": 16, None: 15}, kept
