@@ -653,6 +653,10 @@ import tempfile as _tempfile
 # extraction happens once per corpus ever; every probe afterwards
 # constructs lazily and reads only the persisted index).
 _PROBE_INDEX_CACHE: dict = {}
+# stale/dead probe-index trees awaiting deletion: retired (not
+# rmtree'd in place) so live DataFrames that still lazily reference
+# them keep working; swept by purge_probe_indexes
+_RETIRED_INDEX_TREES: list = []
 
 
 def purge_probe_indexes() -> int:
@@ -665,11 +669,13 @@ def purge_probe_indexes() -> int:
     from .operators.index_meta import invalidate_index_meta
 
     n = 0
-    for _fp, path in _PROBE_INDEX_CACHE.values():
+    for path in [p for _fp, p in _PROBE_INDEX_CACHE.values()] \
+            + _RETIRED_INDEX_TREES:
         shutil.rmtree(path, ignore_errors=True)
         invalidate_index_meta(path)  # keep the sidecar cache honest
         n += 1
     _PROBE_INDEX_CACHE.clear()
+    _RETIRED_INDEX_TREES.clear()
     return n
 
 
@@ -695,20 +701,33 @@ def _probe_index_path(spark: SparkSession, sf_dir: str, kind: str,
         fp_was, path = hit
         if fp_was is not None and fp_now is not None and fp_was == fp_now:
             return path
-        # stale (or unverifiable) artifact: drop the tree and rebuild
+        # stale (or unverifiable) artifact: RETIRE the tree instead of
+        # deleting it in place — DataFrames returned by earlier calls
+        # still lazily reference these files, and an immediate rmtree
+        # would turn their next action into FileNotFoundException (or,
+        # with ignoreMissingFiles, silent row loss). Retired trees are
+        # swept by purge_probe_indexes (bench teardown / atexit), the
+        # same fail-soft lifetime the persisted-frame caches give
+        # their consumers (r13 third review).
         from .operators.index_meta import invalidate_index_meta
-        shutil.rmtree(path, ignore_errors=True)
+        _RETIRED_INDEX_TREES.append(path)
         invalidate_index_meta(path)
         _PROBE_INDEX_CACHE.pop(key, None)
-    # evict DEAD sessions' index dirs (same policy as every other
-    # session-lifetime cache here): their tmp trees are unreachable
-    # garbage once the session key can no longer match
+    # retire DEAD sessions' index dirs too (same policy as every other
+    # session-lifetime cache here): unreachable once the session key
+    # can no longer match, reclaimed at the next purge
     for k in [k for k in _PROBE_INDEX_CACHE if k[0] != key[0]]:
-        shutil.rmtree(_PROBE_INDEX_CACHE.pop(k)[1], ignore_errors=True)
+        _RETIRED_INDEX_TREES.append(_PROBE_INDEX_CACHE.pop(k)[1])
     path = _tempfile.mkdtemp(prefix=f"rm_{kind}_idx_")
     # stamp the fingerprint taken BEFORE the build (a rewrite racing the
-    # build leaves an older stamp -> next hit rebuilds)
-    build(path)
+    # build leaves an older stamp -> next hit rebuilds); a FAILED build
+    # must not leak its partial tree outside the cache (nothing would
+    # ever reclaim it) — clean up and re-raise
+    try:
+        build(path)
+    except BaseException:
+        shutil.rmtree(path, ignore_errors=True)
+        raise
     _PROBE_INDEX_CACHE[key] = (fp_now, path)
     return path
 
@@ -3729,9 +3748,21 @@ def _shuffled_bpe_chunks(spark: SparkSession, sf_dir: str,
         docs = doc_filter(docs)
     chunks = tokenizer.bpe_chunk_documents(docs, merges,
                                            chunk_tokens=_BPE_CHUNK)
+    # LOUD overflow guard (r13 third review): a document with
+    # >= _CHUNK_STRIDE chunks would collide its chunk_id into the next
+    # doc_id's range, and the oracle gate catches that only
+    # probabilistically (tied ids can coincidentally order the same in
+    # both engines). raise_error keeps the plan map-only and fails the
+    # job instead of silently double-assigning an id.
+    seq = F.when(
+        F.col("chunk_seq") < F.lit(_CHUNK_STRIDE),
+        F.col("chunk_seq").cast("long"),
+    ).otherwise(F.raise_error(F.lit(
+        f"chunk_seq >= {_CHUNK_STRIDE}: chunk_id would collide across "
+        f"documents — raise _CHUNK_STRIDE")).cast("long"))
     keyed = chunks.withColumn(
         "chunk_id", (F.col("doc_id").cast("long") * F.lit(_CHUNK_STRIDE)
-                     + F.col("chunk_seq").cast("long")))
+                     + seq))
     return sampling.corpus_shuffle(keyed, "chunk_id", shard_size,
                                    salt=salt)
 
@@ -3902,16 +3933,27 @@ def pipeline_training_shards_sql() -> str:
                 WHERE doc_id IN (SELECT doc_id FROM ({kept}) k)
                   AND doc_id IN (
                       SELECT doc_id
-                      FROM (SELECT doc_id, row_number() OVER (
-                                PARTITION BY regexp_replace(
-                                    trim(lower(text)), '\\s+', ' ', 'g')
-                                ORDER BY doc_id ASC) AS rn
+                      FROM (SELECT doc_id,
+                                   {_duck_first_per_norm_rn()} AS rn
                             FROM documents) d
                       WHERE rn = 1)))
     """
 
 
 # =============================================================== corpus pipeline
+
+# SQL twin of _first_per_norm_text's rule: first doc (lowest id) wins
+# per whitespace-normalized text. One definition for both pipeline
+# twins (r13 third review: the Spark side was unified into
+# _first_per_norm_text but the twins still inlined two copies of the
+# window — the exact fork the helper exists to prevent).
+_DUCK_NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def _duck_first_per_norm_rn(order_id: str = "doc_id") -> str:
+    return (f"row_number() OVER (PARTITION BY {_DUCK_NORM_TEXT} "
+            f"ORDER BY {order_id} ASC)")
+
 
 def _first_per_norm_text(docs: DataFrame) -> DataFrame:
     """Exact near-form dedup: keep the FIRST doc_id per whitespace-
@@ -3981,9 +4023,7 @@ def pipeline_corpus_clean_sql() -> str:
                 + CASE WHEN sr > 0.01 THEN 0.2 ELSE 0.0 END, 2)::DOUBLE AS quality
         FROM m),
          kept AS (
-        SELECT *, row_number() OVER (
-            PARTITION BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
-            ORDER BY doc_id ASC) AS rn
+        SELECT *, {_duck_first_per_norm_rn()} AS rn
         FROM scored
         WHERE quality >= 0.6 AND lang_pred <> 'und')
     SELECT source, lang_pred, count(*) AS n_docs,

@@ -186,12 +186,19 @@ def test_rotation_window_invariant():
     """
     import glob
     import json
+    import os
     import re
 
     import radmapper_spark.entrypoints as ep
 
+    # derive the repo root from THIS file: a hardcoded /root/repo
+    # validated a different checkout's history when the suite ran from
+    # a clone or worktree (r13 third review, confirmed empirically)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert files, f"no CORRECTNESS_r*.json under {repo} — wrong checkout?"
     last, rounds = {}, set()
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    for f in files:
         r = int(re.search(r"r(\d+)", f).group(1))
         rounds.add(r)
         qs = json.load(open(f))
@@ -276,10 +283,23 @@ def test_probe_index_cache_revalidates_fingerprint(spark, tmp_path):
     p3 = ep._probe_index_path(spark, d, "fprobe",
                               lambda p: builds.append(p))
     assert len(builds) == 2, "rewritten corpus must invalidate the memo"
-    assert not os.path.exists(p1) or p3 != p1, "stale tree must be dropped"
-    # cleanup
-    ep._PROBE_INDEX_CACHE.pop((ep.session_key(spark), d, "fprobe"), None)
-    shutil.rmtree(p3, ignore_errors=True)
+    assert p3 != p1
+    # the stale tree is RETIRED, not deleted in place: DataFrames from
+    # earlier calls still lazily reference it (r13 third review; the
+    # old `not exists(p1) or p3 != p1` assert was vacuous — p3 is a
+    # fresh mkdtemp, so the disjunct always passed)
+    assert os.path.exists(p1), "stale tree must survive until purge"
+    assert p1 in ep._RETIRED_INDEX_TREES
+    # a FAILED build must not leak its partial tree outside the cache
+    with open(f, "ab") as fh:
+        fh.write(b"\x00")
+    with pytest.raises(RuntimeError, match="boom"):
+        ep._probe_index_path(spark, d, "fprobe",
+                             lambda p: (_ for _ in ()).throw(
+                                 RuntimeError("boom")))
+    # purge reclaims both the live and the retired trees
+    ep.purge_probe_indexes()
+    assert not os.path.exists(p1) and not os.path.exists(p3)
 
 
 # ----------------------------------- r13 second batch: training-mix ops
