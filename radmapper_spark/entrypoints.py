@@ -5176,6 +5176,16 @@ _FROZEN_ENTRIES = frozenset({
     # selection.py unchanged since r10 (61dab66) and lang_id on the
     # same frozen textstats.py — frozen r13 for the fourth batch
     "dsir_select", "lang_id_eval",
+    # r14 batch: the remaining textstats.py entries (file unchanged
+    # since 3cfa948, r9) join their module-mates above
+    "text_quality", "text_lang_id", "text_token_count",
+    "text_vocabulary", "text_fingerprint",
+    # temporal.py unchanged since b522cd3 (r6) — its last two active
+    # entries join temporal_rollup/temporal_sessionize in the tier
+    "temporal_asof_join", "temporal_range_join",
+    # behavior.py unchanged since b522cd3 (r6); skew.py since 8e18a10
+    # (r3) — the oldest still-active operator modules in the tree
+    "user_cohorts", "skew_salted_join", "skew_salted_agg",
 })
 
 # Frozen-tier SOURCE PINS (r13): the freeze criterion — "the entry's
@@ -5231,64 +5241,62 @@ _FROZEN_SURFACES: dict = {
     "doc_chunks_cdc": ("radmapper_spark.operators.chunking",
                        "radmapper_spark.operators.cdc"),
     "dsir_select": ("radmapper_spark.operators.selection",),
+    **{e: ("radmapper_spark.operators.textstats",) for e in (
+        "text_quality", "text_lang_id", "text_token_count",
+        "text_vocabulary", "text_fingerprint")},
+    "temporal_asof_join": ("radmapper_spark.operators.temporal",),
+    "temporal_range_join": ("radmapper_spark.operators.temporal",),
+    "user_cohorts": ("radmapper_spark.operators.behavior:cohort_retention",),
+    "skew_salted_join": ("radmapper_spark.operators.skew:salted_join",),
+    "skew_salted_agg": ("radmapper_spark.operators.skew:salted_two_phase_agg",),
 }
 
-# r13 window, priority order (the test recomputes all of this):
-# 1. The 16 entries whose last external row is r10 (staleness 3 — AT
-#    the frozen bound, top priority; the named r12 trade).
-# 2. The thirteen NEW r13 entries (corpus_shuffle_epoch,
-#    materialize_training_shards, pipeline_training_shards,
-#    token_budget_select, mixture_temperature, curriculum_order,
-#    dedup_keep_best, split_leakage_check, clean_holdout,
-#    nb_calibration, shard_manifest, token_budget_per_source,
-#    dedup_rate_report) — registered before the freeze, so they land
-#    first rows this round (zero latecomer debt, the r12 pattern).
-# 3. 21 of the 31 ACTIVE-tier entries whose last row is r11
-#    (staleness 2 — at the active bound). The other ten (text_tfidf,
-#    text_bm25, text_inverted_index, text_bigram_pmi, text_pii_scrub,
-#    text_repetition, lang_id_eval, doc_chunks, doc_chunks_cdc,
-#    dsir_select) moved to the frozen tier (textstats.py unchanged
-#    since r8, chunking.py since r6b, cdc.py since r9, selection.py
-#    since r10; swept at three SFs locally every round) and slip to
-#    r14 at staleness 3 <= frozen bound. The 19 previously-frozen r11
-#    entries (incl. pricing_summary) likewise slip within bound —
-#    r14's top tier is those 29 frozen r11 slips at the bound,
-#    alongside the 50 r12-row actives reaching staleness 2 (up to 79
-#    urgency-0 candidates for r14's 50 slots; the invariant test
-#    forces the cut to stay a priority prefix).
-_R13_WINDOW = [
-    # --- tier 1: the 16 r10 slips
-    "rm_datalog_join", "rm_datetime_ops", "rm_eav_wildcard",
-    "rm_express_map", "rm_express_reduce", "rm_nested_docs",
-    "rm_qvar_project", "rm_scalar_battery", "rm_table_paths",
-    "string_battery", "region_nation_revenue", "top_revenue_orders",
-    "top_customer_per_nation", "dataset_split", "sample_per_group",
-    "stats_profile",
-    # --- tier 2: new r13 entries (never-proven — must land first rows)
-    "corpus_shuffle_epoch", "materialize_training_shards",
-    "pipeline_training_shards", "token_budget_select",
-    "mixture_temperature", "curriculum_order", "dedup_keep_best",
-    "split_leakage_check", "clean_holdout", "nb_calibration",
-    "shard_manifest", "token_budget_per_source", "dedup_rate_report",
-    # --- tier 3: the 21 ACTIVE r11 entries (ten entries moved to
-    # the frozen tier for the new-entry slots: text_tfidf, text_bm25,
-    # text_inverted_index, text_bigram_pmi, text_pii_scrub,
-    # text_repetition, lang_id_eval, doc_chunks, doc_chunks_cdc,
-    # dsir_select — textstats.py unchanged since r8, chunking.py since
-    # r6b, cdc.py since r9, selection.py since r10, all source-PINNED
-    # in tests/freeze_manifest.json and swept locally every round —
-    # and slip to r14 at staleness 3 <= frozen bound, making room for
-    # the r13 batches with zero latecomer debt)
-    "ann_opq_topk", "ann_pq_topk", "ann_range_search",
-    "blocklist_scrub", "bpe_chunks", "bpe_token_count", "cdc_merge",
-    "decontam_ngram",
-    "embedding_gram", "embedding_kmeans", "embedding_kmeans_lloyd",
-    "embedding_pca", "embedding_probe", "embedding_quantize",
-    "image_dedup_groups", "image_phash_neardup",
-    "moore_lewis_select", "stream_media_dedup", "substring_dup_spans",
-    "substring_removal_spans", "substring_scrub",
+# r14 window, priority order (the test recomputes all of this):
+# after r13, 79 entries tie at urgency 0 for the 50 slots — the 29
+# frozen entries whose last row is r11 (staleness 3, AT the frozen
+# bound) and the 50 active entries whose last row is r12 (staleness 2,
+# at the active bound). Ties may fall either side of the cut, so the
+# selection below is policy, not arithmetic:
+# 1. All 29 frozen r11 slips — their only per-round re-proof is the
+#    local three-SF sweep, so they take the external row whenever
+#    they're at the bound.
+# 2. New r14 entries (never-proven — must land first rows same round).
+# 3. The remaining slots go to the r12 actives whose OPERATOR MODULES
+#    changed most recently (dedup.py/classifier.py/sampling.py r13,
+#    lm.py/decontam r12) — fresh code earns external rows first.
+# Ten r12 actives moved to the frozen tier this round (textstats.py
+# unchanged since r9, temporal.py/behavior.py since r6, skew.py since
+# r3 — all sha-pinned in tests/freeze_manifest.json): they drop to
+# urgency -1 and wait for r15/r16 within bound. The ~24 actives left
+# outside at urgency 0 breach at r15 and are that window's forced
+# tier, alongside the 50 entries below reaching staleness 2 at r16.
+_R14_WINDOW = [
+    # --- tier 1: the 29 frozen r11 slips (staleness 3 = frozen bound)
+    "weighted_sample", "text_tfidf", "text_repetition",
+    "text_pii_scrub", "text_inverted_index", "text_bm25",
+    "text_bigram_pmi", "temporal_sessionize", "temporal_rollup",
+    "stats_outliers", "stats_histogram", "source_mixture", "seq_pack",
+    "pricing_summary", "numeric_battery", "mixture_sample",
+    "large_orders", "lang_id_eval", "fuzzy_part_names", "events_twap",
+    "events_gapfill", "events_by_type", "events_anomalies",
+    "event_markov", "event_funnel", "dsir_select", "dq_checks",
+    "doc_chunks_cdc", "doc_chunks",
+    # --- tier 2: r12 actives on r13-changed modules (dedup.py,
+    # classifier.py, sampling.py) — the code that moved most recently
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_token_jaccard", "dedup_groups", "dedup_embedding_cosine",
+    "neardup_probe", "neardup_admit", "nb_quality_score",
+    "nb_pareto_filter", "quality_probe", "stream_quality_filter",
+    "corpus_shuffle",
+    # --- tier 3: r12 actives on r12-changed modules (lm.py,
+    # decontam.py) + composed-pipeline refresh; these slots rotate out
+    # first as new r14 entries register (each new entry evicts the
+    # tail so the window stays the 50-entry registered prefix)
+    "lm_score", "lm_bucket", "decontam_embedding",
+    "pipeline_corpus_clean", "graph_pagerank", "graph_communities",
+    "multimodal_features", "mixture_interleave",
 ]
-_CURRENT_WINDOW = _R13_WINDOW  # alias the invariant test reads
-assert len(_R13_WINDOW) == 50 and set(_R13_WINDOW) <= set(ENTRIES)
+_CURRENT_WINDOW = _R14_WINDOW  # alias the invariant test reads
+assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(ENTRIES)
 ENTRIES = {k: ENTRIES[k] for k in
-           _R13_WINDOW + [k for k in ENTRIES if k not in set(_R13_WINDOW)]}
+           _R14_WINDOW + [k for k in ENTRIES if k not in set(_R14_WINDOW)]}
