@@ -655,8 +655,11 @@ import tempfile as _tempfile
 _PROBE_INDEX_CACHE: dict = {}
 # stale/dead probe-index trees awaiting deletion: retired (not
 # rmtree'd in place) so live DataFrames that still lazily reference
-# them keep working; swept by purge_probe_indexes
+# them keep working; swept by purge_probe_indexes, with an
+# opportunistic oldest-first sweep past _RETIRED_CAP retirements so the
+# backlog stays bounded even in a session that never reaches purge
 _RETIRED_INDEX_TREES: list = []
+_RETIRED_CAP = 8
 
 
 def purge_probe_indexes() -> int:
@@ -718,6 +721,16 @@ def _probe_index_path(spark: SparkSession, sf_dir: str, kind: str,
     # can no longer match, reclaimed at the next purge
     for k in [k for k in _PROBE_INDEX_CACHE if k[0] != key[0]]:
         _RETIRED_INDEX_TREES.append(_PROBE_INDEX_CACHE.pop(k)[1])
+    # bound the retirement backlog (r13 advice: a session that never
+    # reaches purge accumulated stale trees without limit): past
+    # _RETIRED_CAP, opportunistically sweep the OLDEST retirees here —
+    # a DataFrame still referencing a tree that old (>= 8 rebuilds ago)
+    # has outlived every consumer pattern in the repo, and the trade is
+    # explicit: bounded disk beats a theoretical late reader. Trees a
+    # hard kill strands entirely live under the OS tmp dir (mkdtemp),
+    # so the platform's tmp reaper is the terminal backstop.
+    while len(_RETIRED_INDEX_TREES) > _RETIRED_CAP:
+        shutil.rmtree(_RETIRED_INDEX_TREES.pop(0), ignore_errors=True)
     path = _tempfile.mkdtemp(prefix=f"rm_{kind}_idx_")
     # stamp the fingerprint taken BEFORE the build (a rewrite racing the
     # build leaves an older stamp -> next hit rebuilds); a FAILED build

@@ -113,10 +113,16 @@ def global_cumsum(df: DataFrame, order_cols, weight_col: str,
     (the persist pins the sampled range boundaries so the offsets
     branch and the cumsum branch see identical partitioning).
 
-    ``weight_col`` must be an integral column: BIGINT sums are exact
-    and partition-order-independent, which is what makes the running
-    total reproducible across cluster sizes and in the DuckDB oracle
-    (a double sum would drift with partition order). ``order_cols``
+    ``weight_col`` must be an integral column AND non-negative: BIGINT
+    sums are exact and partition-order-independent, which is what makes
+    the running total reproducible across cluster sizes and in the
+    DuckDB oracle (a double sum would drift with partition order), and
+    a negative weight would let the running total dip back under a
+    downstream threshold after crossing it, silently breaking callers'
+    contiguous-prefix contracts (token_budget_select's "first
+    overflowing row drops" — r13 advice). Negativity is checked at
+    EXECUTION time by a min-weight guard riding the existing P-row
+    offset aggregate (zero extra passes). ``order_cols``
     must be a TOTAL order (callers pass a unique tiebreaker, same
     contract as global_rank). When ``rank_col`` is set the global
     row_number rides along on the same range exchange (no second
@@ -144,10 +150,23 @@ def global_cumsum(df: DataFrame, order_cols, weight_col: str,
     # ONE P-row aggregate carries both the weight sums and (when the
     # rank rides along) the row counts, so both offset kinds come from
     # a single pass and a single broadcast join
-    aggs = [F.sum(F.col(weight_col).cast("long")).alias(wsum)]
+    wmin = _free_name(df, "_rm_wmin")
+    aggs = [F.sum(F.col(weight_col).cast("long")).alias(wsum),
+            F.min(F.col(weight_col).cast("long")).alias(wmin)]
     if rank_col is not None:
         aggs.append(F.count(F.lit(1)).alias(cnt))
     sums = parts.groupBy(pid).agg(*aggs)
+    # negative-weight guard on the bounded P-row pass (a filter, not a
+    # droppable projection — the raise fires at execution, same pattern
+    # as linalg's ragged-dimension check)
+    sums = sums.where(
+        F.when(F.col(wmin) >= 0, F.lit(True))
+        .otherwise(F.raise_error(F.concat(
+            F.lit(f"global_cumsum: weight column {weight_col!r} has a "
+                  f"negative value (min "),
+            F.col(wmin).cast("string"),
+            F.lit("); the running total would be non-monotone"))))
+    ).drop(wmin)
     woff = (Window.partitionBy(F.spark_partition_id())
             .orderBy(pid)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -515,9 +515,26 @@ def mixture_temperature(df: DataFrame, group_col: str, id_col: str,
 def duck_mixture_temperature_sql(group_expr: str, id_expr: str, k: int,
                                  alpha: float = 0.5,
                                  salt: str = "mixtemp",
-                                 from_table: str = "documents") -> str:
+                                 from_table: str = "documents",
+                                 group_name: str = None,
+                                 id_name: str = None) -> str:
     """DuckDB twin of mixture_temperature (same largest-remainder
-    integer allocation, same hash order)."""
+    integer allocation, same hash order). ``group_expr``/``id_expr``
+    may be arbitrary SQL expressions — the inner scan aliases them to
+    ``group_name``/``id_name`` and the outer select/join reference only
+    the aliases (r13 advice: the previous body re-selected the raw
+    expression text outside its scope, valid only for bare column
+    names). The names default to the expression text, which therefore
+    must be a bare identifier unless a name is given explicitly."""
+    import re as _re
+    gname = group_name or group_expr
+    iname = id_name or id_expr
+    for nm, kind in ((gname, "group_name"), (iname, "id_name")):
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", nm):
+            raise ValueError(
+                f"duck_mixture_temperature_sql: {kind} {nm!r} is not a "
+                f"bare identifier — pass {kind}= explicitly when the "
+                f"expression is computed")
     wsql = _duck_temp_weight("c", alpha)
     h = PH.duck_ph60(f"'{salt}:' || ({id_expr})::VARCHAR")
     return f"""
@@ -536,13 +553,13 @@ def duck_mixture_temperature_sql(group_expr: str, id_expr: str, k: int,
                                 <= {int(k)} - (SELECT sum(base) FROM mtq)
                            THEN 1 ELSE 0 END)::BIGINT AS target_n
             FROM mtq),
-    mtr AS (SELECT {id_expr}, {group_expr},
+    mtr AS (SELECT {id_expr} AS {iname}, {group_expr} AS {gname},
                    row_number() OVER (PARTITION BY {group_expr}
                                       ORDER BY {h} ASC, {id_expr} ASC)
                        ::BIGINT AS mix_rank
             FROM {from_table})
-    SELECT {id_expr}, {group_expr}, mix_rank, target_n
-    FROM mtr JOIN mtt ON mtr.{group_expr} IS NOT DISTINCT FROM mtt.g
+    SELECT {iname}, {gname}, mix_rank, target_n
+    FROM mtr JOIN mtt ON mtr.{gname} IS NOT DISTINCT FROM mtt.g
     WHERE mix_rank <= target_n
     """
 
@@ -725,6 +742,10 @@ def token_budget_select_per_group(scored: DataFrame, group_col: str,
     totals are partition-order-independent), total order within the
     group via the caller's tiebreaker. A row is kept iff its in-group
     running total is within budget (the first overflowing row drops).
+    Weights must be NON-NEGATIVE — a negative weight would let the
+    running total dip back under budget after overflowing, silently
+    re-admitting later rows (r13 advice); checked at execution by a
+    raise_error branch fused into the budget filter.
 
     Output: scored's columns + (rank_col, cum_col), filtered."""
     if budget < 0:
@@ -741,12 +762,23 @@ def token_budget_select_per_group(scored: DataFrame, group_col: str,
             f"exactly — pre-scale floats onto an integer grid first")
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # the negative-weight guard fuses into the budget filter (one extra
+    # comparison on rows the window pass already touches; the global
+    # variant gets the same guard for free inside global_cumsum)
+    keep = F.when(
+        F.col(weight_col) >= 0,
+        F.col(cum_col) <= F.lit(int(budget))
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"token_budget_select_per_group: weight column "
+              f"{weight_col!r} has a negative value ("),
+        F.col(weight_col).cast("string"),
+        F.lit("); the kept set would not be a contiguous prefix"))))
     return (scored
             .withColumn(rank_col, F.row_number().over(w).cast("long"))
             .withColumn(cum_col,
                         F.sum(F.col(weight_col).cast("long")).over(wcum)
                         .cast("long"))
-            .filter(F.col(cum_col) <= F.lit(int(budget))))
+            .filter(keep))
 
 
 def duck_token_budget_per_group_sql(rel: str, group_expr: str,

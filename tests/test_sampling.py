@@ -143,6 +143,72 @@ def test_weighted_sample_zero_weight_never_wins(spark):
     assert all(r.w > 0 for r in out)
 
 
+def test_negative_weight_rejected_global(spark):
+    """r13 advice: a negative weight breaks the contiguous-prefix
+    contract silently (the running total dips back under budget) and
+    BOTH engines compute the same arithmetic, so only an engine-side
+    guard can catch it. global_cumsum (token_budget_select's core)
+    raises at execution via the P-row offset aggregate."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, -3), (3, 10)], "doc_id long, w long")
+    out = sampling.token_budget_select(df, 15, [F.col("doc_id").asc()],
+                                       "w")
+    with pytest.raises(Exception, match="negative"):
+        out.collect()
+
+
+def test_negative_weight_rejected_per_group(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, -3), ("a", 3, 10)],
+        "g string, doc_id long, w long")
+    out = sampling.token_budget_select_per_group(
+        df, "g", 15, [F.col("doc_id").asc()], "w")
+    with pytest.raises(Exception, match="negative"):
+        out.collect()
+
+
+def test_nonnegative_weights_unaffected_by_guard(spark):
+    """The guard must be invisible for valid input: zero weights are
+    fine and the kept set is the exact budget prefix."""
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, 5), (4, 5), (5, 1)], "doc_id long, w long")
+    kept = sorted(r.doc_id for r in sampling.token_budget_select(
+        df, 10, [F.col("doc_id").asc()], "w").collect())
+    assert kept == [1, 2, 3]
+    kept_g = sorted(r.doc_id for r in sampling.token_budget_select_per_group(
+        df.withColumn("g", F.lit("x")), "g", 10,
+        [F.col("doc_id").asc()], "w").collect())
+    assert kept_g == [1, 2, 3]
+
+
+def test_duck_mixture_sql_computed_exprs():
+    """r13 advice: duck_mixture_temperature_sql silently emitted invalid
+    SQL for computed group/id expressions (the outer query re-selected
+    the raw expression text outside its scope). With explicit names the
+    aliased form must execute; without them a computed expression must
+    be rejected loudly, not emitted broken."""
+    import duckdb
+    import pytest
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT i AS doc_id, "
+                "chr(97 + (i % 3)::INT) AS lang "
+                "FROM range(100) t(i)")
+    sql = sampling.duck_mixture_temperature_sql(
+        "upper(lang)", "doc_id + 0", 30, alpha=0.5,
+        group_name="lang_u", id_name="doc_id")
+    out = con.execute(sql).fetchall()
+    assert len(out) == 30
+    cols = [d[0] for d in con.execute(sql).description]
+    assert cols == ["doc_id", "lang_u", "mix_rank", "target_n"]
+    with pytest.raises(ValueError, match="bare identifier"):
+        sampling.duck_mixture_temperature_sql("lower(lang)", "doc_id", 10)
+
+
 def test_weighted_sample_append_stability(spark):
     """Adding rows never reshuffles the survivors arbitrarily: every
     evicted row is replaced only by a newcomer with a stronger key
