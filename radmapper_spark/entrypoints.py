@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from . import headline
 from .lang.interp import Interp
 from .operators import (decontam, dedup, multimodal, similarity, temporal,
-                        textstats, tokenizer)
+                        textstats, tokenizer, web)
 from .session import load_tables, session_key, sf_fingerprint
 from .streaming import windows as W
 
@@ -4908,6 +4908,161 @@ def graph_communities_sql() -> str:
     """
 
 
+# ================================================== web preprocessing (r14)
+
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-text extraction (operators.web.html_extract — C4-style
+    line rules over deterministic, Catalyst-only string expressions):
+    each document is wrapped in a synthesized page (web.synth_html —
+    script/style noise, a link-dense nav, a too-short line, a cookie
+    notice, a no-terminal-punctuation line; one casualty per rule, so
+    every rule is exercised at every SF) and the extractor recovers the
+    content paragraphs. Map-only, zero UDFs — plan-shape locked; the
+    oracle re-derives synthesis AND extraction from the shared rule
+    helpers, so the engines cannot silently fork."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    synth = docs.select(
+        "doc_id",
+        web.synth_html(F.col("doc_id"), F.col("text"),
+                       F.col("source")).alias("html"))
+    return web.html_extract(synth).select(
+        "doc_id", "extracted_text", "n_lines_kept", "n_lines_total")
+
+
+def html_extract_sql() -> str:
+    e = web.duck_html_extract_exprs(web.duck_synth_html_expr())
+    return f"""
+    SELECT doc_id,
+           {e['extracted_text']} AS extracted_text,
+           {e['n_lines_kept']} AS n_lines_kept,
+           {e['n_lines_total']} AS n_lines_total
+    FROM documents
+    """
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup — the FIRST dedup pass of a crawl pipeline
+    (before any content hashing; CCNet/RefinedWeb practice): raw URLs
+    (web.synth_url — three noisy variants per resource: case, www,
+    default port, fragment, tracking params, unsorted query, trailing
+    slash) are canonicalized by pure Catalyst string expressions and
+    grouped; output one row per canonical resource with its variant
+    count and min doc_id representative. The canonicalize step is
+    map-only; the groupBy on the canonical string is the single
+    exchange (the same key the content fetch would dedup on at crawl
+    scale)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    urls = docs.select("doc_id",
+                       web.synth_url(F.col("doc_id")).alias("url"))
+    canon = web.canonicalize_urls(urls)
+    return (canon.groupBy("canonical_url", "host")
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min("doc_id").alias("min_doc_id")))
+
+
+def url_canonical_dedup_sql() -> str:
+    c = web.duck_canonicalize_exprs(web.duck_synth_url_expr())
+    return f"""
+    SELECT {c['canonical_url']} AS canonical_url, {c['host']} AS host,
+           count(*)::BIGINT AS n_variants,
+           min(doc_id) AS min_doc_id
+    FROM documents
+    GROUP BY 1, 2
+    """
+
+
+def host_volume_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOST volume cap — the crawl-mix governor (RefinedWeb/CCNet
+    cap how much any single site contributes before content filtering):
+    canonical hosts from the synthesized URLs, then at most 25 docs per
+    host chosen by the deterministic portable-hash order
+    (sampling.cap_per_group — append-stable: a host's kept set never
+    changes when OTHER hosts grow). One hash shuffle on the host key;
+    the rank window is AQE-splittable if a host is hot — which is
+    exactly the skew this operator exists to bound."""
+    from .operators import sampling
+    docs = load_tables(spark, sf_dir)["documents"]
+    urls = docs.select("doc_id",
+                       web.synth_url(F.col("doc_id")).alias("url"))
+    canon = web.canonicalize_urls(urls)
+    return (sampling.cap_per_group(canon, "host", "doc_id", 25)
+            .select("doc_id", "host", "sample_rank"))
+
+
+def host_volume_cap_sql() -> str:
+    from .functions import portable_hash as PH
+    c = web.duck_canonicalize_exprs(web.duck_synth_url_expr())
+    h = PH.duck_ph60("'cap:' || doc_id::VARCHAR")
+    return f"""
+    SELECT doc_id, host, row_number() OVER (
+        PARTITION BY host ORDER BY ({h} % {1 << 40}) ASC, doc_id ASC
+    ) AS sample_rank
+    FROM (SELECT doc_id, {c['host']} AS host FROM documents)
+    QUALIFY sample_rank <= 25
+    """
+
+
+# ================================== streaming training ingest (r14)
+
+_INGEST_SHARDS = 8
+
+
+def stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH TWIN of the streaming end-to-end training ingest loop
+    (streaming/ingest.py start_training_ingest — r13 verdict item #2:
+    the streaming counterpart of pipeline_training_shards): exact
+    dedup (first doc per portable norm-text hash — the stream keys its
+    persisted index on the same hash) -> NB/Pareto quality admission
+    (the memoized single-training-instantiation model) -> corpus-BPE
+    exact context windows -> HASH shard assignment (a pure per-chunk
+    function, the only shard layout an unbounded stream can have —
+    the global-permutation layout belongs to the offline materialize
+    entries). tests/test_stream_ingest.py proves a multi-micro-batch
+    file-stream run of the composed loop writes exactly these rows,
+    with cross-batch index rejections exercised.
+
+    Plan shape: the dedup window is one exchange on the 8-byte hash;
+    admission is the broadcast-model map + one id-grain semi-join;
+    chunking and shard assignment are map-only — no global sort
+    anywhere, which is the point of the streaming layout."""
+    from .operators import classifier
+    from .streaming import ingest
+    merges = _bpe_merges(spark, sf_dir)  # before docs — see bpe_token_count
+    docs = load_tables(spark, sf_dir)["documents"]
+    admitted = classifier.pareto_filter(
+        _nb_scored(spark, sf_dir)).select("doc_id")
+    kept = ingest.first_per_normhash(docs).join(admitted, "doc_id",
+                                                "semi")
+    chunks = tokenizer.bpe_chunk_documents(kept, merges,
+                                           chunk_tokens=_BPE_CHUNK)
+    return chunks.select(
+        "doc_id", "chunk_seq", "chunk_start", "n_chunk_tokens",
+        ingest.shard_col(ingest.chunk_id_col(), _INGEST_SHARDS)
+        .alias("shard"),
+        "chunk_text")
+
+
+def stream_training_ingest_sql() -> str:
+    from .operators import classifier
+    from .streaming import ingest
+    kept = classifier.duck_pareto_filter_sql(_NB_POS, _NB_NEG)
+    shard = ingest.duck_shard_expr("chunk_id", _INGEST_SHARDS)
+    return f"""
+    SELECT doc_id, chunk_seq, chunk_start, n_chunk_tokens,
+           {shard} AS shard, chunk_text
+    FROM (SELECT q.*,
+                 doc_id * {ingest.CHUNK_STRIDE} + chunk_seq AS chunk_id
+          FROM ({bpe_chunks_sql()}) q
+          WHERE doc_id IN (SELECT doc_id FROM ({kept}) k)
+            AND doc_id IN (
+                SELECT doc_id
+                FROM (SELECT doc_id,
+                             {ingest.duck_first_per_normhash_rn()} AS rn
+                      FROM documents) d
+                WHERE rn = 1))
+    """
+
+
 # =============================================================== registry
 
 ENTRIES: dict = {
@@ -5127,6 +5282,17 @@ ENTRIES: dict = {
     "token_budget_per_source": (token_budget_per_source,
                                 token_budget_per_source_sql),
     "dedup_rate_report": (dedup_rate_report, dedup_rate_report_sql),
+    # NEW r14: crawl-side web preprocessing — HTML main-text extraction
+    # (C4-style line rules, map-only Catalyst), canonical-URL dedup and
+    # the per-host volume cap (CCNet/RefinedWeb crawl governors)
+    "html_extract": (html_extract, html_extract_sql),
+    "url_canonical_dedup": (url_canonical_dedup, url_canonical_dedup_sql),
+    "host_volume_cap": (host_volume_cap, host_volume_cap_sql),
+    # NEW r14: batch twin of the streaming end-to-end training ingest
+    # loop (streaming/ingest.py; multi-micro-batch differential in
+    # tests/test_stream_ingest.py)
+    "stream_training_ingest": (stream_training_ingest,
+                               stream_training_ingest_sql),
 }
 
 # =============================== window rotation (tested invariant, r13+)
@@ -5301,13 +5467,16 @@ _R14_WINDOW = [
     "neardup_probe", "neardup_admit", "nb_quality_score",
     "nb_pareto_filter", "quality_probe", "stream_quality_filter",
     "corpus_shuffle",
+    # --- tier 2b: NEW r14 entries (never-proven — must land first
+    # rows this round; each displaced a tier-3 slot: graph_pagerank,
+    # graph_communities, multimodal_features, mixture_interleave slip
+    # outside at urgency 0, forced into r15)
+    "html_extract", "url_canonical_dedup", "host_volume_cap",
+    "stream_training_ingest",
     # --- tier 3: r12 actives on r12-changed modules (lm.py,
-    # decontam.py) + composed-pipeline refresh; these slots rotate out
-    # first as new r14 entries register (each new entry evicts the
-    # tail so the window stays the 50-entry registered prefix)
+    # decontam.py) + composed-pipeline refresh
     "lm_score", "lm_bucket", "decontam_embedding",
-    "pipeline_corpus_clean", "graph_pagerank", "graph_communities",
-    "multimodal_features", "mixture_interleave",
+    "pipeline_corpus_clean",
 ]
 _CURRENT_WINDOW = _R14_WINDOW  # alias the invariant test reads
 assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(ENTRIES)

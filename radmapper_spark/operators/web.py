@@ -1,0 +1,348 @@
+"""Web-corpus preprocessing: HTML main-text extraction and URL
+canonicalization — the crawl-side stages that run BEFORE text dedup /
+quality in a training-data pipeline (r13 verdict items #3-#4).
+
+The reference has no web operators (this is the beyond-reference
+training-data tier, SURVEY §2.12). The rule sets follow the published
+crawl-cleaning heuristics — C4 (Raffel et al. 2020 §2.2: keep lines
+with terminal punctuation and >= N words, drop javascript/cookie/brace
+lines) and CCNet/RefinedWeb-style URL normalization (lowercased host,
+stripped www/default ports/fragments/tracking params, sorted query) —
+restricted to DETERMINISTIC, Catalyst-expressible forms: every stage is
+built-in `pyspark.sql.functions` string/array expressions (map-only,
+whole-stage-codegen, zero UDFs, zero shuffles), and each has a DuckDB
+SQL twin generated from the SAME Python helpers so the two engines can
+never silently fork. Regexes stay inside the Java-regex ∩ RE2 common
+subset (no backrefs, no lookaround; lazy quantifiers and inline flags
+are in both) — verified empirically on both engines.
+
+At 100 TB both operators are pure per-row projections that fuse into
+the scan: no exchange, no state, trivially parallel at any executor
+count. The downstream dedup (groupBy canonical_url) and per-host cap
+(one hash shuffle) are where the first exchanges appear, and they key
+on short strings with naturally bounded skew (a hot host is exactly
+what host_volume_cap exists to trim; cap_per_group's rank window is
+AQE-splittable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --------------------------------------------------------------- HTML
+
+#: C4-style line-keep thresholds, shared by both engines.
+MIN_WORDS = 5            # keep lines with at least this many words
+LINK_DENSITY_NUM = 3     # keep iff 10 * n_links <= 3 * n_words
+LINK_DENSITY_DEN = 10    # (link density <= 0.3, in exact integers)
+#: lowercase substrings that mark a boilerplate line (C4 drops cookie /
+#: javascript notices and lines with '{' — leaked code or CSS)
+BAD_SUBSTRINGS = ("cookie", "javascript", "{")
+
+# regexes in the Java ∩ RE2 subset
+_RX_SCRIPT = r"(?is)<script[^>]*>.*?</script>"
+_RX_STYLE = r"(?is)<style[^>]*>.*?</style>"
+_RX_BLOCK = r"(?i)</?(?:p|br|div|li|h[1-6]|tr|table|ul|ol|blockquote)[^>]*>"
+_RX_TAG = r"<[^>]*>"
+_RX_ANCHOR = r"(?i)<a[\s>]"
+_RX_TERMINAL = r"[.!?]$"
+#: HTML entity decode pairs, applied in order (&amp; LAST so decoded
+#: entities are not re-decoded: '&amp;lt;' -> '&lt;' and stops)
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def _strip_line(line: Column) -> Column:
+    """Tag-strip + entity-decode + whitespace-normalize one line."""
+    s = F.regexp_replace(line, _RX_TAG, " ")
+    for ent, ch in _ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def _duck_strip_line(expr: str) -> str:
+    s = f"regexp_replace({expr}, '{_RX_TAG}', ' ', 'g')"
+    for ent, ch in _ENTITIES:
+        lit = ch.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{lit}')"
+    return f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+
+
+def _wc(s: Column) -> Column:
+    """Word count of an already-normalized line ('' counts 0)."""
+    return F.when(s == "", F.lit(0)).otherwise(F.size(F.split(s, " ")))
+
+
+def _duck_wc(expr: str) -> str:
+    return (f"CASE WHEN {expr} = '' THEN 0 "
+            f"ELSE len(string_split({expr}, ' ')) END")
+
+
+def _keep_line(line: Column) -> Column:
+    """The C4-style keep rule on one raw (still-tagged) line: enough
+    words, low link density, terminal punctuation, no boilerplate
+    marker. Repeated subexpressions are fine — the whole thing is one
+    codegen'd projection and Catalyst CSEs the common parts."""
+    s = _strip_line(line)
+    wc = _wc(s)
+    n_links = F.size(F.regexp_extract_all(line, F.lit(_RX_ANCHOR),
+                                          F.lit(0)))
+    keep = ((wc >= F.lit(MIN_WORDS))
+            & (n_links * F.lit(LINK_DENSITY_DEN)
+               <= wc * F.lit(LINK_DENSITY_NUM))
+            & s.rlike(_RX_TERMINAL))
+    low = F.lower(s)
+    for bad in BAD_SUBSTRINGS:
+        keep = keep & ~low.contains(bad)
+    return keep
+
+
+def _duck_keep_line(expr: str) -> str:
+    s = _duck_strip_line(expr)
+    wc = _duck_wc(s)
+    n_links = f"len(regexp_extract_all({expr}, '{_RX_ANCHOR}'))"
+    conds = [f"({wc}) >= {MIN_WORDS}",
+             f"({n_links}) * {LINK_DENSITY_DEN} "
+             f"<= ({wc}) * {LINK_DENSITY_NUM}",
+             f"regexp_matches({s}, '{_RX_TERMINAL}')"]
+    conds += [f"NOT contains(lower({s}), '{bad}')"
+              for bad in BAD_SUBSTRINGS]
+    return " AND ".join(conds)
+
+
+def html_extract(df: DataFrame, html_col: str = "html",
+                 text_col: str = "extracted_text") -> DataFrame:
+    """HTML main-text extraction: strip <script>/<style> blocks, turn
+    block-level tags into line breaks, then keep content lines by the
+    C4-style rules (>= MIN_WORDS words, link density <= 0.3, terminal
+    punctuation, no cookie/javascript/'{' marker) and emit the cleaned
+    line text. Adds (text_col, n_lines_kept, n_lines_total) to df;
+    NULL html yields ('', 0, 0).
+
+    Map-only by construction — split + two nested array lambdas, all
+    JVM-side expressions (plan-shape locked in tests): at crawl scale
+    this is a free projection fused into the scan, and the expensive
+    stages downstream (dedup, quality) see only the extracted text."""
+    h = F.coalesce(F.col(html_col), F.lit(""))
+    h = F.regexp_replace(h, _RX_SCRIPT, " ")
+    h = F.regexp_replace(h, _RX_STYLE, " ")
+    h = F.regexp_replace(h, _RX_BLOCK, "\n")
+    lines = F.split(h, "\n")
+    kept = F.filter(lines, _keep_line)
+    n_total = F.size(F.filter(lines, lambda l: _strip_line(l) != ""))
+    return (df
+            .withColumn(text_col,
+                        F.array_join(F.transform(kept, _strip_line),
+                                     "\n"))
+            .withColumn("n_lines_kept", F.size(kept).cast("long"))
+            .withColumn("n_lines_total", n_total.cast("long")))
+
+
+def duck_html_extract_exprs(html_expr: str) -> dict:
+    """DuckDB twins of html_extract's three output columns, as SQL
+    expression text over ``html_expr`` (same pipeline, same rules)."""
+    h = f"coalesce({html_expr}, '')"
+    h = f"regexp_replace({h}, '{_RX_SCRIPT}', ' ', 'gs')"
+    h = f"regexp_replace({h}, '{_RX_STYLE}', ' ', 'gs')"
+    h = f"regexp_replace({h}, '{_RX_BLOCK}', chr(10), 'g')"
+    lines = f"string_split({h}, chr(10))"
+    kept = f"list_filter({lines}, l -> {_duck_keep_line('l')})"
+    n_total = (f"len(list_filter({lines}, "
+               f"l -> {_duck_strip_line('l')} <> ''))")
+    return {
+        "extracted_text":
+            f"array_to_string(list_transform({kept}, "
+            f"l -> {_duck_strip_line('l')}), chr(10))",
+        "n_lines_kept": f"len({kept})::BIGINT",
+        "n_lines_total": f"({n_total})::BIGINT",
+    }
+
+
+# ---------------------------------------------------------------- URL
+
+#: query parameters stripped during canonicalization (tracking noise
+#: that forks otherwise-identical URLs; CCNet/RefinedWeb practice)
+_RX_TRACKING_PARAM = r"^(?:utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+_RX_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_RX_HOSTPORT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_RX_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_RX_QUERY = r"\?([^#]*)"
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url",
+                      out_col: str = "canonical_url",
+                      host_col: str = "host") -> DataFrame:
+    """URL canonicalization: lowercase scheme and host, strip a leading
+    ``www.``, strip the scheme's default port (:80 http / :443 https),
+    drop the fragment, drop tracking query params (utm_*, fbclid,
+    gclid, ref), SORT the surviving params (param order never
+    distinguishes resources in practice), and normalize an empty /
+    trailing-slashed path to a canonical form. Adds (out_col, host_col)
+    to df; rows without a ``scheme://`` prefix get NULLs (the caller
+    decides whether schemeless rows are errors or pass-through).
+
+    Pure per-row Catalyst string expressions — no UDF, no shuffle;
+    the canonical form is what crawl dedup keys on (url_canonical_dedup
+    groups by it) so equal resources collide BEFORE any content hash
+    is computed."""
+    u = F.trim(F.col(url_col))
+    scheme = F.lower(F.regexp_extract(u, _RX_SCHEME, 1))
+    hostport = F.lower(F.regexp_extract(u, _RX_HOSTPORT, 1))
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    host = (F.when(scheme == "http",
+                   F.regexp_replace(hostport, r":80$", ""))
+            .when(scheme == "https",
+                  F.regexp_replace(hostport, r":443$", ""))
+            .otherwise(hostport))
+    path = F.regexp_replace(F.regexp_extract(u, _RX_PATH, 1),
+                            r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.coalesce(F.regexp_extract(u, _RX_QUERY, 1), F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_RX_TRACKING_PARAM))
+    qsorted = F.array_join(F.array_sort(params), "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qsorted == "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), qsorted)))
+    valid = scheme != ""
+    return (df
+            .withColumn(out_col, F.when(valid, canon))
+            .withColumn(host_col, F.when(valid, host)))
+
+
+def duck_canonicalize_exprs(url_expr: str) -> dict:
+    """DuckDB twins of canonicalize_urls' output columns."""
+    u = f"trim({url_expr})"
+    scheme = f"lower(regexp_extract({u}, '{_RX_SCHEME}', 1))"
+    hostport = (f"regexp_replace(lower(regexp_extract({u}, "
+                f"'{_RX_HOSTPORT}', 1)), '^www\\.', '')")
+    host = (f"CASE WHEN {scheme} = 'http' "
+            f"THEN regexp_replace({hostport}, ':80$', '') "
+            f"WHEN {scheme} = 'https' "
+            f"THEN regexp_replace({hostport}, ':443$', '') "
+            f"ELSE {hostport} END")
+    path0 = (f"regexp_replace(regexp_extract({u}, '{_RX_PATH}', 1), "
+             f"'/+$', '')")
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    query = f"coalesce(regexp_extract({u}, '{_RX_QUERY}', 1), '')"
+    params = (f"list_filter(string_split({query}, '&'), "
+              f"p -> p <> '' AND "
+              f"NOT regexp_matches(p, '{_RX_TRACKING_PARAM}'))")
+    # coalesce: DuckDB's array_to_string of an EMPTY list is NULL,
+    # Spark's array_join is '' — without it every param-less URL
+    # canonicalizes to NULL in the oracle (caught by the adversarial
+    # twin test, not by the fixture entries, whose URLs all carry
+    # params)
+    qsorted = f"coalesce(array_to_string(list_sort({params}), '&'), '')"
+    canon = (f"{scheme} || '://' || {host} || {path} || "
+             f"CASE WHEN {qsorted} = '' THEN '' "
+             f"ELSE '?' || {qsorted} END")
+    valid = f"{scheme} <> ''"
+    return {
+        "canonical_url": f"CASE WHEN {valid} THEN {canon} END",
+        "host": f"CASE WHEN {valid} THEN {host} END",
+    }
+
+
+# --------------------------------------- deterministic entry fixtures
+
+def synth_html(doc_id: Column, text: Column, source: Column) -> Column:
+    """FIXTURE SYNTHESIS (entry-side only): a deterministic HTML page
+    wrapping a document's text — head with <style>/<script> noise, a
+    link-dense nav, the text split across two content paragraphs, plus
+    a too-short line, a cookie-notice line, and a no-terminal-
+    punctuation line (one casualty per extraction rule, so the entry
+    is non-vacuous at every SF). Mirrored verbatim by
+    duck_synth_html_expr; the production operator is html_extract —
+    this just manufactures its input from the fixed test tables."""
+    words = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
+    n = F.size(words)
+    half = ((n + F.lit(1)) / F.lit(2)).cast("int")
+    part1 = F.array_join(F.slice(words, F.lit(1), half), " ")
+    part2 = F.array_join(F.slice(words, half + F.lit(1), n - half), " ")
+    d = doc_id.cast("string")
+    return F.concat(
+        F.lit("<html><head><title>"), source, F.lit("</title>"),
+        F.lit("<style>body { color: #333; }</style>"),
+        F.lit('<script type="text/javascript">var t = "'), d,
+        F.lit('";</script></head><body>'),
+        F.lit('<div id="nav"><a href="/">Home</a> '
+              '<a href="/about">About</a> '
+              '<a href="/c">Contact &amp; help</a></div>'),
+        F.lit("<h1>Document "), d, F.lit("</h1>"),
+        F.lit("<p>"), part1, F.lit(" extracted content line one "), d,
+        F.lit(".</p>"),
+        F.lit("<p>Too short here.</p>"),
+        F.lit("<p>This site uses cookie consent &amp; tracking "
+              "banners on every page.</p>"),
+        F.lit("<p>"), part2, F.lit(" extracted content line two "), d,
+        F.lit(".</p>"),
+        F.lit("<p>No terminal punctuation so this line is removed"
+              "</p></body></html>"))
+
+
+def duck_synth_html_expr(id_expr: str = "doc_id",
+                         text_expr: str = "text",
+                         source_expr: str = "source") -> str:
+    """DuckDB twin of synth_html (same page, character for character)."""
+    words = f"string_split_regex(trim(coalesce({text_expr}, '')), '\\s+')"
+    n = f"len({words})"
+    half = f"(({n} + 1) // 2)"
+    part1 = f"array_to_string(list_slice({words}, 1, {half}), ' ')"
+    part2 = (f"array_to_string(list_slice({words}, {half} + 1, {n}), "
+             f"' ')")
+    d = f"({id_expr})::VARCHAR"
+    return (
+        f"'<html><head><title>' || {source_expr} || '</title>'"
+        f" || '<style>body {{ color: #333; }}</style>'"
+        f" || '<script type=\"text/javascript\">var t = \"' || {d}"
+        f" || '\";</script></head><body>'"
+        f" || '<div id=\"nav\"><a href=\"/\">Home</a> "
+        f"<a href=\"/about\">About</a> "
+        f"<a href=\"/c\">Contact &amp; help</a></div>'"
+        f" || '<h1>Document ' || {d} || '</h1>'"
+        f" || '<p>' || {part1} || ' extracted content line one ' || {d}"
+        f" || '.</p>'"
+        f" || '<p>Too short here.</p>'"
+        f" || '<p>This site uses cookie consent &amp; tracking "
+        f"banners on every page.</p>'"
+        f" || '<p>' || {part2} || ' extracted content line two ' || {d}"
+        f" || '.</p>'"
+        f" || '<p>No terminal punctuation so this line is removed"
+        f"</p></body></html>'")
+
+
+def synth_url(doc_id: Column) -> Column:
+    """FIXTURE SYNTHESIS (entry-side only): three raw-URL variants per
+    base key (doc_id DIV 3) that all canonicalize to ONE url —
+    uppercase host + fragment + unsorted params, www + :443 + trailing
+    slash + utm param, tracking params mixed in — so canonicalization
+    provably collapses them. Mirrored by duck_synth_url_expr."""
+    base = (doc_id / F.lit(3)).cast("long").cast("string")
+    hostk = (doc_id / F.lit(3)).cast("long") % F.lit(7)
+    k = hostk.cast("string")
+    v = doc_id % F.lit(3)
+    return (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://ExAmple"), k, F.lit(".COM/path/"), base,
+            F.lit("?b=2&a=1#frag")))
+        .when(v == 1, F.concat(
+            F.lit("https://www.example"), k, F.lit(".com:443/path/"),
+            base, F.lit("/?a=1&utm_source=feed&b=2")))
+        .otherwise(F.concat(
+            F.lit("https://example"), k, F.lit(".com/path/"), base,
+            F.lit("?utm_campaign=x&b=2&gclid=g&a=1"))))
+
+
+def duck_synth_url_expr(id_expr: str = "doc_id") -> str:
+    base = f"(({id_expr}) // 3)::VARCHAR"
+    k = f"((({id_expr}) // 3) % 7)::VARCHAR"
+    return f"""CASE ({id_expr}) % 3
+        WHEN 0 THEN 'HTTPS://ExAmple' || {k} || '.COM/path/' || {base}
+                    || '?b=2&a=1#frag'
+        WHEN 1 THEN 'https://www.example' || {k} || '.com:443/path/'
+                    || {base} || '/?a=1&utm_source=feed&b=2'
+        ELSE 'https://example' || {k} || '.com/path/' || {base}
+             || '?utm_campaign=x&b=2&gclid=g&a=1' END"""

@@ -1,0 +1,190 @@
+"""Streaming END-TO-END training-data ingest (r13 verdict item #2):
+the streaming twin of the batch pipeline entry — per micro-batch,
+
+    exact-dedup admission (persisted norm-hash index, first-id-wins)
+    -> NB/Pareto quality gate (classifier.quality_admit — broadcast
+       model, score at ingest)
+    -> corpus-BPE tokenize + exact context-length chunking
+    -> checkpointed shard APPEND (hash-assigned shards, so the layout
+       is a pure per-chunk function — no global rank exists on an
+       unbounded stream)
+
+Every stage is an already-oracle-gated operator; this module composes
+them behind one `foreachBatch` loop so the whole ingest path — index
+probe, admission, gating, chunking, shard write — runs incrementally.
+The dedup rule is FIRST-SEEN-WINS over the 60-bit portable hash of the
+whitespace-normalized text: with micro-batches arriving in id order it
+reproduces the batch pipeline's "lowest doc_id per normalized text"
+rule exactly (the differential test feeds ordered batches and compares
+against the batch twin in entrypoints.stream_training_ingest).
+
+Scale shape per micro-batch: the index probe is one anti-join whose
+batch side is micro-batch-sized (broadcastable); the gate is the
+stream-static broadcast token join; chunking and shard assignment are
+map-only; the index APPEND writes only the batch's admitted hashes
+(the index is never rewritten — same incremental contract as the
+minhash/sign-LSH admission loops in streaming/sinks.py). At 100 TB the
+norm-hash index is a long-skinny BIGINT table; bucket it by
+``norm_hash % B`` out-of-band if the probe's index-scan side ever
+dominates (the batch side already prunes nothing — membership is the
+question being asked).
+
+Restart caveat (same as start_neardup_admission): the shard append and
+the index append are not idempotent under a batch REPLAY after a
+mid-batch crash — a replayed batch appends duplicate chunk rows and
+duplicate index hashes. Probes stay correct (duplicate hashes reject
+the same future documents), so replay costs storage, not answers;
+compact out-of-band if replays accumulate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import portable_hash as PH
+
+#: salt for the normalized-text dedup hash (both engines)
+NORM_SALT = "ingest-norm"
+#: salt for the shard assignment hash
+SHARD_SALT = "ingest"
+#: chunk_id = doc_id * CHUNK_STRIDE + chunk_seq (same collision guard
+#: rationale as the batch shard entries' stride)
+CHUNK_STRIDE = 1_000_000
+
+
+def norm_text_hash(text_col) -> F.Column:
+    """60-bit portable hash of the whitespace-normalized text — the
+    dedup key. NULL text hashes to NULL; SQL window PARTITION BY groups
+    NULLs together in both engines, so all-null-text docs dedup to one
+    representative exactly like any other group."""
+    norm = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
+    return PH.ph60(F.concat(F.lit(f"{NORM_SALT}:"), norm))
+
+
+def duck_norm_text_hash(text_expr: str = "text") -> str:
+    norm = f"regexp_replace(trim(lower({text_expr})), '\\s+', ' ', 'g')"
+    return PH.duck_ph60(f"'{NORM_SALT}:' || {norm}")
+
+
+def shard_col(chunk_id_col, n_shards: int) -> F.Column:
+    """Stream-compatible shard assignment: a pure per-chunk hash — the
+    set of rows per shard is deterministic and append-stable (unlike a
+    global permutation rank, which cannot exist on an unbounded
+    stream; the offline materialize_training_shards entries own that
+    layout)."""
+    h = PH.ph60(F.concat(F.lit(f"{SHARD_SALT}:"),
+                         chunk_id_col.cast("string")))
+    return (h % F.lit(int(n_shards))).cast("long")
+
+
+def duck_shard_expr(chunk_id_expr: str, n_shards: int) -> str:
+    h = PH.duck_ph60(f"'{SHARD_SALT}:' || ({chunk_id_expr})::VARCHAR")
+    return f"(({h}) % {int(n_shards)})"
+
+
+def chunk_id_col(id_col: str = "doc_id",
+                 seq_col: str = "chunk_seq") -> F.Column:
+    """BIGINT chunk key with the loud stride-overflow guard (a doc with
+    >= CHUNK_STRIDE chunks would collide into the next doc's range)."""
+    seq = F.when(
+        F.col(seq_col) < F.lit(CHUNK_STRIDE),
+        F.col(seq_col).cast("long"),
+    ).otherwise(F.raise_error(F.lit(
+        f"chunk_seq >= {CHUNK_STRIDE}: chunk_id would collide across "
+        f"documents — raise ingest.CHUNK_STRIDE")).cast("long"))
+    return F.col(id_col).cast("long") * F.lit(CHUNK_STRIDE) + seq
+
+
+def first_per_normhash(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Within-frame exact dedup: keep the lowest id per norm-hash (the
+    batch pipeline rule, keyed on the portable hash so the stream's
+    persisted index and the DuckDB twin share one definition). One
+    exchange on the hash."""
+    nh = "_rm_ing_nh"
+    w = Window.partitionBy(nh).orderBy(F.col(id_col).asc())
+    return (docs.withColumn(nh, norm_text_hash(F.col(text_col)))
+            .withColumn("_rm_ing_rn", F.row_number().over(w))
+            .filter(F.col("_rm_ing_rn") == 1)
+            .drop("_rm_ing_rn", nh))
+
+
+def duck_first_per_normhash_rn(text_expr: str = "text",
+                               order_id: str = "doc_id") -> str:
+    """SQL row_number expression of the same first-id-wins rule."""
+    return (f"row_number() OVER (PARTITION BY "
+            f"{duck_norm_text_hash(text_expr)} "
+            f"ORDER BY {order_id} ASC)")
+
+
+def build_normhash_index(docs: DataFrame, path: str,
+                         text_col: str = "text") -> None:
+    """Materialize the dedup index over an existing corpus: one BIGINT
+    ``norm_hash`` column, distinct. Overwrites ``path``. Pass an empty
+    frame to start an ingest from nothing."""
+    (docs.select(norm_text_hash(F.col(text_col)).alias("norm_hash"))
+     .distinct()
+     .write.mode("overwrite").parquet(path))
+
+
+def start_training_ingest(docs_stream: DataFrame, index_path: str,
+                          out_path: str, checkpoint: str,
+                          merges, vocab: DataFrame, params: dict,
+                          chunk_tokens: int = 32, n_shards: int = 8,
+                          text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Start the composed ingest loop on a documents stream. Per
+    micro-batch:
+
+    1. within-batch exact dedup (first id per norm-hash);
+    2. cross-batch dedup: anti-join the persisted norm-hash index
+       (``build_normhash_index`` must have created it — possibly
+       empty);
+    3. APPEND the batch's dedup survivors' hashes to the index
+       regardless of the quality outcome (a first-seen text claims its
+       slot even if gated out — exactly the batch rule, where a later
+       duplicate is never "first");
+    4. quality gate: classifier.quality_admit (broadcast model trained
+       batch-side — ``vocab``/``params`` from nb_model/nb_model_params);
+    5. corpus-BPE chunking (tokenizer.bpe_chunk_documents with the
+       SAME trained merges) + hash shard assignment;
+    6. append chunk rows to ``out_path`` partitioned by shard.
+
+    Returns the StreamingQuery (availableNow trigger — drain whatever
+    the source holds, checkpointed)."""
+    from ..operators.classifier import quality_admit
+    from ..operators.tokenizer import bpe_chunk_documents
+
+    def ingest_batch(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        nh = "_rm_ing_nh"
+        survivors = (first_per_normhash(batch_df, text_col, id_col)
+                     .withColumn(nh, norm_text_hash(F.col(text_col))))
+        idx = spark.read.parquet(index_path)
+        fresh = (survivors.join(
+            idx, survivors[nh] == idx["norm_hash"], "left_anti")
+            .persist())
+        kept_ids = quality_admit(fresh, vocab, params,
+                                 text_col=text_col, id_col=id_col
+                                 ).select(id_col)
+        kept_docs = fresh.drop(nh).join(kept_ids, id_col, "semi")
+        chunks = bpe_chunk_documents(kept_docs, merges,
+                                     chunk_tokens=chunk_tokens)
+        out = (chunks.withColumn(
+            "shard", shard_col(chunk_id_col(id_col), n_shards))
+            .select(id_col, "chunk_seq", "chunk_start",
+                    "n_chunk_tokens", "shard", "chunk_text"))
+        out.write.mode("append").partitionBy("shard").parquet(out_path)
+        # index append LAST: a crash before this line replays the batch
+        # and re-appends chunks (see module docstring); appending the
+        # index first would instead DROP the batch's chunks on replay —
+        # storage-costing duplicates beat silent data loss
+        (fresh.select(F.col(nh).alias("norm_hash"))
+         .write.mode("append").parquet(index_path))
+        fresh.unpersist()
+
+    return (docs_stream.writeStream
+            .foreachBatch(ingest_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())

@@ -1,0 +1,158 @@
+"""Streaming end-to-end training ingest (streaming/ingest.py): the
+composed loop — persisted-index exact dedup -> quality gate -> BPE
+chunking -> sharded append — equals the batch twin entry across
+multiple micro-batches, cross-batch rejections actually land, and the
+checkpoint makes a drained re-run a no-op."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from radmapper_spark import entrypoints as ep
+from radmapper_spark.operators import classifier, tokenizer
+from radmapper_spark.streaming import ingest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _order_files_by_min_id(spark, src):
+    """Stamp file mtimes so the file source triggers batches in
+    ascending doc_id order (the pattern test_round12 established)."""
+    now = time.time()
+    files = sorted(os.path.join(src, n) for n in os.listdir(src)
+                   if n.endswith(".parquet"))
+    keyed = []
+    for p in files:
+        lo = spark.read.parquet(p).agg(F.min("doc_id")).collect()[0][0]
+        keyed.append((lo, p))
+    for rank, (_, p) in enumerate(sorted(keyed)):
+        os.utime(p, (now - 600 + rank * 60,) * 2)
+
+
+def test_stream_ingest_differential_vs_batch_twin(spark, tmp_path):
+    """Four id-ordered micro-batches of the sf0.001 corpus through the
+    full ingest loop == the stream_training_ingest batch entry, row for
+    row — and a second drained run under the same checkpoint appends
+    nothing."""
+    docs = ep.load_tables(spark, SF)["documents"]
+    merges = ep._bpe_merges(spark, SF)
+    vocab, consts = classifier.nb_model(
+        docs.filter(F.expr(ep._NB_POS)), docs.filter(F.expr(ep._NB_NEG)))
+    vocab = vocab.persist()
+    try:
+        params = classifier.nb_model_params(consts)
+        src = str(tmp_path / "docs_in")
+        n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        for b in range(4):
+            lo, hi = b * n // 4, (b + 1) * n // 4
+            (docs.filter((F.col("doc_id") >= lo)
+                         & (F.col("doc_id") < hi))
+             .coalesce(1).write
+             .mode("append" if b else "overwrite").parquet(src))
+        _order_files_by_min_id(spark, src)
+
+        index_path = str(tmp_path / "nh_idx")
+        out_path = str(tmp_path / "shards_out")
+        ckpt = str(tmp_path / "ckpt")
+        ingest.build_normhash_index(docs.limit(0), index_path)
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = ingest.start_training_ingest(
+            stream, index_path, out_path, ckpt, merges, vocab, params,
+            chunk_tokens=ep._BPE_CHUNK, n_shards=ep._INGEST_SHARDS)
+        try:
+            assert q.awaitTermination(300), "stream did not finish"
+            n_batches = len([p for p in q.recentProgress
+                             if p["numInputRows"] > 0])
+        finally:
+            q.stop()
+        assert n_batches >= 4, f"expected >= 4 micro-batches, {n_batches}"
+
+        cols = ["doc_id", "chunk_seq", "chunk_start", "n_chunk_tokens",
+                "shard", "chunk_text"]
+        back = spark.read.parquet(out_path).select(
+            *[F.col(c).cast("long").alias(c) if c == "shard"
+              else F.col(c) for c in cols])
+        got = sorted(map(tuple, back.collect()))
+        want = sorted(map(tuple, ep.stream_training_ingest(spark, SF)
+                          .select(*cols).collect()))
+        assert got == want and len(got) > 0
+        # the artifact actually spreads across shards
+        assert back.select("shard").distinct().count() > 1
+
+        # drained re-run under the SAME checkpoint: no new input files,
+        # so nothing is appended — restart safety of the happy path
+        stream2 = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+        q2 = ingest.start_training_ingest(
+            stream2, index_path, out_path, ckpt, merges, vocab, params,
+            chunk_tokens=ep._BPE_CHUNK, n_shards=ep._INGEST_SHARDS)
+        try:
+            assert q2.awaitTermination(120), "re-run did not finish"
+        finally:
+            q2.stop()
+        assert spark.read.parquet(out_path).count() == len(got)
+    finally:
+        vocab.unpersist()
+
+
+def test_stream_ingest_cross_batch_dedup(spark, tmp_path):
+    """The persisted index rejects a later batch's textual duplicate of
+    an earlier batch's document, and within a batch the lowest id wins.
+    Texts are built to saturate the quality gate (all admitted), so
+    dedup is the only filter in play."""
+    prose = "good clean prose about science and knowledge"
+    rows = [
+        # batch 0 (ids 0-9)
+        (0, f"{prose} alpha zero"), (1, f"{prose} beta one"),
+        # batch 1 (ids 10-19): 10 duplicates 0's text EXACTLY (extra
+        # whitespace only — the dedup key normalizes it); 11 is fresh;
+        # 12 duplicates 11 within the same batch (higher id loses)
+        (10, f"  {prose}   alpha zero "), (11, f"{prose} gamma two"),
+        (12, f"{prose} gamma two"),
+    ]
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    pos = docs  # train positive on the inputs themselves: quality -> 1
+    neg = spark.createDataFrame(
+        [(100 + i, "buy now spam offer cheap pills") for i in range(4)],
+        schema)
+    vocab, consts = classifier.nb_model(pos, neg)
+    vocab = vocab.persist()
+    try:
+        params = classifier.nb_model_params(consts)
+        merges = tokenizer.bpe_train(docs, n_merges=4, top_words=16)
+
+        src = str(tmp_path / "in")
+        spark.createDataFrame(rows[:2], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spark.createDataFrame(rows[2:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        _order_files_by_min_id(spark, src)
+
+        index_path = str(tmp_path / "idx")
+        out_path = str(tmp_path / "out")
+        ingest.build_normhash_index(docs.limit(0), index_path)
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = ingest.start_training_ingest(
+            stream, index_path, out_path, str(tmp_path / "ck"),
+            merges, vocab, params, chunk_tokens=8, n_shards=4)
+        try:
+            assert q.awaitTermination(180), "stream did not finish"
+        finally:
+            q.stop()
+
+        kept_ids = {r["doc_id"] for r in
+                    spark.read.parquet(out_path).collect()}
+        # 10 rejected by the cross-batch index, 12 by the in-batch
+        # window; everything else survives the (saturated) gate
+        assert kept_ids == {0, 1, 11}
+        # the index holds one hash per DISTINCT normalized text
+        idx = spark.read.parquet(index_path)
+        assert idx.count() == 3 and idx.distinct().count() == 3
+    finally:
+        vocab.unpersist()

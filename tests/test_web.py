@@ -1,0 +1,147 @@
+"""Web preprocessing operators (operators/web.py): extraction rules,
+URL canonicalization edge cases, and the map-only plan locks."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from radmapper_spark.operators import web
+
+
+def _extract_one(spark, html):
+    df = spark.createDataFrame([(1, html)], "id long, html string")
+    return web.html_extract(df).collect()[0]
+
+
+def test_html_extract_rules(spark):
+    r = _extract_one(spark, (
+        "<html><head><style>p { color: red }</style>"
+        "<script>var x = 'five words but still script.';</script>"
+        "</head><body>"
+        "<p>This perfectly ordinary sentence has enough words.</p>"
+        "<p>Too short here.</p>"
+        "<div><a href='/a'>a</a> <a href='/b'>b</a> link menu row "
+        "here.</div>"
+        "<p>We value your privacy and use cookie banners today.</p>"
+        "<p>A line with no terminal punctuation at all</p>"
+        "<p>Entities decode: fish &amp; chips &lt;tag&gt; "
+        "&quot;quoted&quot; fine.</p>"
+        "</body></html>"))
+    lines = r["extracted_text"].split("\n")
+    assert lines == [
+        "This perfectly ordinary sentence has enough words.",
+        'Entities decode: fish & chips <tag> "quoted" fine.',
+    ]
+    assert r["n_lines_kept"] == 2
+    # total counts every non-empty stripped line (6 content lines; the
+    # script/style bodies were removed before line splitting)
+    assert r["n_lines_total"] == 6
+
+
+def test_html_extract_null_and_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, "")],
+                               "id long, html string")
+    rows = {r["id"]: r for r in web.html_extract(df).collect()}
+    for i in (1, 2):
+        assert rows[i]["extracted_text"] == ""
+        assert rows[i]["n_lines_kept"] == 0
+        assert rows[i]["n_lines_total"] == 0
+
+
+def test_html_extract_multiline_script(spark):
+    """(?s) must reach across newlines inside script/style blocks."""
+    r = _extract_one(spark, (
+        "<script>\nvar a = 1;\nvar b = 2;\n</script>"
+        "<p>Real content sentence with enough words kept.</p>"))
+    assert r["extracted_text"] == \
+        "Real content sentence with enough words kept."
+    assert r["n_lines_total"] == 1
+
+
+def _canon_one(spark, url):
+    df = spark.createDataFrame([(1, url)], "id long, url string")
+    r = web.canonicalize_urls(df).collect()[0]
+    return r["canonical_url"], r["host"]
+
+
+def test_url_canonicalize_cases(spark):
+    cases = {
+        # case, default port, fragment, param sort
+        "HTTPS://WWW.Example.COM:443/A/b?z=1&a=2#frag":
+            ("https://example.com/A/b?a=2&z=1", "example.com"),
+        # http default port; trailing slash; tracking params dropped
+        "http://example.com:80/x/?utm_source=a&gclid=1&b=1":
+            ("http://example.com/x?b=1", "example.com"),
+        # bare host -> root path; empty query dropped
+        "https://Example.com?":
+            ("https://example.com/", "example.com"),
+        # ref is tracking; REF inside a value is not
+        "https://a.com/p?ref=spam&q=ref=keep":
+            ("https://a.com/p?q=ref=keep", "a.com"),
+        # :8080 is NOT a default port — kept
+        "https://a.com:8080/p": ("https://a.com:8080/p", "a.com:8080"),
+        # utm_ prefix family
+        "https://a.com/p?utm_campaign=x&utm_medium=y&k=v":
+            ("https://a.com/p?k=v", "a.com"),
+    }
+    for raw, want in cases.items():
+        assert _canon_one(spark, raw) == want, raw
+
+
+def test_url_schemeless_is_null(spark):
+    assert _canon_one(spark, "example.com/path") == (None, None)
+    assert _canon_one(spark, "not a url at all") == (None, None)
+
+
+def test_web_ops_map_only_plan(spark):
+    """Both operators must add NO exchange — free projections fused
+    into the scan at crawl scale."""
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("<p>x words here fine ok.</p>")).alias("html"),
+        F.concat(F.lit("https://h"), F.col("id").cast("string"),
+                 F.lit(".com/p?a=1")).alias("url"))
+    p1 = (web.html_extract(df)._jdf.queryExecution().executedPlan()
+          .toString())
+    p2 = (web.canonicalize_urls(df)._jdf.queryExecution().executedPlan()
+          .toString())
+    assert "Exchange" not in p1
+    assert "Exchange" not in p2
+
+
+def test_web_twins_on_adversarial_strings(spark):
+    """Engine parity on inputs nastier than the fixture synthesis:
+    quotes, regex metacharacters, entities, unicode — the Spark
+    operator and the DuckDB twin expressions must agree exactly."""
+    rows = [
+        (1, "<p>Backslash \\ and 'quotes' plus (parens) stay fine.</p>",
+         "https://A.com/p%20q?b=%26&a=1#x"),
+        (2, "<p>Unicode café naïve résumé words "
+            "here.</p>", "https://café.com/é?x=é"),
+        (3, "<p>a &amp;lt; double-encoded entity survives once.</p>",
+         "http://h.com:80:80/p"),
+        (4, "<p>dots . inside ! the line stay? kept.</p>",
+         "https://h.com//double//slash//"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string, url string")
+    got = web.html_extract(df)
+    got = web.canonicalize_urls(got).select(
+        "doc_id", "extracted_text", "n_lines_kept", "n_lines_total",
+        "canonical_url", "host")
+    srows = sorted(tuple(str(x) for x in r) for r in got.collect())
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, html VARCHAR, "
+                "url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    e = web.duck_html_extract_exprs("html")
+    c = web.duck_canonicalize_exprs("url")
+    sql = (f"SELECT doc_id, {e['extracted_text']} AS extracted_text, "
+           f"{e['n_lines_kept']} AS n_lines_kept, "
+           f"{e['n_lines_total']} AS n_lines_total, "
+           f"{c['canonical_url']} AS canonical_url, {c['host']} AS host "
+           f"FROM t")
+    orows = sorted(tuple(str(x) for x in r)
+                   for r in con.execute(sql).fetchall())
+    assert srows == orows
