@@ -131,3 +131,66 @@ def test_pagerank_bad_damping(spark):
     edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with _pytest.raises(ValueError):
         graph.pagerank(edges, damping_pct=0)
+
+
+
+# ======================== from test_round6b.py (r14 consolidation) ========
+import hashlib
+import math
+import random
+import pytest
+from pyspark.sql import functions as F
+from radmapper_spark.operators import behavior, chunking, similarity, temporal
+from radmapper_spark.operators import textstats
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cdc_edit_stability(spark):
+    """The CDC property: prepending tokens re-chunks only the head —
+    every chunk after the first surviving boundary is byte-identical,
+    while fixed sliding windows shift everywhere."""
+    rng = random.Random(60_008)
+    words = [f"w{rng.randrange(10_000)}" for _ in range(400)]
+    original = " ".join(words)
+    edited = " ".join(["inserted", "prefix", "tokens"] + words)
+    df = _mk_docs(spark, [(1, original), (2, edited)])
+    out = chunking.chunk_content_defined(df, mod=16).collect()
+    c1 = [r.chunk_text for r in sorted(
+        (r for r in out if r.doc_id == 1), key=lambda r: r.chunk_seq)]
+    c2 = [r.chunk_text for r in sorted(
+        (r for r in out if r.doc_id == 2), key=lambda r: r.chunk_seq)]
+    # all original chunks except the first are recovered verbatim
+    assert len(c1) > 3, "fixture produced too few chunks to test"
+    assert set(c1[1:]) <= set(c2)
+    # and the fixed-window chunker does NOT have this property
+    fx = chunking.chunk_documents(df, 32, 8).collect()
+    f1 = {r.chunk_text for r in fx if r.doc_id == 1}
+    f2 = {r.chunk_text for r in fx if r.doc_id == 2}
+    assert len(f1 - f2) > len(c1) // 2
+
+
+def test_cdc_partition_reassembles(spark):
+    """Chunks partition the token stream: concatenating chunk texts in
+    order reproduces the trimmed document."""
+    rng = random.Random(60_009)
+    text = " ".join(f"t{rng.randrange(50)}" for _ in range(150))
+    df = _mk_docs(spark, [(1, text)])
+    out = sorted(chunking.chunk_content_defined(df, mod=8).collect(),
+                 key=lambda r: r.chunk_seq)
+    assert " ".join(r.chunk_text for r in out) == text
+    assert [r.chunk_seq for r in out] == list(range(1, len(out) + 1))
+    starts = [r.chunk_start for r in out]
+    assert starts[0] == 0
+    for prev, cur in zip(out, out[1:]):
+        assert cur.chunk_start == prev.chunk_start + prev.n_chunk_tokens
+
+
+def test_cdc_xxhash_mode_same_shape(spark):
+    df = _mk_docs(spark, [(1, "a b c d e f g h i j")])
+    out = chunking.chunk_content_defined(df, mod=4, hash_mode="xxhash64") \
+        .collect()
+    assert " ".join(r.chunk_text for r in
+                    sorted(out, key=lambda r: r.chunk_seq)) \
+        == "a b c d e f g h i j"

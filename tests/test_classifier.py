@@ -1,191 +1,16 @@
-"""Round-12 regression tests: the r11-advice fixes.
+"""NB quality classifier: scoring, Pareto admission, streams, calibration (operators/classifier.py).
 
-1 (medium): load_tables revalidates its memo's sf_dir fingerprint on
-   EVERY hit, so a derived-frame cache's FIRST build (cache miss) after
-   an external rewrite can no longer read through a pinned file listing
-   and stamp a fresh fingerprint onto frames built from stale scans.
-2 (low): _check_base_params structurally probes packed-hash bases —
-   an attr-less base holding values outside the consumer's bit range
-   fails loudly instead of silently collapsing high bands.
-3 (low): sf_fingerprint stats each file once (atomic per-file witness).
-"""
+Consolidated from the per-round test files (r14 governance pass) — test bodies unchanged."""
 
 from __future__ import annotations
 
 import shutil
-
 import pytest
 from pyspark.sql import functions as F
+import re
+import __spark_entry__ as entrymod
 
-SF_SMOKE = "/root/testdata/sf0.001"
-
-
-def _rewrite_documents(sfd, n_rows=100):
-    """Rewrite documents.parquet in place with different content+size."""
-    import duckdb
-
-    con = duckdb.connect()
-    con.execute(f"CREATE TABLE t AS SELECT * FROM "
-                f"'{sfd}/documents.parquet' LIMIT {n_rows}")
-    con.execute(f"COPY t TO '{sfd}/documents.parquet' (FORMAT PARQUET)")
-    con.close()
-
-
-def test_load_tables_revalidates_on_every_hit(spark, tmp_path):
-    """A memoized load followed by an external rewrite returns FRESH
-    data on the next load_tables call — no caller-side invalidate."""
-    from radmapper_spark.session import load_tables
-
-    sfd = tmp_path / "sf"
-    shutil.copytree(SF_SMOKE, sfd)
-    n0 = load_tables(spark, str(sfd))["documents"].count()
-    assert n0 != 100
-    _rewrite_documents(sfd)
-    n1 = load_tables(spark, str(sfd))["documents"].count()
-    assert n1 == 100  # stale memo detected and rebuilt
-
-
-def test_first_derived_build_after_rewrite_sees_fresh_data(spark, tmp_path):
-    """The r11-advice MEDIUM gap: table memo exists, external rewrite,
-    then a derived cache's FIRST-EVER build (cache-miss path — no
-    stale-hit invalidate runs). The build must see the rewritten data,
-    and the fingerprint it stamps must validate as fresh afterwards."""
-    from radmapper_spark import entrypoints as E
-
-    sfd = tmp_path / "sf"
-    shutil.copytree(SF_SMOKE, sfd)
-    # create the table memo BEFORE the rewrite (the pinned listing)
-    n0 = E.load_tables(spark, str(sfd))["documents"].count()
-    _rewrite_documents(sfd)
-
-    calls = []
-
-    def build(tables):
-        calls.append(1)
-        return {"docs": tables["documents"].select("doc_id").persist()}
-
-    cache: dict = {}
-    a = E._cached_frames(cache, spark, str(sfd), build)["docs"]
-    assert len(calls) == 1
-    assert a.count() == 100 and n0 != 100  # built from FRESH scans
-    # and the stamped fingerprint is genuinely fresh: a second call hits
-    b = E._cached_frames(cache, spark, str(sfd), build)["docs"]
-    assert len(calls) == 1 and b is a
-    cache.pop((E.session_key(spark), str(sfd)))["docs"].unpersist()
-
-
-def test_bpe_merges_first_build_after_rewrite(spark, tmp_path):
-    """Same first-build gap for the BPE merge memo (hit is None path):
-    training after an external rewrite must read the rewritten corpus."""
-    from radmapper_spark import entrypoints as E
-
-    sfd = tmp_path / "sf"
-    shutil.copytree(SF_SMOKE, sfd)
-    E.load_tables(spark, str(sfd))  # pin the table memo pre-rewrite
-    _rewrite_documents(sfd, n_rows=50)
-    merges = E._bpe_merges(spark, str(sfd))
-    # independent check: retrain on a FRESH read of the rewritten corpus
-    from radmapper_spark.operators import tokenizer
-    fresh = spark.read.parquet(f"{sfd}/documents.parquet")
-    expect = tokenizer.bpe_train(fresh, n_merges=E._BPE_MERGES,
-                                 top_words=E._BPE_TOPW)
-    assert merges == expect
-    E._BPE_CACHE.clear()
-
-
-def test_sf_fingerprint_single_stat_and_shape(tmp_path):
-    """One os.stat per file; (name, mtime_ns, size) triples, sorted."""
-    import os
-    from unittest.mock import patch
-
-    from radmapper_spark.session import sf_fingerprint
-
-    d = tmp_path / "sf"
-    d.mkdir()
-    (d / "b.parquet").write_bytes(b"22")
-    (d / "a.parquet").write_bytes(b"1")
-    (d / "ignore.txt").write_bytes(b"x")
-    real_stat = os.stat
-    calls = []
-
-    def counting_stat(p, *a, **k):
-        calls.append(p)
-        return real_stat(p, *a, **k)
-
-    with patch("radmapper_spark.session.os.stat", counting_stat):
-        fp = sf_fingerprint(str(d))
-    assert len(calls) == 2  # one stat per parquet file, none doubled
-    assert [t[0] for t in fp] == ["a.parquet", "b.parquet"]
-    assert [t[2] for t in fp] == [1, 2]
-    assert sf_fingerprint(str(d / "missing")) is None
-
-
-# ------------------------------------- packed-hash base structural probe
-
-def _fake_media_base(spark, hashes):
-    df = spark.createDataFrame(
-        [(i, int(h)) for i, h in enumerate(hashes)],
-        "media_id: long, phash: long")
-    return df
-
-
-def test_packed_hash_probe_rejects_wider_base(spark):
-    """An attr-less base holding a 64-bit value fed to a 60-bit band
-    consumer fails loudly (r11 advice: high bands would otherwise
-    collapse to one hot bucket and the recall guarantee silently dies)."""
-    from radmapper_spark.operators import multimodal
-
-    media = spark.createDataFrame([(1, b"x")], "media_id: long, payload: binary")
-    wide = _fake_media_base(spark, [1 << 62, 5])
-    with pytest.raises(ValueError, match="outside the 60-bit range"):
-        multimodal.phash_neardup_pairs(media, base=wide, bits=60)
-    # negative values (sign bit in play) are also out of range
-    neg = _fake_media_base(spark, [-1, 5])
-    with pytest.raises(ValueError, match="outside the 60-bit range"):
-        multimodal.phash_neardup_pairs(media, base=neg, bits=60)
-
-
-def test_packed_hash_probe_accepts_compliant_base_and_memoizes(spark):
-    """In-range attr-less base passes; the probed range is memoized on a
-    separate attr (a second check runs no job) and rm_base_params stays
-    unset (the range does NOT pin the build params)."""
-    from radmapper_spark.operators import dedup
-
-    base = _fake_media_base(spark, [0, (1 << 60) - 1])
-    dedup._check_base_params(base, "phash_neardup_pairs", bits=60)
-    assert base._rm_probed_hash_range == (0, (1 << 60) - 1)
-    assert getattr(base, "rm_base_params", None) is None
-    # memoized: poison the probe's entry point to prove no second job
-    base.select = None
-    dedup._check_base_params(base, "phash_neardup_pairs", bits=60)
-    # but a tighter consumer still rejects via the memoized range
-    with pytest.raises(ValueError, match="outside the 48-bit range"):
-        dedup._check_base_params(base, "x", bits=48)
-
-
-def test_packed_hash_probe_vacuous_at_64_bits(spark):
-    """nbits=64 leaves the full signed range in play — nothing checkable,
-    no probe job (the simhash default path stays job-free)."""
-    from radmapper_spark.operators import dedup
-
-    base = _fake_media_base(spark, [-5]).withColumnRenamed("phash", "simhash")
-    base.select = None  # would raise if the probe ran a job
-    dedup._check_base_params(base, "simhash_pairs", nbits=64)
-
-
-def test_stamped_attr_still_authoritative(spark):
-    """A stamped base mismatched in bits raises from the attr compare
-    (primary path), not the probe."""
-    from radmapper_spark.operators import dedup
-
-    base = _fake_media_base(spark, [5])
-    base.rm_base_params = {"bits": 64}
-    with pytest.raises(ValueError, match="mismatched"):
-        dedup._check_base_params(base, "phash_neardup_pairs", bits=60)
-
-
-# ------------------------------------------- NB quality classifier (r12)
-
+# ======================== from test_round12.py ========
 def _nb_reference(docs, pos_ids, neg_ids, top_v=2000):
     """Independent pure-Python multinomial NB with Laplace smoothing —
     same tokenization, same micro-nat floors as classifier.py, written
@@ -339,31 +164,6 @@ def test_pareto_filter_matches_python_and_is_monotone(spark):
     assert all(a >= b for a, b in zip(ths, ths[1:]))
 
 
-def test_embedding_decontam_flags_exact_and_spares_orthogonal(spark):
-    """A corpus row equal to a benchmark row flags at cosine 1.0 with
-    the right hit count; an orthogonal row is absent from the output.
-    The plan broadcasts the benchmark side (no corpus-side pair
-    shuffle)."""
-    from radmapper_spark.operators import decontam
-
-    bench = spark.createDataFrame(
-        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
-        "vec_id: long, embedding: array<float>")
-    corpus = spark.createDataFrame(
-        [(1, [1.0, 0.0, 0.0]),      # exact copy of bench 100
-         (2, [0.0, 0.0, 1.0]),      # orthogonal to both
-         (3, [0.7071, 0.7071, 0.0])],  # 0.7071 cosine to BOTH
-        "vec_id: long, embedding: array<float>")
-    out = decontam.embedding_decontam(corpus, bench, threshold=0.5)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    rows = {r["vec_id"]: r for r in out.collect()}
-    assert set(rows) == {1, 3}
-    assert rows[1]["max_cosine"] == 1.0 and rows[1]["n_hits"] == 1
-    assert rows[3]["n_hits"] == 2
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
-
-
 def test_quality_admit_stream_matches_batch(spark, tmp_path):
     """quality_admit(streaming=True) on a file stream: the watermarked
     (id, ts) aggregate admits exactly the batch twin's kept set, with
@@ -445,89 +245,6 @@ def test_quality_admit_batch_equals_nb_pipeline(spark):
     assert via_admit == via_pipeline
 
 
-def test_corpus_shuffle_permutation_and_shards(spark):
-    """corpus_shuffle assigns a 1..n bijection, exact shard sizes
-    (every shard but the last holds exactly shard_size rows), is
-    invariant to input partitioning, and releases its internal cache."""
-    from radmapper_spark.operators import sampling
-
-    df = spark.createDataFrame([(i,) for i in range(257)], "doc_id: long")
-    out = sampling.corpus_shuffle(df, "doc_id", shard_size=100)
-    rows = out.collect()
-    out.rm_release_cache()
-    ranks = sorted(r["shuffle_rank"] for r in rows)
-    assert ranks == list(range(1, 258))  # bijection
-    from collections import Counter
-    sizes = Counter(r["shard"] for r in rows)
-    assert sizes == {0: 100, 1: 100, 2: 57}
-    for r in rows:
-        assert r["shard"] * 100 + r["shard_pos"] == r["shuffle_rank"] - 1
-    # partitioning-invariant permutation (pure function of the ids)
-    out2 = sampling.corpus_shuffle(df.repartition(7), "doc_id",
-                                   shard_size=100)
-    perm2 = {r["doc_id"]: r["shuffle_rank"] for r in out2.collect()}
-    out2.rm_release_cache()
-    assert perm2 == {r["doc_id"]: r["shuffle_rank"] for r in rows}
-    # it actually shuffles: the permutation is not the identity
-    assert any(perm2[i] != i + 1 for i in range(257))
-    with pytest.raises(ValueError, match="shard_size"):
-        sampling.corpus_shuffle(df, "doc_id", shard_size=0)
-
-
-def test_corpus_shuffle_no_single_partition_window(spark):
-    """The rank must come from the distributed range-exchange recipe —
-    no empty-partition-spec window (the classic scale killer) anywhere
-    in the plan."""
-    from radmapper_spark.operators import sampling
-
-    df = spark.range(1000).withColumnRenamed("id", "doc_id")
-    out = sampling.corpus_shuffle(df, "doc_id", shard_size=64)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    out.rm_release_cache()
-    # range partitioning present; every Window is partitioned (Spark
-    # prints 'Window [...], [part spec]' — an empty spec would surface
-    # as the WindowExec warning shape global_rank exists to avoid)
-    assert "rangepartitioning" in plan.lower()
-    import re
-    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
-        assert m.group(1).strip(), "empty-partition-spec window found"
-
-
-def test_mixture_interleave_prefix_proportionality(spark):
-    """mixture_interleave: every prefix of the reading order holds each
-    source within 1 of its proportional share (uniform strides of the
-    fractional-position construction mesh like weighted fair queueing);
-    the permutation is a bijection, partitioning-invariant, and
-    shard arithmetic is consistent with the rank."""
-    from collections import Counter
-
-    from radmapper_spark.operators import sampling
-
-    # unequal sources: 60 a, 30 b, 10 c
-    rows = [(i, "a" if i < 60 else "b" if i < 90 else "c")
-            for i in range(100)]
-    df = spark.createDataFrame(rows, "doc_id: long, source: string")
-    out = sampling.mixture_interleave(df, "source", "doc_id",
-                                      shard_size=16)
-    got = sorted(out.collect(), key=lambda r: r["interleave_rank"])
-    out.rm_release_cache()
-    assert [r["interleave_rank"] for r in got] == list(range(1, 101))
-    share = {"a": 0.6, "b": 0.3, "c": 0.1}
-    seen = Counter()
-    for m, r in enumerate(got, start=1):
-        seen[r["source"]] += 1
-        for s, frac in share.items():
-            assert abs(seen[s] - m * frac) <= 1, (m, s, seen)
-    for r in got:
-        assert r["shard"] * 16 + r["shard_pos"] == r["interleave_rank"] - 1
-    # partitioning-invariant
-    out2 = sampling.mixture_interleave(df.repartition(7), "source",
-                                       "doc_id", shard_size=16)
-    perm2 = {r["doc_id"]: r["interleave_rank"] for r in out2.collect()}
-    out2.rm_release_cache()
-    assert perm2 == {r["doc_id"]: r["interleave_rank"] for r in got}
-
-
 def test_nb_score_random_corpora_fuzz(spark):
     """Property test: nb_score matches the independent pure-Python NB on
     random small corpora (random words incl. repeats, OOV-only docs,
@@ -562,33 +279,6 @@ def test_nb_score_random_corpora_fuzz(spark):
         assert got == want
 
     run()
-
-
-def test_corpus_shuffle_sharded_write_roundtrip(spark, tmp_path):
-    """The claimed write layout works end to end: shuffle -> partitioned
-    parquet write by shard -> read back. Every shard directory holds
-    exactly its rows, ranks survive the roundtrip, and reading ONE
-    shard yields a contiguous rank range (the sequential-read
-    property training ingestion relies on)."""
-    import os
-
-    from radmapper_spark.operators import sampling
-
-    df = spark.range(230).withColumnRenamed("id", "doc_id")
-    out = sampling.corpus_shuffle(df, "doc_id", shard_size=64)
-    dest = str(tmp_path / "shards")
-    out.write.partitionBy("shard").mode("overwrite").parquet(dest)
-    out.rm_release_cache()
-    back = spark.read.parquet(dest)
-    assert back.count() == 230
-    assert sorted(r["shuffle_rank"] for r in back.collect()) \
-        == list(range(1, 231))
-    shard_dirs = sorted(d for d in os.listdir(dest)
-                        if d.startswith("shard="))
-    assert shard_dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
-    one = spark.read.parquet(f"{dest}/shard=1")
-    ranks = sorted(r["shuffle_rank"] for r in one.collect())
-    assert ranks == list(range(65, 129))  # contiguous range, full shard
 
 
 def test_quality_admit_state_evicts_under_watermark(spark, tmp_path):
@@ -662,3 +352,35 @@ def test_quality_admit_state_evicts_under_watermark(spark, tmp_path):
         assert peak < 18, f"state held all {peak} groups — unbounded"
     finally:
         vocab.unpersist()
+
+
+# ======================== from test_round13.py (r14 consolidation) ========
+def _release(df):
+    rel = getattr(df, "rm_release_cache", None)
+    if rel is not None:
+        rel()
+
+
+def test_score_calibration_counts(spark):
+    """Exact tile sizes (ntile rule) and per-tile positive counts,
+    recomputed in Python over the same deterministic ordering."""
+    from radmapper_spark.operators import classifier
+    rows = [(i, (i * 17) % 200, 1 if i % 3 == 0 else 0)
+            for i in range(103)]
+    scored = spark.createDataFrame(
+        [(i, s) for i, s, _ in rows], "doc_id long, score_micro long")
+    labels = spark.createDataFrame(
+        [(i, p) for i, _, p in rows], "doc_id long, is_pos int")
+    out = classifier.score_calibration(scored, labels, k=5)
+    got = {r["tile"]: (r["n_docs"], r["n_pos"]) for r in out.collect()}
+    _release(out)
+    ordered = sorted(rows, key=lambda t: (-t[1], t[0]))
+    base, rem = divmod(len(rows), 5)
+    want, pos = {}, 0
+    idx = 0
+    for tile in range(1, 6):
+        size = base + (1 if tile <= rem else 0)
+        chunk = ordered[idx:idx + size]
+        want[tile] = (size, sum(p for _, _, p in chunk))
+        idx += size
+    assert got == want

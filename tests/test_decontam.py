@@ -198,3 +198,34 @@ def test_signlsh_index_probe_matches_bruteforce(spark, tables, tmp_path):
     assert len(got) > 0, "fixture should exercise the threshold"
     for k, c in truth.items():
         assert abs(got[k] - c) < 1e-12
+
+
+
+# ======================== from test_round12.py (r14 consolidation) ========
+import shutil
+import pytest
+from pyspark.sql import functions as F
+
+def test_embedding_decontam_flags_exact_and_spares_orthogonal(spark):
+    """A corpus row equal to a benchmark row flags at cosine 1.0 with
+    the right hit count; an orthogonal row is absent from the output.
+    The plan broadcasts the benchmark side (no corpus-side pair
+    shuffle)."""
+    from radmapper_spark.operators import decontam
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])],
+        "vec_id: long, embedding: array<float>")
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]),      # exact copy of bench 100
+         (2, [0.0, 0.0, 1.0]),      # orthogonal to both
+         (3, [0.7071, 0.7071, 0.0])],  # 0.7071 cosine to BOTH
+        "vec_id: long, embedding: array<float>")
+    out = decontam.embedding_decontam(corpus, bench, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["max_cosine"] == 1.0 and rows[1]["n_hits"] == 1
+    assert rows[3]["n_hits"] == 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

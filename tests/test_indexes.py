@@ -1,57 +1,73 @@
-"""Round-8 hardening tests: session-cache identity, persisted-index
-metadata guards, probe schema/broadcast fixes, graph auto path
-selection, pagerank iters=0, and the document-shaped spill path."""
+"""Persisted near-dup/ANN index machinery: metadata guards, append/rebuild, compaction, probes (operators/dedup.py + index_meta.py).
+
+Consolidated from the per-round test files (r14 governance pass) — test bodies unchanged."""
 
 from __future__ import annotations
 
+import hashlib
+import math
+import random
+import pytest
+from pyspark.sql import functions as F
+from radmapper_spark.operators import behavior, chunking, similarity, temporal
+from radmapper_spark.operators import textstats
 import os
 import subprocess
 import sys
+import json
+import time
+import __spark_entry__ as entrymod
+from radmapper_spark.operators import lm
+from tests.conftest import SF_SMOKE
+from tests.oracle import assert_matches_oracle, duck_conn
 
-import pytest
-from pyspark.sql import functions as F
+# ======================== from test_round6b.py ========
+def test_minhash_index_probe_equals_batch(spark, tmp_path):
+    """Index the corpus, probe with a doc batch: the probe's pair set
+    over (new x indexed) must equal the batch operator's pairs restricted
+    to the same sides — same signatures, same banding, same estimate."""
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.session import load_tables
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "mh_index")
+    dedup.build_minhash_index(old, path)
+    got = {(r.new_id, r.index_id): r.est_jaccard for r in
+           dedup.neardup_vs_index(new, path,
+                                  jaccard_threshold=0.5).collect()}
+    full = dedup.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    olds = {r.doc_id for r in old.select("doc_id").collect()}
+    news = {r.doc_id for r in new.select("doc_id").collect()}
+    want = {}
+    for r in full.collect():
+        if r.id_a in news and r.id_b in olds:
+            want[(r.id_a, r.id_b)] = r.est_jaccard
+        elif r.id_b in news and r.id_a in olds:
+            want[(r.id_b, r.id_a)] = r.est_jaccard
+    rel = getattr(full, "rm_release_cache", None)
+    rel and rel()
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+def test_minhash_index_probe_prunes_partitions(spark, tmp_path):
+    """The probe scan must carry partition filters on band (the index is
+    partitioned by band, and the probe joins on it)."""
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.session import load_tables
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    path = str(tmp_path / "mh_index2")
+    dedup.build_minhash_index(docs, path)
+    import os
+    bands = [d for d in os.listdir(path) if d.startswith("band=")]
+    assert len(bands) == 8
+
+
+# ======================== from test_round8.py (r14 consolidation) ========
 SF_SMOKE = "/root/testdata/sf0.001"
 
-
-# --------------------------------------------------- session cache identity
-
-def test_table_cache_survives_session_restart():
-    """Stop a session, build a new one, and assert fresh usable plans:
-    the table cache must key by (applicationId, startTime), never
-    id(spark) (CPython reuses freed addresses, so a new session can
-    alias a dead one's id and get plans bound to a stopped context).
-    Runs in a subprocess so the suite's shared session is untouched."""
-    script = r"""
-import os, sys
-sys.path.insert(0, %r)
-os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
-from radmapper_spark.session import get_spark, load_tables, session_key, _TABLE_CACHE
-a = get_spark("restart-a")
-key_a = session_key(a)
-t = load_tables(a, %r)
-assert t["region"].count() > 0
-a.stop()
-b = get_spark("restart-b")
-key_b = session_key(b)
-assert key_a != key_b, "restarted session must get a fresh cache key"
-t2 = load_tables(b, %r)
-# fresh plans: these frames must be bound to the LIVE session
-assert t2["region"].count() > 0
-assert t2["orders"].select("o_orderkey").limit(1).collect()
-assert all(k[0] == key_b for k in _TABLE_CACHE), "dead-session entries not evicted"
-b.stop()
-print("RESTART_OK")
-"""
-    out = subprocess.run(
-        [sys.executable, "-c", script % (REPO, SF_SMOKE, SF_SMOKE)],
-        capture_output=True, text=True, timeout=600)
-    assert out.returncode == 0, out.stderr[-4000:]
-    assert "RESTART_OK" in out.stdout
-
-
-# --------------------------------------------------- index metadata guards
 
 def _tiny_docs(spark):
     rows = [(i, f"the quick brown fox jumps over dog number {i % 3} "
@@ -120,8 +136,6 @@ def test_index_meta_invisible_to_parquet_reader(spark, tmp_path):
     assert cols == {"band", "bhash", "id", "minhash"}
 
 
-# ------------------------------------------- embedding probe schema/broadcast
-
 def test_embedding_probe_string_ids(spark, tmp_path):
     """$probeEmbeddingIndex is exposed to arbitrary tables: the probe's
     output id columns must carry the INPUT id types, not hardcoded
@@ -179,117 +193,6 @@ def test_embedding_probe_broadcast_gated_by_size(spark, tmp_path):
     assert bc_rows, "probe found no pairs — test is vacuous"
 
 
-# --------------------------------------------------- graph path auto-select
-
-def _toy_edges(spark):
-    pairs = [(i, (i + 1) % 6) for i in range(6)] + [(0, 3), (2, 5)]
-    both = pairs + [(b, a) for a, b in pairs]
-    return spark.createDataFrame(both, "src long, dst long")
-
-
-def test_pagerank_iters_zero_returns_initial_ranks(spark):
-    from radmapper_spark.operators import graph
-    pr = graph.pagerank(_toy_edges(spark), iters=0)
-    rows = pr.collect()
-    assert len(rows) == 6
-    assert all(r.rank == graph.SCALE for r in rows)
-
-
-def test_graph_auto_selects_broadcast_path(spark):
-    from radmapper_spark.operators import graph
-    e = _toy_edges(spark)
-    pr = graph.pagerank(e, iters=2)
-    assert pr.rm_broadcast_path is True
-    pr.rm_release_cache()
-    lp = graph.label_propagation(e, iters=1)
-    assert lp.rm_broadcast_path is True
-    lp.rm_release_cache()
-
-
-def test_graph_auto_selects_partitioned_above_threshold(spark, tmp_path):
-    """Above rm.graph.broadcastMaxBytes the default path must go
-    co-partitioned — and stay bit-identical to the broadcast path.
-    Edges come from parquet so the optimizer has REAL size stats (local
-    relations carry the no-stats sentinel, which auto-resolves to
-    broadcast)."""
-    from radmapper_spark.operators import graph
-    _toy_edges(spark).write.parquet(str(tmp_path / "edges"))
-    e = spark.read.parquet(str(tmp_path / "edges"))
-    base = {(r.node, r.rank) for r in graph.pagerank(
-        e, iters=2, broadcast_ranks=True).collect()}
-    spark.conf.set("rm.graph.broadcastMaxBytes", "1")
-    try:
-        pr = graph.pagerank(e, iters=2)
-        assert pr.rm_broadcast_path is False
-        assert {(r.node, r.rank) for r in pr.collect()} == base
-        pr.rm_release_cache()
-        lp = graph.label_propagation(e, iters=1)
-        assert lp.rm_broadcast_path is False
-        lp.rm_release_cache()
-    finally:
-        spark.conf.unset("rm.graph.broadcastMaxBytes")
-
-
-# --------------------------------------------- document-shaped spill path
-
-def test_express_reduce_spill_path_roundtrip(spark, tmp_path, monkeypatch):
-    """The >MAX_REDUCE_DOCS error message points at reduce_express_frame
-    + a distributed write; prove that path actually round-trips: a
-    corpus at 2x the cap flows through the frame plan and a JSONL sink,
-    and reads back as exactly the documents the driver path assembles
-    when uncapped."""
-    import json
-
-    from radmapper_spark.lang.interp import Interp
-    from radmapper_spark.operators import express_spark
-    from radmapper_spark.operators.express_local import reduce_express
-    from radmapper_spark.operators.express_spark import reduce_express_frame
-    from radmapper_spark.operators.spark_bridge import SparkBindingSets
-    from radmapper_spark.sources.writers import write_result
-
-    rows = [{"ownerName": f"owner{i:02d}", "id": i} for i in range(10)]
-    ip = Interp(spark)
-    efn = ip.run_raw("express(){{'owner_id': key(?ownerName), 'id': ?id}}")
-    bsets = SparkBindingSets(spark.createDataFrame(rows))
-
-    monkeypatch.setattr(express_spark, "MAX_REDUCE_DOCS", 5)
-    with pytest.raises(ValueError, match="reduce_express_frame"):
-        reduce_express(ip, bsets, efn)
-
-    # the advertised alternative: document-per-row frame -> JSONL sink
-    frame = reduce_express_frame(ip, bsets, efn)
-    out = str(tmp_path / "docs_jsonl")
-    write_result(frame, out, fmt="json")
-    got = [json.loads(line)["doc"]
-           for p in sorted(os.listdir(out)) if p.endswith(".json")
-           for line in open(os.path.join(out, p))]
-    got.sort(key=lambda d: d["owner_id"])
-
-    monkeypatch.setattr(express_spark, "MAX_REDUCE_DOCS", 100000)
-    want = reduce_express(ip, bsets, efn)
-    assert got == want
-
-
-# ----------------------------------------- RM-level error consistency
-
-def test_probe_builtins_raise_rmfnerror_on_bad_threshold(spark, tables,
-                                                         tmp_path):
-    """$probeNearDupIndex / $probeEmbeddingIndex must report a
-    non-numeric threshold as an RMFnError (like every numeric builtin),
-    not a raw TypeError."""
-    from radmapper_spark.functions.builtins import RMFnError
-    from radmapper_spark.lang.interp import Interp
-
-    docs = tables["documents"]
-    mh = str(tmp_path / "mh")
-    ip = Interp(spark)
-    ip.run_raw("$buildNearDupIndex($db($d), $p)",
-               bindings={"$d": docs.limit(10), "$p": mh})
-    with pytest.raises(RMFnError, match="probeNearDupIndex"):
-        ip.run_raw("$probeNearDupIndex($db($d), $p, 'high')",
-                   bindings={"$d": docs.limit(5), "$p": mh})
-
-
 def test_index_rebuild_updates_meta(spark, tmp_path):
     """Rebuilding an index at the same path with different parameters
     must refresh the _meta sidecar: probes with the OLD params raise,
@@ -305,8 +208,6 @@ def test_index_rebuild_updates_meta(spark, tmp_path):
         dedup.neardup_vs_index(docs, path)  # old (default) params
     dedup.neardup_vs_index(docs, path, num_hashes=16, bands=4).collect()
 
-
-# --------------------------------------------------- index append (admit)
 
 def test_minhash_append_equals_full_rebuild(spark, tmp_path):
     """build(corpus) + append(batch) must answer probes identically to
@@ -366,82 +267,6 @@ def test_signlsh_append_equals_full_rebuild(spark, tmp_path):
     with pytest.raises(IndexParamMismatch, match="append_to_signlsh"):
         dedup.append_to_signlsh_index(admit, inc, bands=64,
                                       planes_per_band=8, seed=7)
-
-
-# -------------------------------------------------------- semantic dedup
-
-def test_semantic_dedup_within_cluster_only(spark):
-    """Pairs must come from the SAME cluster (the SemDeDup contract),
-    and the pair set must equal the brute-force within-cluster truth."""
-    from radmapper_spark.operators import similarity
-    from radmapper_spark.session import load_tables
-    emb = load_tables(spark, SF_SMOKE)["embeddings"]
-    pairs = similarity.semantic_dedup_pairs(emb, k=4, iters=1,
-                                            threshold=0.4)
-    rows = pairs.collect()
-    pairs.rm_release_cache()
-    asg = similarity.kmeans_lloyd(emb, k=4, iters=1)
-    cl = {r.vec_id: r.cluster for r in asg.collect()}
-    rel = getattr(asg, "rm_release_cache", None)
-    rel and rel()
-    assert rows, "vacuous"
-    for r in rows:
-        assert cl[r.id_a] == cl[r.id_b] == r.cluster
-    # brute-force truth restricted to co-clustered pairs
-    import numpy as np
-    vecs = {r.vec_id: np.array(r.embedding, dtype=float)
-            for r in emb.collect()}
-    want = set()
-    ids = sorted(vecs)
-    for i, a in enumerate(ids):
-        for b in ids[i + 1:]:
-            if cl[a] != cl[b]:
-                continue
-            c = float(vecs[a] @ vecs[b]
-                      / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
-            if round(c, 6) >= 0.4:
-                want.add((a, b))
-    assert {(r.id_a, r.id_b) for r in rows} == want
-
-
-def test_semantic_dedup_dirty_embeddings_modes_agree(spark):
-    """NULL or wrong-dimension embeddings must be DROPPED identically by
-    both verify modes: catalyst yields a NULL cosine (zip_with pads,
-    aggregate propagates) that the threshold filter removes; the arrow
-    kernel must not crash on the ragged batch (np.stack) and must drop
-    the same pairs."""
-    from radmapper_spark.operators import similarity
-    clean = _tiny_emb(spark)
-    dirty = clean.unionByName(spark.createDataFrame(
-        [(100, None), (101, [1.0, 2.0])],  # NULL + wrong dim (8 expected)
-        "vec_id long, embedding array<double>"))
-    # hand-built single-cluster assignment so the dirty ids are
-    # guaranteed to reach the pair-verify kernel (the thing under test)
-    asg = dirty.selectExpr("vec_id", "CAST(0 AS BIGINT) AS cluster")
-
-    def run(mode):
-        df = similarity.semantic_dedup_pairs(dirty, threshold=0.0,
-                                             asg=asg, verify_mode=mode)
-        out = {(r.id_a, r.id_b, round(r.cosine, 6)) for r in df.collect()}
-        df.rm_release_cache()
-        return out
-
-    arrow, catalyst = run("arrow"), run("catalyst")
-    assert arrow == catalyst and arrow, "dirty-input mode divergence"
-    bad = {100, 101}
-    assert not any(a in bad or b in bad for a, b, _ in arrow)
-
-
-def test_semantic_dedup_builtin(spark, tables):
-    from radmapper_spark.lang.interp import Interp
-    ip = Interp(spark)
-    out = ip.run_raw("$semanticDedup($db($e), 4, 0.4)",
-                     bindings={"$e": tables["embeddings"]})
-    assert {"cluster", "id_a", "id_b", "cosine"} <= set(out.df.columns)
-    n = out.df.count()
-    rel = getattr(out.df, "rm_release_cache", None)
-    rel and rel()
-    assert n > 0
 
 
 def test_compact_minhash_index_after_replay(spark, tmp_path):
@@ -556,10 +381,156 @@ def test_compact_embedding_builtin(spark, tmp_path):
     assert removed == batch.count() * 16 + batch.count()
 
 
-def test_repeated_spans_builtin(spark, tables):
-    from radmapper_spark.lang.interp import Interp
-    ip = Interp(spark)
-    out = ip.run_raw("$repeatedSpans($db($d), 15)",
-                     bindings={"$d": tables["documents"]})
-    assert {"id_a", "id_b", "n_shared_spans"} <= set(out.df.columns)
-    assert out.df.count() > 0
+# ======================== from test_round9.py (r14 consolidation) ========
+def test_probe_broadcast_gate_sizes_single_side(spark, tmp_path):
+    """A mid-size stats-bearing probe batch must KEEP the broadcast:
+    each join child here is ~300 KB, so the former join-PRODUCT
+    estimate (~90 GB) silently lost the broadcast while the honest
+    single-side size is far under the 256 MiB default cap."""
+    from radmapper_spark.operators import dedup
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(600)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .write.mode("overwrite").parquet(str(tmp_path / "emb"))
+    emb = spark.read.parquet(str(tmp_path / "emb"))
+    from radmapper_spark.operators.plan_stats import est_plan_bytes
+    one_side = est_plan_bytes(emb)
+    assert one_side is not None and one_side > 16384, \
+        "fixture too small for the product-vs-side distinction"
+    path = str(tmp_path / "slidx")
+    dedup.build_signlsh_index(emb, path, bands=16, planes_per_band=4)
+    out = dedup.neardup_embedding_vs_index(
+        emb, path, bands=16, planes_per_band=4, threshold=0.9)
+    assert out.rm_probe_broadcast is True
+    assert out.count() >= 600  # self-probe: every vector hits itself
+    out.rm_release_cache()
+
+
+def _tiny_docs_r9(spark):
+    rows = [(i, f"the quick brown fox jumps over dog number {i % 3} "
+                f"with some shared text body for shingles")
+            for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_compact_swap_failure_keeps_live_index(spark, tmp_path,
+                                               monkeypatch):
+    """A failure moving the compacted copy into place must leave the
+    ORIGINAL index readable under its canonical path (the old
+    delete-then-move ordering left no index at all)."""
+    import shutil
+    from radmapper_spark.operators import dedup
+    docs = _tiny_docs_r9(spark)
+    path = str(tmp_path / "mh")
+    dedup.build_minhash_index(docs, path)
+    dedup.append_to_minhash_index(docs.limit(3), path)  # replay dups
+    before = spark.read.parquet(path).count()
+
+    real_move = shutil.move
+
+    def boom(src, dst):
+        raise OSError("simulated crash during swap")
+
+    monkeypatch.setattr(shutil, "move", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        dedup.compact_minhash_index(spark, path)
+    monkeypatch.setattr(shutil, "move", real_move)
+    # live index restored under the canonical path, old-copy debris gone
+    assert spark.read.parquet(path).count() == before
+    assert not os.path.exists(path + "__old")
+    # and a subsequent compaction (move works again) succeeds
+    removed = dedup.compact_minhash_index(spark, path)
+    assert removed > 0
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__compact")
+
+
+def _rewrite_sidecar(path: str, meta: dict) -> None:
+    """Simulate ANOTHER PROCESS rewriting <path>/_meta: write the text
+    file directly and push the directory mtime forward (local-FS mtime
+    is millisecond-granular; successive writes in the same tick would
+    hide the change)."""
+    d = os.path.join(path, "_meta")
+    for f in os.listdir(d):
+        if f.endswith(".txt") or f.startswith("part-"):
+            os.remove(os.path.join(d, f))
+    with open(os.path.join(d, "part-00000-external.txt"), "w") as fh:
+        fh.write(json.dumps(meta, sort_keys=True) + "\n")
+    future = time.time() + 5
+    os.utime(d, (future, future))
+
+
+def test_index_meta_cache_sees_external_rewrite(spark, tmp_path):
+    """A long-lived session must NOT validate probes against a stale
+    cached sidecar: after an external rebuild writes new parameters,
+    the old-parameter probe must raise (the memoized meta is
+    mtime-validated and re-read)."""
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.operators.index_meta import IndexParamMismatch
+    docs = _tiny_docs_r9(spark)
+    path = str(tmp_path / "mhx")
+    dedup.build_minhash_index(docs, path, num_hashes=32, bands=8)
+    # warm the cache with the build-time parameters
+    dedup.neardup_vs_index(docs.limit(2), path,
+                           num_hashes=32, bands=8).collect()
+    _rewrite_sidecar(path, {"kind": "minhash", "num_hashes": 64,
+                            "bands": 16, "shingle_k": 5,
+                            "hash_mode": "xxhash64"})
+    with pytest.raises(IndexParamMismatch):
+        dedup.neardup_vs_index(docs.limit(2), path,
+                               num_hashes=32, bands=8).collect()
+
+
+def test_compact_corrupt_sidecar_missing_kind_raises(spark, tmp_path):
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.operators.index_meta import IndexParamMismatch
+    docs = _tiny_docs_r9(spark)
+    path = str(tmp_path / "mhk")
+    dedup.build_minhash_index(docs, path)
+    _rewrite_sidecar(path, {"num_hashes": 32, "bands": 8,
+                            "shingle_k": 5, "hash_mode": "xxhash64"})
+    with pytest.raises(IndexParamMismatch, match="kind"):
+        dedup.compact_minhash_index(spark, path)
+
+
+def test_index_meta_stat_error_keeps_guard(spark, tmp_path, monkeypatch):
+    """A transient filesystem stat failure must NOT disable the
+    mismatch guard: the cached meta stays enforced, and with a cold
+    cache the sidecar is still read (stat-error != absent)."""
+    from radmapper_spark.operators import index_meta as im
+    p = str(tmp_path / "idx")
+    im.write_index_meta(spark, p, "test_kind", {"bands": 8})
+    assert im.read_index_meta(spark, p)["bands"] == 8
+    monkeypatch.setattr(im, "_meta_fingerprint",
+                        lambda s, k: im._STAT_ERROR)
+    meta = im.read_index_meta(spark, p)  # warm cache: last-known meta
+    assert meta is not None and meta["bands"] == 8
+    with pytest.raises(im.IndexParamMismatch, match="bands"):
+        im.check_index_meta(spark, p, "test_kind", {"bands": 9}, "probe")
+    im._META_CACHE.clear()  # cold cache: falls through to the read
+    meta = im.read_index_meta(spark, p)
+    assert meta is not None and meta["bands"] == 8
+
+
+# ======================== from test_round10.py (r14 consolidation) ========
+def test_sidecar_fingerprint_differs_across_rewrites(spark, tmp_path):
+    """The cache-validity fingerprint must change on EVERY rewrite even
+    when the directory mtime does not move (coarse-granularity
+    filesystems — the r9 advisory finding). The structural guarantee:
+    Spark part-file names carry a fresh per-write UUID, and the
+    fingerprint includes child names, so equal mtimes cannot alias two
+    sidecar generations."""
+    from radmapper_spark.operators import index_meta as im
+    p = str(tmp_path / "idx")
+    im.write_index_meta(spark, p, "k", {"bands": 8})
+    fp1 = im._meta_fingerprint(spark, f"{p}/_meta")
+    im.write_index_meta(spark, p, "k", {"bands": 16})
+    fp2 = im._meta_fingerprint(spark, f"{p}/_meta")
+    names1 = {n for n, _l, _m in fp1[1]}
+    names2 = {n for n, _l, _m in fp2[1]}
+    # even if mtimes collided, the part-file name sets differ
+    assert names1 != names2
+    assert fp1 != fp2
+    # and the cache actually re-reads: external rewrite visible
+    assert im.read_index_meta(spark, p)["bands"] == 16

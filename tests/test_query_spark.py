@@ -232,3 +232,49 @@ def test_express_reduce_driver_cap(spark, monkeypatch):
     monkeypatch.setattr(express_spark, "MAX_REDUCE_DOCS", 100)
     out = reduce_express(ip, SparkBindingSets(spark.createDataFrame(rows)), efn)
     assert len(out) == 10
+
+
+
+# ======================== from test_round8.py (r14 consolidation) ========
+import os
+import subprocess
+import sys
+import pytest
+from pyspark.sql import functions as F
+
+def test_express_reduce_spill_path_roundtrip(spark, tmp_path, monkeypatch):
+    """The >MAX_REDUCE_DOCS error message points at reduce_express_frame
+    + a distributed write; prove that path actually round-trips: a
+    corpus at 2x the cap flows through the frame plan and a JSONL sink,
+    and reads back as exactly the documents the driver path assembles
+    when uncapped."""
+    import json
+
+    from radmapper_spark.lang.interp import Interp
+    from radmapper_spark.operators import express_spark
+    from radmapper_spark.operators.express_local import reduce_express
+    from radmapper_spark.operators.express_spark import reduce_express_frame
+    from radmapper_spark.operators.spark_bridge import SparkBindingSets
+    from radmapper_spark.sources.writers import write_result
+
+    rows = [{"ownerName": f"owner{i:02d}", "id": i} for i in range(10)]
+    ip = Interp(spark)
+    efn = ip.run_raw("express(){{'owner_id': key(?ownerName), 'id': ?id}}")
+    bsets = SparkBindingSets(spark.createDataFrame(rows))
+
+    monkeypatch.setattr(express_spark, "MAX_REDUCE_DOCS", 5)
+    with pytest.raises(ValueError, match="reduce_express_frame"):
+        reduce_express(ip, bsets, efn)
+
+    # the advertised alternative: document-per-row frame -> JSONL sink
+    frame = reduce_express_frame(ip, bsets, efn)
+    out = str(tmp_path / "docs_jsonl")
+    write_result(frame, out, fmt="json")
+    got = [json.loads(line)["doc"]
+           for p in sorted(os.listdir(out)) if p.endswith(".json")
+           for line in open(os.path.join(out, p))]
+    got.sort(key=lambda d: d["owner_id"])
+
+    monkeypatch.setattr(express_spark, "MAX_REDUCE_DOCS", 100000)
+    want = reduce_express(ip, bsets, efn)
+    assert got == want

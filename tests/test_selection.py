@@ -105,3 +105,50 @@ def test_dsir_builtin(spark):
     assert isinstance(out, SparkDB)
     rows = sorted(out.df.collect(), key=lambda r: r.sel_rank)
     assert len(rows) == 2 and rows[0].doc_id == 5
+
+
+
+# ======================== from test_round10.py (r14 consolidation) ========
+import pytest
+from pyspark.sql import functions as F
+import __spark_entry__ as entrymod
+from radmapper_spark.operators import lm
+from tests.conftest import SF_SMOKE
+from tests.oracle import assert_matches_oracle, duck_conn
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_moore_lewis_prefers_in_domain(spark):
+    """Cross-entropy difference must rank documents that look like the
+    in-domain reference ABOVE fluent-but-generic ones — the property
+    raw-perplexity selection lacks (Moore & Lewis 2010)."""
+    from radmapper_spark.operators import lm
+    in_ref = _docs(spark, [(100, "the quantum flux capacitor aligns "
+                                 "the quantum flux field")])
+    out_ref = _docs(spark, [(200, "the cat sat on the mat and the dog "
+                                  "ran in the park")])
+    docs = _docs(spark, [
+        (1, "the quantum flux capacitor aligns nicely"),   # in-domain
+        (2, "the cat sat on the mat"),                     # out-domain
+        (3, "the quantum field aligns the flux"),          # in-domain
+    ])
+    got = {r.doc_id: r.sel_rank
+           for r in lm.moore_lewis_select(docs, in_ref, out_ref,
+                                          k=3).collect()}
+    assert got[2] == 3, "generic doc must rank last"
+    assert set(got) == {1, 2, 3}
+
+
+def test_moore_lewis_k_validation(spark):
+    from radmapper_spark.operators import lm
+    docs = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="k must be positive"):
+        lm.moore_lewis_select(docs, docs, docs, k=0)
+
+
+def test_moore_lewis_matches_oracle_sf001(spark):
+    df = entrymod.queries()["moore_lewis_select"](spark, SF_SMOKE)
+    assert_matches_oracle(
+        df, entrymod.oracle_sql()["moore_lewis_select"], SF_SMOKE)

@@ -278,3 +278,130 @@ def test_streaming_embedding_admission_loop(spark, tmp_path):
     indexed = {r.id for r in spark.read.parquet(f"{idx}/vectors")
                .select("id").distinct().collect()}
     assert indexed == set(range(10)) | {101, 102, 202}
+
+
+
+# ======================== from test_round9.py (r14 consolidation) ========
+import json
+import math
+import os
+import random
+import time
+import pytest
+from pyspark.sql import functions as F
+
+def _plane_vec(angle, dim=32):
+    """Unit vector at ``angle`` radians in the (e1, e2) plane — exact
+    pairwise cosines: cos(a - b)."""
+    v = [0.0] * dim
+    v[0], v[1] = math.cos(angle), math.sin(angle)
+    return v
+
+
+def test_resolve_admission_clean_chain_keeps_representative(spark):
+    """Chain A~B, B~C, not A~C: transitive clustering admits only A;
+    B audits against A with the direct pair estimate, C audits against
+    A (the ADMITTED representative — never the rejected B) with a NULL
+    estimate since it only chains transitively."""
+    from radmapper_spark.streaming.sinks import _resolve_admission
+    batch = spark.createDataFrame(
+        [(1,), (2,), (3,), (9,)], "doc_id long")
+    hits = spark.createDataFrame(
+        [], "new_id long, index_id long, est_jaccard double")
+    intra = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8)],
+        "id_a long, id_b long, est_jaccard double")
+    audit, rejected = _resolve_admission(
+        batch, "doc_id", hits, intra, "est_jaccard")
+    got = {(r.new_id, r.index_id): r.est_jaccard for r in audit.collect()}
+    assert got == {(2, 1): 0.9, (3, 1): None}
+    assert {r.rid for r in rejected.collect()} == {2, 3}
+
+
+def test_resolve_admission_tainted_cluster_rejected_wholesale(spark):
+    """A cluster with an index-hit member is rejected wholesale; the
+    loser that did NOT itself hit the index audits against the INDEX
+    document the cluster chains to (which is in the index — the old
+    pairwise rule recorded the rejected sibling as the 'winner')."""
+    from radmapper_spark.streaming.sinks import _resolve_admission
+    batch = spark.createDataFrame([(4,), (5,), (6,)], "doc_id long")
+    hits = spark.createDataFrame(
+        [(4, 100, 0.95)], "new_id long, index_id long, est_jaccard double")
+    intra = spark.createDataFrame(
+        [(4, 5, 0.9)], "id_a long, id_b long, est_jaccard double")
+    audit, rejected = _resolve_admission(
+        batch, "doc_id", hits, intra, "est_jaccard")
+    got = {(r.new_id, r.index_id): r.est_jaccard for r in audit.collect()}
+    assert got == {(5, 100): None}
+    assert {r.rid for r in rejected.collect()} == {4, 5}
+
+
+def test_resolve_admission_pair_cap_raises(spark):
+    from radmapper_spark.streaming.sinks import _resolve_admission
+    batch = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    hits = spark.createDataFrame(
+        [], "new_id long, index_id long, est_jaccard double")
+    intra = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8)],
+        "id_a long, id_b long, est_jaccard double")
+    spark.conf.set("rm.stream.intraPairsMax", "1")
+    try:
+        with pytest.raises(RuntimeError, match="intraPairsMax"):
+            _resolve_admission(batch, "doc_id", hits, intra, "est_jaccard")
+    finally:
+        spark.conf.unset("rm.stream.intraPairsMax")
+
+
+def test_embedding_admission_chain_end_to_end(spark, tmp_path):
+    """End-to-end chained intra-batch dups through the streaming loop:
+    batch 1 carries A~B, B~C (not A~C) — only A admitted, C audited
+    against A; batch 2 carries D (index dup of A) ~ E (similar to D but
+    NOT to A) — both rejected, E audited against A (the index doc), and
+    the index gains nothing from batch 2."""
+    from radmapper_spark.operators import dedup
+    from radmapper_spark.streaming import sinks
+    kw = dict(bands=32, planes_per_band=4)
+    thr = 0.9
+    # exact cosines in the (e1,e2) plane: A-B = cos(.3)=.955, B-C =
+    # cos(.3)=.955, A-C = cos(.6)=.825 < thr. D at .37 rad from A
+    # (cos=.932 -> index hit), E at .37+.32 rad: E-D cos(.32)=.949
+    # (intra pair), E-A cos(.69)=.771 (no hit).
+    corpus = spark.createDataFrame(
+        [(0, _plane_vec(math.pi / 2))],  # unrelated seed doc
+        "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "chidx")
+    dedup.build_signlsh_index(corpus, idx, **kw)
+    b1 = [(1, _plane_vec(0.0)), (2, _plane_vec(0.3)),
+          (3, _plane_vec(0.6))]
+    b2 = [(4, _plane_vec(0.37)), (5, _plane_vec(0.69))]
+    schema = "vec_id long, embedding array<double>"
+    src = str(tmp_path / "chin")
+    out, ckpt = str(tmp_path / "chout"), str(tmp_path / "chck")
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = (spark.readStream.schema(corpus.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = sinks.start_embedding_admission(
+            stream, idx, out, ckpt, threshold=thr, **kw)
+        q.awaitTermination(120)
+
+    run()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    run()
+    audit = {(r.new_id, r.index_id): r.cosine
+             for r in spark.read.parquet(out).collect()}
+    assert (2, 1) in audit and audit[(2, 1)] == pytest.approx(
+        math.cos(0.3), abs=1e-9)
+    assert (3, 1) in audit and audit[(3, 1)] is None, \
+        "chained loser must audit against the ADMITTED representative"
+    assert (4, 1) in audit, "index dup missing from audit"
+    assert (5, 1) in audit and audit[(5, 1)] is None, \
+        "tainted-cluster loser must audit against the INDEX doc"
+    assert not any(i in (2, 3, 4, 5) for _, i in audit), \
+        "audit references a never-admitted sibling"
+    indexed = {r.id for r in spark.read.parquet(f"{idx}/vectors")
+               .select("id").distinct().collect()}
+    assert indexed == {0, 1}

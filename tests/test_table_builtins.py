@@ -359,3 +359,29 @@ def test_pca_project_whiten_language_truthiness(spark, tables):
     b = {r.vec_id: np.asarray(r.proj) for r in wrapped.df.collect()}
     assert a.keys() == b.keys()
     assert max(np.abs(a[k] - b[k]).max() for k in a) == 0.0
+
+
+
+# ======================== from test_round8.py (r14 consolidation) ========
+import os
+import subprocess
+import sys
+import pytest
+from pyspark.sql import functions as F
+
+def test_probe_builtins_raise_rmfnerror_on_bad_threshold(spark, tables,
+                                                         tmp_path):
+    """$probeNearDupIndex / $probeEmbeddingIndex must report a
+    non-numeric threshold as an RMFnError (like every numeric builtin),
+    not a raw TypeError."""
+    from radmapper_spark.functions.builtins import RMFnError
+    from radmapper_spark.lang.interp import Interp
+
+    docs = tables["documents"]
+    mh = str(tmp_path / "mh")
+    ip = Interp(spark)
+    ip.run_raw("$buildNearDupIndex($db($d), $p)",
+               bindings={"$d": docs.limit(10), "$p": mh})
+    with pytest.raises(RMFnError, match="probeNearDupIndex"):
+        ip.run_raw("$probeNearDupIndex($db($d), $p, 'high')",
+                   bindings={"$d": docs.limit(5), "$p": mh})

@@ -330,3 +330,70 @@ def test_sliced_asof_tied_rows_never_stitch_columns(spark):
     for tag in ("in-slice", "carry-in"):
         assert out[tag]["rid_right"] == plain[tag]["rid_right"]
         assert out[tag]["val_right"] == plain[tag]["val_right"]
+
+
+
+# ======================== from test_round6b.py (r14 consolidation) ========
+import hashlib
+import math
+import random
+import pytest
+from pyspark.sql import functions as F
+from radmapper_spark.operators import behavior, chunking, similarity, temporal
+from radmapper_spark.operators import textstats
+
+def test_gapfill_dense_grid_and_cumsum(spark):
+    rows = [
+        (1, 10, "2024-01-01 10:00:00", 5.0),
+        (2, 10, "2024-01-01 15:00:00", 2.5),
+        (3, 10, "2024-01-04 09:00:00", 1.0),
+        (4, 20, "2024-02-01 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(temporal.gapfill_daily(df).collect(),
+                 key=lambda r: (r.user_id, r.day))
+    u10 = [r for r in out if r.user_id == 10]
+    assert [str(r.day)[:10] for r in u10] == [
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    assert [r.n_events for r in u10] == [2, 0, 0, 1]
+    assert [r.day_total for r in u10] == [7.5, 0.0, 0.0, 1.0]
+    assert [r.cum_total for r in u10] == [7.5, 7.5, 7.5, 8.5]
+    u20 = [r for r in out if r.user_id == 20]
+    assert len(u20) == 1 and u20[0].cum_total == 7.0
+
+
+def test_gapfill_matches_python_randomized(spark):
+    import datetime
+    from collections import defaultdict
+    rng = random.Random(60_011)
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 3, 1)
+    for u in range(8):
+        for _ in range(rng.randint(1, 25)):
+            ts = base + datetime.timedelta(
+                days=rng.randint(0, 20), seconds=rng.randrange(86400))
+            rows.append((eid, u, ts, round(rng.uniform(-50, 50), 2)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double")
+    got = {(r.user_id, str(r.day)[:10]):
+           (r.n_events, r.day_total, r.cum_total)
+           for r in temporal.gapfill_daily(df).collect()}
+    from decimal import Decimal
+    per_day = defaultdict(lambda: (0, Decimal(0)))
+    for _, u, ts, v in rows:
+        d = ts.date()
+        n, s = per_day[(u, d)]
+        per_day[(u, d)] = (n + 1, s + Decimal(str(v)).quantize(Decimal("0.01")))
+    want = {}
+    for u in {r[1] for r in rows}:
+        days = sorted(d for (uu, d) in per_day if uu == u)
+        cum = Decimal(0)
+        d = days[0]
+        while d <= days[-1]:
+            n, s = per_day.get((u, d), (0, Decimal(0)))
+            cum += s
+            want[(u, str(d))] = (n, float(round(s, 2)), float(round(cum, 2)))
+            d += datetime.timedelta(days=1)
+    assert got == want
