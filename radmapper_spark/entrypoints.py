@@ -3734,7 +3734,7 @@ def bpe_chunks_sql() -> str:
 # would surface as an oracle hash mismatch in the sweep (duplicate ids
 # make the rank tie-break nondeterministic BETWEEN engines), so the
 # gate itself polices the bound at every SF.
-_CHUNK_STRIDE = 1_000_000
+_CHUNK_STRIDE = tokenizer.CHUNK_ID_STRIDE  # one shared stride (r14)
 # chunks per shard: materialize uses 1000 (33 shard dirs at sf0.1 —
 # the realistic many-rows-per-file layout); the pipeline variant's
 # admitted subset is ~1-2% of the corpus (Pareto), so it shards at 100
@@ -4260,12 +4260,10 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sample_per_group_sql() -> str:
-    from .functions import portable_hash as PH
-    h = PH.duck_ph60("'cap:' || doc_id::VARCHAR")
+    from .operators.sampling import duck_cap_rank_sql
     return f"""
-    SELECT doc_id, lang, row_number() OVER (
-        PARTITION BY lang ORDER BY ({h} % {1 << 40}) ASC, doc_id ASC
-    ) AS sample_rank
+    SELECT doc_id, lang,
+           {duck_cap_rank_sql('lang', 'doc_id')} AS sample_rank
     FROM documents
     QUALIFY sample_rank <= 50
     """
@@ -4990,13 +4988,11 @@ def host_volume_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def host_volume_cap_sql() -> str:
-    from .functions import portable_hash as PH
+    from .operators.sampling import duck_cap_rank_sql
     c = web.duck_canonicalize_exprs(web.duck_synth_url_expr())
-    h = PH.duck_ph60("'cap:' || doc_id::VARCHAR")
     return f"""
-    SELECT doc_id, host, row_number() OVER (
-        PARTITION BY host ORDER BY ({h} % {1 << 40}) ASC, doc_id ASC
-    ) AS sample_rank
+    SELECT doc_id, host,
+           {duck_cap_rank_sql('host', 'doc_id')} AS sample_rank
     FROM (SELECT doc_id, {c['host']} AS host FROM documents)
     QUALIFY sample_rank <= 25
     """

@@ -151,22 +151,33 @@ def global_cumsum(df: DataFrame, order_cols, weight_col: str,
     # rank rides along) the row counts, so both offset kinds come from
     # a single pass and a single broadcast join
     wmin = _free_name(df, "_rm_wmin")
+    wnull = _free_name(df, "_rm_wnull")
     aggs = [F.sum(F.col(weight_col).cast("long")).alias(wsum),
-            F.min(F.col(weight_col).cast("long")).alias(wmin)]
+            F.min(F.col(weight_col).cast("long")).alias(wmin),
+            F.sum(F.col(weight_col).isNull().cast("long")).alias(wnull)]
     if rank_col is not None:
         aggs.append(F.count(F.lit(1)).alias(cnt))
     sums = parts.groupBy(pid).agg(*aggs)
-    # negative-weight guard on the bounded P-row pass (a filter, not a
-    # droppable projection — the raise fires at execution, same pattern
-    # as linalg's ragged-dimension check)
+    # negative/NULL-weight guard on the bounded P-row pass (a filter,
+    # not a droppable projection — the raise fires at execution, same
+    # pattern as linalg's ragged-dimension check). NULLs are checked
+    # FIRST and with a literal message: F.min ignores NULLs, so without
+    # the explicit count a NULL weight would silently sum as 0 here
+    # while the per-group variant raises — the two budget cuts must
+    # agree on invalid input (r14 review)
     sums = sums.where(
-        F.when(F.col(wmin) >= 0, F.lit(True))
+        F.when(F.col(wnull) > 0, F.raise_error(F.lit(
+            f"global_cumsum: weight column {weight_col!r} contains "
+            f"NULLs — a NULL weight has no defined running-total "
+            f"contribution; filter or impute first")).cast("boolean"))
+        .when(F.col(wmin) >= 0, F.lit(True))
         .otherwise(F.raise_error(F.concat(
             F.lit(f"global_cumsum: weight column {weight_col!r} has a "
                   f"negative value (min "),
             F.col(wmin).cast("string"),
-            F.lit("); the running total would be non-monotone"))))
-    ).drop(wmin)
+            F.lit("); the running total would be non-monotone")))
+            .cast("boolean"))
+    ).drop(wmin, wnull)
     woff = (Window.partitionBy(F.spark_partition_id())
             .orderBy(pid)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))

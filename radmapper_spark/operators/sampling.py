@@ -85,6 +85,20 @@ def cap_per_group(df: DataFrame, group_cols, id_col: str, n: int,
             .filter(F.col("sample_rank") <= n))
 
 
+def duck_cap_rank_sql(group_expr: str, id_expr: str,
+                      salt: str = "cap") -> str:
+    """DuckDB twin of cap_per_group's rank rule — the hash-order
+    row_number expression (QUALIFY on it reproduces the kept set).
+    ONE definition for every entry oracle that caps per group
+    (sample_per_group, host_volume_cap — r14 review: the rule lived in
+    two hand-pasted SQL bodies that a salt/modulus change would have
+    had to chase)."""
+    from ..functions import portable_hash as PH
+    h = PH.duck_ph60(f"'{salt}:' || ({id_expr})::VARCHAR")
+    return (f"row_number() OVER (PARTITION BY {group_expr} "
+            f"ORDER BY ({h} % {1 << 40}) ASC, {id_expr} ASC)")
+
+
 def mixture_sample(df: DataFrame, group_col: str, rates: DataFrame,
                    id_col: str, salt: str = "mix",
                    buckets: int = 100_000) -> DataFrame:
@@ -762,17 +776,28 @@ def token_budget_select_per_group(scored: DataFrame, group_col: str,
             f"exactly — pre-scale floats onto an integer grid first")
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # the negative-weight guard fuses into the budget filter (one extra
-    # comparison on rows the window pass already touches; the global
-    # variant gets the same guard for free inside global_cumsum)
+    # the negative/NULL-weight guard fuses into the budget filter (one
+    # extra comparison on rows the window pass already touches; the
+    # global variant carries the matching guard inside global_cumsum —
+    # both budget cuts reject the same invalid inputs, NULLs included,
+    # with a literal message for the NULL case so the raise never
+    # concats a NULL into its own diagnostic (r14 review)
     keep = F.when(
+        F.col(weight_col).isNull(),
+        F.raise_error(F.lit(
+            f"token_budget_select_per_group: weight column "
+            f"{weight_col!r} contains NULLs — a NULL weight has no "
+            f"defined running-total contribution; filter or impute "
+            f"first")).cast("boolean")
+    ).when(
         F.col(weight_col) >= 0,
         F.col(cum_col) <= F.lit(int(budget))
     ).otherwise(F.raise_error(F.concat(
         F.lit(f"token_budget_select_per_group: weight column "
               f"{weight_col!r} has a negative value ("),
         F.col(weight_col).cast("string"),
-        F.lit("); the kept set would not be a contiguous prefix"))))
+        F.lit("); the kept set would not be a contiguous prefix")))
+        .cast("boolean"))
     return (scored
             .withColumn(rank_col, F.row_number().over(w).cast("long"))
             .withColumn(cum_col,

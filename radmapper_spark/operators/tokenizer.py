@@ -46,6 +46,14 @@ from pyspark.sql import functions as F
 # tokenizer/decontam word semantics)
 from .decontam import _words as _norm_words
 
+#: chunk_id = doc_id * CHUNK_ID_STRIDE + chunk_seq — the BIGINT keying
+#: scheme every chunk-granularity consumer (the materialized-shard
+#: entries, the streaming ingest loop) shares. ONE definition so the
+#: streaming and offline shard keys can never be computed under
+#: different strides (r14 review); each consumer guards chunk_seq <
+#: stride with a loud raise_error.
+CHUNK_ID_STRIDE = 1_000_000
+
 
 def _seq(word: str) -> str:
     return "".join(f"|{c}|" for c in word)

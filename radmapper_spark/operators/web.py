@@ -150,9 +150,13 @@ def duck_html_extract_exprs(html_expr: str) -> dict:
     n_total = (f"len(list_filter({lines}, "
                f"l -> {_duck_strip_line('l')} <> ''))")
     return {
+        # coalesce: DuckDB's array_to_string of an EMPTY list is NULL
+        # while Spark's array_join is '' — without it every zero-kept
+        # document (NULL/empty html, or all lines filtered) forks the
+        # oracle (r14 review; same quirk as the URL qsorted coalesce)
         "extracted_text":
-            f"array_to_string(list_transform({kept}, "
-            f"l -> {_duck_strip_line('l')}), chr(10))",
+            f"coalesce(array_to_string(list_transform({kept}, "
+            f"l -> {_duck_strip_line('l')}), chr(10)), '')",
         "n_lines_kept": f"len({kept})::BIGINT",
         "n_lines_total": f"({n_total})::BIGINT",
     }
@@ -290,9 +294,16 @@ def duck_synth_html_expr(id_expr: str = "doc_id",
     words = f"string_split_regex(trim(coalesce({text_expr}, '')), '\\s+')"
     n = f"len({words})"
     half = f"(({n} + 1) // 2)"
-    part1 = f"array_to_string(list_slice({words}, 1, {half}), ' ')"
-    part2 = (f"array_to_string(list_slice({words}, {half} + 1, {n}), "
-             f"' ')")
+    # coalesce: for a <= 1-word text the second slice is EMPTY and
+    # DuckDB's array_to_string of an empty list is NULL, which would
+    # NULL out the whole || page chain while Spark builds a full page
+    # (r14 review — confirmed by execution; the fixture corpora never
+    # hit it because every doc has >= 40 words, so only the twin tests
+    # see it)
+    part1 = (f"coalesce(array_to_string(list_slice({words}, 1, {half}),"
+             f" ' '), '')")
+    part2 = (f"coalesce(array_to_string(list_slice({words}, {half} + 1,"
+             f" {n}), ' '), '')")
     d = f"({id_expr})::VARCHAR"
     return (
         f"'<html><head><title>' || {source_expr} || '</title>'"

@@ -47,18 +47,23 @@ from ..functions import portable_hash as PH
 NORM_SALT = "ingest-norm"
 #: salt for the shard assignment hash
 SHARD_SALT = "ingest"
-#: chunk_id = doc_id * CHUNK_STRIDE + chunk_seq (same collision guard
-#: rationale as the batch shard entries' stride)
-CHUNK_STRIDE = 1_000_000
+#: chunk_id = doc_id * CHUNK_STRIDE + chunk_seq — ONE definition shared
+#: with the batch shard entries (r14 review: two independent 1_000_000
+#: constants could silently fork the streaming and offline shard keys)
+from ..operators.tokenizer import CHUNK_ID_STRIDE as CHUNK_STRIDE
 
 
 def norm_text_hash(text_col) -> F.Column:
     """60-bit portable hash of the whitespace-normalized text — the
-    dedup key. NULL text hashes to NULL; SQL window PARTITION BY groups
-    NULLs together in both engines, so all-null-text docs dedup to one
-    representative exactly like any other group."""
-    norm = F.regexp_replace(F.trim(F.lower(text_col)), r"\s+", " ")
-    return PH.ph60(F.concat(F.lit(f"{NORM_SALT}:"), norm))
+    dedup key, built on dedup.normalize_text (the ONE corpus
+    text-normalization rule; r14 review: an inlined copy here could
+    silently fork from exact_dedup's). NULL text hashes to NULL; SQL
+    window PARTITION BY groups NULLs together in both engines, so
+    all-null-text docs dedup to one representative exactly like any
+    other group — the probe join below must therefore be NULL-SAFE."""
+    from ..operators.dedup import normalize_text
+    return PH.ph60(F.concat(F.lit(f"{NORM_SALT}:"),
+                            normalize_text(text_col)))
 
 
 def duck_norm_text_hash(text_expr: str = "text") -> str:
@@ -96,17 +101,23 @@ def chunk_id_col(id_col: str = "doc_id",
 
 
 def first_per_normhash(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       keep_hash_col: str = None) -> DataFrame:
     """Within-frame exact dedup: keep the lowest id per norm-hash (the
     batch pipeline rule, keyed on the portable hash so the stream's
     persisted index and the DuckDB twin share one definition). One
-    exchange on the hash."""
-    nh = "_rm_ing_nh"
+    exchange on the hash. With ``keep_hash_col`` set the hash column
+    survives under that name, so callers that need it again (the
+    ingest loop's index probe/append) don't pay a second md5 +
+    normalize pass over the text — the widest column in the stream
+    (r14 review)."""
+    nh = keep_hash_col or "_rm_ing_nh"
     w = Window.partitionBy(nh).orderBy(F.col(id_col).asc())
-    return (docs.withColumn(nh, norm_text_hash(F.col(text_col)))
-            .withColumn("_rm_ing_rn", F.row_number().over(w))
-            .filter(F.col("_rm_ing_rn") == 1)
-            .drop("_rm_ing_rn", nh))
+    out = (docs.withColumn(nh, norm_text_hash(F.col(text_col)))
+           .withColumn("_rm_ing_rn", F.row_number().over(w))
+           .filter(F.col("_rm_ing_rn") == 1)
+           .drop("_rm_ing_rn"))
+    return out if keep_hash_col else out.drop(nh)
 
 
 def duck_first_per_normhash_rn(text_expr: str = "text",
@@ -158,11 +169,16 @@ def start_training_ingest(docs_stream: DataFrame, index_path: str,
     def ingest_batch(batch_df, batch_id):
         spark = batch_df.sparkSession
         nh = "_rm_ing_nh"
-        survivors = (first_per_normhash(batch_df, text_col, id_col)
-                     .withColumn(nh, norm_text_hash(F.col(text_col))))
+        survivors = first_per_normhash(batch_df, text_col, id_col,
+                                       keep_hash_col=nh)
         idx = spark.read.parquet(index_path)
+        # NULL-SAFE anti-join (r14 review): a NULL-text doc hashes to
+        # NULL, and `NULL == NULL` is never TRUE — a plain equi
+        # anti-join would re-admit one null-text doc per micro-batch
+        # while the batch twin's window keeps exactly one
         fresh = (survivors.join(
-            idx, survivors[nh] == idx["norm_hash"], "left_anti")
+            idx, survivors[nh].eqNullSafe(idx["norm_hash"]),
+            "left_anti")
             .persist())
         kept_ids = quality_admit(fresh, vocab, params,
                                  text_col=text_col, id_col=id_col

@@ -171,6 +171,26 @@ def test_negative_weight_rejected_per_group(spark):
         out.collect()
 
 
+def test_null_weight_rejected_both_variants(spark):
+    """r14 review: F.min ignores NULLs, so the original global guard
+    silently passed NULL weights (summing them as 0) while the
+    per-group variant raised with a NULL-concat (unreadable) message.
+    Both variants must now raise the same loud, literal diagnostic."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 10)], "doc_id long, w long")
+    out = sampling.token_budget_select(df, 15, [F.col("doc_id").asc()],
+                                       "w")
+    with pytest.raises(Exception, match="NULL"):
+        out.collect()
+    out2 = sampling.token_budget_select_per_group(
+        df.withColumn("g", F.lit("x")), "g", 15,
+        [F.col("doc_id").asc()], "w")
+    with pytest.raises(Exception, match="NULL"):
+        out2.collect()
+
+
 def test_nonnegative_weights_unaffected_by_guard(spark):
     """The guard must be invisible for valid input: zero weights are
     fine and the kept set is the exact budget prefix."""

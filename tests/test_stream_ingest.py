@@ -106,13 +106,17 @@ def test_stream_ingest_cross_batch_dedup(spark, tmp_path):
     dedup is the only filter in play."""
     prose = "good clean prose about science and knowledge"
     rows = [
-        # batch 0 (ids 0-9)
+        # batch 0 (ids 0-9); 5 has NULL text (hashes to NULL)
         (0, f"{prose} alpha zero"), (1, f"{prose} beta one"),
+        (5, None),
         # batch 1 (ids 10-19): 10 duplicates 0's text EXACTLY (extra
         # whitespace only — the dedup key normalizes it); 11 is fresh;
-        # 12 duplicates 11 within the same batch (higher id loses)
+        # 12 duplicates 11 within the same batch (higher id loses);
+        # 15's NULL text must be caught by the NULL-SAFE index probe
+        # (r14 review: a plain equi anti-join re-admits NULL hashes
+        # every batch)
         (10, f"  {prose}   alpha zero "), (11, f"{prose} gamma two"),
-        (12, f"{prose} gamma two"),
+        (12, f"{prose} gamma two"), (15, None),
     ]
     schema = "doc_id long, text string"
     docs = spark.createDataFrame(rows, schema)
@@ -127,9 +131,9 @@ def test_stream_ingest_cross_batch_dedup(spark, tmp_path):
         merges = tokenizer.bpe_train(docs, n_merges=4, top_words=16)
 
         src = str(tmp_path / "in")
-        spark.createDataFrame(rows[:2], schema).coalesce(1) \
+        spark.createDataFrame(rows[:3], schema).coalesce(1) \
             .write.mode("overwrite").parquet(src)
-        spark.createDataFrame(rows[2:], schema).coalesce(1) \
+        spark.createDataFrame(rows[3:], schema).coalesce(1) \
             .write.mode("append").parquet(src)
         _order_files_by_min_id(spark, src)
 
@@ -149,10 +153,14 @@ def test_stream_ingest_cross_batch_dedup(spark, tmp_path):
         kept_ids = {r["doc_id"] for r in
                     spark.read.parquet(out_path).collect()}
         # 10 rejected by the cross-batch index, 12 by the in-batch
-        # window; everything else survives the (saturated) gate
+        # window, the NULL-text docs by the (token-less) quality gate;
+        # everything else survives
         assert kept_ids == {0, 1, 11}
-        # the index holds one hash per DISTINCT normalized text
+        # the index holds one hash per DISTINCT normalized text — and
+        # exactly ONE NULL hash row: batch 1's second NULL-text doc
+        # must be caught by the NULL-SAFE probe, not re-appended
         idx = spark.read.parquet(index_path)
-        assert idx.count() == 3 and idx.distinct().count() == 3
+        assert idx.count() == 4 and idx.distinct().count() == 4
+        assert idx.filter(F.col("norm_hash").isNull()).count() == 1
     finally:
         vocab.unpersist()
