@@ -4998,6 +4998,83 @@ def host_volume_cap_sql() -> str:
     """
 
 
+def pipeline_web_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END crawl preprocessing as ONE composed lazy plan — the
+    web tier's pipeline entry (mirrors pipeline_corpus_clean for the
+    text tier): per fetched page (raw URL + raw HTML, the synthesized
+    fixtures) -> URL canonicalization -> canonical-URL dedup (first
+    doc_id wins) -> per-host volume cap (10, hash order) -> HTML
+    main-text extraction -> token-floor admission (>= 60 extracted
+    tokens). Every stage is the already-oracle-gated operator; the
+    entry proves the COMPOSITION stays one plan: canonicalize and
+    extract are map-only, the dedup window and the host-cap window are
+    the only two exchanges (both on short, naturally-bounded keys),
+    and extraction runs AFTER the cap so the expensive string work
+    touches only surviving pages — the order a crawl pipeline needs at
+    100 TB, where most fetched bytes are discarded before parsing."""
+    from pyspark.sql import Window
+    docs = load_tables(spark, sf_dir)["documents"]
+    pages = docs.select(
+        "doc_id", "text", "source",
+        web.synth_url(F.col("doc_id")).alias("url"))
+    canon = web.canonicalize_urls(pages)
+    w = Window.partitionBy("canonical_url").orderBy(F.col("doc_id").asc())
+    first = (canon.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn", "url"))
+    from .operators import sampling
+    capped = (sampling.cap_per_group(first, "host", "doc_id", 10)
+              .withColumnRenamed("sample_rank", "host_rank"))
+    # synthesize + extract only for cap survivors (the composition
+    # point: parse cost follows the cheap filters)
+    paged = capped.withColumn(
+        "html", web.synth_html(F.col("doc_id"), F.col("text"),
+                               F.col("source")))
+    ext = web.html_extract(paged)
+    n_tok = F.when(F.col("extracted_text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("extracted_text"), r"[\s\n]+")))
+    return (ext.withColumn("n_extracted_tokens", n_tok.cast("long"))
+            .filter(F.col("n_extracted_tokens") >= 60)
+            .select("doc_id", "canonical_url", "host", "host_rank",
+                    "n_lines_kept", "n_extracted_tokens",
+                    "extracted_text"))
+
+
+def pipeline_web_crawl_sql() -> str:
+    from .operators.sampling import duck_cap_rank_sql
+    c = web.duck_canonicalize_exprs(web.duck_synth_url_expr())
+    # qualify the synth inputs: the ex CTE joins cap x documents, so a
+    # bare doc_id would be ambiguous
+    e = web.duck_html_extract_exprs(web.duck_synth_html_expr(
+        "d.doc_id", "d.text", "d.source"))
+    return f"""
+    WITH cn AS (SELECT doc_id, {c['canonical_url']} AS canonical_url,
+                       {c['host']} AS host
+                FROM documents),
+    fw AS (SELECT * FROM (
+               SELECT cn.*, row_number() OVER (
+                   PARTITION BY canonical_url
+                   ORDER BY doc_id ASC) AS rn
+               FROM cn) WHERE rn = 1),
+    cap AS (SELECT doc_id, canonical_url, host,
+                   {duck_cap_rank_sql('host', 'doc_id')} AS host_rank
+            FROM fw QUALIFY host_rank <= 10),
+    ex AS (SELECT cap.doc_id, canonical_url, host, host_rank,
+                  {e['n_lines_kept']} AS n_lines_kept,
+                  {e['extracted_text']} AS extracted_text
+           FROM cap JOIN documents d ON cap.doc_id = d.doc_id)
+    SELECT doc_id, canonical_url, host, host_rank, n_lines_kept,
+           CASE WHEN extracted_text = '' THEN 0
+                ELSE len(string_split_regex(extracted_text,
+                                            '[\\s\\n]+')) END::BIGINT
+               AS n_extracted_tokens,
+           extracted_text
+    FROM ex
+    WHERE (CASE WHEN extracted_text = '' THEN 0
+                ELSE len(string_split_regex(extracted_text,
+                                            '[\\s\\n]+')) END) >= 60
+    """
+
+
 # ================================== streaming training ingest (r14)
 
 _INGEST_SHARDS = 8
@@ -5289,6 +5366,9 @@ ENTRIES: dict = {
     # tests/test_stream_ingest.py)
     "stream_training_ingest": (stream_training_ingest,
                                stream_training_ingest_sql),
+    # NEW r14: the web tier's end-to-end composition (canonicalize ->
+    # dedup -> host cap -> extract -> token-floor admit, one lazy plan)
+    "pipeline_web_crawl": (pipeline_web_crawl, pipeline_web_crawl_sql),
 }
 
 # =============================== window rotation (tested invariant, r13+)
@@ -5468,11 +5548,10 @@ _R14_WINDOW = [
     # graph_communities, multimodal_features, mixture_interleave slip
     # outside at urgency 0, forced into r15)
     "html_extract", "url_canonical_dedup", "host_volume_cap",
-    "stream_training_ingest",
+    "stream_training_ingest", "pipeline_web_crawl",
     # --- tier 3: r12 actives on r12-changed modules (lm.py,
-    # decontam.py) + composed-pipeline refresh
+    # decontam.py)
     "lm_score", "lm_bucket", "decontam_embedding",
-    "pipeline_corpus_clean",
 ]
 _CURRENT_WINDOW = _R14_WINDOW  # alias the invariant test reads
 assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(ENTRIES)

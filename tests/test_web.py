@@ -161,6 +161,39 @@ def test_extract_zero_kept_is_empty_string_both_engines(spark):
     assert got == [("", 0)]
 
 
+def test_pipeline_web_crawl_plan_shape(spark):
+    """The composed crawl pipeline must stay ONE lazy plan with exactly
+    the two window exchanges (canonical-URL dedup, host cap) over ONE
+    scan of the documents table — extraction fused after the cap, no
+    join-back, no extra shuffle."""
+    import re
+
+    from radmapper_spark import entrypoints as ep
+    df = ep.pipeline_web_crawl(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex == 2, f"expected 2 window exchanges, found {n_ex}"
+    n_scans = plan.count("documents.parquet")
+    assert n_scans == 1, f"expected 1 documents scan, found {n_scans}"
+
+
+def test_pipeline_web_crawl_cap_and_floor_bite(spark):
+    """Both governors are non-vacuous at the smallest fixture: the host
+    cap trims the deduped set and the token floor trims the capped
+    set."""
+    from pyspark.sql import functions as F
+
+    from radmapper_spark import entrypoints as ep
+    out = ep.pipeline_web_crawl(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert 0 < len(rows) < 70  # 7 hosts x cap 10 = 70 before the floor
+    assert max(r["host_rank"] for r in rows) <= 10
+    assert min(r["n_extracted_tokens"] for r in rows) >= 60
+    # the dedup stage kept one doc per canonical url
+    assert (out.groupBy("canonical_url").count()
+            .filter(F.col("count") > 1).count()) == 0
+
+
 def test_web_twins_on_adversarial_strings(spark):
     """Engine parity on inputs nastier than the fixture synthesis:
     quotes, regex metacharacters, entities, unicode — the Spark
