@@ -3772,7 +3772,8 @@ def _shuffled_bpe_chunks(spark: SparkSession, sf_dir: str,
         F.col("chunk_seq").cast("long"),
     ).otherwise(F.raise_error(F.lit(
         f"chunk_seq >= {_CHUNK_STRIDE}: chunk_id would collide across "
-        f"documents — raise _CHUNK_STRIDE")).cast("long"))
+        f"documents — raise tokenizer.CHUNK_ID_STRIDE (the ONE shared "
+        f"stride; _CHUNK_STRIDE aliases it)")).cast("long"))
     keyed = chunks.withColumn(
         "chunk_id", (F.col("doc_id").cast("long") * F.lit(_CHUNK_STRIDE)
                      + seq))
@@ -5062,16 +5063,15 @@ def pipeline_web_crawl_sql() -> str:
                   {e['n_lines_kept']} AS n_lines_kept,
                   {e['extracted_text']} AS extracted_text
            FROM cap JOIN documents d ON cap.doc_id = d.doc_id)
-    SELECT doc_id, canonical_url, host, host_rank, n_lines_kept,
-           CASE WHEN extracted_text = '' THEN 0
-                ELSE len(string_split_regex(extracted_text,
-                                            '[\\s\\n]+')) END::BIGINT
-               AS n_extracted_tokens,
-           extracted_text
-    FROM ex
-    WHERE (CASE WHEN extracted_text = '' THEN 0
-                ELSE len(string_split_regex(extracted_text,
-                                            '[\\s\\n]+')) END) >= 60
+    SELECT * FROM (
+        SELECT doc_id, canonical_url, host, host_rank, n_lines_kept,
+               CASE WHEN extracted_text = '' THEN 0
+                    ELSE len(string_split_regex(extracted_text,
+                                                '[\\s\\n]+')) END::BIGINT
+                   AS n_extracted_tokens,
+               extracted_text
+        FROM ex)
+    WHERE n_extracted_tokens >= 60
     """
 
 

@@ -96,7 +96,8 @@ def chunk_id_col(id_col: str = "doc_id",
         F.col(seq_col).cast("long"),
     ).otherwise(F.raise_error(F.lit(
         f"chunk_seq >= {CHUNK_STRIDE}: chunk_id would collide across "
-        f"documents — raise ingest.CHUNK_STRIDE")).cast("long"))
+        f"documents — raise tokenizer.CHUNK_ID_STRIDE (the ONE shared "
+        f"stride; this module only aliases it)")).cast("long"))
     return F.col(id_col).cast("long") * F.lit(CHUNK_STRIDE) + seq
 
 

@@ -178,17 +178,32 @@ def test_pipeline_web_crawl_plan_shape(spark):
 
 
 def test_pipeline_web_crawl_cap_and_floor_bite(spark):
-    """Both governors are non-vacuous at the smallest fixture: the host
-    cap trims the deduped set and the token floor trims the capped
-    set."""
-    from pyspark.sql import functions as F
+    """Both governors are non-vacuous at the smallest fixture — proven
+    by STAGE-TO-STAGE counts, not by post-filter properties that hold
+    by construction (the r13 'vacuous assert' class): the deduped set
+    over-fills every host so the cap cuts to exactly hosts x 10, and
+    the token floor then removes more rows."""
+    from pyspark.sql import Window, functions as F
 
     from radmapper_spark import entrypoints as ep
+    from radmapper_spark.operators import sampling, web
+    from radmapper_spark.session import load_tables
+
+    docs = load_tables(spark, "/root/testdata/sf0.001")["documents"]
+    canon = web.canonicalize_urls(
+        docs.select("doc_id", web.synth_url(F.col("doc_id")).alias("url")))
+    w = Window.partitionBy("canonical_url").orderBy(F.col("doc_id").asc())
+    first = (canon.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1))
+    per_host = [r[0] for r in first.groupBy("host").count()
+                .select("count").collect()]
+    assert min(per_host) > 10, "cap would be vacuous: under-filled host"
+    n_hosts = len(per_host)
+    capped_n = sampling.cap_per_group(first, "host", "doc_id", 10).count()
+    assert capped_n == n_hosts * 10  # the cap actually cut every host
     out = ep.pipeline_web_crawl(spark, "/root/testdata/sf0.001")
     rows = out.collect()
-    assert 0 < len(rows) < 70  # 7 hosts x cap 10 = 70 before the floor
-    assert max(r["host_rank"] for r in rows) <= 10
-    assert min(r["n_extracted_tokens"] for r in rows) >= 60
+    assert 0 < len(rows) < capped_n  # the token floor cut further
     # the dedup stage kept one doc per canonical url
     assert (out.groupBy("canonical_url").count()
             .filter(F.col("count") > 1).count()) == 0
