@@ -246,13 +246,27 @@ class ColumnCompiler:
         r = self._c(n.right, ctx)
         op = n.op
         if op in self.NUM_OPS:
-            out_t = T.DoubleType() if op == "/" or isinstance(
+            is_double = op == "/" or isinstance(
                 l.dtype, (T.DoubleType, T.FloatType)) or isinstance(
-                r.dtype, (T.DoubleType, T.FloatType)) else T.LongType()
-            col = {"+": l.col + r.col, "-": l.col - r.col, "*": l.col * r.col,
-                   "/": l.col.cast("double") / r.col.cast("double"),
-                   "%": l.col % r.col}[op]
-            return CV(col, out_t)
+                r.dtype, (T.DoubleType, T.FloatType))
+            if is_double:
+                col = {"+": l.col + r.col, "-": l.col - r.col,
+                       "*": l.col * r.col,
+                       "/": l.col.cast("double") / r.col.cast("double"),
+                       "%": l.col % r.col}[op]
+                return CV(col, T.DoubleType())
+            # integral path: operands are cast to LONG before the
+            # arithmetic — the CV already DECLARED LongType, but small
+            # int literals left the physical column INT32, so e.g.
+            # (71*73)*(70*74*80) overflowed at 2^31 under ANSI mode
+            # while the driver evaluator (Python ints) computed it fine
+            # (hypothesis falsifying example, r14). INT64 headroom now
+            # matches the driver for every magnitude the language's
+            # long-based numbers can hold.
+            lc, rc = l.col.cast("long"), r.col.cast("long")
+            col = {"+": lc + rc, "-": lc - rc, "*": lc * rc,
+                   "%": lc % rc}[op]
+            return CV(col, T.LongType())
         if op in self.CMP_OPS:
             col = {"=": l.col == r.col, "!=": l.col != r.col, "<": l.col < r.col,
                    "<=": l.col <= r.col, ">": l.col > r.col, ">=": l.col >= r.col}[op]

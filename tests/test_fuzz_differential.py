@@ -140,6 +140,19 @@ def test_column_twin_agrees_with_driver(one_row_df, src):
     assert _agree(got, want), f"{src}: column={got!r} driver={want!r}"
 
 
+def test_column_int_mul_beyond_int32(one_row_df):
+    """Pinned hypothesis find (r14): small int literals left the
+    physical column INT32, so an all-integer product past 2^31 threw
+    ARITHMETIC_OVERFLOW under ANSI mode while the driver (Python ints)
+    computed it — the integral path now runs in LONG."""
+    src = "(((71 * 73) + 0) * (70 * (74 * 80)))"
+    want = run(src)
+    assert want == 2147835200
+    got = one_row_df.select(
+        rm_column(one_row_df, src).alias("r")).head()["r"]
+    assert got == want
+
+
 # ------------------------------------------- round-6b hypothesis fuzz
 
 _pack_items = st.lists(st.tuples(st.integers(0, 999),
