@@ -153,21 +153,33 @@ def test_rotation_window_invariant():
         return (n_round - last[e]) - bound(e)
 
     inside = set(window)
+    # NOTE (r13 verdict): the moment a new round's CORRECTNESS_rN.json
+    # lands, n_round advances and the PREVIOUS round's window stops
+    # being a priority prefix — checks 3/4 going red at the start of a
+    # round is this test WORKING AS DESIGNED, demanding the rotation.
+    # The messages below say so, so the failure reads as the round's
+    # first TODO rather than a regression.
+    todo = ("— this is the start-of-round rotation TODO: declare the "
+            "new round's window (entrypoints _R{n}_WINDOW) per the "
+            "tier policy, not a code regression")
     # 2. no latecomer debt
     never = [e for e in registry if e not in last]
-    assert set(never) <= inside, f"never-proven entries outside: {never}"
+    assert set(never) <= inside, (
+        f"never-proven entries outside the window (they must land "
+        f"first driver rows this round): {never} {todo}")
     # 3. nothing outside may be past its bound
     breaches = [(e, urgency(e)) for e in registry
                 if e not in inside and urgency(e) > 0]
-    assert not breaches, f"entries breach tier bounds outside the " \
-                         f"window: {breaches}"
+    assert not breaches, (
+        f"entries breach tier bounds outside the window: {breaches} "
+        f"{todo}")
     # 4. priority-prefix: min(inside) >= max(outside)
     min_in = min(urgency(e) for e in window)
     max_out = max(urgency(e) for e in registry if e not in inside)
     assert min_in >= max_out, (
         f"window is not a priority prefix: an inside entry has urgency "
         f"{min_in} < an outside entry's {max_out} — rotate the more "
-        f"urgent entry in")
+        f"urgent entry in {todo}")
     # tier sanity: every frozen entry exists, bounds are the policy
     assert ep._FROZEN_ENTRIES <= set(registry)
     assert ep._ROTATION_TIERS == {"frozen": 3, "active": 2}
