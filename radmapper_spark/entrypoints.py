@@ -645,6 +645,7 @@ def dedup_embedding_cosine_sql() -> str:
 
 # ------------------------------------------- persisted-index probe entries
 
+import os as _os
 import tempfile as _tempfile
 
 # (session, sf_dir, kind) -> on-disk index path. The fixture tables are
@@ -659,7 +660,7 @@ _PROBE_INDEX_CACHE: dict = {}
 # opportunistic oldest-first sweep past _RETIRED_CAP retirements so the
 # backlog stays bounded even in a session that never reaches purge
 _RETIRED_INDEX_TREES: list = []
-_RETIRED_CAP = 8
+_RETIRED_CAP = int(_os.environ.get("RM_RETIRED_CAP", "16"))
 
 
 def purge_probe_indexes() -> int:
@@ -730,7 +731,19 @@ def _probe_index_path(spark: SparkSession, sf_dir: str, kind: str,
     # hard kill strands entirely live under the OS tmp dir (mkdtemp),
     # so the platform's tmp reaper is the terminal backstop.
     while len(_RETIRED_INDEX_TREES) > _RETIRED_CAP:
-        shutil.rmtree(_RETIRED_INDEX_TREES.pop(0), ignore_errors=True)
+        swept = _RETIRED_INDEX_TREES.pop(0)
+        # surface the force-sweep (r14 advice): a DataFrame handed out
+        # >= _RETIRED_CAP rebuilds ago now fails at execution with a
+        # missing-file error — this warning is the diagnosis trail, and
+        # RM_RETIRED_CAP raises the cap when a workload legitimately
+        # holds probe frames across many rebuilds
+        import warnings
+        warnings.warn(
+            f"probe-index retirement backlog > {_RETIRED_CAP} "
+            f"(RM_RETIRED_CAP to raise): force-sweeping oldest retired "
+            f"tree {swept}; any still-lazy DataFrame over it will fail "
+            f"with missing files", RuntimeWarning, stacklevel=2)
+        shutil.rmtree(swept, ignore_errors=True)
     path = _tempfile.mkdtemp(prefix=f"rm_{kind}_idx_")
     # stamp the fingerprint taken BEFORE the build (a rewrite racing the
     # build leaves an older stamp -> next hit rebuilds); a FAILED build
@@ -3961,7 +3974,7 @@ def pipeline_training_shards_sql() -> str:
 # twins (r13 third review: the Spark side was unified into
 # _first_per_norm_text but the twins still inlined two copies of the
 # window — the exact fork the helper exists to prevent).
-_DUCK_NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_DUCK_NORM_TEXT = dedup.duck_normalize_text("text")  # the ONE twin (r15)
 
 
 def _duck_first_per_norm_rn(order_id: str = "doc_id") -> str:
@@ -5371,92 +5384,136 @@ ENTRIES: dict = {
     "pipeline_web_crawl": (pipeline_web_crawl, pipeline_web_crawl_sql),
 }
 
-# =============================== window rotation (tested invariant, r13+)
+# =============================== window rotation (tested invariant, r13+;
+# =============================== self-deriving since r15)
 #
 # The driver's correctness gate checks the FIRST 50 registered entries.
-# With a 129-entry registry, rotating 50 per round bounds worst-case
-# staleness at ceil(129/50) = 3 rounds — structurally, >= 29 entries are
-# always 2 rounds stale and some reach 3. _ROTATION_TIERS turns that
-# arithmetic into POLICY (r12 verdict item #2): "active" entries must
-# land an external driver row at most every 2 rounds; "frozen" entries
-# tolerate 3. Frozen = the entry's operator code path has been
-# unchanged for >= 3 rounds AND the entry is re-proven by the full
-# local three-SF DuckDB value-oracle sweep every round (the language
-# batteries additionally by the 229-case reference golden corpus), so
-# a third driver-row-less round cannot hide a regression. The whole
-# policy — bounds, tier membership, window-as-priority-prefix — is
-# RECOMPUTED FROM THE CORRECTNESS_r*.json HISTORY by
-# tests/test_round13.py::test_rotation_window_invariant, which fails
-# if a future rotation forgets a slip (this comment is documentation;
-# the test is the enforcement point).
-_ROTATION_TIERS = {"frozen": 3, "active": 2}
+# With a 134+-entry registry, 50 external rows per round cannot cover
+# everything; _ROTATION_TIERS turns the staleness arithmetic into
+# POLICY (r12 verdict item #2), and since r15 the window itself is
+# DERIVED from the committed CORRECTNESS_r*.json history at import
+# time instead of hand-rotated each round (r14 verdict item #1): the
+# moment a round's driver results land, the registry prefix recomputes
+# to the NEXT round's most-urgent 50 and the invariant test
+# (tests/test_registry.py::test_rotation_window_invariant) is green at
+# the next checkout with no manual start-of-round step. The literal
+# _WINDOW_OVERRIDE below remains as a manual escape hatch only.
+#
+# Tiers (bound = max rounds between external driver rows):
+#   active (2): the default — entry or operator code changed within
+#       the last ~2 rounds, or composition entries on actively-edited
+#       modules (the whole dedup/classifier/sampling families stay
+#       active while r15 touches them).
+#   frozen (3): entry function + declared operator surfaces unchanged
+#       >= 3 rounds, sha256-pinned in tests/freeze_manifest.json
+#       (test_frozen_surfaces_unchanged), re-proven every round by the
+#       local three-SF DuckDB value-oracle sweep.
+#   sealed (5): the frozen contract PLUS >= 5 rounds unchanged (entry
+#       fn and surfaces last touched <= r10 as of r15). The per-round
+#       proof is the local sweep (for the headline SQL aggregates also
+#       their plan-lock tests); the external driver row becomes a
+#       5-round audit. Capacity: sum(1/bound) over the registry must
+#       stay <= 50 rows/round (asserted by the invariant test with
+#       headroom) or rotation debt grows without bound — the r14
+#       two-tier mix demanded 58 rows/round against 50 slots, which is
+#       WHY this third tier exists.
+_ROTATION_TIERS = {"active": 2, "frozen": 3, "sealed": 5}
+
+# sealed: entry fn + surfaces unchanged since <= r10 (verified by
+# per-function `git log -L` at r15; enforced forward by the manifest
+# pins), re-proven by the three-SF sweep every round.
+_SEALED_ENTRIES = frozenset({
+    # headline.py (r5) SQL aggregates
+    "region_nation_revenue", "top_revenue_orders",
+    "top_customer_per_nation", "pricing_summary", "large_orders",
+    "events_by_type",
+    # inline SQL-battery entries (entry fns r5; customer_deciles r9 on
+    # ranking:global_ntile, itself r9)
+    "window_battery", "events_pivot", "events_unpivot",
+    "events_json_extract", "sales_rollup", "brand_revenue",
+    "customers_without_orders", "urgent_and_low_customers",
+    "orders_above_customer_avg", "customer_deciles",
+    # textstats.py (r9)
+    "text_tfidf", "text_bm25", "text_inverted_index",
+    "text_bigram_pmi", "text_pii_scrub", "text_repetition",
+    "text_quality", "text_lang_id", "text_token_count",
+    "text_vocabulary", "text_fingerprint", "lang_id_eval",
+    # temporal.py (r6)
+    "temporal_rollup", "temporal_sessionize", "temporal_asof_join",
+    "temporal_range_join", "events_gapfill", "events_twap",
+    # behavior.py (r6)
+    "events_anomalies", "event_funnel", "event_markov", "user_cohorts",
+    # skew.py (r3)
+    "skew_salted_join", "skew_salted_agg",
+    # chunking.py (r6) + cdc.py (r6)
+    "doc_chunks", "doc_chunks_cdc", "seq_pack", "cdc_merge",
+    # profiling.py (r6) + quality.py (r6)
+    "stats_profile", "stats_histogram", "stats_outliers",
+    "source_mixture", "dq_checks",
+    # selection.py (r9)
+    "dsir_select",
+    # streaming/windows.py (r7) + streaming/joins.py (r5); entry fns r1-r5
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_running_totals", "stream_dedup", "stream_join",
+    # similarity.py (r9) + linalg.py (r10); entry fns r1-r9
+    "ann_bruteforce_topk", "ann_ivf_topk", "ann_pq_topk",
+    "ann_opq_topk", "ann_range_search", "semantic_dedup",
+    "embedding_kmeans", "embedding_kmeans_lloyd", "embedding_quantize",
+    "embedding_pca", "embedding_gram",
+})
+
 _FROZEN_ENTRIES = frozenset({
-    # language batteries: lang/ core frozen since r7
+    # language batteries: lang/ core frozen since r7 (columns.py's r14
+    # INT64 widening was a conscious re-pin — the 229-case reference
+    # golden corpus + differential fuzz + three-SF sweep re-prove these
+    # every round, but the recent edit keeps them out of the sealed
+    # tier)
     "rm_datalog_join", "rm_datetime_ops", "rm_eav_wildcard",
     "rm_express_map", "rm_express_reduce", "rm_nested_docs",
     "rm_qvar_project", "rm_scalar_battery", "rm_table_paths",
     "string_battery", "numeric_battery",
-    # headline SQL aggregates untouched since r1-r2
-    "region_nation_revenue", "top_revenue_orders",
-    "top_customer_per_nation", "pricing_summary", "large_orders",
-    "events_by_type",
-    # map-only hash/describe/stats ops frozen since r4-r9
-    # (dataset_split LEFT this tier in r13: hash_split's body now
-    # delegates to split_expr — value-identical and lock-tested, but
-    # the code path changed, so the entry is active again)
-    "sample_per_group", "stats_profile",
-    "stats_histogram", "stats_outliers", "fuzzy_part_names",
-    "dq_checks",
-    # events/behavior/temporal operators frozen since r5-r6
-    "events_gapfill", "events_twap", "events_anomalies",
-    "event_funnel", "event_markov", "temporal_rollup",
-    "temporal_sessionize",
-    # sampling/packing ops frozen since r4-r9
-    "seq_pack", "source_mixture", "mixture_sample", "weighted_sample",
-    # text-analysis ops on textstats.py, unchanged since r8 (file
-    # last touched by 3cfa948, pre-r10-record) and re-proven by the
-    # three-SF value-oracle sweep every round — frozen r13 to free
-    # window slots for the second r13 entry batch
-    "text_tfidf", "text_bm25", "text_inverted_index",
-    "text_bigram_pmi",
-    # sliding-window chunking on chunking.py, unchanged since r6b
-    # (033f277) — frozen r13, same local-sweep re-proof
-    "doc_chunks",
-    # remaining textstats.py entries (same unchanged-since-r8 file as
-    # the four above) — frozen r13 for the third new-entry pair
-    "text_pii_scrub", "text_repetition",
-    # chunking.py (r6b) + cdc.py (r9) both unchanged >= 3 rounds —
-    # frozen r13 for the shard_manifest slot
-    "doc_chunks_cdc",
-    # selection.py unchanged since r10 (61dab66) and lang_id on the
-    # same frozen textstats.py — frozen r13 for the fourth batch
-    "dsir_select", "lang_id_eval",
-    # r14 batch: the remaining textstats.py entries (file unchanged
-    # since 3cfa948, r9) join their module-mates above
-    "text_quality", "text_lang_id", "text_token_count",
-    "text_vocabulary", "text_fingerprint",
-    # temporal.py unchanged since b522cd3 (r6) — its last two active
-    # entries join temporal_rollup/temporal_sessionize in the tier
-    "temporal_asof_join", "temporal_range_join",
-    # behavior.py unchanged since b522cd3 (r6); skew.py since 8e18a10
-    # (r3) — the oldest still-active operator modules in the tree
-    "user_cohorts", "skew_salted_join", "skew_salted_agg",
+    # sampling.py symbol pins (module edited r14, pinned symbols
+    # unchanged — manifest-verified)
+    "sample_per_group", "mixture_sample", "weighted_sample",
+    # dedup.py symbol pin (module actively edited; the pinned
+    # fuzzy_pairs_levenshtein is not)
+    "fuzzy_part_names",
+    # graph.py (r11)
+    "graph_pagerank", "graph_communities",
+    # multimodal.py (r11)
+    "multimodal_features", "image_phash_neardup", "image_dedup_groups",
+    "stream_media_dedup",
+    # decontam.py (r12)
+    "decontam_ngram", "blocklist_scrub", "decontam_embedding",
+    # lm.py (r12)
+    "lm_score", "lm_bucket", "moore_lewis_select",
 })
+assert not (_SEALED_ENTRIES & _FROZEN_ENTRIES)
+_PINNED_ENTRIES = _SEALED_ENTRIES | _FROZEN_ENTRIES
 
-# Frozen-tier SOURCE PINS (r13): the freeze criterion — "the entry's
-# operator code path is unchanged" — enforced forward as a mechanical
-# invariant instead of a per-round git-archaeology claim. For every
-# frozen entry, the ENTRY FUNCTION's source plus each declared surface
-# below (a module, or "module:symbol" for a single operator function
-# inside an actively-edited module) is sha256-pinned in
+
+def _entry_tier(name: str) -> str:
+    if name in _SEALED_ENTRIES:
+        return "sealed"
+    if name in _FROZEN_ENTRIES:
+        return "frozen"
+    return "active"
+
+# Pinned-tier SOURCE PINS (r13, extended to the sealed tier r15): the
+# freeze criterion — "the entry's operator code path is unchanged" —
+# enforced forward as a mechanical invariant instead of a per-round
+# git-archaeology claim. For every pinned (frozen or sealed) entry,
+# the ENTRY FUNCTION's source plus each declared surface below (a
+# module, or "module:symbol" for a single operator function inside an
+# actively-edited module) is sha256-pinned in
 # tests/freeze_manifest.json; test_frozen_surfaces_unchanged recomputes
 # the digests via inspect.getsource and fails if pinned code changed
-# while the entry stayed frozen. Editing a frozen path therefore
-# REQUIRES either re-activating the entry (remove from _FROZEN_ENTRIES)
+# while the entry stayed pinned. Editing a pinned path therefore
+# REQUIRES either re-activating the entry (remove from the tier set)
 # or consciously re-pinning (RM_REGEN_FREEZE=1) with the change in the
 # commit — silent drift is impossible. Helpers a pinned function calls
 # are NOT pinned; value-drift through helpers is what the per-round
-# three-SF oracle sweep catches (the frozen tier's other leg).
+# three-SF oracle sweep catches (the pinned tiers' other leg).
 _LANG_SURFACES = ("radmapper_spark.lang.interp",
                   "radmapper_spark.lang.parser",
                   "radmapper_spark.lang.columns",
@@ -5471,6 +5528,13 @@ _FROZEN_SURFACES: dict = {
         "region_nation_revenue", "top_revenue_orders",
         "top_customer_per_nation", "pricing_summary", "large_orders",
         "events_by_type")},
+    # inline SQL-battery entries: the entry-function pin IS the surface
+    **{e: () for e in (
+        "window_battery", "events_pivot", "events_unpivot",
+        "events_json_extract", "sales_rollup", "brand_revenue",
+        "customers_without_orders", "urgent_and_low_customers",
+        "orders_above_customer_avg")},
+    "customer_deciles": ("radmapper_spark.operators.ranking:global_ntile",),
     "sample_per_group": ("radmapper_spark.operators.sampling:cap_per_group",),
     "stats_profile": ("radmapper_spark.operators.profiling:group_quantiles",),
     "stats_histogram": ("radmapper_spark.operators.profiling:histogram",),
@@ -5484,6 +5548,8 @@ _FROZEN_SURFACES: dict = {
     "event_markov": ("radmapper_spark.operators.behavior:event_transitions",),
     "temporal_rollup": ("radmapper_spark.operators.temporal",),
     "temporal_sessionize": ("radmapper_spark.operators.temporal",),
+    "temporal_asof_join": ("radmapper_spark.operators.temporal",),
+    "temporal_range_join": ("radmapper_spark.operators.temporal",),
     "seq_pack": ("radmapper_spark.operators.chunking",),
     "source_mixture": ("radmapper_spark.operators.profiling:source_mixture",),
     "mixture_sample": ("radmapper_spark.operators.sampling:mixture_sample",),
@@ -5491,69 +5557,120 @@ _FROZEN_SURFACES: dict = {
     **{e: ("radmapper_spark.operators.textstats",) for e in (
         "text_tfidf", "text_bm25", "text_inverted_index",
         "text_bigram_pmi", "text_pii_scrub", "text_repetition",
-        "lang_id_eval")},
+        "lang_id_eval", "text_quality", "text_lang_id",
+        "text_token_count", "text_vocabulary", "text_fingerprint")},
     "doc_chunks": ("radmapper_spark.operators.chunking",),
     "doc_chunks_cdc": ("radmapper_spark.operators.chunking",
                        "radmapper_spark.operators.cdc"),
+    "cdc_merge": ("radmapper_spark.operators.cdc",),
     "dsir_select": ("radmapper_spark.operators.selection",),
-    **{e: ("radmapper_spark.operators.textstats",) for e in (
-        "text_quality", "text_lang_id", "text_token_count",
-        "text_vocabulary", "text_fingerprint")},
-    "temporal_asof_join": ("radmapper_spark.operators.temporal",),
-    "temporal_range_join": ("radmapper_spark.operators.temporal",),
     "user_cohorts": ("radmapper_spark.operators.behavior:cohort_retention",),
     "skew_salted_join": ("radmapper_spark.operators.skew:salted_join",),
     "skew_salted_agg": ("radmapper_spark.operators.skew:salted_two_phase_agg",),
+    # streaming batch-shape entries (windows.py r7 / joins.py r5)
+    **{e: ("radmapper_spark.streaming.windows",) for e in (
+        "stream_tumbling", "stream_sliding", "stream_session",
+        "stream_running_totals", "stream_dedup")},
+    "stream_join": ("radmapper_spark.streaming.joins",),
+    # similarity/linalg tier (similarity.py r9, linalg.py r10)
+    **{e: ("radmapper_spark.operators.similarity",) for e in (
+        "ann_bruteforce_topk", "ann_ivf_topk", "ann_pq_topk",
+        "ann_opq_topk", "ann_range_search", "semantic_dedup",
+        "embedding_kmeans", "embedding_kmeans_lloyd",
+        "embedding_quantize")},
+    "embedding_pca": ("radmapper_spark.operators.linalg",),
+    "embedding_gram": ("radmapper_spark.operators.linalg",),
+    # graph.py (r11)
+    "graph_pagerank": ("radmapper_spark.operators.graph",),
+    "graph_communities": ("radmapper_spark.operators.graph",
+                          "radmapper_spark.operators.ranking:bounded_global_rank"),
+    # multimodal.py (r11)
+    **{e: ("radmapper_spark.operators.multimodal",) for e in (
+        "multimodal_features", "image_phash_neardup",
+        "image_dedup_groups", "stream_media_dedup")},
+    # decontam.py (r12) / lm.py (r12)
+    **{e: ("radmapper_spark.operators.decontam",) for e in (
+        "decontam_ngram", "blocklist_scrub", "decontam_embedding")},
+    **{e: ("radmapper_spark.operators.lm",) for e in (
+        "lm_score", "lm_bucket", "moore_lewis_select")},
 }
 
-# r14 window, priority order (the test recomputes all of this):
-# after r13, 79 entries tie at urgency 0 for the 50 slots — the 29
-# frozen entries whose last row is r11 (staleness 3, AT the frozen
-# bound) and the 50 active entries whose last row is r12 (staleness 2,
-# at the active bound). Ties may fall either side of the cut, so the
-# selection below is policy, not arithmetic:
-# 1. All 29 frozen r11 slips — their only per-round re-proof is the
-#    local three-SF sweep, so they take the external row whenever
-#    they're at the bound.
-# 2. New r14 entries (never-proven — must land first rows same round).
-# 3. The remaining slots go to the r12 actives whose OPERATOR MODULES
-#    changed most recently (dedup.py/classifier.py/sampling.py r13,
-#    lm.py/decontam r12) — fresh code earns external rows first.
-# Ten r12 actives moved to the frozen tier this round (textstats.py
-# unchanged since r9, temporal.py/behavior.py since r6, skew.py since
-# r3 — all sha-pinned in tests/freeze_manifest.json): they drop to
-# urgency -1 and wait for r15/r16 within bound. The ~24 actives left
-# outside at urgency 0 breach at r15 and are that window's forced
-# tier, alongside the 50 entries below reaching staleness 2 at r16.
-_R14_WINDOW = [
-    # --- tier 1: the 29 frozen r11 slips (staleness 3 = frozen bound)
-    "weighted_sample", "text_tfidf", "text_repetition",
-    "text_pii_scrub", "text_inverted_index", "text_bm25",
-    "text_bigram_pmi", "temporal_sessionize", "temporal_rollup",
-    "stats_outliers", "stats_histogram", "source_mixture", "seq_pack",
-    "pricing_summary", "numeric_battery", "mixture_sample",
-    "large_orders", "lang_id_eval", "fuzzy_part_names", "events_twap",
-    "events_gapfill", "events_by_type", "events_anomalies",
-    "event_markov", "event_funnel", "dsir_select", "dq_checks",
-    "doc_chunks_cdc", "doc_chunks",
-    # --- tier 2: r12 actives on r13-changed modules (dedup.py,
-    # classifier.py, sampling.py) — the code that moved most recently
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_token_jaccard", "dedup_groups", "dedup_embedding_cosine",
-    "neardup_probe", "neardup_admit", "nb_quality_score",
-    "nb_pareto_filter", "quality_probe", "stream_quality_filter",
-    "corpus_shuffle",
-    # --- tier 2b: NEW r14 entries (never-proven — must land first
-    # rows this round; each displaced a tier-3 slot: graph_pagerank,
-    # graph_communities, multimodal_features, mixture_interleave slip
-    # outside at urgency 0, forced into r15)
-    "html_extract", "url_canonical_dedup", "host_volume_cap",
-    "stream_training_ingest", "pipeline_web_crawl",
-    # --- tier 3: r12 actives on r12-changed modules (lm.py,
-    # decontam.py)
-    "lm_score", "lm_bucket", "decontam_embedding",
-]
-_CURRENT_WINDOW = _R14_WINDOW  # alias the invariant test reads
-assert len(_R14_WINDOW) == 50 and set(_R14_WINDOW) <= set(ENTRIES)
-ENTRIES = {k: ENTRIES[k] for k in
-           _R14_WINDOW + [k for k in ENTRIES if k not in set(_R14_WINDOW)]}
+_WINDOW_SIZE = 50
+# Manual escape hatch (r14 verdict: "the literal list as an override
+# only"): a non-empty list here REPLACES the derived window verbatim —
+# it must still satisfy every invariant in test_rotation_window_invariant.
+_WINDOW_OVERRIDE: list = []
+
+
+def _correctness_history(repo_root: str | None = None):
+    """(last_green, n_round) from the committed CORRECTNESS_r*.json:
+    last_green[entry] = newest round whose driver row is fully green
+    (rows+schema+hash, no err); n_round = max(round)+1, the round being
+    built. Derived from THIS file's location, not a hardcoded path, so
+    clones and worktrees read their own history (r13 lesson)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+    if repo_root is None:
+        repo_root = _os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__)))
+    last: dict = {}
+    rounds = set()
+    for f in sorted(_glob.glob(_os.path.join(
+            repo_root, "CORRECTNESS_r*.json"))):
+        r = int(_re.search(r"r(\d+)", _os.path.basename(f)).group(1))
+        rounds.add(r)
+        try:
+            qs = _json.load(open(f))
+        except Exception:  # a half-written driver file must not kill import
+            continue
+        qs = qs.get("queries", qs)
+        for k, v in qs.items():
+            if (isinstance(v, dict) and v.get("rows_match")
+                    and v.get("schema_match")
+                    and v.get("hash_match", True) and not v.get("err")):
+                last[k] = max(r, last.get(k, 0))
+    return last, (max(rounds) + 1 if rounds else 1)
+
+
+def derive_window(entries=None, size: int = _WINDOW_SIZE,
+                  repo_root: str | None = None) -> list:
+    """The 50-slot driver window as a deterministic function of the
+    CORRECTNESS history and the tier policy — EDF scheduling on
+    freshness debt. urgency(e) = (n_round - last_green(e)) - bound(e),
+    never-proven entries at +inf (they must land first rows the round
+    they appear). Sort by urgency desc; ties by (higher tier bound
+    first — pinned entries' only other proof is the local sweep, so
+    they take the external row AT the bound), then name for
+    determinism. Raises if the breaching set itself exceeds the window
+    (the capacity invariant was violated upstream)."""
+    if entries is None:
+        entries = list(ENTRIES)
+    last, n_round = _correctness_history(repo_root)
+
+    def bound(e):
+        return _ROTATION_TIERS[_entry_tier(e)]
+
+    def urgency(e):
+        if e not in last:
+            return float("inf")
+        return (n_round - last[e]) - bound(e)
+
+    order = sorted(entries, key=lambda e: (-urgency(e), -bound(e), e))
+    window = order[:size]
+    forced = [e for e in entries if urgency(e) > 0]
+    missed = [e for e in forced if e not in set(window)]
+    if missed:
+        raise RuntimeError(
+            f"rotation capacity exceeded: {len(forced)} entries are past "
+            f"their tier bound but the window holds {size}; left out: "
+            f"{missed} — freeze/seal more long-unchanged entries")
+    return window
+
+
+_CURRENT_WINDOW = _WINDOW_OVERRIDE or derive_window()
+assert (len(_CURRENT_WINDOW) == _WINDOW_SIZE
+        and set(_CURRENT_WINDOW) <= set(ENTRIES))
+ENTRIES = {k: ENTRIES[k] for k in _CURRENT_WINDOW
+           + [k for k in ENTRIES if k not in set(_CURRENT_WINDOW)]}

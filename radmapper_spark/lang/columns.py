@@ -260,9 +260,16 @@ class ColumnCompiler:
             # int literals left the physical column INT32, so e.g.
             # (71*73)*(70*74*80) overflowed at 2^31 under ANSI mode
             # while the driver evaluator (Python ints) computed it fine
-            # (hypothesis falsifying example, r14). INT64 headroom now
-            # matches the driver for every magnitude the language's
-            # long-based numbers can hold.
+            # (hypothesis falsifying example, r14). RESIDUAL BOUNDARY
+            # (r14 advice): the driver evaluator computes in unbounded
+            # Python ints, so an all-integer product past 2^63 still
+            # forks (Spark raises ANSI ARITHMETIC_OVERFLOW where the
+            # driver returns the big int). The reference runs on JVM
+            # longs and overflows there too, so int64 is the honest
+            # language semantics; the fuzz grammar (literals in
+            # [-100,100], depth<=3, max ~1e16) cannot reach the
+            # boundary, and we document it rather than claim
+            # full-magnitude parity.
             lc, rc = l.col.cast("long"), r.col.cast("long")
             col = {"+": lc + rc, "-": lc - rc, "*": lc * rc,
                    "%": lc % rc}[op]

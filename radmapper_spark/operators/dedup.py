@@ -31,6 +31,17 @@ def normalize_text(col):
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def duck_normalize_text(expr: str = "text") -> str:
+    """The ONE DuckDB twin of normalize_text (r14 advice: hand-copied
+    normalization SQL in oracle bodies is a silent-fork risk — a future
+    change to normalize_text would not propagate). New oracle SQL must
+    build on this; the pre-existing inlined copies in frozen/sealed
+    entrypoints oracle bodies are pinned unchanged and guarded by
+    tests/test_stream_ingest.py::test_inlined_norm_sql_matches_helper,
+    which fails if this helper and any inlined copy ever diverge."""
+    return f"regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of each exact (normalized) text.
     Groups on the normalized text ITSELF (Spark hash-partitions it

@@ -196,6 +196,14 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
     groups by it) so equal resources collide BEFORE any content hash
     is computed."""
     u = F.trim(F.col(url_col))
+    # drop the fragment BEFORE extracting the query: _RX_QUERY searches
+    # the whole string, so a '?' appearing only inside the fragment
+    # ('https://h/p#sec?x=1') would otherwise be read as the query and
+    # contradict the drop-the-fragment rule — and because both engines
+    # shared the regex, the differential oracle could not catch it
+    # (r14 advice, medium). (?s): a malformed embedded newline must not
+    # resurrect the fragment tail.
+    u = F.regexp_replace(u, r"(?s)#.*$", "")
     scheme = F.lower(F.regexp_extract(u, _RX_SCHEME, 1))
     hostport = F.lower(F.regexp_extract(u, _RX_HOSTPORT, 1))
     hostport = F.regexp_replace(hostport, r"^www\.", "")
@@ -225,6 +233,10 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
 def duck_canonicalize_exprs(url_expr: str) -> dict:
     """DuckDB twins of canonicalize_urls' output columns."""
     u = f"trim({url_expr})"
+    # fragment stripped FIRST, mirroring canonicalize_urls (r14 advice:
+    # the query regex must only see the pre-fragment region); 's' flag
+    # = Spark's (?s)
+    u = f"regexp_replace({u}, '#.*$', '', 's')"
     scheme = f"lower(regexp_extract({u}, '{_RX_SCHEME}', 1))"
     hostport = (f"regexp_replace(lower(regexp_extract({u}, "
                 f"'{_RX_HOSTPORT}', 1)), '^www\\.', '')")

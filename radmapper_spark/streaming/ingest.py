@@ -29,12 +29,31 @@ norm-hash index is a long-skinny BIGINT table; bucket it by
 dominates (the batch side already prunes nothing — membership is the
 question being asked).
 
-Restart caveat (same as start_neardup_admission): the shard append and
-the index append are not idempotent under a batch REPLAY after a
-mid-batch crash — a replayed batch appends duplicate chunk rows and
-duplicate index hashes. Probes stay correct (duplicate hashes reject
-the same future documents), so replay costs storage, not answers;
-compact out-of-band if replays accumulate.
+Restart safety (r14 verdict item #2 — the shards ARE the training
+data, so a replayed batch must append NOTHING, not merely "cost
+storage"): both sinks are keyed by ``_rm_batch_id`` and written with
+dynamic partition OVERWRITE — the foreachBatch idempotence pattern.
+A replayed batch recomputes exactly its own partitions and replaces
+them in place:
+
+* the index probe EXCLUDES the batch's own partition
+  (``_rm_batch_id != batch_id``), so the admitted set is a pure
+  function of (batch input, all EARLIER batches) — identical across
+  replay attempts even if the crashed attempt half-wrote this batch's
+  own index partition;
+* the chunk write overwrites only the partitions the batch produces
+  (dynamic mode), so a half-written partition from the crashed attempt
+  is replaced, never duplicated;
+* the index write overwrites the batch's own ``_rm_batch_id``
+  partition with the full recomputed hash set, healing a partial
+  first attempt.
+
+Consumers therefore read shards partitioned by
+``(_rm_batch_id, shard)`` — the extra provenance column is the price
+of exactly-once output (and is useful at 100 TB anyway: per-batch
+lineage and retention become partition operations). Proven by the
+kill-and-restart test in tests/test_stream_ingest.py (checkpoint
+commit marker deleted, stream restarted, byte-identical output).
 """
 
 from __future__ import annotations
@@ -67,8 +86,12 @@ def norm_text_hash(text_col) -> F.Column:
 
 
 def duck_norm_text_hash(text_expr: str = "text") -> str:
-    norm = f"regexp_replace(trim(lower({text_expr})), '\\s+', ' ', 'g')"
-    return PH.duck_ph60(f"'{NORM_SALT}:' || {norm}")
+    """DuckDB twin of norm_text_hash, built from dedup's shared
+    duck_normalize_text helper (r14 advice: an inlined normalization
+    copy here was exactly the silent-fork risk the norm_text_hash
+    docstring warns about on the Spark side)."""
+    from ..operators.dedup import duck_normalize_text
+    return PH.duck_ph60(f"'{NORM_SALT}:' || {duck_normalize_text(text_expr)}")
 
 
 def shard_col(chunk_id_col, n_shards: int) -> F.Column:
@@ -129,14 +152,26 @@ def duck_first_per_normhash_rn(text_expr: str = "text",
             f"ORDER BY {order_id} ASC)")
 
 
+#: the persisted norm-hash index schema — read with this EXPLICIT
+#: schema so an empty seed (zero files) still loads (inference would
+#: fail), and so the ``_rm_batch_id`` partition column types as LONG
+_IDX_SCHEMA = "norm_hash long, _rm_batch_id long"
+#: the seed (pre-existing corpus) owns batch id -1 — a real
+#: StreamingQuery batch id is never negative
+_SEED_BATCH_ID = -1
+
+
 def build_normhash_index(docs: DataFrame, path: str,
                          text_col: str = "text") -> None:
     """Materialize the dedup index over an existing corpus: one BIGINT
-    ``norm_hash`` column, distinct. Overwrites ``path``. Pass an empty
-    frame to start an ingest from nothing."""
+    ``norm_hash`` column, distinct, under the seed's ``_rm_batch_id=-1``
+    partition (the same layout the ingest loop appends to, so replays
+    can overwrite exactly their own partition). Overwrites ``path``.
+    Pass an empty frame to start an ingest from nothing."""
     (docs.select(norm_text_hash(F.col(text_col)).alias("norm_hash"))
      .distinct()
-     .write.mode("overwrite").parquet(path))
+     .withColumn("_rm_batch_id", F.lit(_SEED_BATCH_ID).cast("long"))
+     .write.mode("overwrite").partitionBy("_rm_batch_id").parquet(path))
 
 
 def start_training_ingest(docs_stream: DataFrame, index_path: str,
@@ -149,18 +184,22 @@ def start_training_ingest(docs_stream: DataFrame, index_path: str,
     micro-batch:
 
     1. within-batch exact dedup (first id per norm-hash);
-    2. cross-batch dedup: anti-join the persisted norm-hash index
-       (``build_normhash_index`` must have created it — possibly
-       empty);
-    3. APPEND the batch's dedup survivors' hashes to the index
-       regardless of the quality outcome (a first-seen text claims its
-       slot even if gated out — exactly the batch rule, where a later
-       duplicate is never "first");
+    2. cross-batch dedup: anti-join the persisted norm-hash index,
+       EXCLUDING the batch's own partition (``build_normhash_index``
+       must have created the index — possibly empty) — the exclusion
+       makes the admitted set replay-deterministic even after a crash
+       that half-wrote this batch's own index partition;
+    3. OVERWRITE the batch's ``_rm_batch_id`` index partition with the
+       dedup survivors' hashes regardless of the quality outcome (a
+       first-seen text claims its slot even if gated out — exactly the
+       batch rule, where a later duplicate is never "first");
     4. quality gate: classifier.quality_admit (broadcast model trained
        batch-side — ``vocab``/``params`` from nb_model/nb_model_params);
     5. corpus-BPE chunking (tokenizer.bpe_chunk_documents with the
        SAME trained merges) + hash shard assignment;
-    6. append chunk rows to ``out_path`` partitioned by shard.
+    6. OVERWRITE the batch's ``(_rm_batch_id, shard)`` chunk partitions
+       under ``out_path`` (dynamic partition overwrite — a replay
+       replaces its own output in place; see the module docstring).
 
     Returns the StreamingQuery (availableNow trigger — drain whatever
     the source holds, checkpointed)."""
@@ -170,9 +209,14 @@ def start_training_ingest(docs_stream: DataFrame, index_path: str,
     def ingest_batch(batch_df, batch_id):
         spark = batch_df.sparkSession
         nh = "_rm_ing_nh"
+        bid = F.lit(int(batch_id)).cast("long")
         survivors = first_per_normhash(batch_df, text_col, id_col,
                                        keep_hash_col=nh)
-        idx = spark.read.parquet(index_path)
+        # explicit schema: an empty seed index has zero data files, and
+        # the batch's OWN partition is excluded so a replay sees the
+        # exact index state the crashed attempt saw
+        idx = (spark.read.schema(_IDX_SCHEMA).parquet(index_path)
+               .filter(F.col("_rm_batch_id") != int(batch_id)))
         # NULL-SAFE anti-join (r14 review): a NULL-text doc hashes to
         # NULL, and `NULL == NULL` is never TRUE — a plain equi
         # anti-join would re-admit one null-text doc per micro-batch
@@ -189,15 +233,22 @@ def start_training_ingest(docs_stream: DataFrame, index_path: str,
                                      chunk_tokens=chunk_tokens)
         out = (chunks.withColumn(
             "shard", shard_col(chunk_id_col(id_col), n_shards))
+            .withColumn("_rm_batch_id", bid)
             .select(id_col, "chunk_seq", "chunk_start",
-                    "n_chunk_tokens", "shard", "chunk_text"))
-        out.write.mode("append").partitionBy("shard").parquet(out_path)
-        # index append LAST: a crash before this line replays the batch
-        # and re-appends chunks (see module docstring); appending the
-        # index first would instead DROP the batch's chunks on replay —
-        # storage-costing duplicates beat silent data loss
+                    "n_chunk_tokens", "_rm_batch_id", "shard",
+                    "chunk_text"))
+        # dynamic overwrite: only the (_rm_batch_id, shard) partitions
+        # present in THIS batch's output are replaced — a replayed
+        # batch swaps its own output in place, every other batch's
+        # partitions untouched (exactly-once shards, r14 verdict #2)
+        (out.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_rm_batch_id", "shard").parquet(out_path))
         (fresh.select(F.col(nh).alias("norm_hash"))
-         .write.mode("append").parquet(index_path))
+         .withColumn("_rm_batch_id", bid)
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_rm_batch_id").parquet(index_path))
         fresh.unpersist()
 
     return (docs_stream.writeStream

@@ -96,8 +96,10 @@ def test_nb_entries_single_training_instantiation(spark, name):
 
 def test_rotation_window_invariant():
     """The freshness-debt arithmetic as a TESTED invariant (r12 verdict
-    item #2), recomputed from the committed CORRECTNESS_r*.json history
-    instead of trusted to a hand-maintained comment. Definitions:
+    item #2), recomputed INDEPENDENTLY of entrypoints.derive_window from
+    the committed CORRECTNESS_r*.json history — since r15 the window is
+    derived at import time, so a failure here is a derivation bug or a
+    policy violation, never a start-of-round TODO. Definitions:
     last_green(e) = newest round whose driver row for e is fully green
     (rows+schema+hash, no err); N = that maximum + 1 (the round being
     built); urgency(e) = (N - last_green(e)) - tier_bound(e), with
@@ -108,7 +110,12 @@ def test_rotation_window_invariant():
     3. no entry OUTSIDE the window is past its tier bound (a forgotten
        slip fails here the round it would breach, not at judge time);
     4. the window is a priority-order prefix: nothing outside is more
-       urgent than anything inside (ties may fall either side).
+       urgent than anything inside (ties may fall either side);
+    5. capacity: sum(1/bound) over the registry fits the 50-row/round
+       budget with headroom — the schedulability condition that keeps
+       checks 3/4 satisfiable forever (the r14 two-tier policy demanded
+       58 rows/round against 50 slots; the sealed tier exists to fix
+       exactly this).
     """
     import glob
     import json
@@ -144,8 +151,7 @@ def test_rotation_window_invariant():
     assert len(set(window)) == len(window) == 50
 
     def bound(e):
-        return ep._ROTATION_TIERS[
-            "frozen" if e in ep._FROZEN_ENTRIES else "active"]
+        return ep._ROTATION_TIERS[ep._entry_tier(e)]
 
     def urgency(e):
         if e not in last:
@@ -153,15 +159,14 @@ def test_rotation_window_invariant():
         return (n_round - last[e]) - bound(e)
 
     inside = set(window)
-    # NOTE (r13 verdict): the moment a new round's CORRECTNESS_rN.json
-    # lands, n_round advances and the PREVIOUS round's window stops
-    # being a priority prefix — checks 3/4 going red at the start of a
-    # round is this test WORKING AS DESIGNED, demanding the rotation.
-    # The messages below say so, so the failure reads as the round's
-    # first TODO rather than a regression.
-    todo = ("— this is the start-of-round rotation TODO: declare the "
-            "new round's window (entrypoints _R{n}_WINDOW) per the "
-            "tier policy, not a code regression")
+    # Since r15 the window derives from the history at import time
+    # (entrypoints.derive_window), so these checks hold at EVERY
+    # checkout including the moment a new CORRECTNESS_rN.json lands —
+    # a failure means the derivation or the tier policy broke, or a
+    # non-empty _WINDOW_OVERRIDE violates the policy it overrides.
+    todo = ("— derivation bug or policy violation (the window is "
+            "self-deriving since r15; check entrypoints.derive_window "
+            "/ _WINDOW_OVERRIDE)")
     # 2. no latecomer debt
     never = [e for e in registry if e not in last]
     assert set(never) <= inside, (
@@ -180,9 +185,24 @@ def test_rotation_window_invariant():
         f"window is not a priority prefix: an inside entry has urgency "
         f"{min_in} < an outside entry's {max_out} — rotate the more "
         f"urgent entry in {todo}")
-    # tier sanity: every frozen entry exists, bounds are the policy
+    # tier sanity: every pinned entry exists, tiers are disjoint,
+    # bounds are the policy
+    assert ep._SEALED_ENTRIES <= set(registry)
     assert ep._FROZEN_ENTRIES <= set(registry)
-    assert ep._ROTATION_TIERS == {"frozen": 3, "active": 2}
+    assert not (ep._SEALED_ENTRIES & ep._FROZEN_ENTRIES)
+    assert ep._ROTATION_TIERS == {"active": 2, "frozen": 3, "sealed": 5}
+    # 5. schedulability: steady-state demand fits the window with
+    # headroom for a few never-proven newcomers per round
+    demand = sum(1.0 / bound(e) for e in registry)
+    assert demand <= len(window) - 2, (
+        f"rotation over-subscribed: steady-state demand {demand:.1f} "
+        f"rows/round vs {len(window)} slots — seal/freeze more "
+        f"long-unchanged entries before adding new ones")
+    # the declared window must BE what derive_window computes (guards
+    # against a drifting override left behind after an emergency; the
+    # sort key ends on the entry name, so input order is irrelevant)
+    if not ep._WINDOW_OVERRIDE:
+        assert window == ep.derive_window(repo_root=repo)
 
 
 @pytest.mark.parametrize("name", ["token_budget_select",
@@ -217,7 +237,7 @@ def _freeze_digests():
         return hashlib.sha256(src.encode()).hexdigest()[:16]
 
     out = {}
-    for entry in sorted(ep._FROZEN_ENTRIES):
+    for entry in sorted(ep._PINNED_ENTRIES):
         surfaces = {"entry": digest(inspect.getsource(
             ep.ENTRIES[entry][0])),
             # the DuckDB twin is part of the frozen contract too — a
@@ -253,8 +273,9 @@ def test_frozen_surfaces_unchanged():
     # freeze without pins would otherwise die as a bare KeyError
     # inside _freeze_digests instead of this message (r13 second
     # review)
-    assert set(ep._FROZEN_SURFACES) == set(ep._FROZEN_ENTRIES), \
-        "every frozen entry needs a _FROZEN_SURFACES declaration"
+    assert set(ep._FROZEN_SURFACES) == set(ep._PINNED_ENTRIES), \
+        "every pinned (frozen or sealed) entry needs a " \
+        "_FROZEN_SURFACES declaration"
     got = _freeze_digests()
     if os.environ.get("RM_REGEN_FREEZE") == "1":
         with open(path, "w") as f:

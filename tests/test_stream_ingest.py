@@ -162,5 +162,61 @@ def test_stream_ingest_cross_batch_dedup(spark, tmp_path):
         idx = spark.read.parquet(index_path)
         assert idx.count() == 4 and idx.distinct().count() == 4
         assert idx.filter(F.col("norm_hash").isNull()).count() == 1
+
+        # ---- kill-and-restart REPLAY (r14 verdict item #2): delete
+        # the newest checkpoint commit marker so Structured Streaming
+        # replays the final micro-batch on restart, then prove the
+        # replayed batch appends NOTHING — shards and index are
+        # byte-identical (the dynamic-partition-overwrite idempotence
+        # the module docstring promises)
+        def rows_of(df):  # NULL norm_hash: sort by stringified tuple
+            return sorted((tuple(r) for r in df.collect()), key=str)
+
+        shards_before = rows_of(spark.read.parquet(out_path))
+        idx_before = rows_of(idx)
+        commits = os.path.join(str(tmp_path / "ck"), "commits")
+        newest = max((n for n in os.listdir(commits) if n.isdigit()),
+                     key=int)
+        os.remove(os.path.join(commits, newest))
+        crc = os.path.join(commits, f".{newest}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        stream2 = (spark.readStream.schema(schema)
+                   .option("maxFilesPerTrigger", 1).parquet(src))
+        q2 = ingest.start_training_ingest(
+            stream2, index_path, out_path, str(tmp_path / "ck"),
+            merges, vocab, params, chunk_tokens=8, n_shards=4)
+        try:
+            assert q2.awaitTermination(180), "replay run did not finish"
+        finally:
+            q2.stop()
+        assert rows_of(spark.read.parquet(out_path)) == shards_before
+        assert rows_of(spark.read.parquet(index_path)) == idx_before
     finally:
         vocab.unpersist()
+
+
+def test_inlined_norm_sql_matches_helper():
+    """Drift guard for the frozen/sealed oracle bodies that inline the
+    text-normalization SQL: every inlined copy in entrypoints.py must
+    equal dedup.duck_normalize_text('text') VERBATIM. The pinned
+    bodies cannot be rewritten to call the helper without re-opening
+    their freeze, so this test is the propagation mechanism the r14
+    advice asked for — change normalize_text/duck_normalize_text and
+    every stale copy fails here by name."""
+    import inspect
+    import re
+
+    from radmapper_spark import entrypoints as ep
+    from radmapper_spark.operators import dedup
+
+    want = dedup.duck_normalize_text("text")
+    src = inspect.getsource(ep)
+    # any regexp_replace(trim(lower(text))...) call in the module
+    # source must be exactly the helper's output
+    inlined = set(re.findall(
+        r"regexp_replace\(trim\(lower\(text\)\)[^)]*\)", src))
+    assert inlined, "no inlined copies found — rewrite this guard"
+    assert inlined == {want.replace("\\s", "\\\\s")} or inlined == {want}, (
+        f"inlined normalization SQL drifted from duck_normalize_text: "
+        f"{inlined} != {want}")

@@ -84,6 +84,14 @@ def test_url_canonicalize_cases(spark):
         # utm_ prefix family
         "https://a.com/p?utm_campaign=x&utm_medium=y&k=v":
             ("https://a.com/p?k=v", "a.com"),
+        # a '?' that appears only INSIDE the fragment is NOT a query —
+        # the fragment is stripped first (r15 fix of the r14 advice:
+        # the old whole-string query regex canonicalized this to
+        # https://h.com/p?x=1)
+        "https://h.com/p#sec?x=1": ("https://h.com/p", "h.com"),
+        # real query, then a fragment that itself contains '?'
+        "https://h.com/p?a=1#frag?b=2":
+            ("https://h.com/p?a=1", "h.com"),
     }
     for raw, want in cases.items():
         assert _canon_one(spark, raw) == want, raw
@@ -222,6 +230,10 @@ def test_web_twins_on_adversarial_strings(spark):
          "http://h.com:80:80/p"),
         (4, "<p>dots . inside ! the line stay? kept.</p>",
          "https://h.com//double//slash//"),
+        # '?' only inside the fragment (the r14-advice case) — both
+        # engines must agree on the FIXED semantics, not merely agree
+        (5, "<p>Fragment question marks must not become queries.</p>",
+         "https://h.com/p#sec?x=1"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html string, url string")
     got = web.html_extract(df)
