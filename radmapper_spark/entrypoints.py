@@ -3611,20 +3611,39 @@ def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenizer.bpe_token_counts(docs, merges)
 
 
-def _bpe_cte_chain() -> str:
+def _bpe_cte_chain(extra_words_rel: str = None,
+                   extra_text_col: str = "text",
+                   lead: str = "WITH ") -> str:
     """Shared WITH-body: word normalization, top-V training vocab, the
     n_merges training iterations (pair-count aggregate -> deterministic
     argmax -> one replace), and the distinct-word application chain —
     the oracle re-derives the ENTIRE tokenizer independently. Appended
     to by bpe_token_count_sql (per-doc counts) and bpe_chunks_sql
-    (token-stream windows)."""
+    (token-stream windows). ``extra_words_rel`` widens the APPLICATION
+    chain's word set with a second relation's words (the crawl
+    pipeline tokenizes EXTRACTED text whose synthesized words are not
+    all in the corpus — Spark's bpe_apply tokenizes unseen words from
+    the char split, so the dw chain must cover them too; training
+    stays corpus-only either way). ``lead`` lets a caller embed the
+    body mid-WITH. Defaults reproduce the original twins byte-for-byte."""
     n, v = _BPE_MERGES, _BPE_TOPW
     # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and with
     # v{{i+1}} referencing v{{i}} three times (pair counts + argmax +
     # replace) inlining expands the chain 3^n-fold — the sf0.001 probe
     # blew the open-file limit before materialization
+    dw_src = "(SELECT DISTINCT word FROM w)"
+    if extra_words_rel:
+        dw_src = f"""(SELECT DISTINCT word FROM (
+            SELECT word FROM w
+            UNION ALL
+            SELECT unnest(string_split(regexp_replace(
+                       lower({extra_text_col}),
+                       '[^a-z0-9]+', ' ', 'g'), ' ')) AS word
+            FROM {extra_words_rel}
+            WHERE {extra_text_col} IS NOT NULL)
+         WHERE word <> '')"""
     head = f"""
-    WITH words AS MATERIALIZED (
+    {lead}words AS MATERIALIZED (
         SELECT doc_id, unnest(string_split(regexp_replace(lower(text),
                       '[^a-z0-9]+', ' ', 'g'), ' ')) AS word
         FROM documents WHERE text IS NOT NULL),
@@ -3638,7 +3657,7 @@ def _bpe_cte_chain() -> str:
         FROM topw),
     dw0 AS MATERIALIZED (
         SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS seq
-        FROM (SELECT DISTINCT word FROM w))"""
+        FROM {dw_src})"""
     blocks = []
     for i in range(n):
         # one training iteration: pair-count aggregate over the current
@@ -3701,9 +3720,14 @@ def bpe_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          chunk_tokens=_BPE_CHUNK)
 
 
-def bpe_chunks_sql() -> str:
+def _bpe_chunk_sql_parts(rel: str = "documents",
+                         text_col: str = "text") -> tuple:
+    """(ctes, final_select) for BPE chunking over ``rel.text_col`` with
+    the CORPUS-trained merges (_bpe_cte_chain) — bpe_chunks_sql is the
+    default instantiation; pipeline_crawl_to_shards chains the same
+    parts over its kept-crawl CTE."""
     n, c = _BPE_MERGES, _BPE_CHUNK
-    return _bpe_cte_chain() + f""",
+    ctes = f""",
     wseq AS MATERIALIZED (
         SELECT word, string_split(trim(seq, '|'), '||') AS tk
         FROM dw{n}),
@@ -3714,10 +3738,10 @@ def bpe_chunks_sql() -> str:
         SELECT doc_id, unnest(ws) AS word,
                unnest(range(1, len(ws) + 1))::INT AS wi
         FROM (SELECT doc_id,
-                     list_filter(string_split(regexp_replace(lower(text),
+                     list_filter(string_split(regexp_replace(lower({text_col}),
                          '[^a-z0-9]+', ' ', 'g'), ' '),
                          x -> x <> '') AS ws
-              FROM documents WHERE text IS NOT NULL)
+              FROM {rel} WHERE {text_col} IS NOT NULL)
         WHERE len(ws) > 0),
     wtoks AS (
         SELECT w.doc_id, w.wi, s.tk
@@ -3728,7 +3752,8 @@ def bpe_chunks_sql() -> str:
                                   ORDER BY wi, ti) AS pos
         FROM (SELECT doc_id, wi, unnest(tk) AS tok,
                      unnest(range(1, len(tk) + 1))::INT AS ti
-              FROM wtoks))
+              FROM wtoks))"""
+    final = f"""
     SELECT doc_id,
            (ci + 1)::INT AS chunk_seq,
            (ci * {c})::BIGINT AS chunk_start,
@@ -3737,6 +3762,12 @@ def bpe_chunks_sql() -> str:
     FROM (SELECT doc_id, pos, tok, (pos - 1) // {c} AS ci FROM stream)
     GROUP BY doc_id, ci
     """
+    return ctes, final
+
+
+def bpe_chunks_sql() -> str:
+    ctes, final = _bpe_chunk_sql_parts()
+    return _bpe_cte_chain() + ctes + final
 
 
 # ============================================== materialized training shards
@@ -5046,11 +5077,16 @@ def pipeline_web_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = web.html_extract(paged)
     n_tok = F.when(F.col("extracted_text") == "", F.lit(0)).otherwise(
         F.size(F.split(F.col("extracted_text"), r"[\s\n]+")))
-    return (ext.withColumn("n_extracted_tokens", n_tok.cast("long"))
-            .filter(F.col("n_extracted_tokens") >= 60)
-            .select("doc_id", "canonical_url", "host", "host_rank",
-                    "n_lines_kept", "n_extracted_tokens",
-                    "extracted_text"))
+    floored = (ext.withColumn("n_extracted_tokens", n_tok.cast("long"))
+               .filter(F.col("n_extracted_tokens") >= 60))
+    # Gopher document-quality gate over the EXTRACTED text (r14 verdict
+    # item #5: the standard second gate after the C4 line rules) — a
+    # map-only conjunction, still zero added exchanges
+    gated = (web.gopher_quality(floored, text_col="extracted_text")
+             .filter(F.col("gopher_pass")))
+    return gated.select("doc_id", "canonical_url", "host", "host_rank",
+                        "n_lines_kept", "n_extracted_tokens",
+                        "extracted_text")
 
 
 def pipeline_web_crawl_sql() -> str:
@@ -5085,7 +5121,113 @@ def pipeline_web_crawl_sql() -> str:
                extracted_text
         FROM ex)
     WHERE n_extracted_tokens >= 60
+      AND {web.duck_gopher_exprs('extracted_text')['gopher_pass']}
     """
+
+
+def web_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality gate (web.gopher_quality — r14 verdict
+    item #5): the published Rae et al. 2021 Table A1 rules — word count
+    in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    <= 0.1, <= 90% bullet-started lines, <= 30% ellipsis-ended lines,
+    >= 80% alpha-bearing words, >= 2 stop words — each as an exact
+    integer comparison (no double ratios; both engines bit-agree).
+    Input text is synthesized per doc (web.synth_quality_text) so every
+    rule has casualties at every SF. Map-only: one words array + one
+    lines array per document, zero exchanges, fused into the scan at
+    crawl scale."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pages = docs.select(
+        "doc_id",
+        web.synth_quality_text(F.col("doc_id"),
+                               F.col("text")).alias("qtext"))
+    return web.gopher_quality(pages, text_col="qtext").select(
+        "doc_id", "n_words", "n_lines", "ok_words", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
+        "ok_alpha_words", "ok_stopwords", "gopher_pass")
+
+
+def web_quality_filter_sql() -> str:
+    e = web.duck_gopher_exprs(web.duck_synth_quality_text_expr())
+    cols = ", ".join(f"{e[c]} AS {c}" for c in (
+        "n_words", "n_lines", "ok_words", "ok_mean_word_len",
+        "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
+        "ok_alpha_words", "ok_stopwords", "gopher_pass"))
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE end-to-end artifact of the whole repo (r14 verdict item #4):
+    raw fetched pages -> training shards as ONE composed lazy plan —
+    URL canonicalization -> canonical-URL dedup -> per-host cap -> HTML
+    extraction -> C4 token floor -> Gopher quality gate (all
+    pipeline_web_crawl) -> EXTRACTED-text exact dedup (first doc per
+    portable norm-hash, the same rule the streaming ingest keys its
+    index on) -> NB/Pareto admission scoring the EXTRACTED text with
+    the corpus-trained broadcast model (the production shape: train
+    offline, gate at ingest) -> corpus-BPE exact context windows ->
+    hash shard assignment. Every stage is an already-oracle-gated
+    operator; this entry proves the full composition stays exact and
+    one plan.
+
+    Scale shape: the crawl head is map-only + two short-key windows;
+    the text dedup adds ONE hash exchange on the 8-byte norm hash; the
+    NB gate is a broadcast token join + one id-grain aggregate; BPE
+    chunking and shard assignment are map-only with driver-memoized
+    merges. No global sort anywhere — at 100 TB the plan's exchanges
+    are all on bounded keys (canonical_url, host, norm_hash, doc_id),
+    never on token grain."""
+    from .operators import classifier
+    from .streaming import ingest
+    merges = _bpe_merges(spark, sf_dir)  # before docs — see bpe_token_count
+    crawl = pipeline_web_crawl(spark, sf_dir)
+    deduped = ingest.first_per_normhash(crawl,
+                                        text_col="extracted_text")
+    docs = load_tables(spark, sf_dir)["documents"]
+    vocab, consts = classifier.nb_model(docs.filter(F.expr(_NB_POS)),
+                                        docs.filter(F.expr(_NB_NEG)))
+    params = {k: int(v) for k, v in
+              _nb_quality_params(spark, sf_dir, consts).items()}
+    kept_ids = classifier.quality_admit(
+        deduped, vocab, params,
+        text_col="extracted_text").select("doc_id")
+    kept = (deduped.join(kept_ids, "doc_id", "semi")
+            .select("doc_id",
+                    F.col("extracted_text").alias("text")))
+    chunks = tokenizer.bpe_chunk_documents(kept, merges,
+                                           chunk_tokens=_BPE_CHUNK)
+    return chunks.select(
+        "doc_id", "chunk_seq", "chunk_start", "n_chunk_tokens",
+        ingest.shard_col(ingest.chunk_id_col(), _INGEST_SHARDS)
+        .alias("shard"),
+        "chunk_text")
+
+
+def pipeline_crawl_to_shards_sql() -> str:
+    from .operators import classifier
+    from .streaming import ingest
+    ctes, final = _bpe_chunk_sql_parts(rel="ck", text_col="text")
+    shard = ingest.duck_shard_expr("chunk_id", _INGEST_SHARDS)
+    rn = (f"row_number() OVER (PARTITION BY "
+          f"{ingest.duck_norm_text_hash('extracted_text')} "
+          f"ORDER BY doc_id ASC)")
+    kept = classifier._duck_kept_ctes(
+        _NB_POS, _NB_NEG, doc_rel="ded", text_col="extracted_text")
+    return (f"""WITH crawl AS ({pipeline_web_crawl_sql()}),
+    ded AS (SELECT * FROM (
+                SELECT c.*, {rn} AS nrn FROM crawl c)
+            WHERE nrn = 1),
+    {kept},
+    ck AS (SELECT d.doc_id, d.extracted_text AS text
+           FROM ded d WHERE d.doc_id IN (SELECT doc_id FROM kept)),"""
+            + _bpe_cte_chain(extra_words_rel="ck", lead="")
+            + ctes + f"""
+    SELECT doc_id, chunk_seq, chunk_start, n_chunk_tokens,
+           {shard} AS shard, chunk_text
+    FROM (SELECT q.*,
+                 doc_id * {ingest.CHUNK_STRIDE} + chunk_seq AS chunk_id
+          FROM ({final}) q)
+    """)
 
 
 # ================================== streaming training ingest (r14)
@@ -5382,6 +5524,14 @@ ENTRIES: dict = {
     # NEW r14: the web tier's end-to-end composition (canonicalize ->
     # dedup -> host cap -> extract -> token-floor admit, one lazy plan)
     "pipeline_web_crawl": (pipeline_web_crawl, pipeline_web_crawl_sql),
+    # NEW r15: the Gopher document-quality gate (Rae et al. 2021) —
+    # the standard second filter on extracted web text, composed into
+    # pipeline_web_crawl and exposed standalone here
+    "web_quality_filter": (web_quality_filter, web_quality_filter_sql),
+    # NEW r15: the full crawl -> training-shards composition (r14
+    # verdict item #4) — the end-to-end artifact of the repo
+    "pipeline_crawl_to_shards": (pipeline_crawl_to_shards,
+                                 pipeline_crawl_to_shards_sql),
 }
 
 # =============================== window rotation (tested invariant, r13+;

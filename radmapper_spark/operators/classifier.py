@@ -302,14 +302,21 @@ def pareto_filter(scored: DataFrame, id_col: str = "doc_id",
 
 def _duck_nb_ctes(pos_pred: str, neg_pred: str, doc_pred: str = "TRUE",
                   text_col: str = "text", id_col: str = "doc_id",
-                  top_v: int = 2000) -> str:
+                  top_v: int = 2000, doc_rel: str = "documents",
+                  train_text_col: str = "text") -> str:
     """CTE block ending in ``nbscored`` — the SQL twin of nb_score.
     Expression shapes mirror the Spark plan token-for-token so both
-    engines evaluate the identical IEEE doubles before the floor."""
+    engines evaluate the identical IEEE doubles before the floor.
+    ``doc_rel``/``text_col`` name the SCORED relation and its text
+    column (the crawl pipeline scores extracted text with the
+    corpus-trained model); training always reads documents via
+    ``train_text_col`` — defaults reproduce the original twins
+    byte-for-byte."""
     toks = _DUCK_TOKS.replace("text", text_col)
+    train_toks = _DUCK_TOKS.replace("text", train_text_col)
     return f"""
-    posref AS (SELECT {toks} AS t FROM documents WHERE {pos_pred}),
-    negref AS (SELECT {toks} AS t FROM documents WHERE {neg_pred}),
+    posref AS (SELECT {train_toks} AS t FROM documents WHERE {pos_pred}),
+    negref AS (SELECT {train_toks} AS t FROM documents WHERE {neg_pred}),
     posc AS (SELECT w, count(*) AS c_pos
              FROM (SELECT unnest(t) AS w FROM posref) GROUP BY w),
     negc AS (SELECT w, count(*) AS c_neg
@@ -330,7 +337,7 @@ def _duck_nb_ctes(pos_pred: str, neg_pred: str, doc_pred: str = "TRUE",
                  FROM nbvocab),
     nbpos AS (SELECT {id_col}, unnest(t) AS w
               FROM (SELECT {id_col}, {toks} AS t
-                    FROM documents WHERE {doc_pred})),
+                    FROM {doc_rel} WHERE {doc_pred})),
     nbterms AS (
         SELECT {id_col},
                CAST(floor(ln((coalesce(vc.c_pos, 0) + 1)::DOUBLE

@@ -276,7 +276,10 @@ def synth_html(doc_id: Column, text: Column, source: Column) -> Column:
     link-dense nav, the text split across two content paragraphs, plus
     a too-short line, a cookie-notice line, and a no-terminal-
     punctuation line (one casualty per extraction rule, so the entry
-    is non-vacuous at every SF). Mirrored verbatim by
+    is non-vacuous at every SF; the content-line suffixes carry four
+    Gopher stopwords — of/the/and/that — so extracted pages can
+    satisfy the downstream gopher_quality stopword rule). Mirrored
+    verbatim by
     duck_synth_html_expr; the production operator is html_extract —
     this just manufactures its input from the fixed test tables."""
     words = F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+")
@@ -294,12 +297,12 @@ def synth_html(doc_id: Column, text: Column, source: Column) -> Column:
               '<a href="/about">About</a> '
               '<a href="/c">Contact &amp; help</a></div>'),
         F.lit("<h1>Document "), d, F.lit("</h1>"),
-        F.lit("<p>"), part1, F.lit(" extracted content line one "), d,
+        F.lit("<p>"), part1, F.lit(" of the extracted content and line one "), d,
         F.lit(".</p>"),
         F.lit("<p>Too short here.</p>"),
         F.lit("<p>This site uses cookie consent &amp; tracking "
               "banners on every page.</p>"),
-        F.lit("<p>"), part2, F.lit(" extracted content line two "), d,
+        F.lit("<p>"), part2, F.lit(" that will have extracted content with line two "), d,
         F.lit(".</p>"),
         F.lit("<p>No terminal punctuation so this line is removed"
               "</p></body></html>"))
@@ -332,12 +335,12 @@ def duck_synth_html_expr(id_expr: str = "doc_id",
         f"<a href=\"/about\">About</a> "
         f"<a href=\"/c\">Contact &amp; help</a></div>'"
         f" || '<h1>Document ' || {d} || '</h1>'"
-        f" || '<p>' || {part1} || ' extracted content line one ' || {d}"
+        f" || '<p>' || {part1} || ' of the extracted content and line one ' || {d}"
         f" || '.</p>'"
         f" || '<p>Too short here.</p>'"
         f" || '<p>This site uses cookie consent &amp; tracking "
         f"banners on every page.</p>'"
-        f" || '<p>' || {part2} || ' extracted content line two ' || {d}"
+        f" || '<p>' || {part2} || ' that will have extracted content with line two ' || {d}"
         f" || '.</p>'"
         f" || '<p>No terminal punctuation so this line is removed"
         f"</p></body></html>'")
@@ -375,3 +378,199 @@ def duck_synth_url_expr(id_expr: str = "doc_id") -> str:
                     || {base} || '/?a=1&utm_source=feed&b=2'
         ELSE 'https://example' || {k} || '.com/path/' || {base}
              || '?utm_campaign=x&b=2&gclid=g&a=1' END"""
+
+
+# ------------------------------------------------------------- Gopher
+
+#: Gopher document-quality thresholds (Rae et al. 2021, "Scaling
+#: Language Models: Methods, Analysis & Insights from Training Gopher",
+#: Table A1) — the standard second gate on extracted web text after the
+#: C4 line rules. All ratios are compared in EXACT integer arithmetic
+#: (the link-density trick above), so both engines agree bit-for-bit.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3     # 3 <= mean word length <= 10
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_SYMBOL_RATIO = (1, 10)    # (num, den): symbols/words <= 0.1
+GOPHER_BULLET_RATIO = (9, 10)    # bullet-started lines <= 90%
+GOPHER_ELLIPSIS_RATIO = (3, 10)  # ellipsis-ended lines <= 30%
+GOPHER_ALPHA_RATIO = (8, 10)     # words with an alpha char >= 80%
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and",
+                    "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+#: line prefixes that count as bullets; suffixes that count as ellipsis
+BULLET_PREFIXES = ("•", "-", "*")
+ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def _gopher_fields(text: Column) -> dict:
+    """The per-document Gopher metrics as named Columns over ONE words
+    array and ONE lines array (computed once, reused by every rule)."""
+    t = F.coalesce(text, F.lit(""))
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    # explicit lambda: F.trim grew an optional second parameter in
+    # Spark 4, so passing it BARE to transform binds the array index
+    # as the trim-charset (trim(l, '0') for the first line!) — found
+    # by the per-rule differential test
+    lines = F.filter(F.transform(F.split(t, "\n"),
+                                 lambda l: F.trim(l)),
+                     lambda l: l != "")
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(words, F.lit(0).cast("long"),
+                          lambda acc, w: acc + F.length(w))
+    n_alpha = F.size(F.filter(words,
+                              lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+              ).cast("long")
+    n_ell_occ = F.regexp_count(t, F.lit(r"\.\.\.")).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.substring(l, 1, 1).isin(*BULLET_PREFIXES)
+    )).cast("long")
+    n_ell_lines = F.size(F.filter(
+        lines, lambda l: l.endswith(ELLIPSIS_SUFFIXES[0])
+        | l.endswith(ELLIPSIS_SUFFIXES[1]))).cast("long")
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(F.transform(words, F.lower)),
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))).cast("long")
+    return {"n_words": n_words, "sum_len": sum_len, "n_alpha": n_alpha,
+            "n_symbols": n_hash + n_ell_occ, "n_lines": n_lines,
+            "n_bullet": n_bullet, "n_ell_lines": n_ell_lines,
+            "n_stop": n_stop}
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher document-quality gate: adds the per-rule booleans, the
+    word/line counts, and ``gopher_pass`` (the conjunction). Map-only
+    Catalyst expressions over one words array and one lines array —
+    same scale shape as html_extract: a free projection fused into the
+    scan, no UDF, no exchange. NULL text counts 0 words and fails the
+    word-count rule (never NULL booleans).
+
+    Rules (exact integer comparisons; ratios never materialized as
+    doubles): word count in [50, 100000]; mean word length in [3, 10];
+    symbol-to-word ratio ('#' chars + '...' occurrences) <= 0.1;
+    bullet-started lines <= 90%; ellipsis-ended lines <= 30%; >= 80%
+    of words contain an alphabetic character; >= 2 distinct stop words
+    from the published 8-word list. Line rules pass vacuously on
+    zero-line documents (word count already fails those)."""
+    g = _gopher_fields(F.col(text_col))
+    sn, sd = GOPHER_SYMBOL_RATIO
+    bn, bd = GOPHER_BULLET_RATIO
+    en, ed = GOPHER_ELLIPSIS_RATIO
+    an, ad = GOPHER_ALPHA_RATIO
+    ok_words = ((g["n_words"] >= GOPHER_MIN_WORDS)
+                & (g["n_words"] <= GOPHER_MAX_WORDS))
+    ok_mwl = ((g["sum_len"] >= g["n_words"] * GOPHER_MIN_MEAN_WORD_LEN)
+              & (g["sum_len"] <= g["n_words"] * GOPHER_MAX_MEAN_WORD_LEN))
+    ok_sym = g["n_symbols"] * sd <= g["n_words"] * sn
+    ok_bul = g["n_bullet"] * bd <= g["n_lines"] * bn
+    ok_ell = g["n_ell_lines"] * ed <= g["n_lines"] * en
+    ok_alp = g["n_alpha"] * ad >= g["n_words"] * an
+    ok_stp = g["n_stop"] >= GOPHER_MIN_STOPWORDS
+    out = (df.withColumn("n_words", g["n_words"])
+           .withColumn("n_lines", g["n_lines"])
+           .withColumn("ok_words", ok_words)
+           .withColumn("ok_mean_word_len", ok_mwl)
+           .withColumn("ok_symbol_ratio", ok_sym)
+           .withColumn("ok_bullet_lines", ok_bul)
+           .withColumn("ok_ellipsis_lines", ok_ell)
+           .withColumn("ok_alpha_words", ok_alp)
+           .withColumn("ok_stopwords", ok_stp))
+    return out.withColumn(
+        "gopher_pass",
+        F.col("ok_words") & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio") & F.col("ok_bullet_lines")
+        & F.col("ok_ellipsis_lines") & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"))
+
+
+def duck_gopher_exprs(text_expr: str) -> dict:
+    """DuckDB twins of gopher_quality's output columns, generated from
+    the SAME thresholds (one definition, two engines)."""
+    t = f"coalesce({text_expr}, '')"
+    words = (f"list_filter(string_split_regex(trim({t}), '\\s+'), "
+             f"w -> w <> '')")
+    lines = (f"list_filter(list_transform(string_split({t}, chr(10)), "
+             f"l -> trim(l)), l -> l <> '')")
+    n_words = f"len({words})::BIGINT"
+    sum_len = (f"coalesce(list_sum(list_transform({words}, "
+               f"w -> len(w))), 0)::BIGINT")
+    n_alpha = (f"len(list_filter({words}, "
+               f"w -> regexp_matches(w, '[A-Za-z]')))::BIGINT")
+    n_hash = f"(len({t}) - len(replace({t}, '#', '')))::BIGINT"
+    n_ell_occ = f"len(regexp_extract_all({t}, '\\.\\.\\.'))::BIGINT"
+    n_symbols = f"({n_hash} + {n_ell_occ})"
+    n_lines = f"len({lines})::BIGINT"
+    bullets = " OR ".join(f"l[1:1] = '{p}'" for p in BULLET_PREFIXES)
+    n_bullet = f"len(list_filter({lines}, l -> {bullets}))::BIGINT"
+    ell = " OR ".join(f"suffix(l, '{s}')" for s in ELLIPSIS_SUFFIXES)
+    n_ell_lines = f"len(list_filter({lines}, l -> {ell}))::BIGINT"
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    n_stop = (f"len(list_intersect(list_distinct(list_transform("
+              f"{words}, w -> lower(w))), [{stops}]))::BIGINT")
+    sn, sd = GOPHER_SYMBOL_RATIO
+    bn, bd = GOPHER_BULLET_RATIO
+    en, ed = GOPHER_ELLIPSIS_RATIO
+    an, ad = GOPHER_ALPHA_RATIO
+    ok = {
+        "ok_words": (f"({n_words} >= {GOPHER_MIN_WORDS} AND "
+                     f"{n_words} <= {GOPHER_MAX_WORDS})"),
+        "ok_mean_word_len": (
+            f"({sum_len} >= {n_words} * {GOPHER_MIN_MEAN_WORD_LEN} AND "
+            f"{sum_len} <= {n_words} * {GOPHER_MAX_MEAN_WORD_LEN})"),
+        "ok_symbol_ratio": f"({n_symbols} * {sd} <= {n_words} * {sn})",
+        "ok_bullet_lines": f"({n_bullet} * {bd} <= {n_lines} * {bn})",
+        "ok_ellipsis_lines": f"({n_ell_lines} * {ed} <= {n_lines} * {en})",
+        "ok_alpha_words": f"({n_alpha} * {ad} >= {n_words} * {an})",
+        "ok_stopwords": f"({n_stop} >= {GOPHER_MIN_STOPWORDS})",
+    }
+    out = {"n_words": n_words, "n_lines": n_lines, **ok}
+    out["gopher_pass"] = "(" + " AND ".join(ok.values()) + ")"
+    return out
+
+
+def synth_quality_text(doc_id: Column, text: Column) -> Column:
+    """FIXTURE SYNTHESIS (entry-side only): per-class decorated text so
+    every Gopher rule has casualties at every SF — doc_id % 13 picks
+    the class: 0 all-bullet lines, 1 ellipsis-ended lines, 2 '#'
+    symbol spam, 3 numeric (non-alpha) words, 4 stopword-free prose;
+    everything else gets the base text plus a stopword-rich sentence
+    (so the stopword rule is satisfiable at all — the fixture corpus
+    vocabulary contains only 'the' from the published list) and fails
+    only the word-count floor when the underlying document is short.
+    Mirrored verbatim by duck_synth_quality_text_expr; the production
+    operator is gopher_quality."""
+    base = F.concat(
+        F.coalesce(text, F.lit("")),
+        F.lit(" It must be of the data and that will have merge "
+              "with scan."))
+    bullet_line = "- the data of and that have with more line."
+    m = doc_id % F.lit(13)
+    return (
+        F.when(m == 0, F.lit("\n".join([bullet_line] * 6)))
+        .when(m == 1, F.concat(
+            base, F.lit("\nwait for it...\nmore soon...")))
+        .when(m == 2, F.concat(base, F.lit(" "),
+                               F.repeat(F.lit("#"), 25)))
+        .when(m == 3, F.concat(F.repeat(F.lit("12345 "), 60),
+                               F.lit("of the")))
+        .when(m == 4, F.concat(F.repeat(F.lit("science word data "),
+                                        20), F.lit("here now.")))
+        .otherwise(base))
+
+
+def duck_synth_quality_text_expr(id_expr: str = "doc_id",
+                                 text_expr: str = "text") -> str:
+    base = (f"coalesce({text_expr}, '') || ' It must be of the data "
+            f"and that will have merge with scan.'")
+    bullet_line = "- the data of and that have with more line."
+    bullets = "\\n".join([bullet_line] * 6)
+    return f"""CASE ({id_expr}) % 13
+        WHEN 0 THEN replace('{bullets}', '\\n', chr(10))
+        WHEN 1 THEN {base} || chr(10) || 'wait for it...'
+                    || chr(10) || 'more soon...'
+        WHEN 2 THEN {base} || ' ' || repeat('#', 25)
+        WHEN 3 THEN repeat('12345 ', 60) || 'of the'
+        WHEN 4 THEN repeat('science word data ', 20) || 'here now.'
+        ELSE {base} END"""

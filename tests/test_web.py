@@ -256,3 +256,94 @@ def test_web_twins_on_adversarial_strings(spark):
     orows = sorted(tuple(str(x) for x in r)
                    for r in con.execute(sql).fetchall())
     assert srows == orows
+
+
+def test_gopher_rules_each_fire_and_twin_agrees(spark):
+    """One hand-built casualty per Gopher rule (plus clean passes and
+    boundary-exact cases) through gopher_quality AND the DuckDB twin —
+    per-rule booleans, not just the conjunction, must match."""
+    stop_tail = " of the data and that will have with more here now."
+    clean = ("science " * 60).strip() + stop_tail
+    rows = [
+        (1, clean),                                     # passes all
+        (2, "Too short." + stop_tail),                  # ok_words lo
+        (3, ("word " * 100_001).strip() + stop_tail),   # ok_words hi
+        (4, ("a b " * 40).strip() + " of the"),         # mwl low
+        (5, ("abcdefghijklmnop " * 60).strip() + " of the"),  # mwl high
+        (6, clean + " " + "#" * 20),                    # symbol (hash)
+        (7, clean + " " + "... " * 20),                 # symbol (ellipsis)
+        (8, "\n".join(["- the data of and that have with more line."]
+                      * 10)),                           # bullets > 90%
+        (9, clean + "\nwait for it...\nmore soon..."),  # ellipsis lines
+        (10, ("12345 " * 60).strip() + stop_tail),      # alpha < 80%
+        (11, ("science " * 60).strip() + " here now."),  # stopwords < 2
+        (12, None),                                     # NULL text
+        # boundary-exact: exactly 50 words incl. two stopwords -> pass
+        (13, ("word " * 48).strip() + " of the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out_cols = ["doc_id", "n_words", "n_lines", "ok_words",
+                "ok_mean_word_len", "ok_symbol_ratio", "ok_bullet_lines",
+                "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords",
+                "gopher_pass"]
+    got = {r["doc_id"]: r.asDict() for r in
+           web.gopher_quality(df).select(*out_cols).collect()}
+
+    # rule-by-rule expectations (the doc that fails each rule)
+    assert got[1]["gopher_pass"] and got[13]["gopher_pass"]
+    assert not got[2]["ok_words"] and not got[3]["ok_words"]
+    assert not got[4]["ok_mean_word_len"]
+    assert not got[5]["ok_mean_word_len"]
+    assert not got[6]["ok_symbol_ratio"]
+    assert not got[7]["ok_symbol_ratio"]
+    assert not got[8]["ok_bullet_lines"]
+    assert not got[9]["ok_ellipsis_lines"]
+    assert not got[10]["ok_alpha_words"]
+    assert not got[11]["ok_stopwords"]
+    assert not got[12]["ok_words"] and not got[12]["gopher_pass"]
+    # every casualty fails the conjunction
+    for i in range(2, 13):
+        assert not got[i]["gopher_pass"], i
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    e = web.duck_gopher_exprs("text")
+    sql = ("SELECT doc_id, " +
+           ", ".join(f"{e[c]} AS {c}" for c in out_cols[1:]) +
+           " FROM t")
+    orows = sorted(tuple(str(x) for x in r)
+                   for r in con.execute(sql).fetchall())
+    srows = sorted(tuple(str(r[c]) for c in out_cols)
+                   for r in got.values())
+    assert srows == orows
+
+
+def test_pipeline_crawl_to_shards_plan_shape(spark):
+    """The full crawl->shards composition must stay ONE lazy plan with
+    the single-training-instantiation NB shape (exactly 4 parquet
+    relations: crawl scan + corpus scan + one per NB class), zero
+    Python eval nodes, no single-partition exchange and no global sort
+    — every shuffle on a bounded key (canonical_url, host, norm_hash,
+    doc_id). Exchange count pinned at its audited value so a regression
+    that duplicates a subtree (the r12 NB lazy-one-shot bug class)
+    fails loudly."""
+    import re
+
+    from radmapper_spark import entrypoints as ep
+
+    df = ep.pipeline_crawl_to_shards(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex = re.findall(r"Exchange (\w+)", plan)
+    assert len(ex) <= 11, (len(ex), ex)
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    n_rel = len(re.findall(r"Relation.*parquet", opt))
+    assert n_rel == 4, f"{n_rel} parquet relations (want 4)"
+    # and the result is non-trivial at the smallest SF
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {r["shard"] for r in rows} != {rows[0]["shard"]} or len(rows) < 4
