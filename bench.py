@@ -99,8 +99,17 @@ def main() -> None:
     # round 6 (BENCH_r06.json "parsed": null), so the per-query timings go
     # to a sidecar file and the stdout line keeps only summary fields plus
     # the 10 slowest queries (the ones a reader acts on).
+    # The tracked BENCH_QUERIES.json is only rewritten under --record
+    # (or RM_BENCH_RECORD=1): the driver's own per-round run otherwise
+    # left a modified tracked file at every judge checkout (r14 verdict
+    # item #7). Non-record runs write the sidecar next to the committed
+    # one with a .last suffix (gitignored) so the full map is still
+    # inspectable.
+    record = ("--record" in sys.argv
+              or os.environ.get("RM_BENCH_RECORD") == "1")
+    qname = "BENCH_QUERIES.json" if record else "BENCH_QUERIES.last.json"
     qfile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_QUERIES.json")
+                         qname)
     with open(qfile, "w") as f:
         json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
     slowest = dict(sorted(((n, v) for n, v in timings.items() if v >= 0),
@@ -112,7 +121,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": slowest,
-                "queries_file": "BENCH_QUERIES.json",
+                "queries_file": qname,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "n_failed": len(timings) - len(ok),

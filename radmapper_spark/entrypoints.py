@@ -352,30 +352,36 @@ def dedup_exact_sql() -> str:
 
 def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard on same-source candidate pairs (the
-    SQL-checkable twin of the n-gram stage)."""
-    t = load_tables(spark, sf_dir)
-    docs = t["documents"]
-    # candidate banding: same source AND similar length. The length window
-    # (|nc_a - nc_b| <= 40) is part of the JOIN KEY, not a post-filter:
-    # bucket n_chars by the window width and equi-join on (source, bucket),
-    # probing each doc against its own and adjacent buckets. Candidate
-    # volume is O(docs x bucket-width), not O(docs^2 / sources) — at 100x
-    # docs per source the old join-on-source-alone plan pairs everything.
-    # Each qualifying pair meets exactly once (the probe side explodes to 3
-    # buckets; the build side sits in 1), so no distinct is needed.
-    bkt = F.floor(F.col("n_chars") / 40)
-    a = docs.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("src"),
-        F.col("n_chars").alias("nc_a"),
-        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("lb"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src"),
-                    F.col("n_chars").alias("nc_b"), bkt.alias("lb"))
-    cand = (a.join(b, on=["src", "lb"])
-            .filter((F.col("id_a") < F.col("id_b"))
-                    & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 40))
-            .select("id_a", "id_b"))
-    pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.5, candidates=cand)
-    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+    SQL-checkable twin of the n-gram stage).
+
+    Candidates (r15): EXACT prefix filtering (AllPairs/PPJoin —
+    dedup.prefix_filter_candidates) with the same-source key and the
+    |Δn_chars| <= 40 window folded into the join key. The r14 form
+    equi-joined on (source, length-bucket) alone, whose candidate
+    volume is O(docs^2 / (sources x buckets)) — measured 27M
+    candidates at the 10x pair-heavy stress vs 6.5M with the prefix
+    key added. Prefix candidates are a provably lossless superset of
+    the J >= 0.5 pairs, so the output is bit-identical and the oracle
+    below is unchanged.
+
+    The VERIFIED pair frame is session-cached (_PAIRS_CACHE, the
+    _SIGLSH_CACHE contract: persisted, fingerprint-revalidated,
+    released by release_edge_cache) because FIVE entries compose it —
+    this one, dedup_groups, dedup_keep_best, dedup_rate_report,
+    split_leakage_check (r14 verdict item #3: share the pair
+    derivation across the composed stages instead of re-running the
+    candidate join per entry)."""
+    def build(t):
+        docs = t["documents"]
+        cand = dedup.prefix_filter_candidates(
+            docs, n=1, threshold_num=1, threshold_den=2,
+            keys=("source",), length_col="n_chars", length_window=40)
+        pairs = dedup.ngram_jaccard_pairs(docs, n=1, threshold=0.5,
+                                          candidates=cand)
+        return {"pairs": pairs.select(
+            "id_a", "id_b",
+            F.round(F.col("jaccard"), 6).alias("jaccard")).persist()}
+    return _cached_frames(_PAIRS_CACHE, spark, sf_dir, build)["pairs"]
 
 
 def dedup_token_jaccard_sql() -> str:
@@ -2466,6 +2472,10 @@ def customer_deciles_sql() -> str:
 # release). ~30 MB persisted at sf0.1.
 _EDGE_CACHE: dict = {}
 
+# (session, sf_dir) -> persisted verified token-jaccard pair frame —
+# shared by the five entries that compose it (see dedup_token_jaccard).
+_PAIRS_CACHE: dict = {}
+
 
 # Staleness witness shared with the table memo (session.py): one stat
 # per file, mtime_ns so same-tick rewrites are distinguishable.
@@ -2546,7 +2556,7 @@ def release_edge_cache() -> int:
     frames behind)."""
     n = 0
     for cache in (_EDGE_CACHE, _SIGLSH_CACHE, _SEMASG_CACHE,
-                  _SIMHASH_CACHE, _MINHASH_CACHE):
+                  _SIMHASH_CACHE, _MINHASH_CACHE, _PAIRS_CACHE):
         for e in cache.values():
             for f in e.values():
                 try:

@@ -312,3 +312,47 @@ def test_dedup_rate_report_counts(spark):
            for r in dedup.rate_report(groups, docs).collect()}
     assert got == {s: (n, dup, len(comps))
                    for s, (n, dup, comps) in want.items()}
+
+
+def test_prefix_filter_candidates_lossless(spark):
+    """The AllPairs/PPJoin prefix-filter candidate join must be a
+    SUPERSET of every pair with Jaccard >= 1/2 under the same
+    source/length constraints — on an adversarial corpus: tiny vocab
+    (high accidental similarity), exact dups, near dups, singleton and
+    empty-ish docs. Brute force is the ground truth."""
+    import itertools
+
+    rows = []
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+    for i in range(40):
+        # deterministic word soup, 3-8 distinct words
+        words = [vocab[(i * 7 + j * 3) % 8] for j in range(3 + i % 6)]
+        if i % 9 == 0 and i > 0:
+            words = [vocab[((i - 9) * 7 + j * 3) % 8]
+                     for j in range(3 + (i - 9) % 6)]  # exact dup of i-9
+        rows.append((i, " ".join(words), f"src{i % 3}",
+                     len(" ".join(words))))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars int")
+
+    cand = {(r["id_a"], r["id_b"]) for r in
+            dedup.prefix_filter_candidates(
+                df, n=1, threshold_num=1, threshold_den=2,
+                keys=("source",), length_col="n_chars",
+                length_window=40).collect()}
+
+    def toks(t):
+        return set(t.lower().split())
+
+    truth = set()
+    for (ia, ta, sa, na), (ib, tb, sb, nb) in \
+            itertools.combinations(rows, 2):
+        if sa != sb or abs(na - nb) > 40:
+            continue
+        A, B = toks(ta), toks(tb)
+        if A and B and len(A & B) * 2 >= len(A | B):
+            truth.add((min(ia, ib), max(ia, ib)))
+
+    missed = truth - cand
+    assert not missed, f"prefix filter lost true pairs: {missed}"
+    assert truth, "vacuous: ground truth empty — rebuild the fixture"
