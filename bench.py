@@ -122,6 +122,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "queries_file": qname,
+                "record": record,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_queries": len(timings),
                 "n_failed": len(timings) - len(ok),

@@ -575,6 +575,12 @@ def prefix_filter_candidates(docs: DataFrame, text_col: str = "text",
     all pairs with J >= t under the same key/length constraints."""
     from pyspark.sql import Window
 
+    if length_col and length_window <= 0:
+        raise ValueError(
+            "prefix_filter_candidates: length_col set with "
+            f"length_window={length_window} — the bucket divide would "
+            "NULL every join key (or raise under ANSI) and silently "
+            "return zero candidates; pass a positive window")
     num, den = int(threshold_num), int(threshold_den)
     extra = [length_col] if length_col else []
     grams = docs.select(

@@ -422,7 +422,14 @@ def _gopher_fields(text: Column) -> dict:
                               lambda w: w.rlike("[A-Za-z]"))).cast("long")
     n_hash = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
               ).cast("long")
-    n_ell_occ = F.regexp_count(t, F.lit(r"\.\.\.")).cast("long")
+    # both ellipsis forms count as symbols — ASCII '...' runs AND the
+    # single-char '…' (r15 review: the line rule recognized '…' but the
+    # symbol counter did not, and since both engines shared the gap the
+    # differential oracle could never catch '…'-spam passing the gate)
+    n_ell_occ = (F.regexp_count(t, F.lit(r"\.\.\."))
+                 + (F.length(t)
+                    - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+                 ).cast("long")
     n_lines = F.size(lines).cast("long")
     n_bullet = F.size(F.filter(
         lines, lambda l: F.substring(l, 1, 1).isin(*BULLET_PREFIXES)
@@ -499,7 +506,8 @@ def duck_gopher_exprs(text_expr: str) -> dict:
     n_alpha = (f"len(list_filter({words}, "
                f"w -> regexp_matches(w, '[A-Za-z]')))::BIGINT")
     n_hash = f"(len({t}) - len(replace({t}, '#', '')))::BIGINT"
-    n_ell_occ = f"len(regexp_extract_all({t}, '\\.\\.\\.'))::BIGINT"
+    n_ell_occ = (f"(len(regexp_extract_all({t}, '\\.\\.\\.'))"
+                 f" + (len({t}) - len(replace({t}, '…', ''))))::BIGINT")
     n_symbols = f"({n_hash} + {n_ell_occ})"
     n_lines = f"len({lines})::BIGINT"
     bullets = " OR ".join(f"l[1:1] = '{p}'" for p in BULLET_PREFIXES)

@@ -206,6 +206,26 @@ def start_training_ingest(docs_stream: DataFrame, index_path: str,
     from ..operators.classifier import quality_admit
     from ..operators.tokenizer import bpe_chunk_documents
 
+    # LOUD legacy-layout guard (r15 review): an index written by the
+    # pre-batch-id layout (flat norm_hash files, no _rm_batch_id
+    # partition) reads as NULL batch ids under the explicit schema, and
+    # the probe's `_rm_batch_id != batch_id` filter would silently DROP
+    # every pre-upgrade hash — re-admitting the whole ingested history
+    # as duplicate training shards. Refuse to start instead; rebuilding
+    # via build_normhash_index over the ingested corpus migrates. One
+    # tiny limit(1) job at stream START only, never per batch.
+    legacy = (docs_stream.sparkSession.read.schema(_IDX_SCHEMA)
+              .parquet(index_path)
+              .filter(F.col("_rm_batch_id").isNull()).limit(1).count())
+    if legacy:
+        raise ValueError(
+            f"norm-hash index at {index_path} has rows without a "
+            f"_rm_batch_id partition (pre-r15 flat layout). The "
+            f"batch-excluding probe would silently ignore them and "
+            f"re-admit every previously ingested text. Rebuild the "
+            f"index with build_normhash_index over the ingested corpus "
+            f"(it writes the partitioned layout), then restart.")
+
     def ingest_batch(batch_df, batch_id):
         spark = batch_df.sparkSession
         nh = "_rm_ing_nh"

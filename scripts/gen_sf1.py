@@ -101,8 +101,12 @@ docs = (spark.range(N_DOCS)
         .withColumn("lang", F.element_at(
             langs, (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(3)),
                            F.lit(7)) + 1).cast("int")))
+        # source keyed off the SEED, not the doc (r15 review: doc-keyed
+        # sources put 19/20 planted dup pairs in DIFFERENT sources,
+        # invisible to the same-source jaccard candidate join the
+        # regimes exist to stress)
         .withColumn("source", F.concat(
-            F.lit("src"), F.pmod(F.xxhash64(F.col("doc_id"), F.lit(4)),
+            F.lit("src"), F.pmod(F.xxhash64(F.col("_seed"), F.lit(4)),
                                  F.lit(20)).cast("string")))
         .withColumn("n_chars", F.length("text"))
         .drop("_len", "_seed", "_mut"))

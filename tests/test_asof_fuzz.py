@@ -11,6 +11,14 @@ from pyspark.sql import functions as F  # noqa: F401 (parity with suite style)
 
 from radmapper_spark.operators import temporal
 
+import os as _os
+import pytest as _pytest
+# deep-fuzz tier (r15 governance): heaviest hypothesis differentials
+# run under RM_DEEP=1 as part of the per-round gate batch
+_deep_fuzz = _pytest.mark.skipif(
+    _os.environ.get("RM_DEEP") != "1",
+    reason="deep fuzz tier — RM_DEEP=1 (per-round gates)")
+
 BASE = dt.datetime(2024, 1, 1)
 
 # (key, seconds) pairs; keys 0-2, times 0-50 with repeats likely
@@ -36,6 +44,7 @@ def _model(left, right_keys, tol=None):
 
 @settings(max_examples=12, deadline=None)
 @given(left=_left, right=_right, tol=st.one_of(st.none(), st.integers(0, 20)))
+@_deep_fuzz
 def test_asof_matches_model(spark, left, right, tol):
     right_keys = list(right.keys())
     ldf = spark.createDataFrame(
@@ -65,6 +74,7 @@ _points = st.lists(st.integers(0, 150), min_size=0, max_size=12)
 @settings(max_examples=12, deadline=None)
 @given(intervals=_intervals, points=_points,
        bucket=st.sampled_from([1, 3, 7, 10]))
+@_deep_fuzz
 def test_range_agg_matches_model(spark, intervals, points, bucket):
     """range_agg_bucketed's full/edge bucket split must equal a direct
     per-interval count over arbitrary (unaligned) intervals and bucket
@@ -109,6 +119,7 @@ def test_sessionize_matches_model(spark, times, gap):
 
 @settings(max_examples=10, deadline=None)
 @given(left=_left, right=_right, slice_sec=st.sampled_from([3, 10, 60]))
+@_deep_fuzz
 def test_sliced_asof_matches_model(spark, left, right, slice_sec):
     """The hot-key-safe sliced variant against the same reference model —
     narrow slices force left rows onto the carry-in path."""

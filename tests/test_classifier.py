@@ -9,6 +9,12 @@ import pytest
 from pyspark.sql import functions as F
 import re
 import __spark_entry__ as entrymod
+import os as _os
+# deep-fuzz tier (r15 governance): heaviest hypothesis differentials
+# run under RM_DEEP=1 as part of the per-round gate batch
+_deep_fuzz = pytest.mark.skipif(
+    _os.environ.get("RM_DEEP") != "1",
+    reason="deep fuzz tier — RM_DEEP=1 (per-round gates)")
 
 # ======================== from test_round12.py ========
 def _nb_reference(docs, pos_ids, neg_ids, top_v=2000):
@@ -245,6 +251,7 @@ def test_quality_admit_batch_equals_nb_pipeline(spark):
     assert via_admit == via_pipeline
 
 
+@_deep_fuzz
 def test_nb_score_random_corpora_fuzz(spark):
     """Property test: nb_score matches the independent pure-Python NB on
     random small corpora (random words incl. repeats, OOV-only docs,

@@ -14,6 +14,14 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from radmapper_spark import run
+
+import os as _os
+import pytest as _pytest
+# deep-fuzz tier (r15 governance): heaviest hypothesis differentials
+# run under RM_DEEP=1 as part of the per-round gate batch
+_deep_fuzz = _pytest.mark.skipif(
+    _os.environ.get("RM_DEEP") != "1",
+    reason="deep fuzz tier — RM_DEEP=1 (per-round gates)")
 from radmapper_spark.lang.columns import ColumnCompileError, rm_column
 
 # -------------------------------------------------------- expression gen
@@ -135,6 +143,7 @@ def one_row_df(spark):
 @settings(max_examples=150, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(src=scalar_expr())
+@_deep_fuzz
 def test_column_twin_agrees_with_driver(one_row_df, src):
     try:
         want = run(src)

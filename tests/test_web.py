@@ -280,6 +280,10 @@ def test_gopher_rules_each_fire_and_twin_agrees(spark):
         (12, None),                                     # NULL text
         # boundary-exact: exactly 50 words incl. two stopwords -> pass
         (13, ("word " * 48).strip() + " of the"),
+        # Unicode '…' spam must fail the SYMBOL rule too (r15 review:
+        # the line rule saw '…' but the symbol counter only counted
+        # ASCII '...' — both engines shared the gap)
+        (14, clean + " " + "… " * 20),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out_cols = ["doc_id", "n_words", "n_lines", "ok_words",
@@ -301,8 +305,11 @@ def test_gopher_rules_each_fire_and_twin_agrees(spark):
     assert not got[10]["ok_alpha_words"]
     assert not got[11]["ok_stopwords"]
     assert not got[12]["ok_words"] and not got[12]["gopher_pass"]
+    assert not got[14]["ok_symbol_ratio"]
     # every casualty fails the conjunction
-    for i in range(2, 13):
+    for i in range(2, 15):
+        if i == 13:
+            continue
         assert not got[i]["gopher_pass"], i
 
     con = duckdb.connect()
@@ -320,30 +327,36 @@ def test_gopher_rules_each_fire_and_twin_agrees(spark):
 
 
 def test_pipeline_crawl_to_shards_plan_shape(spark):
-    """The full crawl->shards composition must stay ONE lazy plan with
-    the single-training-instantiation NB shape (exactly 4 parquet
-    relations: crawl scan + corpus scan + one per NB class), zero
-    Python eval nodes, no single-partition exchange and no global sort
-    — every shuffle on a bounded key (canonical_url, host, norm_hash,
-    doc_id). Exchange count pinned at its audited value so a regression
-    that duplicates a subtree (the r12 NB lazy-one-shot bug class)
-    fails loudly."""
+    """The full crawl->shards composition: the crawl+dedup subtree is
+    computed ONCE behind a persisted frame that both the admission
+    scorer and the semi-join probe reference (r15 review: the lazy
+    form instantiated the whole extract chain twice — the r12 NB
+    lazy-one-shot bug class), so the optimized plan holds exactly TWO
+    parquet relations (one per NB training class) plus TWO references
+    to the one InMemoryRelation. Zero Python eval nodes, no
+    single-partition exchange, no global sort — every shuffle on a
+    bounded key (canonical_url, host, norm_hash, doc_id)."""
     import re
 
     from radmapper_spark import entrypoints as ep
 
     df = ep.pipeline_crawl_to_shards(spark, "/root/testdata/sf0.001")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    ex = re.findall(r"Exchange (\w+)", plan)
-    assert len(ex) <= 11, (len(ex), ex)
-    assert "SinglePartition" not in plan
-    assert "rangepartitioning" not in plan
-    assert "BatchEvalPython" not in plan
-    assert "ArrowEvalPython" not in plan
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    n_rel = len(re.findall(r"Relation.*parquet", opt))
-    assert n_rel == 4, f"{n_rel} parquet relations (want 4)"
-    # and the result is non-trivial at the smallest SF
-    rows = df.collect()
-    assert len(rows) > 0
-    assert {r["shard"] for r in rows} != {rows[0]["shard"]} or len(rows) < 4
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "rangepartitioning" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        n_rel = len(re.findall(r"Relation.*parquet", opt))
+        assert n_rel == 2, f"{n_rel} parquet relations (want 2)"
+        n_mem = opt.count("InMemoryRelation")
+        assert n_mem == 2, f"{n_mem} InMemoryRelation refs (want 2)"
+        # and the result is non-trivial at the smallest SF
+        rows = df.collect()
+        assert len(rows) > 0
+        assert ({r["shard"] for r in rows} != {rows[0]["shard"]}
+                or len(rows) < 4)
+    finally:
+        rel = getattr(df, "rm_release_cache", None)
+        rel and rel()
