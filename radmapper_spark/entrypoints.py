@@ -5819,8 +5819,10 @@ def derive_window(entries=None, size: int = _WINDOW_SIZE,
     they appear). Sort by urgency desc; ties by (higher tier bound
     first — pinned entries' only other proof is the local sweep, so
     they take the external row AT the bound), then name for
-    determinism. Raises if the breaching set itself exceeds the window
-    (the capacity invariant was violated upstream)."""
+    determinism. If the breaching set exceeds the window it WARNS and
+    returns the most-urgent `size` (never raises — this runs at import
+    time; test_rotation_window_invariant is the loud enforcement
+    point)."""
     if entries is None:
         entries = list(ENTRIES)
     last, n_round = _correctness_history(repo_root)

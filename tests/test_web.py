@@ -343,6 +343,12 @@ def test_pipeline_crawl_to_shards_plan_shape(spark):
     df = ep.pipeline_crawl_to_shards(spark, "/root/testdata/sf0.001")
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # exchange cap at the audited value (35 printed nodes — the
+        # InMemoryRelation's child chain re-prints per reference, so
+        # the cap is a regression guard against ADDED shuffles, not a
+        # count of executed exchanges)
+        ex = re.findall(r"Exchange \w+", plan)
+        assert len(ex) <= 35, (len(ex), ex)
         assert "SinglePartition" not in plan
         assert "rangepartitioning" not in plan
         assert "BatchEvalPython" not in plan
