@@ -5252,9 +5252,97 @@ def pipeline_crawl_to_shards_sql() -> str:
     """)
 
 
+def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH TWIN of the streaming crawl-admission loop
+    (streaming/crawl.py start_crawl_ingest — r15: the web-tier
+    counterpart of stream_training_ingest): URL canonicalization ->
+    first-fetch-wins per canonical URL (doc_id order — the stream's
+    persisted index keys on the same portable url hash) -> per-host
+    volume cap in ARRIVAL (doc_id) order, the only order an unbounded
+    stream can honor (pipeline_web_crawl's hash-order cap is
+    append-stable for a fixed corpus but not incrementally computable —
+    the same distinction as hash shards vs the offline permutation
+    layout) -> HTML extraction -> C4 token floor -> Gopher gate.
+    tests/test_stream_crawl.py proves a multi-micro-batch file-stream
+    run of the composed loop writes exactly these rows, with
+    cross-batch URL rejections and a host budget consumed ACROSS
+    batches, and a kill-and-restart replay byte-identical.
+
+    Plan shape: two short-key windows (canonical_url, host) over one
+    scan; extraction and the Gopher gate are map-only and run after
+    the cap — no global sort, no token-grain shuffle."""
+    from pyspark.sql import Window
+    docs = load_tables(spark, sf_dir)["documents"]
+    pages = docs.select(
+        "doc_id", "text", "source",
+        web.synth_url(F.col("doc_id")).alias("url"))
+    canon = (web.canonicalize_urls(pages)
+             .filter(F.col("canonical_url").isNotNull()))
+    wurl = Window.partitionBy("canonical_url").orderBy(
+        F.col("doc_id").asc())
+    first = (canon.withColumn("_rn", F.row_number().over(wurl))
+             .filter(F.col("_rn") == 1).drop("_rn", "url"))
+    whost = Window.partitionBy("host").orderBy(F.col("doc_id").asc())
+    capped = (first.withColumn("host_rank",
+                               F.row_number().over(whost))
+              .filter(F.col("host_rank") <= _STREAM_CRAWL_CAP))
+    paged = capped.withColumn(
+        "html", web.synth_html(F.col("doc_id"), F.col("text"),
+                               F.col("source")))
+    ext = web.html_extract(paged)
+    n_tok = F.when(F.col("extracted_text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("extracted_text"), r"[\s\n]+")))
+    floored = (ext.withColumn("n_extracted_tokens", n_tok.cast("long"))
+               .filter(F.col("n_extracted_tokens") >= 60))
+    gated = (web.gopher_quality(floored, text_col="extracted_text")
+             .filter(F.col("gopher_pass")))
+    return gated.select("doc_id", "canonical_url", "host",
+                        "n_lines_kept", "n_extracted_tokens",
+                        "extracted_text")
+
+
+def stream_crawl_ingest_sql() -> str:
+    c = web.duck_canonicalize_exprs(web.duck_synth_url_expr())
+    e = web.duck_html_extract_exprs(web.duck_synth_html_expr(
+        "d.doc_id", "d.text", "d.source"))
+    g = web.duck_gopher_exprs("extracted_text")
+    return f"""
+    WITH cn AS (SELECT doc_id, {c['canonical_url']} AS canonical_url,
+                       {c['host']} AS host
+                FROM documents
+                WHERE {c['canonical_url']} IS NOT NULL),
+    fw AS (SELECT * FROM (
+               SELECT cn.*, row_number() OVER (
+                   PARTITION BY canonical_url
+                   ORDER BY doc_id ASC) AS rn
+               FROM cn) WHERE rn = 1),
+    cap AS (SELECT doc_id, canonical_url, host
+            FROM (SELECT fw.*, row_number() OVER (
+                      PARTITION BY host ORDER BY doc_id ASC)
+                      AS host_rank
+                  FROM fw)
+            WHERE host_rank <= {_STREAM_CRAWL_CAP}),
+    ex AS (SELECT cap.doc_id, canonical_url, host,
+                  {e['n_lines_kept']} AS n_lines_kept,
+                  {e['extracted_text']} AS extracted_text
+           FROM cap JOIN documents d ON cap.doc_id = d.doc_id),
+    fl AS (SELECT doc_id, canonical_url, host, n_lines_kept,
+                  CASE WHEN extracted_text = '' THEN 0
+                       ELSE len(string_split_regex(extracted_text,
+                                                   '[\\s\\n]+'))
+                       END::BIGINT AS n_extracted_tokens,
+                  extracted_text
+           FROM ex)
+    SELECT * FROM fl
+    WHERE n_extracted_tokens >= 60 AND {g['gopher_pass']}
+    """
+
+
 # ================================== streaming training ingest (r14)
 
 _INGEST_SHARDS = 8
+#: per-host admission budget of the streaming crawl loop's batch twin
+_STREAM_CRAWL_CAP = 10
 
 
 def stream_training_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5554,6 +5642,11 @@ ENTRIES: dict = {
     # verdict item #4) — the end-to-end artifact of the repo
     "pipeline_crawl_to_shards": (pipeline_crawl_to_shards,
                                  pipeline_crawl_to_shards_sql),
+    # NEW r15: batch twin of the streaming crawl-admission loop
+    # (streaming/crawl.py; multi-micro-batch differential in
+    # tests/test_stream_crawl.py)
+    "stream_crawl_ingest": (stream_crawl_ingest,
+                            stream_crawl_ingest_sql),
 }
 
 # =============================== window rotation (tested invariant, r13+;
