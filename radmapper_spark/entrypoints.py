@@ -5084,16 +5084,10 @@ def pipeline_web_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     paged = capped.withColumn(
         "html", web.synth_html(F.col("doc_id"), F.col("text"),
                                F.col("source")))
-    ext = web.html_extract(paged)
-    n_tok = F.when(F.col("extracted_text") == "", F.lit(0)).otherwise(
-        F.size(F.split(F.col("extracted_text"), r"[\s\n]+")))
-    floored = (ext.withColumn("n_extracted_tokens", n_tok.cast("long"))
-               .filter(F.col("n_extracted_tokens") >= 60))
-    # Gopher document-quality gate over the EXTRACTED text (r14 verdict
-    # item #5: the standard second gate after the C4 line rules) — a
-    # map-only conjunction, still zero added exchanges
-    gated = (web.gopher_quality(floored, text_col="extracted_text")
-             .filter(F.col("gopher_pass")))
+    # shared extraction tail: html_extract -> C4 token floor -> Gopher
+    # gate (web.extract_floor_gate — ONE definition for this entry, the
+    # stream_crawl_ingest twin, and the streaming crawl loop)
+    gated = web.extract_floor_gate(paged, min_tokens=60)
     return gated.select("doc_id", "canonical_url", "host", "host_rank",
                         "n_lines_kept", "n_extracted_tokens",
                         "extracted_text")
@@ -5124,9 +5118,7 @@ def pipeline_web_crawl_sql() -> str:
            FROM cap JOIN documents d ON cap.doc_id = d.doc_id)
     SELECT * FROM (
         SELECT doc_id, canonical_url, host, host_rank, n_lines_kept,
-               CASE WHEN extracted_text = '' THEN 0
-                    ELSE len(string_split_regex(extracted_text,
-                                                '[\\s\\n]+')) END::BIGINT
+               {web.duck_token_floor_count('extracted_text')}
                    AS n_extracted_tokens,
                extracted_text
         FROM ex)
@@ -5276,10 +5268,15 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.select(
         "doc_id", "text", "source",
         web.synth_url(F.col("doc_id")).alias("url"))
+    from .streaming.crawl import url_hash
     canon = (web.canonicalize_urls(pages)
              .filter(F.col("canonical_url").isNotNull()))
-    wurl = Window.partitionBy("canonical_url").orderBy(
-        F.col("doc_id").asc())
+    # dedup keyed on the SAME portable url hash the stream's persisted
+    # index stores (r15 third review: keying the twin on the raw
+    # canonical_url made the proven equivalence hold only absent
+    # 60-bit collisions instead of by construction)
+    wurl = Window.partitionBy(
+        url_hash(F.col("canonical_url"))).orderBy(F.col("doc_id").asc())
     first = (canon.withColumn("_rn", F.row_number().over(wurl))
              .filter(F.col("_rn") == 1).drop("_rn", "url"))
     whost = Window.partitionBy("host").orderBy(F.col("doc_id").asc())
@@ -5289,19 +5286,14 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     paged = capped.withColumn(
         "html", web.synth_html(F.col("doc_id"), F.col("text"),
                                F.col("source")))
-    ext = web.html_extract(paged)
-    n_tok = F.when(F.col("extracted_text") == "", F.lit(0)).otherwise(
-        F.size(F.split(F.col("extracted_text"), r"[\s\n]+")))
-    floored = (ext.withColumn("n_extracted_tokens", n_tok.cast("long"))
-               .filter(F.col("n_extracted_tokens") >= 60))
-    gated = (web.gopher_quality(floored, text_col="extracted_text")
-             .filter(F.col("gopher_pass")))
+    gated = web.extract_floor_gate(paged, min_tokens=60)
     return gated.select("doc_id", "canonical_url", "host",
                         "n_lines_kept", "n_extracted_tokens",
                         "extracted_text")
 
 
 def stream_crawl_ingest_sql() -> str:
+    from .streaming import crawl
     c = web.duck_canonicalize_exprs(web.duck_synth_url_expr())
     e = web.duck_html_extract_exprs(web.duck_synth_html_expr(
         "d.doc_id", "d.text", "d.source"))
@@ -5313,7 +5305,7 @@ def stream_crawl_ingest_sql() -> str:
                 WHERE {c['canonical_url']} IS NOT NULL),
     fw AS (SELECT * FROM (
                SELECT cn.*, row_number() OVER (
-                   PARTITION BY canonical_url
+                   PARTITION BY {crawl.duck_url_hash('canonical_url')}
                    ORDER BY doc_id ASC) AS rn
                FROM cn) WHERE rn = 1),
     cap AS (SELECT doc_id, canonical_url, host
@@ -5327,10 +5319,8 @@ def stream_crawl_ingest_sql() -> str:
                   {e['extracted_text']} AS extracted_text
            FROM cap JOIN documents d ON cap.doc_id = d.doc_id),
     fl AS (SELECT doc_id, canonical_url, host, n_lines_kept,
-                  CASE WHEN extracted_text = '' THEN 0
-                       ELSE len(string_split_regex(extracted_text,
-                                                   '[\\s\\n]+'))
-                       END::BIGINT AS n_extracted_tokens,
+                  {web.duck_token_floor_count('extracted_text')}
+                      AS n_extracted_tokens,
                   extracted_text
            FROM ex)
     SELECT * FROM fl

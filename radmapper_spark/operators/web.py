@@ -538,6 +538,39 @@ def duck_gopher_exprs(text_expr: str) -> dict:
     return out
 
 
+def token_floor_count(text_col: str = "extracted_text") -> Column:
+    """The C4 token-floor COUNT expression — ONE definition (r15 third
+    review: three Spark copies + two SQL copies of this rule were one
+    regex tweak away from a silent fork, the drift class the
+    duck_normalize_text rule exists for)."""
+    c = F.col(text_col)
+    return F.when(c == "", F.lit(0)).otherwise(
+        F.size(F.split(c, r"[\s\n]+"))).cast("long")
+
+
+def duck_token_floor_count(expr: str) -> str:
+    """DuckDB twin of token_floor_count."""
+    return (f"CASE WHEN {expr} = '' THEN 0 "
+            f"ELSE len(string_split_regex({expr}, '[\\s\\n]+')) "
+            f"END::BIGINT")
+
+
+def extract_floor_gate(df: DataFrame, min_tokens: int = 60,
+                       html_col: str = "html") -> DataFrame:
+    """The shared extraction tail — html_extract -> C4 token floor ->
+    Gopher gate — used by pipeline_web_crawl, the stream_crawl_ingest
+    batch twin, and the streaming crawl loop (one definition, three
+    consumers). Adds extracted_text / n_lines_kept / n_lines_total /
+    n_extracted_tokens plus the gopher columns; rows failing the floor
+    or any Gopher rule are dropped."""
+    ext = html_extract(df, html_col=html_col)
+    floored = (ext.withColumn("n_extracted_tokens",
+                              token_floor_count())
+               .filter(F.col("n_extracted_tokens") >= min_tokens))
+    return (gopher_quality(floored, text_col="extracted_text")
+            .filter(F.col("gopher_pass")))
+
+
 def synth_quality_text(doc_id: Column, text: Column) -> Column:
     """FIXTURE SYNTHESIS (entry-side only): per-class decorated text so
     every Gopher rule has casualties at every SF — doc_id % 13 picks

@@ -103,6 +103,30 @@ def start_crawl_ingest(pages_stream: DataFrame, url_index_path: str,
     ``build_host_counts`` must have created the state tables (possibly
     empty)."""
 
+    # LOUD legacy/flat-layout guard for BOTH state tables (same
+    # contract as streaming/ingest.py, r15 review: rows without a
+    # _rm_batch_id partition read as NULL under the explicit schema and
+    # the != batch_id probe filter silently DROPS them — the whole seed
+    # would be ignored and every URL re-admitted / every host budget
+    # reset). One limit(1) job per table at stream START, never per
+    # batch.
+    spark0 = pages_stream.sparkSession
+    for path, schema, what in ((url_index_path, _URL_IDX_SCHEMA,
+                                "url index"),
+                               (host_counts_path, _HOST_CNT_SCHEMA,
+                                "host counts")):
+        flat = (spark0.read.schema(schema).parquet(path)
+                .filter(F.col("_rm_batch_id").isNull()).limit(1)
+                .count())
+        if flat:
+            raise ValueError(
+                f"{what} at {path} has rows without a _rm_batch_id "
+                f"partition (flat layout). The batch-excluding probe "
+                f"would silently ignore them and re-admit the whole "
+                f"fetched history. Rebuild via build_url_index / "
+                f"build_host_counts (they write the partitioned "
+                f"layout), then restart.")
+
     def ingest_batch(batch_df, batch_id):
         spark = batch_df.sparkSession
         bid = F.lit(int(batch_id)).cast("long")
@@ -136,16 +160,14 @@ def start_crawl_ingest(pages_stream: DataFrame, url_index_path: str,
                                 F.coalesce(F.col("_rm_prior_n"),
                                            F.lit(0)))
                     .filter(F.col("_rm_prior_n") + F.col("_rm_hr")
-                            <= host_cap))
-        ext = web.html_extract(admitted)
-        n_tok = F.when(F.col("extracted_text") == "", F.lit(0)) \
-            .otherwise(F.size(F.split(F.col("extracted_text"),
-                                      r"[\s\n]+")))
-        floored = (ext.withColumn("n_extracted_tokens",
-                                  n_tok.cast("long"))
-                   .filter(F.col("n_extracted_tokens") >= min_tokens))
-        gated = (web.gopher_quality(floored, text_col="extracted_text")
-                 .filter(F.col("gopher_pass")))
+                            <= host_cap)
+                    # persisted: the out write AND the host-counts
+                    # write both consume it — without the cache the
+                    # second job re-reads the growing counts table and
+                    # re-runs the window (r15 third review)
+                    .persist())
+        gated = web.extract_floor_gate(admitted,
+                                       min_tokens=min_tokens)
         out = gated.select(
             id_col, "canonical_url", "host", "n_lines_kept",
             "n_extracted_tokens", "extracted_text").withColumn(
@@ -181,6 +203,7 @@ def start_crawl_ingest(pages_stream: DataFrame, url_index_path: str,
          .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("_rm_batch_id").parquet(url_index_path))
+        admitted.unpersist()
         fresh.unpersist()
 
     return (pages_stream.writeStream
