@@ -26,8 +26,10 @@ Scale shape per micro-batch: canonicalization and extraction are
 map-only projections; the URL probe is one anti-join whose batch side
 is micro-batch-sized; the host-cap join reads the long-skinny
 (host, n, _rm_batch_id) counts table — an aggregate bounded by
-(#hosts x #batches) rows, compactable out-of-band by rewriting old
-partitions into the seed partition. The Gopher gate runs AFTER the
+(#hosts x #batches) rows; streaming/compaction.py rewrites old
+partitions into the seed out-of-band so the per-probe file-listing
+cost stays O(batches since last compaction) for the stream's whole
+lifetime. The Gopher gate runs AFTER the
 cap, so the expensive string work touches only surviving pages.
 
 Replay safety — the same foreachBatch idempotence pattern as
@@ -131,14 +133,18 @@ def start_crawl_ingest(pages_stream: DataFrame, url_index_path: str,
         spark = batch_df.sparkSession
         bid = F.lit(int(batch_id)).cast("long")
         canon = (web.canonicalize_urls(batch_df)
-                 .filter(F.col("canonical_url").isNotNull()))
-        wurl = Window.partitionBy("canonical_url").orderBy(
-            F.col(id_col).asc())
-        first = (canon
-                 .withColumn("_rm_cr_rn", F.row_number().over(wurl))
-                 .filter(F.col("_rm_cr_rn") == 1).drop("_rm_cr_rn")
+                 .filter(F.col("canonical_url").isNotNull())
                  .withColumn("_rm_uh",
                              url_hash(F.col("canonical_url"))))
+        # within-batch dedup keyed on the HASH, not the raw url, so all
+        # three dedup layers — this window, the persisted index probe,
+        # and the batch twin's window — share ONE key (r15 advice: a
+        # raw-url window admitted two pages on an in-batch 60-bit
+        # collision where the twin admits one)
+        wurl = Window.partitionBy("_rm_uh").orderBy(F.col(id_col).asc())
+        first = (canon
+                 .withColumn("_rm_cr_rn", F.row_number().over(wurl))
+                 .filter(F.col("_rm_cr_rn") == 1).drop("_rm_cr_rn"))
         # both state reads EXCLUDE the batch's own partition so a
         # replay sees exactly the pre-crash view (see module docstring)
         idx = (spark.read.schema(_URL_IDX_SCHEMA)

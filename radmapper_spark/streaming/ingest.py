@@ -22,12 +22,14 @@ Scale shape per micro-batch: the index probe is one anti-join whose
 batch side is micro-batch-sized (broadcastable); the gate is the
 stream-static broadcast token join; chunking and shard assignment are
 map-only; the index APPEND writes only the batch's admitted hashes
-(the index is never rewritten — same incremental contract as the
-minhash/sign-LSH admission loops in streaming/sinks.py). At 100 TB the
-norm-hash index is a long-skinny BIGINT table; bucket it by
-``norm_hash % B`` out-of-band if the probe's index-scan side ever
-dominates (the batch side already prunes nothing — membership is the
-question being asked).
+(the index is never rewritten in-band — same incremental contract as
+the minhash/sign-LSH admission loops in streaming/sinks.py;
+streaming/compaction.py folds old per-batch partitions into the seed
+out-of-band so file-listing cost stays bounded over the stream's
+lifetime). At 100 TB the norm-hash index is a long-skinny BIGINT
+table; bucket it by ``norm_hash % B`` out-of-band if the probe's
+index-scan side ever dominates (the batch side already prunes nothing
+— membership is the question being asked).
 
 Restart safety (r14 verdict item #2 — the shards ARE the training
 data, so a replayed batch must append NOTHING, not merely "cost
