@@ -5132,29 +5132,35 @@ def web_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     item #5): the published Rae et al. 2021 Table A1 rules — word count
     in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
     <= 0.1, <= 90% bullet-started lines, <= 30% ellipsis-ended lines,
-    >= 80% alpha-bearing words, >= 2 stop words — each as an exact
-    integer comparison (no double ratios; both engines bit-agree).
-    Input text is synthesized per doc (web.synth_quality_text) so every
-    rule has casualties at every SF. Map-only: one words array + one
-    lines array per document, zero exchanges, fused into the scan at
-    crawl scale."""
+    >= 80% alpha-bearing words, >= 2 stop words — plus the REPETITION
+    sub-rules (r15 verdict item #3): duplicate-line / duplicate-
+    paragraph fractions <= 30% and top 2-/3-/4-gram character coverage
+    <= 20/18/16% — each as an exact integer comparison (no double
+    ratios; both engines bit-agree; gram coverage is a row-local
+    sorted-run fold, no exchange). Input text is synthesized per doc
+    (web.synth_quality_text) so every rule has casualties at every SF.
+    Map-only: one words array + one lines array per document, zero
+    exchanges, fused into the scan at crawl scale."""
     docs = load_tables(spark, sf_dir)["documents"]
     pages = docs.select(
         "doc_id",
         web.synth_quality_text(F.col("doc_id"),
                                F.col("text")).alias("qtext"))
     return web.gopher_quality(pages, text_col="qtext").select(
-        "doc_id", "n_words", "n_lines", "ok_words", "ok_mean_word_len",
-        "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
-        "ok_alpha_words", "ok_stopwords", "gopher_pass")
+        "doc_id", *_GOPHER_ENTRY_COLS)
+
+
+#: the gopher columns the entry exposes — ONE list for both engines
+_GOPHER_ENTRY_COLS = (
+    "n_words", "n_lines", "ok_words", "ok_mean_word_len",
+    "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
+    "ok_alpha_words", "ok_stopwords", "ok_dup_lines", "ok_dup_paras",
+    "ok_top2gram", "ok_top3gram", "ok_top4gram", "gopher_pass")
 
 
 def web_quality_filter_sql() -> str:
     e = web.duck_gopher_exprs(web.duck_synth_quality_text_expr())
-    cols = ", ".join(f"{e[c]} AS {c}" for c in (
-        "n_words", "n_lines", "ok_words", "ok_mean_word_len",
-        "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
-        "ok_alpha_words", "ok_stopwords", "gopher_pass"))
+    cols = ", ".join(f"{e[c]} AS {c}" for c in _GOPHER_ENTRY_COLS)
     return f"SELECT doc_id, {cols} FROM documents"
 
 

@@ -401,6 +401,101 @@ GOPHER_MIN_STOPWORDS = 2
 #: line prefixes that count as bullets; suffixes that count as ellipsis
 BULLET_PREFIXES = ("•", "-", "*")
 ELLIPSIS_SUFFIXES = ("...", "…")
+#: Gopher REPETITION thresholds (same Table A1; r15 verdict item #3).
+#: Duplicate fractions are (repeat occurrences)/(total): a line/para
+#: counted once per occurrence beyond its first. Top-gram coverage is
+#: max over word k-grams of occurrences x gram-chars, compared against
+#: total word chars — count x length is the published approximation
+#: (overlaps not collapsed), the max-of-products form is this repo's
+#: tie rule, and both engines share all three definitions exactly.
+GOPHER_DUP_LINE_RATIO = (3, 10)       # duplicate-line fraction <= 0.30
+GOPHER_DUP_PARA_RATIO = (3, 10)       # duplicate-paragraph fraction <= 0.30
+GOPHER_TOP_GRAM_RATIOS = ((2, (20, 100)),   # top 2-gram chars <= 0.20
+                          (3, (18, 100)),   # top 3-gram chars <= 0.18
+                          (4, (16, 100)))   # top 4-gram chars <= 0.16
+#: k-gram join separator — \x01 cannot appear in whitespace-split words
+#: of any sane corpus; BOTH engines build gram identity from the joined
+#: string, so even a pathological \x01-bearing word conflates the same
+#: way on both sides (no cross-engine fork)
+_GRAM_SEP = "\x01"
+
+
+def _top_gram_cover(words: Column, k: int) -> Column:
+    """Top word-k-gram CHARACTER coverage: max over the document's
+    k-grams of (occurrences x gram word-chars), as a BIGINT. Row-local
+    O(n log n): build (hash, charlen) structs from the joined gram
+    string (identity AND length from ONE concat — the exact shape the
+    DuckDB twin mirrors), sort, and fold the longest-equal-run maximum
+    of run x charlen — the same sorted-run trick as
+    textstats.repetition_score's top-word count (a per-distinct-gram
+    recount would be quadratic on real text). Zero grams (n < k) or
+    NULL text cover 0.
+
+    Gram construction is arrays_zip over k SHIFTED SLICES of the words
+    array, NOT an index lambda over a sequence: a free expression
+    inside a higher-order-function lambda is re-evaluated PER ELEMENT
+    (both engines!), so an `element_at(words, i+j)` form re-ran the
+    whole split+filter chain once per gram — quadratic, minutes on a
+    100k-word document. The slice form evaluates words k times per ROW
+    and the lambda touches only its bound struct."""
+    zero = F.lit(0).cast("long")
+    n = F.size(words)
+    slices = [F.slice(words, j + 1, n - F.lit(k - 1)) for j in range(k)]
+
+    def _gram_str(s):
+        return F.concat_ws(_GRAM_SEP, *[s[str(j)] for j in range(k)])
+
+    grams = F.when(n >= k, F.transform(
+        F.arrays_zip(*slices),
+        lambda s: F.struct(
+            F.xxhash64(_gram_str(s)).alias("h"),
+            (F.length(_gram_str(s)) - F.lit(k - 1)).cast("long")
+            .alias("c"))))
+
+    def _run(acc, x):
+        return (F.when(x["h"] == acc["h"], acc["run"] + F.lit(1))
+                .otherwise(F.lit(1)).cast("long"))
+
+    best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(zero.alias("h"), zero.alias("c"),
+                 zero.alias("run"), zero.alias("best")),
+        lambda acc, x: F.struct(
+            x["h"].alias("h"), x["c"].alias("c"),
+            _run(acc, x).alias("run"),
+            F.greatest(acc["best"], _run(acc, x) * x["c"]).alias("best")),
+        lambda acc: acc["best"])
+    return F.coalesce(best, zero)
+
+
+def _duck_top_gram_cover(words: str, k: int) -> str:
+    """DuckDB twin of _top_gram_cover, as a correlated scalar
+    subquery. Two DuckDB 1.0 performance facts shape it (both found
+    empirically): (a) a free expression inside a list lambda is
+    re-evaluated per ELEMENT, so the words expression must be bound to
+    a subquery column before any lambda touches it; (b) list_reduce
+    materializes a shrinking list per step (quadratic on 100k-gram
+    documents), so the sorted-run maximum is computed WITHOUT a fold:
+    mark run STARTS by comparing each sorted gram to its predecessor,
+    then max over starts of (next_start - start) x gram charlen — all
+    linear list_transform/list_filter passes. sg[0] is NULL and
+    `i = 1 OR ...` short-circuits, so the first element is always a
+    start."""
+    grams = (f"CASE WHEN len(_gw) < {k} THEN []::VARCHAR[] ELSE "
+             f"list_transform(range(1, len(_gw) - {k} + 2), i -> "
+             + " || chr(1) || ".join(f"_gw[i+{j}]" if j else "_gw[i]"
+                                     for j in range(k))
+             + " ) END")
+    return f"""(
+ SELECT coalesce(list_max(list_transform(range(1, len(starts) + 1),
+          j -> ((CASE WHEN j < len(starts) THEN starts[j+1]
+                 ELSE len(sg) + 1 END) - starts[j])
+               * (len(sg[starts[j]]) - {k - 1})::BIGINT)), 0)::BIGINT
+ FROM (SELECT list_filter(list_transform(range(1, len(sg) + 1),
+         i -> CASE WHEN i = 1 OR sg[i] <> sg[i-1] THEN i END),
+         x -> x IS NOT NULL) AS starts, sg
+       FROM (SELECT list_sort({grams}) AS sg
+             FROM (SELECT {words} AS _gw) _gq0) _gq1) _gq2)"""
 
 
 def _gopher_fields(text: Column) -> dict:
@@ -440,10 +535,24 @@ def _gopher_fields(text: Column) -> dict:
     n_stop = F.size(F.array_intersect(
         F.array_distinct(F.transform(words, F.lower)),
         F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))).cast("long")
+    # repetition metrics (r15 verdict item #3): duplicate lines reuse
+    # the lines array; paragraphs split on blank-line runs, trimmed,
+    # non-empty — same lambda shape both engines
+    n_dup_lines = (n_lines
+                   - F.size(F.array_distinct(lines))).cast("long")
+    paras = F.filter(F.transform(F.split(t, r"\n{2,}"),
+                                 lambda p: F.trim(p)),
+                     lambda p: p != "")
+    n_paras = F.size(paras).cast("long")
+    n_dup_paras = (n_paras
+                   - F.size(F.array_distinct(paras))).cast("long")
+    covers = {f"cover{k}": _top_gram_cover(words, k)
+              for k, _ in GOPHER_TOP_GRAM_RATIOS}
     return {"n_words": n_words, "sum_len": sum_len, "n_alpha": n_alpha,
             "n_symbols": n_hash + n_ell_occ, "n_lines": n_lines,
             "n_bullet": n_bullet, "n_ell_lines": n_ell_lines,
-            "n_stop": n_stop}
+            "n_stop": n_stop, "n_dup_lines": n_dup_lines,
+            "n_paras": n_paras, "n_dup_paras": n_dup_paras, **covers}
 
 
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -459,13 +568,19 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     symbol-to-word ratio ('#' chars + '...' occurrences) <= 0.1;
     bullet-started lines <= 90%; ellipsis-ended lines <= 30%; >= 80%
     of words contain an alphabetic character; >= 2 distinct stop words
-    from the published 8-word list. Line rules pass vacuously on
-    zero-line documents (word count already fails those)."""
+    from the published 8-word list; REPETITION sub-rules (r15 verdict
+    item #3): duplicate-line fraction <= 30%, duplicate-paragraph
+    fraction <= 30%, top 2-/3-/4-gram character coverage <= 20/18/16%
+    of total word chars. Line/paragraph/gram rules pass vacuously on
+    documents with zero lines/paragraphs/grams (word count already
+    fails those)."""
     g = _gopher_fields(F.col(text_col))
     sn, sd = GOPHER_SYMBOL_RATIO
     bn, bd = GOPHER_BULLET_RATIO
     en, ed = GOPHER_ELLIPSIS_RATIO
     an, ad = GOPHER_ALPHA_RATIO
+    dln, dld = GOPHER_DUP_LINE_RATIO
+    dpn, dpd = GOPHER_DUP_PARA_RATIO
     ok_words = ((g["n_words"] >= GOPHER_MIN_WORDS)
                 & (g["n_words"] <= GOPHER_MAX_WORDS))
     ok_mwl = ((g["sum_len"] >= g["n_words"] * GOPHER_MIN_MEAN_WORD_LEN)
@@ -475,6 +590,11 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     ok_ell = g["n_ell_lines"] * ed <= g["n_lines"] * en
     ok_alp = g["n_alpha"] * ad >= g["n_words"] * an
     ok_stp = g["n_stop"] >= GOPHER_MIN_STOPWORDS
+    ok_dl = g["n_dup_lines"] * dld <= g["n_lines"] * dln
+    ok_dp = g["n_dup_paras"] * dpd <= g["n_paras"] * dpn
+    ok_grams = {
+        f"ok_top{k}gram": g[f"cover{k}"] * den <= g["sum_len"] * num
+        for k, (num, den) in GOPHER_TOP_GRAM_RATIOS}
     out = (df.withColumn("n_words", g["n_words"])
            .withColumn("n_lines", g["n_lines"])
            .withColumn("ok_words", ok_words)
@@ -483,13 +603,19 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
            .withColumn("ok_bullet_lines", ok_bul)
            .withColumn("ok_ellipsis_lines", ok_ell)
            .withColumn("ok_alpha_words", ok_alp)
-           .withColumn("ok_stopwords", ok_stp))
-    return out.withColumn(
-        "gopher_pass",
-        F.col("ok_words") & F.col("ok_mean_word_len")
-        & F.col("ok_symbol_ratio") & F.col("ok_bullet_lines")
-        & F.col("ok_ellipsis_lines") & F.col("ok_alpha_words")
-        & F.col("ok_stopwords"))
+           .withColumn("ok_stopwords", ok_stp)
+           .withColumn("ok_dup_lines", ok_dl)
+           .withColumn("ok_dup_paras", ok_dp))
+    for name, cond in ok_grams.items():
+        out = out.withColumn(name, cond)
+    conj = (F.col("ok_words") & F.col("ok_mean_word_len")
+            & F.col("ok_symbol_ratio") & F.col("ok_bullet_lines")
+            & F.col("ok_ellipsis_lines") & F.col("ok_alpha_words")
+            & F.col("ok_stopwords") & F.col("ok_dup_lines")
+            & F.col("ok_dup_paras"))
+    for name in ok_grams:
+        conj = conj & F.col(name)
+    return out.withColumn("gopher_pass", conj)
 
 
 def duck_gopher_exprs(text_expr: str) -> dict:
@@ -517,10 +643,17 @@ def duck_gopher_exprs(text_expr: str) -> dict:
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     n_stop = (f"len(list_intersect(list_distinct(list_transform("
               f"{words}, w -> lower(w))), [{stops}]))::BIGINT")
+    n_dup_lines = f"({n_lines} - len(list_distinct({lines}))::BIGINT)"
+    paras = (f"list_filter(list_transform(string_split_regex({t}, "
+             f"'\\n{{2,}}'), p -> trim(p)), p -> p <> '')")
+    n_paras = f"len({paras})::BIGINT"
+    n_dup_paras = f"({n_paras} - len(list_distinct({paras}))::BIGINT)"
     sn, sd = GOPHER_SYMBOL_RATIO
     bn, bd = GOPHER_BULLET_RATIO
     en, ed = GOPHER_ELLIPSIS_RATIO
     an, ad = GOPHER_ALPHA_RATIO
+    dln, dld = GOPHER_DUP_LINE_RATIO
+    dpn, dpd = GOPHER_DUP_PARA_RATIO
     ok = {
         "ok_words": (f"({n_words} >= {GOPHER_MIN_WORDS} AND "
                      f"{n_words} <= {GOPHER_MAX_WORDS})"),
@@ -532,6 +665,14 @@ def duck_gopher_exprs(text_expr: str) -> dict:
         "ok_ellipsis_lines": f"({n_ell_lines} * {ed} <= {n_lines} * {en})",
         "ok_alpha_words": f"({n_alpha} * {ad} >= {n_words} * {an})",
         "ok_stopwords": f"({n_stop} >= {GOPHER_MIN_STOPWORDS})",
+        "ok_dup_lines": (f"({n_dup_lines} * {dld} "
+                         f"<= {n_lines} * {dln})"),
+        "ok_dup_paras": (f"({n_dup_paras} * {dpd} "
+                         f"<= {n_paras} * {dpn})"),
+        **{f"ok_top{k}gram":
+           (f"({_duck_top_gram_cover(words, k)} * {den} "
+            f"<= {sum_len} * {num})")
+           for k, (num, den) in GOPHER_TOP_GRAM_RATIOS},
     }
     out = {"n_words": n_words, "n_lines": n_lines, **ok}
     out["gopher_pass"] = "(" + " AND ".join(ok.values()) + ")"
@@ -571,17 +712,61 @@ def extract_floor_gate(df: DataFrame, min_tokens: int = 60,
             .filter(F.col("gopher_pass")))
 
 
+#: constant casualty blocks for the REPETITION rules (fixture-side,
+#: classes 5-9 below). Each targets one rule; the duplicate-line /
+#: duplicate-paragraph blocks also trip a gram rule (unavoidable —
+#: repeated lines ARE repeated grams), while the three gram blocks are
+#: engineered to fire ONLY their own k: the k-gram repeats between
+#: UNIQUE filler words (so no other k repeats), with enough unique
+#: tail text that the sub-gram coverages stay under their thresholds.
+_REP_STOP_TAIL = (" It must be of the data and that will have merge "
+                  "with scan.")
+_REP_DUP_LINE = "the data of and that have with more detail here today."
+_REP_DUP_LINE_BLOCK = "\n".join(
+    [_REP_DUP_LINE] * 5
+    + [f"unique{u} sentence number{u} words differ here{u} fully{u} now."
+       for u in range(6)])
+_REP_DUP_PARA_BLOCK = "\n\n".join(
+    [_REP_DUP_LINE + _REP_STOP_TAIL] * 2
+    + ["\n".join(f"u{u} fresh line words{u} here{u}." for u in range(5))])
+_REP_TOP2_BLOCK = (" ".join(f"data science u{i}" for i in range(30))
+                   + _REP_STOP_TAIL)
+_REP_TOP3_BLOCK = (" ".join(f"gold iron coal u{i} v{i}"
+                            for i in range(10))
+                   + " " + " ".join(f"w{i}x{i} y{i}z{i}"
+                                    for i in range(28))
+                   + _REP_STOP_TAIL)
+_REP_TOP4_BLOCK = (" ".join(f"mint opal ruby sand u{i} v{i}"
+                            for i in range(10))
+                   + " " + " ".join(f"w{i}x{i} y{i}z{i}"
+                                    for i in range(60))
+                   + _REP_STOP_TAIL)
+
+
+def _duck_const(s: str) -> str:
+    """A Python string constant as a DuckDB expression (single-quote
+    escape; newlines via the replace-chr(10) trick the class-0 bullet
+    block established)."""
+    esc = s.replace("'", "''")
+    if "\n" in esc:
+        return ("replace('" + esc.replace("\n", "\\n")
+                + "', '\\n', chr(10))")
+    return "'" + esc + "'"
+
+
 def synth_quality_text(doc_id: Column, text: Column) -> Column:
     """FIXTURE SYNTHESIS (entry-side only): per-class decorated text so
     every Gopher rule has casualties at every SF — doc_id % 13 picks
     the class: 0 all-bullet lines, 1 ellipsis-ended lines, 2 '#'
-    symbol spam, 3 numeric (non-alpha) words, 4 stopword-free prose;
-    everything else gets the base text plus a stopword-rich sentence
-    (so the stopword rule is satisfiable at all — the fixture corpus
-    vocabulary contains only 'the' from the published list) and fails
-    only the word-count floor when the underlying document is short.
-    Mirrored verbatim by duck_synth_quality_text_expr; the production
-    operator is gopher_quality."""
+    symbol spam, 3 numeric (non-alpha) words, 4 stopword-free prose,
+    5 duplicate lines, 6 duplicate paragraphs, 7/8/9 top 2-/3-/4-gram
+    spam (the _REP_* constant blocks); everything else gets the base
+    text plus a stopword-rich sentence (so the stopword rule is
+    satisfiable at all — the fixture corpus vocabulary contains only
+    'the' from the published list) and fails only the word-count floor
+    when the underlying document is short. Mirrored verbatim by
+    duck_synth_quality_text_expr; the production operator is
+    gopher_quality."""
     base = F.concat(
         F.coalesce(text, F.lit("")),
         F.lit(" It must be of the data and that will have merge "
@@ -598,6 +783,11 @@ def synth_quality_text(doc_id: Column, text: Column) -> Column:
                                F.lit("of the")))
         .when(m == 4, F.concat(F.repeat(F.lit("science word data "),
                                         20), F.lit("here now.")))
+        .when(m == 5, F.lit(_REP_DUP_LINE_BLOCK))
+        .when(m == 6, F.lit(_REP_DUP_PARA_BLOCK))
+        .when(m == 7, F.lit(_REP_TOP2_BLOCK))
+        .when(m == 8, F.lit(_REP_TOP3_BLOCK))
+        .when(m == 9, F.lit(_REP_TOP4_BLOCK))
         .otherwise(base))
 
 
@@ -614,4 +804,9 @@ def duck_synth_quality_text_expr(id_expr: str = "doc_id",
         WHEN 2 THEN {base} || ' ' || repeat('#', 25)
         WHEN 3 THEN repeat('12345 ', 60) || 'of the'
         WHEN 4 THEN repeat('science word data ', 20) || 'here now.'
+        WHEN 5 THEN {_duck_const(_REP_DUP_LINE_BLOCK)}
+        WHEN 6 THEN {_duck_const(_REP_DUP_PARA_BLOCK)}
+        WHEN 7 THEN {_duck_const(_REP_TOP2_BLOCK)}
+        WHEN 8 THEN {_duck_const(_REP_TOP3_BLOCK)}
+        WHEN 9 THEN {_duck_const(_REP_TOP4_BLOCK)}
         ELSE {base} END"""

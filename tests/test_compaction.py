@@ -141,7 +141,9 @@ def test_crawl_kill_compact_restart_byte_identical(spark, tmp_path):
     pre-crash probe view through the folded seed, so admitted output
     rows are byte-identical and probe views (url membership, host
     sums) unchanged."""
-    body = ("science data knowledge " * 25).strip()
+    # varied words: a repeated trigram body would (correctly) fail the
+    # r16 Gopher repetition rules inside the extraction gate
+    body = " ".join(f"science{i} data{i} knowledge{i}" for i in range(25))
     html = ("<p>" + body + " It must be of the data and that will "
             "have merge with scan.</p>")
     batches = [

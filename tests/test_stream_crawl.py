@@ -136,7 +136,10 @@ def test_stream_crawl_cross_batch_url_and_host_budget(spark, tmp_path):
     earlier batch's resource is rejected by the persisted URL index,
     and a host whose budget was partially consumed in batch 0 only
     admits the REMAINDER in batch 1 (arrival order)."""
-    body = ("science data knowledge " * 25).strip()  # > 50 words so
+    # varied words (a repeated trigram would fail the r16 repetition
+    # rules in the gate)
+    body = " ".join(f"science{i} data{i} knowledge{i}"
+                    for i in range(25))  # > 50 words so
     # the Gopher word floor passes and dedup/cap are the only filters
     html = ("<p>" + body + " It must be of the data and that will "
             "have merge with scan.</p>")

@@ -263,11 +263,17 @@ def test_gopher_rules_each_fire_and_twin_agrees(spark):
     boundary-exact cases) through gopher_quality AND the DuckDB twin —
     per-rule booleans, not just the conjunction, must match."""
     stop_tail = " of the data and that will have with more here now."
-    clean = ("science " * 60).strip() + stop_tail
+    # VARIED clean prose (numbered words, no repeated grams) — the r16
+    # repetition rules correctly fail the old `"science " * 60` fixture
+    # (a 60x-repeated unigram IS maximal 2-gram coverage)
+    clean = " ".join(f"alpha{i} beta{i} gamma{i}"
+                     for i in range(20)) + stop_tail
+    rep_word = " ".join(f"word{i}" for i in range(48))
     rows = [
         (1, clean),                                     # passes all
         (2, "Too short." + stop_tail),                  # ok_words lo
-        (3, ("word " * 100_001).strip() + stop_tail),   # ok_words hi
+        (3, " ".join(f"w{i}" for i in range(100_001))
+            + stop_tail),                               # ok_words hi
         (4, ("a b " * 40).strip() + " of the"),         # mwl low
         (5, ("abcdefghijklmnop " * 60).strip() + " of the"),  # mwl high
         (6, clean + " " + "#" * 20),                    # symbol (hash)
@@ -275,21 +281,38 @@ def test_gopher_rules_each_fire_and_twin_agrees(spark):
         (8, "\n".join(["- the data of and that have with more line."]
                       * 10)),                           # bullets > 90%
         (9, clean + "\nwait for it...\nmore soon..."),  # ellipsis lines
-        (10, ("12345 " * 60).strip() + stop_tail),      # alpha < 80%
-        (11, ("science " * 60).strip() + " here now."),  # stopwords < 2
+        (10, " ".join(f"1234{i}" for i in range(60))
+             + stop_tail),                              # alpha < 80%
+        (11, " ".join(f"science{i}" for i in range(60))
+             + " here now."),                           # stopwords < 2
         (12, None),                                     # NULL text
         # boundary-exact: exactly 50 words incl. two stopwords -> pass
-        (13, ("word " * 48).strip() + " of the"),
+        (13, rep_word + " of the"),
         # Unicode '…' spam must fail the SYMBOL rule too (r15 review:
         # the line rule saw '…' but the symbol counter only counted
         # ASCII '...' — both engines shared the gap)
         (14, clean + " " + "… " * 20),
+        # ---- repetition rules (r16): one casualty each
+        (15, web._REP_DUP_LINE_BLOCK),                  # dup lines
+        (16, web._REP_DUP_PARA_BLOCK),                  # dup paras
+        (17, web._REP_TOP2_BLOCK),                      # top 2-gram
+        (18, web._REP_TOP3_BLOCK),                      # top 3-gram
+        (19, web._REP_TOP4_BLOCK),                      # top 4-gram
+        # boundary-exact dup-line fraction: 3 dup lines of 10 = 0.30
+        # exactly passes; 4 of 12 (0.33) fails
+        (20, "\n".join([web._REP_DUP_LINE] * 4
+                       + [f"filler{u} line{u} with{u} many{u} words{u} "
+                          f"here{u} now{u}." for u in range(6)])),
+        (21, "\n".join([web._REP_DUP_LINE] * 5
+                       + [f"filler{u} line{u} with{u} many{u} words{u} "
+                          f"here{u} now{u}." for u in range(7)])),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out_cols = ["doc_id", "n_words", "n_lines", "ok_words",
                 "ok_mean_word_len", "ok_symbol_ratio", "ok_bullet_lines",
                 "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords",
-                "gopher_pass"]
+                "ok_dup_lines", "ok_dup_paras", "ok_top2gram",
+                "ok_top3gram", "ok_top4gram", "gopher_pass"]
     got = {r["doc_id"]: r.asDict() for r in
            web.gopher_quality(df).select(*out_cols).collect()}
 
@@ -306,8 +329,17 @@ def test_gopher_rules_each_fire_and_twin_agrees(spark):
     assert not got[11]["ok_stopwords"]
     assert not got[12]["ok_words"] and not got[12]["gopher_pass"]
     assert not got[14]["ok_symbol_ratio"]
+    assert not got[15]["ok_dup_lines"]
+    assert not got[16]["ok_dup_paras"]
+    # the gram casualties are ISOLATED: each fails exactly its own k
+    for i, failing in ((17, "ok_top2gram"), (18, "ok_top3gram"),
+                       (19, "ok_top4gram")):
+        for k in ("ok_top2gram", "ok_top3gram", "ok_top4gram"):
+            assert got[i][k] == (k != failing), (i, k)
+    # dup-line boundary: exactly 3/10 passes, 4/11 (> 0.30) fails
+    assert got[20]["ok_dup_lines"] and not got[21]["ok_dup_lines"]
     # every casualty fails the conjunction
-    for i in range(2, 15):
+    for i in range(2, 20):
         if i == 13:
             continue
         assert not got[i]["gopher_pass"], i
