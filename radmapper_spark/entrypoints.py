@@ -5187,20 +5187,31 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges. No global sort anywhere — at 100 TB the plan's exchanges
     are all on bounded keys (canonical_url, host, norm_hash, doc_id),
     never on token grain."""
+    merges = _bpe_merges(spark, sf_dir)  # before docs — see bpe_token_count
+    return _crawl_shards_tail(spark, sf_dir,
+                              pipeline_web_crawl(spark, sf_dir), merges)
+
+
+def _crawl_shards_tail(spark: SparkSession, sf_dir: str,
+                       crawl_df: DataFrame, merges) -> DataFrame:
+    """The shared crawl -> training-shards TAIL (extracted-text exact
+    dedup -> NB/Pareto admission -> corpus-BPE context windows -> hash
+    shards), consumed by pipeline_crawl_to_shards (hash-order crawl
+    head) and stream_crawl_to_shards (arrival-order head) — one
+    definition, mirrored by _crawl_shards_tail_sql.
+
+    PERSIST at the dedup output: quality_admit's scoring subtree and
+    the semi-join probe BOTH consume it, and without the persist the
+    whole crawl chain (scan, both window exchanges, extraction, the
+    norm-hash exchange) executes twice — doubling the pipeline's
+    dominant parse/extract cost (r15 review). The dedup boundary is
+    also where a real pipeline materializes (crawl output becomes
+    training input), so the cache point matches the production shape;
+    rm_release_cache hands the unpersist to the bench/driver."""
     from .operators import classifier
     from .streaming import ingest
-    merges = _bpe_merges(spark, sf_dir)  # before docs — see bpe_token_count
-    crawl = pipeline_web_crawl(spark, sf_dir)
-    # PERSIST the dedup output: quality_admit's scoring subtree and the
-    # semi-join probe BOTH consume it, and without the persist the
-    # whole crawl chain (scan, both window exchanges, extraction, the
-    # norm-hash exchange) executes twice — doubling the pipeline's
-    # dominant parse/extract cost (r15 review). The dedup boundary is
-    # also where a real pipeline materializes (crawl output becomes
-    # training input), so the cache point matches the production shape;
-    # rm_release_cache hands the unpersist to the bench/driver.
     deduped = ingest.first_per_normhash(
-        crawl, text_col="extracted_text").persist()
+        crawl_df, text_col="extracted_text").persist()
     docs = load_tables(spark, sf_dir)["documents"]
     vocab, consts = classifier.nb_model(docs.filter(F.expr(_NB_POS)),
                                         docs.filter(F.expr(_NB_NEG)))
@@ -5223,7 +5234,9 @@ def pipeline_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def pipeline_crawl_to_shards_sql() -> str:
+def _crawl_shards_tail_sql(head_sql: str) -> str:
+    """DuckDB twin of _crawl_shards_tail over any crawl-head CTE body
+    (must expose doc_id + extracted_text)."""
     from .operators import classifier
     from .streaming import ingest
     ctes, final = _bpe_chunk_sql_parts(rel="ck", text_col="text")
@@ -5233,7 +5246,7 @@ def pipeline_crawl_to_shards_sql() -> str:
           f"ORDER BY doc_id ASC)")
     kept = classifier._duck_kept_ctes(
         _NB_POS, _NB_NEG, doc_rel="ded", text_col="extracted_text")
-    return (f"""WITH crawl AS ({pipeline_web_crawl_sql()}),
+    return (f"""WITH crawl AS ({head_sql}),
     ded AS (SELECT * FROM (
                 SELECT c.*, {rn} AS nrn FROM crawl c)
             WHERE nrn = 1),
@@ -5248,6 +5261,36 @@ def pipeline_crawl_to_shards_sql() -> str:
                  doc_id * {ingest.CHUNK_STRIDE} + chunk_seq AS chunk_id
           FROM ({final}) q)
     """)
+
+
+def pipeline_crawl_to_shards_sql() -> str:
+    return _crawl_shards_tail_sql(pipeline_web_crawl_sql())
+
+
+def stream_crawl_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH TWIN of the COMPOSED streaming pipeline (r15 verdict item
+    #2): the crawl-admission loop (streaming/crawl.py) chained into the
+    text-ingest loop (streaming/ingest.py) through the crawl output
+    directory as a file-stream source — raw fetched pages to training
+    shards, fully incremental. This entry is the same composition in
+    batch form: the ARRIVAL-order crawl head (stream_crawl_ingest — the
+    only order an unbounded stream can honor) followed by the shared
+    shards tail (_crawl_shards_tail: extracted-text exact dedup ->
+    NB/Pareto admission -> corpus-BPE windows -> hash shards).
+    tests/test_stream_crawl.py proves the two chained file-stream loops
+    write exactly these rows across micro-batches, and a kill of the
+    downstream loop mid-chain replays byte-identically.
+
+    Scale shape: identical to pipeline_crawl_to_shards (two short-key
+    windows, one norm-hash exchange, broadcast NB gate, map-only
+    chunking) — the heads differ only in the host-cap ORDER."""
+    merges = _bpe_merges(spark, sf_dir)  # before docs — see bpe_token_count
+    return _crawl_shards_tail(spark, sf_dir,
+                              stream_crawl_ingest(spark, sf_dir), merges)
+
+
+def stream_crawl_to_shards_sql() -> str:
+    return _crawl_shards_tail_sql(stream_crawl_ingest_sql())
 
 
 def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5643,6 +5686,11 @@ ENTRIES: dict = {
     # tests/test_stream_crawl.py)
     "stream_crawl_ingest": (stream_crawl_ingest,
                             stream_crawl_ingest_sql),
+    # NEW r16: batch twin of the COMPOSED crawl->shards streaming
+    # chain (crawl loop -> file-stream source -> ingest loop; r15
+    # verdict item #2) — arrival-order head + the shared shards tail
+    "stream_crawl_to_shards": (stream_crawl_to_shards,
+                               stream_crawl_to_shards_sql),
 }
 
 # =============================== window rotation (tested invariant, r13+;

@@ -184,3 +184,232 @@ def test_stream_crawl_cross_batch_url_and_host_budget(spark, tmp_path):
     # 10 rejected by the URL index; 12 by the exhausted h0 budget
     # (0, 1 in batch 0 + 11 in batch 1 = cap 3); everything else in
     assert kept == {0, 1, 2, 11, 13}
+
+
+def test_composed_crawl_to_shards_chain(spark, tmp_path):
+    """THE composed streaming pipeline (r15 verdict item #2): the crawl
+    loop's output directory is the file-stream SOURCE of the text-ingest
+    loop, raw pages -> training shards fully incrementally — and the
+    chain equals the stream_crawl_to_shards batch twin row for row at
+    sf0.001. (At this SF the NB gate happens to admit none of the
+    arrival-order head's low-id survivors, so the END of the chain is
+    empty — the nonzero-flow proof lives in
+    test_composed_chain_nonzero_with_kill_restart below; THIS test
+    proves the chain produces no spurious rows and that the crawl
+    stage feeding the ingest loop is the entry's exact head.)"""
+    from radmapper_spark.operators import classifier
+    from radmapper_spark.streaming import ingest
+
+    docs = ep.load_tables(spark, SF)["documents"]
+    pages = docs.select(
+        "doc_id",
+        web.synth_url(F.col("doc_id")).alias("url"),
+        web.synth_html(F.col("doc_id"), F.col("text"),
+                       F.col("source")).alias("html"))
+    src = str(tmp_path / "pages_in")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    for b in range(4):
+        lo, hi = b * n // 4, (b + 1) * n // 4
+        (pages.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write
+         .mode("append" if b else "overwrite").parquet(src))
+    _order_files_by_min_id(spark, src)
+
+    crawl_out = str(tmp_path / "crawl_out")
+    crawl.build_url_index(pages.limit(0), str(tmp_path / "uidx"))
+    crawl.build_host_counts(str(tmp_path / "hcnt"), spark)
+    q = crawl.start_crawl_ingest(
+        (spark.readStream.schema(pages.schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        str(tmp_path / "uidx"), str(tmp_path / "hcnt"), crawl_out,
+        str(tmp_path / "ck1"), host_cap=ep._STREAM_CRAWL_CAP,
+        min_tokens=60)
+    try:
+        assert q.awaitTermination(300), "crawl stage did not finish"
+    finally:
+        q.stop()
+
+    # ---- stage 2: the crawl output dir IS the ingest loop's source
+    merges = ep._bpe_merges(spark, SF)
+    vocab, consts = classifier.nb_model(
+        docs.filter(F.expr(ep._NB_POS)), docs.filter(F.expr(ep._NB_NEG)))
+    vocab = vocab.persist()
+    try:
+        params = {k: int(v) for k, v in
+                  ep._nb_quality_params(spark, SF, consts).items()}
+        crawl_schema = ("doc_id long, canonical_url string, host string, "
+                        "n_lines_kept long, n_extracted_tokens long, "
+                        "extracted_text string, _rm_batch_id long")
+        chained = (spark.readStream.schema(crawl_schema)
+                   .option("maxFilesPerTrigger", 1).parquet(crawl_out)
+                   .select("doc_id",
+                           F.col("extracted_text").alias("text")))
+        idx = str(tmp_path / "nh_idx")
+        shards_out = str(tmp_path / "shards")
+        ingest.build_normhash_index(docs.limit(0), idx)
+        q2 = ingest.start_training_ingest(
+            chained, idx, shards_out, str(tmp_path / "ck2"),
+            merges, vocab, params, chunk_tokens=ep._BPE_CHUNK,
+            n_shards=ep._INGEST_SHARDS)
+        try:
+            assert q2.awaitTermination(300), "ingest stage did not finish"
+        finally:
+            q2.stop()
+
+        cols = ["doc_id", "chunk_seq", "chunk_start", "n_chunk_tokens",
+                "shard", "chunk_text"]
+        got = sorted(map(tuple, spark.read.schema(
+            "doc_id long, chunk_seq long, chunk_start long, "
+            "n_chunk_tokens long, _rm_batch_id long, shard long, "
+            "chunk_text string").parquet(shards_out)
+            .select(*cols).collect()))
+        twin = ep.stream_crawl_to_shards(spark, SF)
+        want = sorted(map(tuple, twin.select(*cols).collect()))
+        rel = getattr(twin, "rm_release_cache", None)
+        if rel is not None:
+            rel()
+        assert got == want
+        # the CRAWL stage itself flowed nonzero rows into the chain
+        assert spark.read.parquet(crawl_out).count() > 0
+    finally:
+        vocab.unpersist()
+
+
+def test_composed_chain_nonzero_with_kill_restart(spark, tmp_path):
+    """Composed chain on a hand-built corpus where rows SURVIVE to the
+    shards (the sf0.001 fixture's arrival-order head admits none — see
+    above), with the DOWNSTREAM loop killed before its final commit and
+    restarted ACROSS the chain boundary: the replay must append
+    nothing new (byte-identical shards). The batch comparator is built
+    from the same library operators the entry tail uses."""
+    from radmapper_spark.operators import classifier, tokenizer
+    from radmapper_spark.streaming import ingest
+    from pyspark.sql import Window
+
+    base = ("It must be of the data and that will have merge with "
+            "scan here today for good measure always.")
+    body = " ".join(f"science{i} data{i} knowledge{i}" for i in range(25))
+
+    def page_html(i):
+        return f"<p>{body} doc{i} {base}</p>"
+
+    # 3 hosts x 4 resources, one duplicate URL variant, one dup text
+    rows = []
+    for i in range(12):
+        rows.append((i, f"https://h{i % 3}.com/r{i}", page_html(i)))
+    rows.append((20, "HTTPS://H0.com/r0?utm_source=x", page_html(0)))  # dup URL
+    rows.append((21, "https://h1.com/extra", page_html(1)))            # dup text
+    schema = "doc_id long, url string, html string"
+    src = str(tmp_path / "in")
+    for i in range(3):
+        (spark.createDataFrame(rows[5 * i:5 * (i + 1)], schema)
+         .coalesce(1).write
+         .mode("append" if i else "overwrite").parquet(src))
+    _order_files_by_min_id(spark, src)
+
+    crawl_out = str(tmp_path / "crawl_out")
+    uidx, hcnt = str(tmp_path / "uidx"), str(tmp_path / "hcnt")
+    crawl.build_url_index(spark.createDataFrame([], schema), uidx)
+    crawl.build_host_counts(hcnt, spark)
+    q = crawl.start_crawl_ingest(
+        (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        uidx, hcnt, crawl_out, str(tmp_path / "ck1"),
+        host_cap=3, min_tokens=5)
+    try:
+        assert q.awaitTermination(180)
+    finally:
+        q.stop()
+
+    docs = spark.createDataFrame(
+        [(i, f"{body} doc{i} {base}") for i in range(12)],
+        "doc_id long, text string")
+    vocab, consts = classifier.nb_model(
+        docs, spark.createDataFrame(
+            [(100, "buy now spam offer cheap pills")],
+            "doc_id long, text string"))
+    vocab = vocab.persist()
+    try:
+        params = classifier.nb_model_params(consts)
+        merges = tokenizer.bpe_train(docs, n_merges=4, top_words=16)
+        crawl_schema = ("doc_id long, canonical_url string, host string, "
+                        "n_lines_kept long, n_extracted_tokens long, "
+                        "extracted_text string, _rm_batch_id long")
+        idx, shards_out = str(tmp_path / "idx"), str(tmp_path / "sh")
+        ingest.build_normhash_index(docs.limit(0), idx)
+
+        def run_ingest():
+            q2 = ingest.start_training_ingest(
+                (spark.readStream.schema(crawl_schema)
+                 .option("maxFilesPerTrigger", 1).parquet(crawl_out)
+                 .select("doc_id",
+                         F.col("extracted_text").alias("text"))),
+                idx, shards_out, str(tmp_path / "ck2"),
+                merges, vocab, params, chunk_tokens=8, n_shards=4)
+            try:
+                assert q2.awaitTermination(180)
+            finally:
+                q2.stop()
+
+        run_ingest()
+        got = sorted(map(tuple,
+                         spark.read.parquet(shards_out).collect()))
+        assert len(got) > 0, "chain must flow rows end to end here"
+
+        # batch comparator from the same operators: arrival-order head
+        # (url-hash dedup window + host window + extraction gate), then
+        # the ingest tail (norm-hash dedup, NB admit, BPE, hash shards)
+        pages = spark.createDataFrame(rows, schema)
+        canon = (web.canonicalize_urls(pages)
+                 .filter(F.col("canonical_url").isNotNull()))
+        wurl = Window.partitionBy(
+            crawl.url_hash(F.col("canonical_url"))).orderBy("doc_id")
+        first = (canon.withColumn("_rn", F.row_number().over(wurl))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+        whost = Window.partitionBy("host").orderBy("doc_id")
+        capped = (first.withColumn("_hr", F.row_number().over(whost))
+                  .filter(F.col("_hr") <= 3))
+        gated = web.extract_floor_gate(capped, min_tokens=5)
+        texts = gated.select("doc_id",
+                             F.col("extracted_text").alias("text"))
+        ded = ingest.first_per_normhash(texts)
+        kept_ids = classifier.quality_admit(
+            ded, vocab, params).select("doc_id")
+        kept = ded.join(kept_ids, "doc_id", "semi")
+        chunks = tokenizer.bpe_chunk_documents(kept, merges,
+                                               chunk_tokens=8)
+        want_df = chunks.select(
+            "doc_id", "chunk_seq", "chunk_start", "n_chunk_tokens",
+            ingest.shard_col(ingest.chunk_id_col(), 4).alias("shard"),
+            "chunk_text")
+        want = sorted(map(tuple, want_df.collect()))
+        got_cols = sorted(map(tuple, spark.read.schema(
+            "doc_id long, chunk_seq long, chunk_start long, "
+            "n_chunk_tokens long, _rm_batch_id long, shard long, "
+            "chunk_text string").parquet(shards_out)
+            .select("doc_id", "chunk_seq", "chunk_start",
+                    "n_chunk_tokens", "shard", "chunk_text").collect()))
+        assert got_cols == want
+
+        # ---- kill the DOWNSTREAM loop's newest commit and restart the
+        # chain's second stage: byte-identical shards + index
+        before_sh = sorted(map(tuple,
+                               spark.read.parquet(shards_out).collect()))
+        before_idx = sorted(
+            (tuple(r) for r in spark.read.parquet(idx).collect()),
+            key=str)
+        commits = os.path.join(str(tmp_path / "ck2"), "commits")
+        newest = max((x for x in os.listdir(commits) if x.isdigit()),
+                     key=int)
+        os.remove(os.path.join(commits, newest))
+        crc = os.path.join(commits, f".{newest}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        run_ingest()
+        assert sorted(map(tuple, spark.read.parquet(shards_out)
+                          .collect())) == before_sh
+        assert sorted((tuple(r) for r in
+                       spark.read.parquet(idx).collect()),
+                      key=str) == before_idx
+    finally:
+        vocab.unpersist()
