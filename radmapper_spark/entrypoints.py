@@ -5769,6 +5769,11 @@ _SEALED_ENTRIES = frozenset({
     "ann_opq_topk", "ann_range_search", "semantic_dedup",
     "embedding_kmeans", "embedding_kmeans_lloyd", "embedding_quantize",
     "embedding_pca", "embedding_gram",
+    # graph.py (r11) + multimodal.py (r11) — sealed r16 (>= 5 rounds
+    # unchanged; r15 verdict item #4 headroom), pins carried over
+    "graph_pagerank", "graph_communities",
+    "multimodal_features", "image_phash_neardup", "image_dedup_groups",
+    "stream_media_dedup",
 })
 
 _FROZEN_ENTRIES = frozenset({
@@ -5787,14 +5792,9 @@ _FROZEN_ENTRIES = frozenset({
     # dedup.py symbol pin (module actively edited; the pinned
     # fuzzy_pairs_levenshtein is not)
     "fuzzy_part_names",
-    # graph.py (r11)
-    "graph_pagerank", "graph_communities",
-    # multimodal.py (r11)
-    "multimodal_features", "image_phash_neardup", "image_dedup_groups",
-    "stream_media_dedup",
-    # decontam.py (r12)
+    # decontam.py (r12) / lm.py (r12) — seal candidates at r17
+    # (>= 5 rounds unchanged then)
     "decontam_ngram", "blocklist_scrub", "decontam_embedding",
-    # lm.py (r12)
     "lm_score", "lm_bucket", "moore_lewis_select",
 })
 assert not (_SEALED_ENTRIES & _FROZEN_ENTRIES)

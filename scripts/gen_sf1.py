@@ -52,8 +52,11 @@ base_vocab = [r[0] for r in duckdb.connect().execute(
 # (22M "true" pairs at sf1) and priced the dedup family in a regime no
 # real corpus has. With ~4000 words random-pair Jaccard is ~0.01 and
 # the pair volume is the PLANTED density below, as on real data.
-vocab = [w if k == 0 else f"{w}{k}" for w in base_vocab
-         for k in range(100)]
+#: non-digit separator (r15 advice): digit suffixes collided with other
+#: base words ('word1' vs 'word'+'1'), shrinking the effective vocab
+#: and duplicating entries — dedupe defensively as well
+vocab = sorted({w if k == 0 else f"{w}_{k}" for w in base_vocab
+                for k in range(100)})
 print("vocab", len(vocab))
 
 N_DOCS, N_EMB, K = 50_000, 20_000, 10

@@ -201,6 +201,17 @@ def test_rotation_window_invariant():
         f"rotation over-subscribed: steady-state demand {demand:.1f} "
         f"rows/round vs {len(window)} slots — seal/freeze more "
         f"long-unchanged entries before adding new ones")
+    # 5b. GROWTH PROJECTION (r15 verdict item #4): each round adds
+    # 2-5 active entries (+1.0-2.5 rows/round of steady-state demand),
+    # so assert NEXT round's worst-case demand also fits — the breach
+    # is caught a round early, while there is still time to seal
+    # another long-unchanged module instead of scrambling at capacity
+    assert demand + 2.5 <= len(window) - 2, (
+        f"rotation capacity projected to breach NEXT round: demand "
+        f"{demand:.1f} + 2.5 (worst-case new entries) > "
+        f"{len(window) - 2} — seal the oldest-unchanged modules now "
+        f"(candidates: any module >= 5 rounds untouched; see "
+        f"_SEALED_ENTRIES criteria)")
     # the declared window must BE what derive_window computes (guards
     # against a drifting override left behind after an emergency; the
     # sort key ends on the entry name, so input order is irrelevant)
