@@ -300,17 +300,24 @@ def _eval_src(ip, env, src=NOMATCH):
 
 @builtin("$abs", 1, ctx_default=True)
 def _abs(ip, env, n=NOMATCH):
-    return abs(_n(n, "$abs"))
+    # check_i64: $abs(-2^63) leaves the int64 domain — Spark ANSI abs
+    # on LONG min raises; the driver refuses the same program
+    from ..lang.interp import check_i64
+    return check_i64(abs(_n(n, "$abs")), "$abs result")
 
 
 @builtin("$ceil", 1, ctx_default=True)
 def _ceil(ip, env, n=NOMATCH):
-    return int(math.ceil(_n(n, "$ceil")))
+    # Spark ceil(double) returns LONG under ANSI — a double past 2^63
+    # raises there, so the integralized result is i64-guarded here
+    from ..lang.interp import check_i64
+    return check_i64(int(math.ceil(_n(n, "$ceil"))), "$ceil result")
 
 
 @builtin("$floor", 1, ctx_default=True)
 def _floor(ip, env, n=NOMATCH):
-    return int(math.floor(_n(n, "$floor")))
+    from ..lang.interp import check_i64
+    return check_i64(int(math.floor(_n(n, "$floor"))), "$floor result")
 
 
 @builtin("$round", 1, ctx_default=True)
@@ -582,7 +589,10 @@ def _sum(ip, env, arr=NOMATCH):
     vals = [_n(x, "$sum") for x in as_array(arr)]
     total = sum(vals)
     if all(isinstance(v, int) for v in vals):
-        return int(total)
+        # all-integer sums stay in the int64 domain (Spark's LONG sum
+        # raises ANSI ARITHMETIC_OVERFLOW past 2^63; so do we)
+        from ..lang.interp import check_i64
+        return check_i64(int(total), "$sum result")
     return float(total)
 
 

@@ -389,6 +389,25 @@ class ColumnCompiler:
         return self._call(n, ctx)
 
     def _num_agg(self, arr: CV, kind: str) -> CV:
+        # integral arrays keep INTEGRAL sum/max/min (r16: the int64
+        # boundary is defined, not documented — a double-path sum of
+        # big longs silently lost low bits where the driver computes
+        # exactly and Spark's LONG sum raises ANSI overflow past 2^63,
+        # matching the driver's check_i64). $average stays double.
+        elem_t = (arr.dtype.elementType
+                  if isinstance(arr.dtype, T.ArrayType) else arr.dtype)
+        integral = isinstance(
+            elem_t, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+        if integral and kind in ("sum", "max", "min"):
+            col = F.transform(arr.col, lambda x: x.cast("long"))
+            if kind == "sum":
+                out = F.aggregate(col, F.lit(0).cast("long"),
+                                  lambda a, x: a + x)
+            elif kind == "max":
+                out = F.array_max(col)
+            else:
+                out = F.array_min(col)
+            return CV(out, T.LongType())
         col = F.transform(arr.col, lambda x: x.cast("double"))
         if kind == "sum":
             out = F.aggregate(col, F.lit(0.0), lambda a, x: a + x)

@@ -30,6 +30,30 @@ class RMError(ValueError):
     pass
 
 
+#: the language's integral type is the 64-bit long (r15 verdict item
+#: #6 — previously "documented boundary", now DEFINED): the column
+#: compiler runs integral arithmetic in LONG under Spark ANSI (raises
+#: ARITHMETIC_OVERFLOW past 2^63) and the reference runs on JVM checked
+#: longs (clojure.core/* etc. throw ArithmeticException), so the driver
+#: evaluator RAISES instead of silently continuing in Python bignums —
+#: all three engines refuse the same programs.
+I64_MIN = -(2 ** 63)
+I64_MAX = 2 ** 63 - 1
+
+
+def check_i64(res, what: str):
+    """Raise RMError if an INTEGRAL result left the int64 domain
+    (floats pass through untouched — the double path is IEEE in every
+    engine). Returns res for expression-style use."""
+    if isinstance(res, int) and not isinstance(res, bool) \
+            and not (I64_MIN <= res <= I64_MAX):
+        raise RMError(
+            f"integer overflow: {what} = {res} exceeds the 64-bit "
+            f"integer domain (Spark ANSI raises ARITHMETIC_OVERFLOW "
+            f"here; the reference's JVM checked longs throw the same)")
+    return res
+
+
 # ---------------------------------------------------------------- values
 
 @dataclass
@@ -160,7 +184,10 @@ class Interp:
 
     # ------------------------------------------------------------ atoms
     def _eval_Lit(self, n: A.Lit, env: Env):
-        return n.value
+        # integer literals live in the language's int64 domain too —
+        # the column compiler's F.lit refuses a Python int past 2^63,
+        # so the driver refuses the same program (floats untouched)
+        return check_i64(n.value, "integer literal")
 
     def _eval_RegexLit(self, n: A.RegexLit, env: Env):
         return RMRegex(n.pattern, n.flags)
@@ -305,7 +332,7 @@ class Interp:
                 return NOMATCH
             if not isinstance(v, (int, float)) or isinstance(v, bool):
                 raise RMError("cannot negate a non-number")
-            return -v
+            return check_i64(-v, f"-({v})")
         raise RMError(f"unknown unary op {n.op}")
 
     # ------------------------------------------------------------ calls
@@ -432,16 +459,24 @@ class Interp:
                 or isinstance(l, bool) or isinstance(r, bool):
             raise RMError(f"arithmetic {op} needs numbers, got {l!r}, {r!r}")
         if op == "+":
-            return l + r
+            return check_i64(l + r, f"{l} + {r}")
         if op == "-":
-            return l - r
+            return check_i64(l - r, f"{l} - {r}")
         if op == "*":
-            return l * r
+            return check_i64(l * r, f"{l} * {r}")
         if op == "/":
             return l / r  # always double (reference builtin.cljc:144-147)
         if op == "%":
             if isinstance(l, int) and isinstance(r, int):
-                return int(math.fmod(l, r))
+                if r == 0:
+                    raise RMError("modulo by zero")
+                # EXACT truncated remainder (sign of dividend, the JS /
+                # Spark semantics). Previously int(math.fmod(l, r)) —
+                # fmod converts through double, so near-2^63 operands
+                # lost low bits and silently forked from Spark's exact
+                # long % (found by the r16 boundary-literal fuzz).
+                m = abs(l) % abs(r)
+                return -m if l < 0 else m
             return math.fmod(l, r)  # JS-style: sign of dividend
         raise RMError(op)
 

