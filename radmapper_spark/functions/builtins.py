@@ -331,7 +331,14 @@ def _round(ip, env, n=NOMATCH, precision=0):
     d = decimal.Decimal(repr(n)).quantize(
         decimal.Decimal(1).scaleb(-p), rounding=decimal.ROUND_HALF_EVEN)
     if p <= 0:
-        return int(d)
+        # integralize only inside the int64 domain: the column twin
+        # (F.bround on DOUBLE) keeps double, so a huge rounded value
+        # must stay float here too — returning a Python bignum would
+        # leak past the language's defined integer boundary and make
+        # downstream guarded arithmetic refuse programs Spark computes
+        from ..lang.interp import I64_MAX, I64_MIN
+        i = int(d)
+        return i if I64_MIN <= i <= I64_MAX else float(d)
     return float(d)
 
 
@@ -587,13 +594,20 @@ def _parse_integer(ip, env, s=NOMATCH, picture=""):
 @builtin("$sum", 1, ctx_default=True)
 def _sum(ip, env, arr=NOMATCH):
     vals = [_n(x, "$sum") for x in as_array(arr)]
-    total = sum(vals)
     if all(isinstance(v, int) for v in vals):
-        # all-integer sums stay in the int64 domain (Spark's LONG sum
-        # raises ANSI ARITHMETIC_OVERFLOW past 2^63; so do we)
+        # all-integer sums run as a LEFT FOLD with a PER-STEP int64
+        # guard — not a bignum total checked once at the end: Spark's
+        # aggregate(0L, a + x) raises ANSI ARITHMETIC_OVERFLOW the
+        # moment a PARTIAL sum leaves the domain (and the reference's
+        # checked-long reduce throws the same), so a list like
+        # [2^63-1, 1, -2] whose final total fits must still be refused
+        # (r16 review finding, reproduced by the boundary fuzz)
         from ..lang.interp import check_i64
-        return check_i64(int(total), "$sum result")
-    return float(total)
+        total = 0
+        for v in vals:
+            total = check_i64(total + v, "$sum partial")
+        return total
+    return float(sum(vals))
 
 
 @builtin("$max", 1, ctx_default=True)

@@ -365,12 +365,21 @@ class ColumnCompiler:
             for i in items:
                 if i.is_seq and isinstance(i.dtype, T.ArrayType):
                     segs.append(i.col)
-                    et = et or i.dtype.elementType
+                    t = i.dtype.elementType
                 else:
                     segs.append(F.array(i.col))
-                    et = et or i.dtype
+                    t = i.dtype
+                # COMMON type across all elements, not first-wins:
+                # F.array/concat coerce mixed numerics to double at
+                # runtime, and a declared LongType on a physically-
+                # double array sent _num_agg down the integral path
+                # (saturating casts turned [2^63-1, 0.0, -(2^63-1)]
+                # into -1; r16 boundary fuzz find)
+                et = t if et is None else self._common_dtype(et, t)
             return CV(F.concat(*segs), T.ArrayType(et) if et else None)
-        et = items[0].dtype if items else None
+        et = None
+        for i in items:
+            et = i.dtype if et is None else self._common_dtype(et, i.dtype)
         return CV(F.array(*[i.col for i in items]), T.ArrayType(et) if et else None)
 
     def _c_ObjLit(self, n: A.ObjLit, ctx) -> CV:

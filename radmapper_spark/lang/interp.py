@@ -477,6 +477,11 @@ class Interp:
                 # long % (found by the r16 boundary-literal fuzz).
                 m = abs(l) % abs(r)
                 return -m if l < 0 else m
+            if r == 0:
+                # Spark ANSI raises REMAINDER_BY_ZERO for DOUBLE %0
+                # too (verified empirically) — one refusal message for
+                # both numeric paths instead of fmod's bare ValueError
+                raise RMError("modulo by zero")
             return math.fmod(l, r)  # JS-style: sign of dividend
         raise RMError(op)
 

@@ -416,7 +416,12 @@ GOPHER_TOP_GRAM_RATIOS = ((2, (20, 100)),   # top 2-gram chars <= 0.20
 #: k-gram join separator — \x01 cannot appear in whitespace-split words
 #: of any sane corpus; BOTH engines build gram identity from the joined
 #: string, so even a pathological \x01-bearing word conflates the same
-#: way on both sides (no cross-engine fork)
+#: way on both sides. The Spark side then sorts/compares the 64-bit
+#: xxhash of that string while DuckDB compares the string itself — a
+#: hash COLLISION between two distinct grams (~n^2/2^64 per document)
+#: would merge their runs on the Spark side only; the same accepted
+#: residual as textstats' hashed-gram counters, stated here rather
+#: than implied away (r16 review).
 _GRAM_SEP = "\x01"
 
 
@@ -441,16 +446,18 @@ def _top_gram_cover(words: Column, k: int) -> Column:
     zero = F.lit(0).cast("long")
     n = F.size(words)
     slices = [F.slice(words, j + 1, n - F.lit(k - 1)) for j in range(k)]
-
-    def _gram_str(s):
-        return F.concat_ws(_GRAM_SEP, *[s[str(j)] for j in range(k)])
-
-    grams = F.when(n >= k, F.transform(
+    # TWO transforms so the joined gram string is built ONCE per gram
+    # (lambda bodies are re-evaluated per reference — a single
+    # transform computing concat_ws for both the hash and the length
+    # doubled the gate's string work; r16 review)
+    gram_strs = F.transform(
         F.arrays_zip(*slices),
-        lambda s: F.struct(
-            F.xxhash64(_gram_str(s)).alias("h"),
-            (F.length(_gram_str(s)) - F.lit(k - 1)).cast("long")
-            .alias("c"))))
+        lambda s: F.concat_ws(_GRAM_SEP, *[s[str(j)] for j in range(k)]))
+    grams = F.when(n >= k, F.transform(
+        gram_strs,
+        lambda g: F.struct(
+            F.xxhash64(g).alias("h"),
+            (F.length(g) - F.lit(k - 1)).cast("long").alias("c"))))
 
     def _run(acc, x):
         return (F.when(x["h"] == acc["h"], acc["run"] + F.lit(1))
