@@ -302,12 +302,60 @@ class ColumnCompiler:
     def _str_col(cv: CV) -> Column:
         """JSONata number rendering for $string and `&`: integral floats
         drop the decimal part ($string(2.0) = '2'), matching the driver's
-        to_string (functions/builtins.py:74)."""
+        to_string (functions/builtins.py:74). Fractional doubles must
+        render like Python's repr, NOT Java's Double.toString — the two
+        produce the same shortest-roundtrip DIGITS but different
+        formatting: Java goes scientific at >= 1e7 (where repr stays
+        positional — a fractional double is < 2^53 so repr is positional
+        everywhere down to 1e-4) and at < 1e-3 (repr switches at < 1e-4,
+        and writes 'e-05' where Java writes 'E-5'). Found by the r16
+        boundary fuzz ($string($sqrt(2^63-1)) forked '3.037...E9' vs
+        '3037000499.97605'); the rewrite below de-scientifies /
+        re-formats Java's rendering, a pure string transform on
+        identical digits. Residuals: integral doubles beyond DECIMAL(38)
+        (> 1e38) still fork (driver prints full digits, the cast here
+        refuses), and SUBNORMALS near 5e-324 differ in DIGITS (Java's
+        Double.toString is not shortest-form down there: '4.9E-324' vs
+        repr's '5e-324') — both unreachable through int64-guarded
+        arithmetic and the fuzz grammar."""
         if isinstance(cv.dtype, (T.DoubleType, T.FloatType)):
             d = cv.col.cast("double")
+            s = d.cast("string")                   # Java rendering
+            sign = F.when(s.startswith("-"), F.lit("-")).otherwise(F.lit(""))
+            b = F.regexp_replace(s, "^-", "")
+            rx = r"^(\d)\.(\d+)E(-?\d+)$"
+            lead = F.regexp_extract(b, rx, 1)
+            frac = F.regexp_extract(b, rx, 2)
+            exps = F.regexp_extract(b, rx, 3)
+            expn = F.when(exps != "", exps.cast("int"))
+            # mantissa digits without Java's placeholder '.0'
+            fracd = F.when(frac == "0", F.lit("")).otherwise(frac)
+            digits = F.concat(lead, fracd)
+            # positive exponent (Java emits E only at exp >= 7; a
+            # FRACTIONAL double is < 2^53 so exp <= 15 and there are
+            # always digits after the shifted point): positional form
+            pos = F.concat(F.substring(digits, 1, expn + 1),
+                           F.lit("."),
+                           F.substring(digits, expn + 2, F.lit(1 << 30)))
+            # exp -4: repr is still positional ('0.000' + digits);
+            # exp <= -5: repr scientific, lowercase e, sign, 2+ digits
+            tiny = F.concat(F.lit("0.000"), digits)
+            mant = F.when(fracd == "", lead).otherwise(
+                F.concat(lead, F.lit("."), frac))
+            # NOT lpad: Spark's lpad TRUNCATES strings longer than the
+            # target width, chopping 3-digit exponents ('e-101'->'e-10')
+            es = (-expn).cast("string")
+            sci = F.concat(mant, F.lit("e-"),
+                           F.when(F.length(es) < 2,
+                                  F.concat(F.lit("0"), es)).otherwise(es))
+            frac_render = F.when(
+                exps == "", b).otherwise(
+                F.when(expn >= 1, pos)
+                .when(expn == -4, tiny)
+                .otherwise(sci))
             return F.when(d == F.floor(d),
                           d.cast("decimal(38,0)").cast("string")) \
-                .otherwise(d.cast("string"))
+                .otherwise(F.concat(sign, frac_render))
         return cv.col.cast("string")
 
     @staticmethod

@@ -297,3 +297,27 @@ def test_cdc_chunking_partitions_hypothesis(spark, toks, mod):
                  key=lambda r: r.chunk_seq)
     assert " ".join(r.chunk_text for r in out) == text
     assert sum(r.n_chunk_tokens for r in out) == len(toks)
+
+
+def test_string_double_rendering_parity(one_row_df):
+    """$string of a fractional double must render like the driver's
+    Python repr, not Java's Double.toString (r16 deep-fuzz find:
+    $string($sqrt(2^63-1)) forked '3.037...E9' vs '3037000499.97605').
+    Battery spans both Java scientific switchover points (>= 1e7,
+    < 1e-3), the repr switchover (< 1e-4), 2- and 3-digit exponents,
+    signs, and near-2^53 fractional values."""
+    vals = [3037000499.97605, 0.5, 9999999.5, 10000000.5,
+            1234567890.123, 999999999999999.9, 0.001, 0.0001, 0.00015,
+            0.000999, 1.5e-5, 5e-5, 1.5e-7, 2.5e-11, 7.123e-101,
+            1 / 3, 123456789012345.6, -3037000499.97605, -1.5e-5,
+            -0.00015, 2.2250738585072014e-308, 0.1 + 0.2,
+            4503599627370495.5]
+    bad = []
+    for v in vals:
+        src = f"$string({v!r})"
+        want = run(src)
+        got = one_row_df.select(
+            rm_column(one_row_df, src).alias("r")).head()["r"]
+        if got != want:
+            bad.append((v, got, want))
+    assert not bad, bad
