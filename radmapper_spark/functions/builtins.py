@@ -85,7 +85,21 @@ def to_string(v) -> str:
         if math.isinf(v) or math.isnan(v):
             raise RMFnError("cannot stringify non-finite number")
         if v.is_integer():
-            return str(int(v))
+            if abs(v) < 1e16:
+                return str(int(v))
+            # SHORTEST-ROUNDTRIP digits expanded positionally, like JS
+            # (the JSONata reference rendering) and the column twin's
+            # DECIMAL cast of Java's toString: str(int(v)) prints the
+            # EXACT binary expansion instead (2^63 -> ...775808 where
+            # shortest is ...776000) — r16 boundary-fuzz fork. Below
+            # 1e16 every integral double's digits are exact anyway.
+            mant, _, exp = repr(v).partition("e+")
+            if not exp:
+                return str(int(v))
+            neg = mant.startswith("-")
+            digits = mant.lstrip("-").replace(".", "")
+            out = digits + "0" * (int(exp) + 1 - len(digits))
+            return ("-" if neg else "") + out
         return repr(v)
     if isinstance(v, int):
         return str(v)

@@ -353,7 +353,10 @@ class ColumnCompiler:
                 F.when(expn >= 1, pos)
                 .when(expn == -4, tiny)
                 .otherwise(sci))
-            return F.when(d == F.floor(d),
+            # integral test via %1, NOT floor: F.floor(double) returns
+            # LONG, so integral doubles beyond 2^63 fell into the
+            # fractional path and rendered garbage (battery find)
+            return F.when((d % F.lit(1.0)) == F.lit(0.0),
                           d.cast("decimal(38,0)").cast("string")) \
                 .otherwise(F.concat(sign, frac_render))
         return cv.col.cast("string")
@@ -646,6 +649,13 @@ class ColumnCompiler:
             )
             return CV(padded, T.StringType())
         if name == "$abs":
+            # integral input runs in LONG like the binop path (r14):
+            # F.abs on an INT32-typed literal raises ANSI integer
+            # overflow at abs(-2^31) where the driver (and abs(long))
+            # compute 2^31 — found by the r16 boundary fuzz
+            if isinstance(a(0).dtype, (T.LongType, T.IntegerType,
+                                       T.ShortType, T.ByteType)):
+                return CV(F.abs(a(0).col.cast("long")), T.LongType())
             return CV(F.abs(a(0).col), a(0).dtype)
         if name == "$floor":
             return CV(F.floor(a(0).col).cast("long"), T.LongType())

@@ -232,6 +232,15 @@ def test_int64_boundary_both_engines(one_row_df):
     assert one_row_df.select(
         rm_column(one_row_df, src).alias("r")).head()["r"] == want
 
+    # $abs of INT32 MIN: the literal types as IntegerType and a bare
+    # F.abs raised ANSI INTEGER overflow where the driver computes
+    # 2^31 — the integral path must run in LONG (fuzz find)
+    src = "$abs(-2147483648)"
+    want = run(src)
+    assert want == 2 ** 31
+    assert one_row_df.select(
+        rm_column(one_row_df, src).alias("r")).head()["r"] == want
+
 
 def test_column_int_mul_beyond_int32(one_row_df):
     """Pinned hypothesis find (r14): small int literals left the
@@ -311,7 +320,12 @@ def test_string_double_rendering_parity(one_row_df):
             0.000999, 1.5e-5, 5e-5, 1.5e-7, 2.5e-11, 7.123e-101,
             1 / 3, 123456789012345.6, -3037000499.97605, -1.5e-5,
             -0.00015, 2.2250738585072014e-308, 0.1 + 0.2,
-            4503599627370495.5]
+            4503599627370495.5,
+            # INTEGRAL doubles >= 2^53: both engines print the
+            # shortest-roundtrip digits positionally (2^63 ->
+            # ...776000), NOT the exact binary expansion (...775808)
+            9223372036854775808.0, -9223372036854775808.0, 1e16,
+            9007199254740994.0, 1.23e20]
     bad = []
     for v in vals:
         src = f"$string({v!r})"
