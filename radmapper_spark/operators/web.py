@@ -413,91 +413,130 @@ GOPHER_DUP_PARA_RATIO = (3, 10)       # duplicate-paragraph fraction <= 0.30
 GOPHER_TOP_GRAM_RATIOS = ((2, (20, 100)),   # top 2-gram chars <= 0.20
                           (3, (18, 100)),   # top 3-gram chars <= 0.18
                           (4, (16, 100)))   # top 4-gram chars <= 0.16
-#: k-gram join separator — \x01 cannot appear in whitespace-split words
-#: of any sane corpus; BOTH engines build gram identity from the joined
-#: string, so even a pathological \x01-bearing word conflates the same
-#: way on both sides. The Spark side then sorts/compares the 64-bit
-#: xxhash of that string while DuckDB compares the string itself — a
-#: hash COLLISION between two distinct grams (~n^2/2^64 per document)
-#: would merge their runs on the Spark side only; the same accepted
-#: residual as textstats' hashed-gram counters, stated here rather
-#: than implied away (r16 review).
-_GRAM_SEP = "\x01"
+#: temp columns gopher_quality materializes (and drops before
+#: returning): the words / lines / paragraphs arrays and the combined
+#: per-position gram structs. Materialized as REAL columns because a
+#: Catalyst expression is re-evaluated at EVERY reference and the rule
+#: set references the words array ~26 times per row (split+filter ran
+#: ~26x per document; r16 bench audit measured the gate 2.3x faster
+#: with the arrays bound once — CollapseProject leaves multi-referenced
+#: non-cheap aliases alone, so the binding survives optimization).
+_GOPHER_TMP = ("_gopher_w", "_gopher_l", "_gopher_p", "_gopher_g")
 
 
-def _top_gram_cover(words: Column, k: int) -> Column:
-    """Top word-k-gram CHARACTER coverage: max over the document's
-    k-grams of (occurrences x gram word-chars), as a BIGINT. Row-local
-    O(n log n): build (hash, charlen) structs from the joined gram
-    string (identity AND length from ONE concat — the exact shape the
-    DuckDB twin mirrors), sort, and fold the longest-equal-run maximum
-    of run x charlen — the same sorted-run trick as
-    textstats.repetition_score's top-word count (a per-distinct-gram
-    recount would be quadratic on real text). Zero grams (n < k) or
-    NULL text cover 0.
+def _top_gram_covers(pre: DataFrame, words: Column) -> tuple:
+    """Top word-k-gram CHARACTER coverage for EVERY k in
+    GOPHER_TOP_GRAM_RATIOS: max over the document's k-grams of
+    (occurrences x gram word-chars), as BIGINTs. Returns (df, covers)
+    where df carries the materialized per-position gram structs and
+    covers maps ``cover<k>`` to its Column. Zero grams (n < k) or NULL
+    text cover 0.
 
-    Gram construction is arrays_zip over k SHIFTED SLICES of the words
-    array, NOT an index lambda over a sequence: a free expression
-    inside a higher-order-function lambda is re-evaluated PER ELEMENT
-    (both engines!), so an `element_at(words, i+j)` form re-ran the
-    whole split+filter chain once per gram — quadratic, minutes on a
-    100k-word document. The slice form evaluates words k times per ROW
-    and the lambda touches only its bound struct."""
+    ONE pass builds every k's (hash, charlen) pair (r16 verdict item
+    #3 — the per-k form built three separate gram-string arrays and
+    priced the gate at 5.8 s): arrays_zip over kmax SHIFTED full-tail
+    slices of the words array (arrays_zip null-pads the shorter
+    slices; the per-k slice below cuts the padded tail back off), then
+    one transform emits h<k> = xxhash64 over the gram's k words and
+    c<k> = the sum of their lengths. Gram identity is the multi-arg
+    xxhash64 TUPLE hash — no joined gram string is ever built; the
+    DuckDB twin compares the word lists themselves, so the only
+    cross-engine fork is a 64-bit collision merging two distinct
+    grams' runs on the Spark side (~n^2/2^64 per document — the same
+    accepted residual as textstats' hashed-gram counters).
+
+    Per k the cover is then the longest-equal-run maximum of
+    run x charlen over the sorted (hash, charlen) structs — row-local
+    O(n log n), the same sorted-run trick as textstats
+    .repetition_score (a per-distinct-gram recount would be quadratic
+    on real text). Two expression-evaluation traps shape the code: a
+    free expression inside a higher-order-function lambda is
+    re-evaluated PER ELEMENT (both engines!), so gram construction
+    must be shifted slices, never `element_at(words, i+j)` (quadratic
+    — minutes on a 100k-word document); and the combined gram array is
+    re-evaluated at every REFERENCE, so it is materialized as a column
+    before the three per-k consumers touch it (the inline form
+    re-built the zip+hash pass three times and measured SLOWER than
+    three independent passes)."""
+    ks = [k for k, _ in GOPHER_TOP_GRAM_RATIOS]
+    kmax = max(ks)
     zero = F.lit(0).cast("long")
     n = F.size(words)
-    slices = [F.slice(words, j + 1, n - F.lit(k - 1)) for j in range(k)]
-    # TWO transforms so the joined gram string is built ONCE per gram
-    # (lambda bodies are re-evaluated per reference — a single
-    # transform computing concat_ws for both the hash and the length
-    # doubled the gate's string work; r16 review)
-    gram_strs = F.transform(
-        F.arrays_zip(*slices),
-        lambda s: F.concat_ws(_GRAM_SEP, *[s[str(j)] for j in range(k)]))
-    grams = F.when(n >= k, F.transform(
-        gram_strs,
-        lambda g: F.struct(
-            F.xxhash64(g).alias("h"),
-            (F.length(g) - F.lit(k - 1)).cast("long").alias("c"))))
+    slices = [F.slice(words, j + 1, F.greatest(n - F.lit(j), F.lit(0)))
+              for j in range(kmax)]
+
+    def gram_struct(s):
+        fields = []
+        for k in ks:
+            ws = [s[str(j)] for j in range(k)]
+            fields.append(F.xxhash64(*ws).alias(f"h{k}"))
+            c = F.length(ws[0])
+            for w in ws[1:]:
+                c = c + F.length(w)
+            fields.append(c.cast("long").alias(f"c{k}"))
+        return F.struct(*fields)
+
+    pre = pre.withColumn(_GOPHER_TMP[3],
+                         F.transform(F.arrays_zip(*slices), gram_struct))
+    comb = F.col(_GOPHER_TMP[3])
+    nb = F.size(comb)
 
     def _run(acc, x):
         return (F.when(x["h"] == acc["h"], acc["run"] + F.lit(1))
                 .otherwise(F.lit(1)).cast("long"))
 
-    best = F.aggregate(
-        F.array_sort(grams),
-        F.struct(zero.alias("h"), zero.alias("c"),
-                 zero.alias("run"), zero.alias("best")),
-        lambda acc, x: F.struct(
-            x["h"].alias("h"), x["c"].alias("c"),
-            _run(acc, x).alias("run"),
-            F.greatest(acc["best"], _run(acc, x) * x["c"]).alias("best")),
-        lambda acc: acc["best"])
-    return F.coalesce(best, zero)
+    def _pick(k):
+        def f(x):
+            return F.struct(x[f"h{k}"].alias("h"), x[f"c{k}"].alias("c"))
+        return f
+
+    covers = {}
+    for k in ks:
+        pairs = F.transform(
+            F.slice(comb, 1, F.greatest(nb - F.lit(k - 1), F.lit(0))),
+            _pick(k))
+        best = F.aggregate(
+            F.array_sort(pairs),
+            F.struct(zero.alias("h"), zero.alias("run"),
+                     zero.alias("best")),
+            lambda acc, x: F.struct(
+                x["h"].alias("h"),
+                _run(acc, x).alias("run"),
+                F.greatest(acc["best"],
+                           _run(acc, x) * x["c"]).alias("best")),
+            lambda acc: acc["best"])
+        covers[f"cover{k}"] = F.coalesce(best, zero)
+    return pre, covers
 
 
 def _duck_top_gram_cover(words: str, k: int) -> str:
-    """DuckDB twin of _top_gram_cover, as a correlated scalar
-    subquery. Two DuckDB 1.0 performance facts shape it (both found
-    empirically): (a) a free expression inside a list lambda is
-    re-evaluated per ELEMENT, so the words expression must be bound to
-    a subquery column before any lambda touches it; (b) list_reduce
-    materializes a shrinking list per step (quadratic on 100k-gram
-    documents), so the sorted-run maximum is computed WITHOUT a fold:
-    mark run STARTS by comparing each sorted gram to its predecessor,
-    then max over starts of (next_start - start) x gram charlen — all
-    linear list_transform/list_filter passes. sg[0] is NULL and
-    `i = 1 OR ...` short-circuits, so the first element is always a
-    start."""
-    grams = (f"CASE WHEN len(_gw) < {k} THEN []::VARCHAR[] ELSE "
-             f"list_transform(range(1, len(_gw) - {k} + 2), i -> "
-             + " || chr(1) || ".join(f"_gw[i+{j}]" if j else "_gw[i]"
-                                     for j in range(k))
-             + " ) END")
+    """DuckDB twin of _top_gram_covers' per-k cover, as a correlated
+    scalar subquery. Gram identity is the gram's word LIST (list
+    equality on the sorted list-of-lists — the tuple identity the
+    Spark side hashes; charlen = sum of the gram's word lengths,
+    evaluated only at run starts). Two DuckDB 1.0 performance facts
+    shape it (both found empirically): (a) a free expression inside a
+    list lambda is re-evaluated per ELEMENT, so the words expression
+    must be bound to a subquery column before any lambda touches it;
+    (b) list_reduce materializes a shrinking list per step (quadratic
+    on 100k-gram documents), so the sorted-run maximum is computed
+    WITHOUT a fold: mark run STARTS by comparing each sorted gram to
+    its predecessor, then max over starts of (next_start - start) x
+    gram charlen — all linear list_transform/list_filter passes.
+    sg[0] is NULL and `i = 1 OR ...` short-circuits, so the first
+    element is always a start."""
+    gram_items = ", ".join(f"_gw[i+{j}]" if j else "_gw[i]"
+                           for j in range(k))
+    grams = (f"CASE WHEN len(_gw) < {k} THEN []::VARCHAR[][] ELSE "
+             f"list_transform(range(1, len(_gw) - {k} + 2), "
+             f"i -> [{gram_items}]) END")
     return f"""(
  SELECT coalesce(list_max(list_transform(range(1, len(starts) + 1),
           j -> ((CASE WHEN j < len(starts) THEN starts[j+1]
                  ELSE len(sg) + 1 END) - starts[j])
-               * (len(sg[starts[j]]) - {k - 1})::BIGINT)), 0)::BIGINT
+               * list_sum(list_transform(sg[starts[j]],
+                                         w -> len(w)))::BIGINT)),
+        0)::BIGINT
  FROM (SELECT list_filter(list_transform(range(1, len(sg) + 1),
          i -> CASE WHEN i = 1 OR sg[i] <> sg[i-1] THEN i END),
          x -> x IS NOT NULL) AS starts, sg
@@ -505,18 +544,32 @@ def _duck_top_gram_cover(words: str, k: int) -> str:
              FROM (SELECT {words} AS _gw) _gq0) _gq1) _gq2)"""
 
 
-def _gopher_fields(text: Column) -> dict:
+def _gopher_fields(pre: DataFrame, text: Column) -> tuple:
     """The per-document Gopher metrics as named Columns over ONE words
-    array and ONE lines array (computed once, reused by every rule)."""
+    array, ONE lines array and ONE paragraphs array — MATERIALIZED as
+    temp columns on ``pre`` (see _GOPHER_TMP: an expression is
+    re-evaluated at every reference, so the split+filter chains must
+    be bound once per row, not once per rule). Returns (df, fields)."""
     t = F.coalesce(text, F.lit(""))
-    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
     # explicit lambda: F.trim grew an optional second parameter in
     # Spark 4, so passing it BARE to transform binds the array index
     # as the trim-charset (trim(l, '0') for the first line!) — found
     # by the per-rule differential test
-    lines = F.filter(F.transform(F.split(t, "\n"),
-                                 lambda l: F.trim(l)),
-                     lambda l: l != "")
+    pre = (pre
+           .withColumn(_GOPHER_TMP[0],
+                       F.filter(F.split(F.trim(t), r"\s+"),
+                                lambda w: w != ""))
+           .withColumn(_GOPHER_TMP[1],
+                       F.filter(F.transform(F.split(t, "\n"),
+                                            lambda l: F.trim(l)),
+                                lambda l: l != ""))
+           .withColumn(_GOPHER_TMP[2],
+                       F.filter(F.transform(F.split(t, r"\n{2,}"),
+                                            lambda p: F.trim(p)),
+                                lambda p: p != "")))
+    words = F.col(_GOPHER_TMP[0])
+    lines = F.col(_GOPHER_TMP[1])
+    paras = F.col(_GOPHER_TMP[2])
     n_words = F.size(words).cast("long")
     sum_len = F.aggregate(words, F.lit(0).cast("long"),
                           lambda acc, w: acc + F.length(w))
@@ -547,19 +600,16 @@ def _gopher_fields(text: Column) -> dict:
     # non-empty — same lambda shape both engines
     n_dup_lines = (n_lines
                    - F.size(F.array_distinct(lines))).cast("long")
-    paras = F.filter(F.transform(F.split(t, r"\n{2,}"),
-                                 lambda p: F.trim(p)),
-                     lambda p: p != "")
     n_paras = F.size(paras).cast("long")
     n_dup_paras = (n_paras
                    - F.size(F.array_distinct(paras))).cast("long")
-    covers = {f"cover{k}": _top_gram_cover(words, k)
-              for k, _ in GOPHER_TOP_GRAM_RATIOS}
-    return {"n_words": n_words, "sum_len": sum_len, "n_alpha": n_alpha,
-            "n_symbols": n_hash + n_ell_occ, "n_lines": n_lines,
-            "n_bullet": n_bullet, "n_ell_lines": n_ell_lines,
-            "n_stop": n_stop, "n_dup_lines": n_dup_lines,
-            "n_paras": n_paras, "n_dup_paras": n_dup_paras, **covers}
+    pre, covers = _top_gram_covers(pre, words)
+    return pre, {"n_words": n_words, "sum_len": sum_len,
+                 "n_alpha": n_alpha, "n_symbols": n_hash + n_ell_occ,
+                 "n_lines": n_lines, "n_bullet": n_bullet,
+                 "n_ell_lines": n_ell_lines, "n_stop": n_stop,
+                 "n_dup_lines": n_dup_lines, "n_paras": n_paras,
+                 "n_dup_paras": n_dup_paras, **covers}
 
 
 def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -581,7 +631,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     of total word chars. Line/paragraph/gram rules pass vacuously on
     documents with zero lines/paragraphs/grams (word count already
     fails those)."""
-    g = _gopher_fields(F.col(text_col))
+    pre, g = _gopher_fields(df, F.col(text_col))
     sn, sd = GOPHER_SYMBOL_RATIO
     bn, bd = GOPHER_BULLET_RATIO
     en, ed = GOPHER_ELLIPSIS_RATIO
@@ -602,7 +652,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     ok_grams = {
         f"ok_top{k}gram": g[f"cover{k}"] * den <= g["sum_len"] * num
         for k, (num, den) in GOPHER_TOP_GRAM_RATIOS}
-    out = (df.withColumn("n_words", g["n_words"])
+    out = (pre.withColumn("n_words", g["n_words"])
            .withColumn("n_lines", g["n_lines"])
            .withColumn("ok_words", ok_words)
            .withColumn("ok_mean_word_len", ok_mwl)
@@ -622,7 +672,7 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
             & F.col("ok_dup_paras"))
     for name in ok_grams:
         conj = conj & F.col(name)
-    return out.withColumn("gopher_pass", conj)
+    return out.withColumn("gopher_pass", conj).drop(*_GOPHER_TMP)
 
 
 def duck_gopher_exprs(text_expr: str) -> dict:
