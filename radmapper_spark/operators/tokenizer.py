@@ -17,7 +17,11 @@ Scale shape (the DSIR bounded-broadcast-table contract):
 - APPLY: merges ship as an ARRAY LITERAL inside a pure-Catalyst
   ``aggregate`` fold (string ``replace`` per merge, in rank order) —
   map-only, zero shuffle, zero Python; at 100 TB tokenization is part
-  of the corpus scan.
+  of the corpus scan. The fold runs ONCE over the whole document's
+  space-joined symbol sequence (not per word): merge symbols are
+  [a-z0-9]+ only, so no merge pattern can match across a wrapped
+  space, and the doc-level fold is positionally identical to per-word
+  folding while paying the wrap/fold/split passes once per document.
 
 The symbol-sequence encoding makes one BPE merge equal ONE string
 replace: a word's symbol sequence is rendered ``|s1||s2||s3|`` (every
@@ -117,59 +121,71 @@ def _merge_fold(col, merges):
                        lambda acc, m: F.replace(acc, m["pat"], m["rep"]))
 
 
-def bpe_token_expr(word_col, merges):
-    """Column expression: number of BPE tokens for one normalized word.
-    seq -> fold merges -> count symbols = '|' chars / 2."""
-    seq = F.regexp_replace(word_col, "(.)", r"|$1|")
-    folded = _merge_fold(seq, merges)
-    return ((F.length(folded)
-             - F.length(F.replace(folded, F.lit("|"), F.lit("")))) / 2) \
-        .cast("bigint")
-
-
 def bpe_token_counts(docs: DataFrame, merges, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Per-document EXACT BPE token counts under a trained merge table:
     (id_col, n_words, n_tokens). Documents with no normalized words
     emit no row (mirrored by the oracle's join-through-words shape).
-    Map-only: the fold runs inline per word occurrence — no
-    distinct-words join, no shuffle beyond the input scan."""
-    toks = _norm_words(F.col(text_col))
-    per_word = F.transform(toks, lambda w: bpe_token_expr(w, merges))
+    Map-only: ONE doc-level fold in the input scan — no distinct-words
+    join, no shuffle, and no split at all: total symbols fall out of
+    the folded sequence's '|' count (len - len(without '|')) / 2, and
+    the space symbols the doc-level encoding adds are exactly
+    n_words - 1 (merges are [a-z0-9]+ only, so the fold never touches
+    a space), so n_tokens = symbols - (n_words - 1)."""
+    folded = _merge_fold(_doc_seq(F.col(text_col)), merges)
+    n_words = F.size(_norm_words(F.col(text_col)))
+    symbols = ((F.length("_f")
+                - F.length(F.replace(F.col("_f"), F.lit("|"), F.lit(""))))
+               / 2).cast("bigint")
     return (docs
-            .select(F.col(id_col), toks.alias("_w"), per_word.alias("_n"))
-            .filter(F.size("_w") > 0)
+            .select(F.col(id_col), n_words.alias("_w"), folded.alias("_f"))
+            .filter(F.col("_w") > 0)
             .select(F.col(id_col),
-                    F.size("_w").cast("bigint").alias("n_words"),
-                    F.aggregate("_n", F.lit(0).cast("bigint"),
-                                lambda a, x: a + x).alias("n_tokens")))
+                    F.col("_w").cast("bigint").alias("n_words"),
+                    (symbols - (F.col("_w") - F.lit(1)).cast("bigint"))
+                    .alias("n_tokens")))
 
 
-def _word_token_arrays(text_col, merges):
-    """Column expression: array-of-arrays — each normalized word's BPE
-    token list (wrap chars, fold merges, split on the doubled
-    separator). ONE owner for the wrap/fold/split expression shared by
-    bpe_tokenize and bpe_chunk_documents (a second copy could silently
-    desynchronize chunking from tokenization if the seq encoding ever
-    changes — r11 review)."""
-    return F.transform(
-        _norm_words(text_col),
-        lambda w: F.split(
-            F.btrim(_merge_fold(F.regexp_replace(w, "(.)", r"|$1|"),
-                                merges), F.lit("|")),
-            r"\|\|"))
+def _doc_seq(text_col):
+    """Column expression: the whole document's '|'-wrapped symbol
+    sequence — normalized words joined by single spaces, then EVERY
+    character (spaces included) wrapped. Because merge symbols are
+    [a-z0-9]+ only, no merge pattern ``|a||b|`` can ever match across a
+    wrapped space ``| |``, so folding this ONE string is positionally
+    identical to folding each word separately — but pays the wrap
+    regex, the 16 replaces and the final split ONCE per document
+    instead of once per word through an interpreted per-word lambda
+    (r17 optimization: 2.85 -> 1.84 s on the sf0.1 chunker A/B)."""
+    return F.regexp_replace(F.array_join(_norm_words(text_col), " "),
+                            "(.)", r"|$1|")
+
+
+def _doc_tokens(text_col, merges):
+    """Column expression: the document's flat BPE token array (wrap
+    chars, fold merges doc-level, split on the doubled separator, drop
+    the space symbols). ONE owner for the wrap/fold/split expression
+    shared by bpe_tokenize and bpe_chunk_documents (a second copy could
+    silently desynchronize chunking from tokenization if the seq
+    encoding ever changes — r11 review). The ``t != ""`` arm keeps the
+    no-words document mapping to an EMPTY array (split("") yields [""]),
+    matching the old per-word path; the fold itself can never produce
+    an empty symbol."""
+    return F.filter(
+        F.split(F.btrim(_merge_fold(_doc_seq(text_col), merges),
+                        F.lit("|")), r"\|\|"),
+        lambda t: (t != " ") & (t != ""))
 
 
 def bpe_tokenize(docs: DataFrame, merges, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-document BPE token arrays: (id_col, tokens array<string>).
-    Same map-only fold as bpe_token_counts, emitting the symbols
-    themselves (split the folded sequence on the doubled separator)."""
+    Same map-only doc-level fold as bpe_token_counts, emitting the
+    symbols themselves (split the folded sequence on the doubled
+    separator, drop the space symbols)."""
     return (docs.select(F.col(id_col),
-                        _word_token_arrays(F.col(text_col), merges)
-                        .alias("_t"))
+                        _doc_tokens(F.col(text_col), merges).alias("_t"))
             .filter(F.size("_t") > 0)
-            .select(F.col(id_col), F.flatten("_t").alias("tokens")))
+            .select(F.col(id_col), F.col("_t").alias("tokens")))
 
 
 def bpe_chunk_documents(docs: DataFrame, merges,
@@ -184,14 +200,13 @@ def bpe_chunk_documents(docs: DataFrame, merges,
     chunk_documents: (doc_id, chunk_seq 1-based, chunk_start in TOKEN
     units, n_chunk_tokens, chunk_text = space-joined BPE tokens).
 
-    Plan shape: the same map-only fold as bpe_tokenize builds each
-    document's token array in the corpus scan, then a transform over
-    window starts + posexplode — zero shuffle, zero Python, merges
+    Plan shape: the same map-only doc-level fold as bpe_tokenize builds
+    each document's token array in the corpus scan, then a transform
+    over window starts + posexplode — zero shuffle, zero Python, merges
     broadcast as a literal. Documents with no normalized words emit no
     chunks."""
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
-    per_word = _word_token_arrays(F.col(text_col), merges)
     n = F.size("_t")
     starts = F.sequence(F.lit(0), n - F.lit(1), F.lit(int(chunk_tokens)))
     windows = F.transform(
@@ -201,7 +216,7 @@ def bpe_chunk_documents(docs: DataFrame, merges,
             F.slice(F.col("_t"), s + 1, int(chunk_tokens)).alias("win")))
     return (docs
             .select(F.col(id_col).alias("doc_id"),
-                    F.flatten(per_word).alias("_t"))
+                    _doc_tokens(F.col(text_col), merges).alias("_t"))
             .filter(F.size("_t") > 0)
             .select("doc_id", F.posexplode(windows).alias("chunk_seq", "_c"))
             .select("doc_id",
