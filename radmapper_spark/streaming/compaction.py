@@ -42,10 +42,11 @@ replay determinism:
 
 Operational contract (same as compact_minhash_index): run OUT OF BAND
 — between micro-batches or while the stream is stopped; probes in
-flight during the swap are the caller's exclusion to manage. Passing
-an explicit ``upto`` above the max present id folds EVERYTHING
-including a possibly-uncommitted tail and is only safe when the stream
-is stopped with all batches committed.
+flight during the swap are the caller's exclusion to manage. An
+explicit ``upto`` above the max present id would fold EVERYTHING
+including a possibly-uncommitted tail; that is refused unless
+``allow_uncommitted_tail=True`` is passed, which is only safe when the
+stream is stopped with all batches committed.
 
 Reference: the reference repo has no streaming; this is maintenance
 for this repo's own incremental-admission state contract.
@@ -67,7 +68,8 @@ _SEED_BATCH_ID = -1
 
 def compact_batch_partitions(spark: SparkSession, path: str, schema: str,
                              fold: Callable[[DataFrame], DataFrame],
-                             upto: Optional[int] = None) -> dict:
+                             upto: Optional[int] = None, *,
+                             allow_uncommitted_tail: bool = False) -> dict:
     """Generic per-batch-partitioned state compactor: rows with
     ``_rm_batch_id < upto`` are re-homed (via ``fold``, the table's own
     probe reduction — distinct for membership indexes, a pre-sum for
@@ -89,12 +91,25 @@ def compact_batch_partitions(spark: SparkSession, path: str, schema: str,
             f"silently drop them (see the loops' start-time guard). "
             f"Rebuild the table via its build_* helper instead of "
             f"compacting it.")
+    mx = df.agg(F.max(_BATCH_COL)).first()[0]
+    if mx is None:
+        return {"rows_before": 0, "rows_after": 0,
+                "rows_removed": 0, "batches_folded": 0}
     if upto is None:
-        mx = df.agg(F.max(_BATCH_COL)).first()[0]
-        if mx is None:
-            return {"rows_before": 0, "rows_after": 0,
-                    "rows_removed": 0, "batches_folded": 0}
         upto = int(mx)
+    elif upto > int(mx) and not allow_uncommitted_tail:
+        # only the MAX present partition can be a crashed batch's
+        # half-write (batches commit in order); a watermark above it
+        # would fold that possibly-uncommitted tail into the seed, and
+        # the replaying batch would then see its own partial state as
+        # prior history. Folding it is only safe when the stream is
+        # stopped with all batches committed — demand the explicit
+        # opt-in instead of trusting a docstring.
+        raise ValueError(
+            f"upto={upto} is above the max present batch id ({int(mx)}) "
+            f"at {path}: folding the tail partition is only safe when "
+            f"the stream is stopped with all batches committed; pass "
+            f"allow_uncommitted_tail=True to opt in.")
     old = df.filter(F.col(_BATCH_COL) < upto)
     n_old_batches = old.select(_BATCH_COL).distinct().count()
     if n_old_batches <= 1:
@@ -122,34 +137,40 @@ def compact_batch_partitions(spark: SparkSession, path: str, schema: str,
 
 
 def compact_url_index(spark: SparkSession, path: str,
-                      upto: Optional[int] = None) -> dict:
+                      upto: Optional[int] = None, *,
+                      allow_uncommitted_tail: bool = False) -> dict:
     """Compact the crawl loop's url-hash dedup index
     (streaming/crawl.py): membership is the probe question, so the
     fold is DISTINCT on the hash."""
     return compact_batch_partitions(
         spark, path, _crawl._URL_IDX_SCHEMA,
-        lambda old: old.select("url_hash").distinct(), upto)
+        lambda old: old.select("url_hash").distinct(), upto,
+        allow_uncommitted_tail=allow_uncommitted_tail)
 
 
 def compact_host_counts(spark: SparkSession, path: str,
-                        upto: Optional[int] = None) -> dict:
+                        upto: Optional[int] = None, *,
+                        allow_uncommitted_tail: bool = False) -> dict:
     """Compact the crawl loop's per-batch host-counts table: the probe
     SUMs ``n`` per host over non-self partitions, so the fold is the
     same exact BIGINT pre-sum."""
     return compact_batch_partitions(
         spark, path, _crawl._HOST_CNT_SCHEMA,
         lambda old: old.groupBy("host")
-        .agg(F.sum("n").cast("long").alias("n")), upto)
+        .agg(F.sum("n").cast("long").alias("n")), upto,
+        allow_uncommitted_tail=allow_uncommitted_tail)
 
 
 def compact_normhash_index(spark: SparkSession, path: str,
-                           upto: Optional[int] = None) -> dict:
+                           upto: Optional[int] = None, *,
+                           allow_uncommitted_tail: bool = False) -> dict:
     """Compact the text-ingest loop's norm-hash dedup index
     (streaming/ingest.py) — distinct-membership fold, like the url
     index."""
     return compact_batch_partitions(
         spark, path, _ingest._IDX_SCHEMA,
-        lambda old: old.select("norm_hash").distinct(), upto)
+        lambda old: old.select("norm_hash").distinct(), upto,
+        allow_uncommitted_tail=allow_uncommitted_tail)
 
 
 def compact_stream_state(spark: SparkSession, *,

@@ -84,6 +84,27 @@ def test_compact_explicit_upto_keeps_tail(spark, tmp_path):
     assert {r["norm_hash"] for r in after.collect()} == {1, 2, 3, 4, 5}
 
 
+def test_compact_upto_above_max_refused_without_optin(spark, tmp_path):
+    """A watermark above the max present batch id would fold a
+    possibly-uncommitted (about-to-replay) tail partition into the seed;
+    that is refused unless allow_uncommitted_tail=True opts in."""
+    path = str(tmp_path / "tidx")
+    _write_state(spark, path, ingest._IDX_SCHEMA, {
+        -1: [(1,)], 0: [(2,)], 1: [(3,)],
+    })
+    with pytest.raises(ValueError, match="allow_uncommitted_tail"):
+        compaction.compact_normhash_index(spark, path, upto=5)
+    # nothing was touched by the refusal
+    assert _batch_parts(path) == [-1, 0, 1]
+    # the explicit opt-in folds everything below the watermark
+    res = compaction.compact_normhash_index(
+        spark, path, upto=5, allow_uncommitted_tail=True)
+    assert res["batches_folded"] == 3
+    assert _batch_parts(path) == [-1]
+    after = spark.read.schema(ingest._IDX_SCHEMA).parquet(path)
+    assert {r["norm_hash"] for r in after.collect()} == {1, 2, 3}
+
+
 def test_compact_noop_cases(spark, tmp_path):
     """Empty table and nothing-below-watermark are no-ops (no swap, no
     rewrite) — and the umbrella helper reports per-table results."""

@@ -126,6 +126,25 @@ def test_bpe_chunk_documents_windows(spark):
         assert stream == toks[d]  # chunks re-concatenate to the stream
 
 
+def test_bpe_doc_fold_never_merges_across_word_boundary(spark):
+    """The r17 doc-level fold runs the merge fold ONCE over the
+    document's space-joined symbol sequence instead of once per word;
+    the wrapped space symbol must block a merge whose pair straddles two
+    words, and the pipe-count token arithmetic must agree with the
+    materialized token arrays."""
+    docs = _docs(spark, [(1, "ab ab ab a b"), (2, "!!! ???")])
+    merges = tk.bpe_train(docs, n_merges=1, top_words=10)
+    assert merges == [("a", "b")]
+    got = {r.doc_id: r.tokens
+           for r in tk.bpe_tokenize(docs, merges).collect()}
+    # the 'ab' words fuse; the trailing 'a b' (pair split across the
+    # word boundary) must NOT fuse through the joined fold
+    assert got == {1: ["ab", "ab", "ab", "a", "b"]}
+    counts = {r.doc_id: r.n_tokens
+              for r in tk.bpe_token_counts(docs, merges).collect()}
+    assert counts == {1: 5}  # wordless doc 2 absent, count = len(tokens)
+
+
 def test_bpe_fold_matches_reference_on_random_corpora(spark):
     """Property test: for random small corpora, the Catalyst replace
     fold tokenizes every word exactly like an independent list-based
