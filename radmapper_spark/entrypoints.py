@@ -5069,9 +5069,19 @@ def pipeline_web_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, where most fetched bytes are discarded before parsing."""
     from pyspark.sql import Window
     docs = load_tables(spark, sf_dir)["documents"]
+    # DECIDE ON NARROW ROWS, ATTACH THE PAYLOAD ONCE (r17, guide §8 /
+    # §2.3 "shuffle keys and metadata instead of payloads"): the dedup
+    # window and the host-cap window need only (doc_id, canonical_url,
+    # host) — the old form carried text+source through BOTH window
+    # exchanges, shuffling the whole corpus payload twice to compare a
+    # few bytes of key. Now the two exchanges move ~40 B/row and the
+    # text is re-attached to the (host-capped, tiny) survivor set by
+    # one doc_id equi-join — at 100 TB that join shuffles survivors
+    # only (AQE broadcasts the smaller side), and extraction still
+    # runs after the cap. Same rows out: dedup/cap read nothing the
+    # narrow frame lacks.
     pages = docs.select(
-        "doc_id", "text", "source",
-        web.synth_url(F.col("doc_id")).alias("url"))
+        "doc_id", web.synth_url(F.col("doc_id")).alias("url"))
     canon = web.canonicalize_urls(pages)
     w = Window.partitionBy("canonical_url").orderBy(F.col("doc_id").asc())
     first = (canon.withColumn("_rn", F.row_number().over(w))
@@ -5081,13 +5091,16 @@ def pipeline_web_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumnRenamed("sample_rank", "host_rank"))
     # synthesize + extract only for cap survivors (the composition
     # point: parse cost follows the cheap filters)
-    paged = capped.withColumn(
+    paged = (capped.join(docs.select("doc_id", "text", "source"),
+                         "doc_id")
+             .withColumn(
         "html", web.synth_html(F.col("doc_id"), F.col("text"),
-                               F.col("source")))
+                               F.col("source"))))
     # shared extraction tail: html_extract -> C4 token floor -> Gopher
     # gate (web.extract_floor_gate — ONE definition for this entry, the
     # stream_crawl_ingest twin, and the streaming crawl loop)
-    gated = web.extract_floor_gate(paged, min_tokens=60)
+    gated = web.extract_floor_gate(paged, min_tokens=60,
+                                   pushdown_pin="host_rank")
     return gated.select("doc_id", "canonical_url", "host", "host_rank",
                         "n_lines_kept", "n_extracted_tokens",
                         "extracted_text")
@@ -5200,18 +5213,33 @@ def _crawl_shards_tail(spark: SparkSession, sf_dir: str,
     head) and stream_crawl_to_shards (arrival-order head) — one
     definition, mirrored by _crawl_shards_tail_sql.
 
-    PERSIST at the dedup output: quality_admit's scoring subtree and
-    the semi-join probe BOTH consume it, and without the persist the
-    whole crawl chain (scan, both window exchanges, extraction, the
-    norm-hash exchange) executes twice — doubling the pipeline's
-    dominant parse/extract cost (r15 review). The dedup boundary is
-    also where a real pipeline materializes (crawl output becomes
-    training input), so the cache point matches the production shape;
-    rm_release_cache hands the unpersist to the bench/driver."""
+    MATERIALIZE at the dedup output (localCheckpoint, r17 — was
+    persist): quality_admit's scoring subtree and the semi-join probe
+    BOTH consume it, and without a materialization the whole crawl
+    chain (scan, both window exchanges, extraction, the norm-hash
+    exchange) executes twice — doubling the pipeline's dominant
+    parse/extract cost (r15 review). The dedup boundary is also where
+    a real pipeline materializes (crawl output becomes training
+    input). localCheckpoint instead of persist because it TRUNCATES
+    THE LINEAGE: with persist, every tail stage's task binary and
+    every AQE re-optimization above the cache still carries/walks the
+    full crawl-head tree (measured 1.7-2.0 MB task binaries and
+    100+ s driver stringification storms in SparkPlanInfo/AQE plan
+    updates — the gate conjunction prints quadratically at each of
+    ~15 stage updates), while the checkpointed frame is a leaf: the
+    tail plans against a LogicalRDD. A/B at sf0.1 (4 reps
+    interleaved): ckpt min 6.8 s / persist min 7.9 s, and ckpt was
+    the only arm with no >13 s outlier. Trade: recompute-on-failure
+    lineage is gone for this frame (executor loss re-runs the entry,
+    not just the lost partitions) — acceptable for a bench/oracle
+    entry; the streaming loops keep their own crash-safe layout."""
     from .operators import classifier
     from .streaming import ingest
+    # eager=False: construction stays job-free (the plan-discipline
+    # lazy gate); the checkpoint materializes inside the first action
+    # exactly like the old persist did
     deduped = ingest.first_per_normhash(
-        crawl_df, text_col="extracted_text").persist()
+        crawl_df, text_col="extracted_text").localCheckpoint(eager=False)
     docs = load_tables(spark, sf_dir)["documents"]
     vocab, consts = classifier.nb_model(docs.filter(F.expr(_NB_POS)),
                                         docs.filter(F.expr(_NB_NEG)))
@@ -5230,7 +5258,10 @@ def _crawl_shards_tail(spark: SparkSession, sf_dir: str,
         ingest.shard_col(ingest.chunk_id_col(), _INGEST_SHARDS)
         .alias("shard"),
         "chunk_text")
-    out.rm_release_cache = deduped.unpersist
+    # nothing to unpersist: the checkpointed blocks (tens of rows at
+    # bench SFs — the host-capped survivor set) are freed by the
+    # ContextCleaner once the frame goes unreferenced after the run
+    out.rm_release_cache = lambda: None
     return out
 
 
@@ -5314,9 +5345,12 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cap — no global sort, no token-grain shuffle."""
     from pyspark.sql import Window
     docs = load_tables(spark, sf_dir)["documents"]
+    # narrow-key windows + one payload attach join — same restructure
+    # as pipeline_web_crawl (r17, guide §8): the url-dedup and
+    # host-cap decisions read only (doc_id, canonical_url, host), so
+    # the corpus text never rides a window exchange
     pages = docs.select(
-        "doc_id", "text", "source",
-        web.synth_url(F.col("doc_id")).alias("url"))
+        "doc_id", web.synth_url(F.col("doc_id")).alias("url"))
     from .streaming.crawl import url_hash
     canon = (web.canonicalize_urls(pages)
              .filter(F.col("canonical_url").isNotNull()))
@@ -5332,10 +5366,13 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped = (first.withColumn("host_rank",
                                F.row_number().over(whost))
               .filter(F.col("host_rank") <= _STREAM_CRAWL_CAP))
-    paged = capped.withColumn(
+    paged = (capped.join(docs.select("doc_id", "text", "source"),
+                         "doc_id")
+             .withColumn(
         "html", web.synth_html(F.col("doc_id"), F.col("text"),
-                               F.col("source")))
-    gated = web.extract_floor_gate(paged, min_tokens=60)
+                               F.col("source"))))
+    gated = web.extract_floor_gate(paged, min_tokens=60,
+                                   pushdown_pin="host_rank")
     return gated.select("doc_id", "canonical_url", "host",
                         "n_lines_kept", "n_extracted_tokens",
                         "extracted_text")

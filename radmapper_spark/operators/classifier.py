@@ -72,15 +72,25 @@ def nb_model(pos_docs: DataFrame, neg_docs: DataFrame,
     INSIDE the lazy plan (1-row aggregates broadcast-crossed into the
     score rows — no eager scalar collects), with Laplace smoothing on
     the priors too so an empty class floors instead of ln(0)."""
-    def cls_counts(docs, alias):
-        return (docs.select(F.explode(_toks(text_col)).alias("w"))
-                .groupBy("w").agg(F.count(F.lit(1)).alias(alias)))
-
-    allc = (cls_counts(pos_docs, "_cp")
-            .join(cls_counts(neg_docs, "_cn"), "w", "full")
-            .select("w",
-                    F.coalesce(F.col("_cp"), F.lit(0)).alias("c_pos"),
-                    F.coalesce(F.col("_cn"), F.lit(0)).alias("c_neg")))
+    # ONE token pass over pos UNION neg (r17: the per-class form
+    # exploded and shuffled each class's tokens into its own aggregate
+    # and full-joined the two — two exchanges + a join for counts one
+    # conditional aggregate computes; guide §2.3 "aggregate before you
+    # shuffle" / §2.4 fewer exchanges. sum(flag) over BIGINT flags ==
+    # the old per-class count(*) exactly, and a word absent from a
+    # class sums its 0-flags to 0, the old coalesce(_, 0))
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    tagged = (pos_docs.select(F.explode(_toks(text_col)).alias("w"),
+                              one.alias("_p"))
+              .unionByName(
+                  neg_docs.select(F.explode(_toks(text_col)).alias("w"),
+                                  zero.alias("_p"))))
+    allc = (tagged.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("_t"),
+                 F.sum("_p").alias("c_pos"))
+            .select("w", "c_pos",
+                    (F.col("_t") - F.col("c_pos")).alias("c_neg")))
     vocab = (allc.orderBy((F.col("c_pos") + F.col("c_neg")).desc(),
                           F.col("w").asc())
              .limit(int(top_v)))

@@ -132,12 +132,10 @@ def html_extract(df: DataFrame, html_col: str = "html",
                                     F.lit(0))).alias("k")))
     kept = F.filter(structs, lambda x: _keep_fields(x["s"], x["k"]))
     n_total = F.size(F.filter(structs, lambda x: x["s"] != ""))
-    return (df
-            .withColumn(text_col,
-                        F.array_join(
-                            F.transform(kept, lambda x: x["s"]), "\n"))
-            .withColumn("n_lines_kept", F.size(kept).cast("long"))
-            .withColumn("n_lines_total", n_total.cast("long")))
+    return df.withColumns({
+        text_col: F.array_join(F.transform(kept, lambda x: x["s"]), "\n"),
+        "n_lines_kept": F.size(kept).cast("long"),
+        "n_lines_total": n_total.cast("long")})
 
 
 def duck_html_extract_exprs(html_expr: str) -> dict:
@@ -555,18 +553,15 @@ def _gopher_fields(pre: DataFrame, text: Column) -> tuple:
     # Spark 4, so passing it BARE to transform binds the array index
     # as the trim-charset (trim(l, '0') for the first line!) — found
     # by the per-rule differential test
-    pre = (pre
-           .withColumn(_GOPHER_TMP[0],
-                       F.filter(F.split(F.trim(t), r"\s+"),
-                                lambda w: w != ""))
-           .withColumn(_GOPHER_TMP[1],
-                       F.filter(F.transform(F.split(t, "\n"),
-                                            lambda l: F.trim(l)),
-                                lambda l: l != ""))
-           .withColumn(_GOPHER_TMP[2],
-                       F.filter(F.transform(F.split(t, r"\n{2,}"),
-                                            lambda p: F.trim(p)),
-                                lambda p: p != "")))
+    pre = pre.withColumns({
+        _GOPHER_TMP[0]: F.filter(F.split(F.trim(t), r"\s+"),
+                                 lambda w: w != ""),
+        _GOPHER_TMP[1]: F.filter(F.transform(F.split(t, "\n"),
+                                             lambda l: F.trim(l)),
+                                 lambda l: l != ""),
+        _GOPHER_TMP[2]: F.filter(F.transform(F.split(t, r"\n{2,}"),
+                                             lambda p: F.trim(p)),
+                                 lambda p: p != "")})
     words = F.col(_GOPHER_TMP[0])
     lines = F.col(_GOPHER_TMP[1])
     paras = F.col(_GOPHER_TMP[2])
@@ -652,19 +647,17 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     ok_grams = {
         f"ok_top{k}gram": g[f"cover{k}"] * den <= g["sum_len"] * num
         for k, (num, den) in GOPHER_TOP_GRAM_RATIOS}
-    out = (pre.withColumn("n_words", g["n_words"])
-           .withColumn("n_lines", g["n_lines"])
-           .withColumn("ok_words", ok_words)
-           .withColumn("ok_mean_word_len", ok_mwl)
-           .withColumn("ok_symbol_ratio", ok_sym)
-           .withColumn("ok_bullet_lines", ok_bul)
-           .withColumn("ok_ellipsis_lines", ok_ell)
-           .withColumn("ok_alpha_words", ok_alp)
-           .withColumn("ok_stopwords", ok_stp)
-           .withColumn("ok_dup_lines", ok_dl)
-           .withColumn("ok_dup_paras", ok_dp))
-    for name, cond in ok_grams.items():
-        out = out.withColumn(name, cond)
+    # ONE withColumns per layer (r17): each chained withColumn is a
+    # separate Project the analyzer+optimizer must traverse over the
+    # full (very large) expression tree — 12 stacked Projects cost
+    # measurable driver seconds per run at this tree size
+    out = pre.withColumns({
+        "n_words": g["n_words"], "n_lines": g["n_lines"],
+        "ok_words": ok_words, "ok_mean_word_len": ok_mwl,
+        "ok_symbol_ratio": ok_sym, "ok_bullet_lines": ok_bul,
+        "ok_ellipsis_lines": ok_ell, "ok_alpha_words": ok_alp,
+        "ok_stopwords": ok_stp, "ok_dup_lines": ok_dl,
+        "ok_dup_paras": ok_dp, **ok_grams})
     conj = (F.col("ok_words") & F.col("ok_mean_word_len")
             & F.col("ok_symbol_ratio") & F.col("ok_bullet_lines")
             & F.col("ok_ellipsis_lines") & F.col("ok_alpha_words")
@@ -754,19 +747,45 @@ def duck_token_floor_count(expr: str) -> str:
 
 
 def extract_floor_gate(df: DataFrame, min_tokens: int = 60,
-                       html_col: str = "html") -> DataFrame:
+                       html_col: str = "html",
+                       pushdown_pin: str = None) -> DataFrame:
     """The shared extraction tail — html_extract -> C4 token floor ->
     Gopher gate — used by pipeline_web_crawl, the stream_crawl_ingest
     batch twin, and the streaming crawl loop (one definition, three
     consumers). Adds extracted_text / n_lines_kept / n_lines_total /
     n_extracted_tokens plus the gopher columns; rows failing the floor
-    or any Gopher rule are dropped."""
+    or any Gopher rule are dropped.
+
+    ``pushdown_pin``: name of a column that (a) comes from the OTHER
+    side of a join directly below this gate and (b) is provably
+    non-negative (e.g. a row_number rank). When the caller feeds this
+    gate with ``survivors.join(corpus, id)`` (the decide-narrow /
+    attach-payload shape, guide §8), BOTH gate filters reference only
+    corpus-side columns, so PushPredicateThroughJoin would slide the
+    whole interpreted extraction+Gopher predicate below the join and
+    run it over the FULL corpus instead of the joined survivors —
+    measured 40+ s of single-task Filter eval at sf0.1 vs ~1 s post
+    join. ``pred OR (pin < 0)`` is value-identical (the pin is never
+    negative, and x OR false == x in SQL 3-valued logic) but
+    references both join sides in one non-splittable disjunct, so the
+    predicate lands in the JOIN CONDITION — evaluated only on
+    equi-matched survivor pairs, never on the full corpus. (An
+    always-true non-deterministic conjunct — rand(0) > -1 — was ALSO
+    tried: it keeps a literal Filter above the join but blocks the
+    broadcast-hash planning and measured 58 s vs 1.6 s, so the
+    disjunct form is the measured winner.)"""
     ext = html_extract(df, html_col=html_col)
+
+    def _pin(pred):
+        if pushdown_pin is None:
+            return pred
+        return pred | (F.col(pushdown_pin) < F.lit(0))
+
     floored = (ext.withColumn("n_extracted_tokens",
                               token_floor_count())
-               .filter(F.col("n_extracted_tokens") >= min_tokens))
+               .filter(_pin(F.col("n_extracted_tokens") >= min_tokens)))
     return (gopher_quality(floored, text_col="extracted_text")
-            .filter(F.col("gopher_pass")))
+            .filter(_pin(F.col("gopher_pass"))))
 
 
 #: constant casualty blocks for the REPETITION rules (fixture-side,

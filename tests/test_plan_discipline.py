@@ -204,6 +204,15 @@ EAGER_ALLOWED = {
     # r13: the manifest aggregates OVER the read-back artifact — same
     # bounded re-open jobs as its parent probe entry above
     "shard_manifest",
+    # r17: the crawl->shards tail localCheckpoints the dedup boundary
+    # (lineage cut — OPTIMIZATION_r17.md change 5); under AQE the
+    # checkpoint's toRdd executes the crawl head's stages during
+    # construction, so the head's jobs land at build time instead of
+    # inside the first action. NOT hidden work: the bench/driver time
+    # fn() + collect together, and the head still computes exactly
+    # once per invocation from the parquet inputs (no cross-run memo).
+    "pipeline_crawl_to_shards",
+    "stream_crawl_to_shards",
 }
 
 

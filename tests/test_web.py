@@ -170,10 +170,16 @@ def test_extract_zero_kept_is_empty_string_both_engines(spark):
 
 
 def test_pipeline_web_crawl_plan_shape(spark):
-    """The composed crawl pipeline must stay ONE lazy plan with exactly
-    the two window exchanges (canonical-URL dedup, host cap) over ONE
-    scan of the documents table — extraction fused after the cap, no
-    join-back, no extra shuffle."""
+    """The composed crawl pipeline must stay ONE lazy plan in the r17
+    decide-narrow / attach-payload shape (guide §8): the two window
+    exchanges (canonical-URL dedup, host cap) run over a DECISION scan
+    that reads ONLY doc_id (the url is synthesized from it), the text
+    payload is attached to the capped survivors by one doc_id
+    equi-join against a second scan, and the extraction+Gopher gate
+    runs on the join output — so the corpus text never rides a window
+    exchange and the gate prices only survivors. The OR-pin
+    (host_rank < 0) keeps the gate predicate out of the corpus side
+    (web.extract_floor_gate docstring)."""
     import re
 
     from radmapper_spark import entrypoints as ep
@@ -182,7 +188,18 @@ def test_pipeline_web_crawl_plan_shape(spark):
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex == 2, f"expected 2 window exchanges, found {n_ex}"
     n_scans = plan.count("documents.parquet")
-    assert n_scans == 1, f"expected 1 documents scan, found {n_scans}"
+    assert n_scans == 2, f"expected 2 documents scans, found {n_scans}"
+    # the decision side reads doc_id only — the whole point of the
+    # narrow-window restructure; text/source ride the payload scan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(s == "doc_id:bigint" for s in m), m
+    # and the gate did NOT slide below the join onto the full corpus:
+    # the payload scan's pushed filters stay trivial (null-safety
+    # only, no gopher/array predicates at the scan)
+    scan_blocks = plan.split("Scan parquet")
+    for blk in scan_blocks[1:]:
+        head = blk[:800]
+        assert "gopher" not in head and "array_sort" not in head, head
 
 
 def test_pipeline_web_crawl_cap_and_floor_bite(spark):
@@ -360,14 +377,18 @@ def test_gopher_rules_each_fire_and_twin_agrees(spark):
 
 def test_pipeline_crawl_to_shards_plan_shape(spark):
     """The full crawl->shards composition: the crawl+dedup subtree is
-    computed ONCE behind a persisted frame that both the admission
-    scorer and the semi-join probe reference (r15 review: the lazy
-    form instantiated the whole extract chain twice — the r12 NB
-    lazy-one-shot bug class), so the optimized plan holds exactly TWO
-    parquet relations (one per NB training class) plus TWO references
-    to the one InMemoryRelation. Zero Python eval nodes, no
-    single-partition exchange, no global sort — every shuffle on a
-    bounded key (canonical_url, host, norm_hash, doc_id)."""
+    computed ONCE behind a LOCALLY CHECKPOINTED frame that both the
+    admission scorer and the semi-join probe reference (r15 review:
+    the lazy form instantiated the whole extract chain twice — the
+    r12 NB lazy-one-shot bug class; r17: persist -> localCheckpoint
+    so the tail plans/ships a LogicalRDD leaf instead of re-walking
+    the crawl head's ~200 KB expression tree at every AQE update —
+    OPTIMIZATION_r17.md change 5). The optimized plan holds exactly
+    TWO parquet relations (one per NB training class) plus TWO
+    LogicalRDD references to the one checkpoint, zero
+    InMemoryRelation. Zero Python eval nodes, no single-partition
+    exchange, no global sort — every shuffle on a bounded key
+    (norm_hash already materialized; token word, doc_id)."""
     import re
 
     from radmapper_spark import entrypoints as ep
@@ -375,12 +396,12 @@ def test_pipeline_crawl_to_shards_plan_shape(spark):
     df = ep.pipeline_crawl_to_shards(spark, "/root/testdata/sf0.001")
     try:
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # exchange cap at the audited value (35 printed nodes — the
-        # InMemoryRelation's child chain re-prints per reference, so
-        # the cap is a regression guard against ADDED shuffles, not a
-        # count of executed exchanges)
+        # exchange cap: the tail above the checkpoint leaf holds only
+        # the NB training aggregate, the admission aggregate and the
+        # semi-join — far fewer printed nodes than the pre-r17 cap of
+        # 35 (the InMemoryRelation child chain no longer re-prints)
         ex = re.findall(r"Exchange \w+", plan)
-        assert len(ex) <= 35, (len(ex), ex)
+        assert len(ex) <= 12, (len(ex), ex)
         assert "SinglePartition" not in plan
         assert "rangepartitioning" not in plan
         assert "BatchEvalPython" not in plan
@@ -388,8 +409,9 @@ def test_pipeline_crawl_to_shards_plan_shape(spark):
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         n_rel = len(re.findall(r"Relation.*parquet", opt))
         assert n_rel == 2, f"{n_rel} parquet relations (want 2)"
-        n_mem = opt.count("InMemoryRelation")
-        assert n_mem == 2, f"{n_mem} InMemoryRelation refs (want 2)"
+        assert opt.count("InMemoryRelation") == 0, "persist came back?"
+        n_rdd = len(re.findall(r"LogicalRDD", opt))
+        assert n_rdd == 2, f"{n_rdd} LogicalRDD refs (want 2)"
         # and the result is non-trivial at the smallest SF
         rows = df.collect()
         assert len(rows) > 0
