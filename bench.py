@@ -32,15 +32,31 @@ WARMUP_QUERY = "pricing_summary"
 RUNS_PER_QUERY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
-def _run_once(fn, spark, sf_dir) -> float:
+def _stat_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — this sandbox sees
+    15-40% CPU-steal waves, so every sample carries its own noise
+    evidence (r17 verdict item 6). Returns (0, 1) where unreadable."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, max(1, sum(vals))
+    except Exception:
+        return 0, 1
+
+
+def _run_once(fn, spark, sf_dir) -> tuple[float, float]:
+    s0, t0j = _stat_jiffies()
     t0 = time.monotonic()
     df = fn(spark, sf_dir)
     df.collect()
     elapsed = time.monotonic() - t0
+    s1, t1j = _stat_jiffies()
     release = getattr(df, "rm_release_cache", None)
     if release is not None:
         release()
-    return elapsed
+    steal_pct = 100.0 * (s1 - s0) / max(1, t1j - t0j)
+    return elapsed, steal_pct
 
 
 def main() -> None:
@@ -68,7 +84,7 @@ def main() -> None:
     except Exception:
         pass
 
-    samples: dict[str, list[float]] = {name: [] for name in qs}
+    samples: dict[str, list[tuple[float, float]]] = {name: [] for name in qs}
     failed: set[str] = set()
     for _ in range(max(1, RUNS_PER_QUERY)):
         for name, fn in qs.items():
@@ -81,7 +97,8 @@ def main() -> None:
                 failed.add(name)
     for name, fn in qs.items():
         runs = samples[name]
-        if name not in failed and len(runs) >= 2 and max(runs) > 1.5 * min(runs):
+        if name not in failed and len(runs) >= 2 \
+                and max(r[0] for r in runs) > 1.5 * min(r[0] for r in runs):
             # the passes disagree: at least one hit an external load
             # spike — take one more sample so best-of reflects the plan
             try:
@@ -89,9 +106,14 @@ def main() -> None:
             except Exception as exc:
                 print(f"bench error in {name}: {exc}", file=sys.stderr)
 
-    timings = {name: (round(min(runs), 4) if runs and name not in failed
-                      else -1.0)
+    timings = {name: (round(min(r[0] for r in runs), 4)
+                      if runs and name not in failed else -1.0)
                for name, runs in samples.items()}
+    # steal jiffies observed AROUND the chosen (min) run — sidecar-only
+    # noise evidence (r17 verdict item 6: cold driver runs carry no way
+    # to tell a regression from a co-tenant wave). stdout line unchanged.
+    steal = {name: round(min(runs, key=lambda r: r[0])[1], 2)
+             for name, runs in samples.items() if runs and name not in failed}
 
     ok = [v for v in timings.values() if v >= 0]
     total = round(sum(ok), 4)
@@ -111,7 +133,8 @@ def main() -> None:
     qfile = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          qname)
     with open(qfile, "w") as f:
-        json.dump({"sf": sf, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump({"sf": sf, "queries": timings, "steal_pct_min_run": steal},
+                  f, indent=1, sort_keys=True)
     slowest = dict(sorted(((n, v) for n, v in timings.items() if v >= 0),
                           key=lambda kv: -kv[1])[:10])
     print(

@@ -2595,13 +2595,20 @@ def _trade_edges(spark: SparkSession, sf_dir: str):
         from .operators import graph as _graph
 
         e = edges.persist()
-        # deg/nodes are pure functions of the immutable edge table —
-        # persist them once with it (two full edge aggregates otherwise
-        # re-run on every graph entry invocation)
+        # deg is a pure function of the immutable edge table — persist
+        # it once with it (a full edge aggregate otherwise re-runs on
+        # every graph entry invocation). nodes needs NO second edge
+        # aggregate here (r18, VERDICT r17 item 4): this edge table is
+        # SYMMETRIC by construction (both directions unioned above), so
+        # every endpoint appears as a src and node_set(e) ==
+        # deg.select(src) exactly — a free projection of the persisted
+        # deg instead of node_set's union+distinct exchange over 2x the
+        # edges (one fewer persist fill per cache build).
+        deg = _graph.out_degrees(e).persist()
         return {
             "edges": e,
-            "deg": _graph.out_degrees(e).persist(),
-            "nodes": _graph.node_set(e).persist(),
+            "deg": deg,
+            "nodes": deg.select(F.col("src").alias("node")),
         }
 
     return _cached_frames(_EDGE_CACHE, spark, sf_dir, build)
@@ -5053,6 +5060,68 @@ def host_volume_cap_sql() -> str:
     """
 
 
+def _local_ckpt(df: DataFrame):
+    """``localCheckpoint(eager=False)`` plus a REAL block-release handle:
+    ``(ckpt_frame, release)``. The r17 form relied on the ContextCleaner
+    GC-ing the unreferenced RDD (ADVICE r17: MEMORY_AND_DISK blocks pin
+    memory until a GC cycle, unbounded by contract across a long bench
+    session); the handle unpersists the checkpointed RDD directly. Under
+    AQE the checkpoint's toRdd executes the subtree's stages at
+    CONSTRUCTION time (callers must be in the plan-discipline
+    EAGER_ALLOWED list) — the work still runs exactly once per
+    invocation, inside the bench's timed fn()+collect window."""
+    ckpt = df.localCheckpoint(eager=False)
+    jrdd = ckpt._jdf.queryExecution().analyzed().rdd()
+    return ckpt, (lambda: jrdd.unpersist(False))
+
+
+def _pipeline_crawl_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY decide-narrow head of pipeline_web_crawl up to and
+    including the payload-attach join — factored out so the plan-shape
+    lock (test_web.test_pipeline_web_crawl_plan_shape) can assert the
+    narrow-window/bare-equi-join shape on the lazy frame (the entry
+    checkpoints it, leaving only a LogicalRDD leaf in its own plan).
+
+    DECIDE ON NARROW ROWS, ATTACH THE PAYLOAD ONCE (r17, guide §8 /
+    §2.3 "shuffle keys and metadata instead of payloads"): the dedup
+    window and the host-cap window need only (doc_id, canonical_url,
+    host) — the old form carried text+source through BOTH window
+    exchanges, shuffling the whole corpus payload twice to compare a
+    few bytes of key. Now the two exchanges move ~40 B/row and the
+    text is re-attached to the (host-capped, tiny) survivor set by
+    one doc_id equi-join — at 100 TB that join shuffles survivors
+    only (AQE broadcasts the smaller side), and extraction still
+    runs after the cap. Same rows out: dedup/cap read nothing the
+    narrow frame lacks.
+
+    Why the caller must put a barrier here (r18, replaces the r17
+    OR-pin): the extraction+Gopher gate above references only
+    corpus-side columns, so over this lazy join
+    PushPredicateThroughJoin slides the whole interpreted gate below
+    the join onto the FULL corpus (40+ s at sf0.1); the r17 OR-pin
+    kept it in the join condition, but that (a) double-evaluated the
+    extraction per survivor (once in the condition, once in the
+    projection) and (b) inlined the ~200 KB gate expression into ONE
+    operator that AQE re-stringified at every stage update — the
+    reproduced stream_crawl_to_shards regression (VERDICT r17 item 1).
+    The checkpointed frame is a LogicalRDD leaf: the join condition is
+    the bare doc_id equi-key, and the gate runs ONCE per survivor as a
+    plain Filter above the leaf. The materialized frame is small by
+    construction (the host cap bounds it)."""
+    from pyspark.sql import Window
+    docs = load_tables(spark, sf_dir)["documents"]
+    pages = docs.select(
+        "doc_id", web.synth_url(F.col("doc_id")).alias("url"))
+    canon = web.canonicalize_urls(pages)
+    w = Window.partitionBy("canonical_url").orderBy(F.col("doc_id").asc())
+    first = (canon.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn", "url"))
+    from .operators import sampling
+    capped = (sampling.cap_per_group(first, "host", "doc_id", 10)
+              .withColumnRenamed("sample_rank", "host_rank"))
+    return capped.join(docs.select("doc_id", "text", "source"), "doc_id")
+
+
 def pipeline_web_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END crawl preprocessing as ONE composed lazy plan — the
     web tier's pipeline entry (mirrors pipeline_corpus_clean for the
@@ -5067,43 +5136,50 @@ def pipeline_web_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     and extraction runs AFTER the cap so the expensive string work
     touches only surviving pages — the order a crawl pipeline needs at
     100 TB, where most fetched bytes are discarded before parsing."""
-    from pyspark.sql import Window
-    docs = load_tables(spark, sf_dir)["documents"]
-    # DECIDE ON NARROW ROWS, ATTACH THE PAYLOAD ONCE (r17, guide §8 /
-    # §2.3 "shuffle keys and metadata instead of payloads"): the dedup
-    # window and the host-cap window need only (doc_id, canonical_url,
-    # host) — the old form carried text+source through BOTH window
-    # exchanges, shuffling the whole corpus payload twice to compare a
-    # few bytes of key. Now the two exchanges move ~40 B/row and the
-    # text is re-attached to the (host-capped, tiny) survivor set by
-    # one doc_id equi-join — at 100 TB that join shuffles survivors
-    # only (AQE broadcasts the smaller side), and extraction still
-    # runs after the cap. Same rows out: dedup/cap read nothing the
-    # narrow frame lacks.
-    pages = docs.select(
-        "doc_id", web.synth_url(F.col("doc_id")).alias("url"))
-    canon = web.canonicalize_urls(pages)
-    w = Window.partitionBy("canonical_url").orderBy(F.col("doc_id").asc())
-    first = (canon.withColumn("_rn", F.row_number().over(w))
-             .filter(F.col("_rn") == 1).drop("_rn", "url"))
-    from .operators import sampling
-    capped = (sampling.cap_per_group(first, "host", "doc_id", 10)
-              .withColumnRenamed("sample_rank", "host_rank"))
-    # synthesize + extract only for cap survivors (the composition
-    # point: parse cost follows the cheap filters)
-    paged = (capped.join(docs.select("doc_id", "text", "source"),
-                         "doc_id")
-             .withColumn(
+    gated, release = _crawl_gate_barrier(
+        _pipeline_crawl_joined(spark, sf_dir))
+    out = gated.select("doc_id", "canonical_url", "host", "host_rank",
+                       "n_lines_kept", "n_extracted_tokens",
+                       "extracted_text")
+    out.rm_release_cache = release
+    return out
+
+
+def _crawl_gate_barrier(joined: DataFrame):
+    """Synthesize + extract + compute the Gopher gate columns for the
+    capped survivors, MATERIALIZE (localCheckpoint) the narrow result,
+    and apply the floor/Gopher admission as trivial column filters
+    above the leaf. Returns ``(gated_frame, release)``; shared by
+    pipeline_web_crawl and stream_crawl_ingest.
+
+    Two things the barrier placement buys (r18, replaces the r17
+    OR-pin; guide §5/§7.3 and _pipeline_crawl_joined's docstring):
+    the gate cannot slide below the payload join (the join is inside
+    the materialized subtree, the filters reference materialized
+    columns of a leaf), and the extraction chain is written and
+    EVALUATED exactly once per survivor — a filter above the lazy
+    Project stack gets alias-substituted into one ~200 KB interpreted
+    Filter condition (the CodegenFallback HOFs), which the entry's
+    plan then re-prints at every stringification. Measured: entry
+    plan text 206 KB -> ~4 KB; same-session interleaved mins
+    unchanged-or-better on all four crawl entries."""
+    paged = joined.withColumn(
         "html", web.synth_html(F.col("doc_id"), F.col("text"),
-                               F.col("source"))))
-    # shared extraction tail: html_extract -> C4 token floor -> Gopher
-    # gate (web.extract_floor_gate — ONE definition for this entry, the
-    # stream_crawl_ingest twin, and the streaming crawl loop)
-    gated = web.extract_floor_gate(paged, min_tokens=60,
-                                   pushdown_pin="host_rank")
-    return gated.select("doc_id", "canonical_url", "host", "host_rank",
-                        "n_lines_kept", "n_extracted_tokens",
-                        "extracted_text")
+                               F.col("source")))
+    # one definition of the admission rule: the computed-columns half
+    # of web.extract_floor_gate (the streaming crawl loop applies the
+    # same columns+filters lazily — values identical, see its docstring)
+    cols = web.extract_floor_columns(paged)
+    # project BEFORE the materialization: a checkpoint leaf prunes
+    # nothing, so carrying html/text/ok_* into the blocks would
+    # materialize dead bytes (guide §2.3 "project before the exchange")
+    slim = cols.select("doc_id", "canonical_url", "host", "host_rank",
+                       "n_lines_kept", "n_extracted_tokens",
+                       "extracted_text", "gopher_pass")
+    barrier, release = _local_ckpt(slim)
+    gated = (barrier.filter(F.col("n_extracted_tokens") >= F.lit(60))
+             .filter(F.col("gopher_pass")))
+    return gated, release
 
 
 def pipeline_web_crawl_sql() -> str:
@@ -5235,11 +5311,13 @@ def _crawl_shards_tail(spark: SparkSession, sf_dir: str,
     entry; the streaming loops keep their own crash-safe layout."""
     from .operators import classifier
     from .streaming import ingest
-    # eager=False: construction stays job-free (the plan-discipline
-    # lazy gate); the checkpoint materializes inside the first action
-    # exactly like the old persist did
-    deduped = ingest.first_per_normhash(
-        crawl_df, text_col="extracted_text").localCheckpoint(eager=False)
+    # NOTE: under AQE the checkpoint's toRdd EXECUTES the crawl head's
+    # stages at construction time (the EAGER_ALLOWED entry in
+    # test_plan_discipline documents it) — the work still runs exactly
+    # once per invocation, inside the bench's timed fn()+collect window
+    head_release = getattr(crawl_df, "rm_release_cache", None)
+    deduped, ded_release = _local_ckpt(
+        ingest.first_per_normhash(crawl_df, text_col="extracted_text"))
     docs = load_tables(spark, sf_dir)["documents"]
     vocab, consts = classifier.nb_model(docs.filter(F.expr(_NB_POS)),
                                         docs.filter(F.expr(_NB_NEG)))
@@ -5258,10 +5336,15 @@ def _crawl_shards_tail(spark: SparkSession, sf_dir: str,
         ingest.shard_col(ingest.chunk_id_col(), _INGEST_SHARDS)
         .alias("shard"),
         "chunk_text")
-    # nothing to unpersist: the checkpointed blocks (tens of rows at
-    # bench SFs — the host-capped survivor set) are freed by the
-    # ContextCleaner once the frame goes unreferenced after the run
-    out.rm_release_cache = lambda: None
+    # release BOTH checkpoints' blocks (the head's payload barrier and
+    # the dedup boundary) — ADVICE r17: relying on the ContextCleaner
+    # leaves MEMORY_AND_DISK blocks pinned until a GC cycle
+    def _release():
+        ded_release()
+        if head_release is not None:
+            head_release()
+
+    out.rm_release_cache = _release
     return out
 
 
@@ -5324,6 +5407,36 @@ def stream_crawl_to_shards_sql() -> str:
     return _crawl_shards_tail_sql(stream_crawl_ingest_sql())
 
 
+def _stream_crawl_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY arrival-order head of stream_crawl_ingest up to and
+    including the payload-attach join — the stream twin of
+    _pipeline_crawl_joined (see that docstring for the decide-narrow /
+    attach-payload rationale and why the caller checkpoints it).
+    Differences from the pipeline head: canonical urls are null-
+    filtered, the dedup window keys on the stream's portable url hash,
+    and the host cap is in ARRIVAL (doc_id) order."""
+    from pyspark.sql import Window
+    docs = load_tables(spark, sf_dir)["documents"]
+    pages = docs.select(
+        "doc_id", web.synth_url(F.col("doc_id")).alias("url"))
+    from .streaming.crawl import url_hash
+    canon = (web.canonicalize_urls(pages)
+             .filter(F.col("canonical_url").isNotNull()))
+    # dedup keyed on the SAME portable url hash the stream's persisted
+    # index stores (r15 third review: keying the twin on the raw
+    # canonical_url made the proven equivalence hold only absent
+    # 60-bit collisions instead of by construction)
+    wurl = Window.partitionBy(
+        url_hash(F.col("canonical_url"))).orderBy(F.col("doc_id").asc())
+    first = (canon.withColumn("_rn", F.row_number().over(wurl))
+             .filter(F.col("_rn") == 1).drop("_rn", "url"))
+    whost = Window.partitionBy("host").orderBy(F.col("doc_id").asc())
+    capped = (first.withColumn("host_rank",
+                               F.row_number().over(whost))
+              .filter(F.col("host_rank") <= _STREAM_CRAWL_CAP))
+    return capped.join(docs.select("doc_id", "text", "source"), "doc_id")
+
+
 def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCH TWIN of the streaming crawl-admission loop
     (streaming/crawl.py start_crawl_ingest — r15: the web-tier
@@ -5343,39 +5456,15 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: two short-key windows (canonical_url, host) over one
     scan; extraction and the Gopher gate are map-only and run after
     the cap — no global sort, no token-grain shuffle."""
-    from pyspark.sql import Window
-    docs = load_tables(spark, sf_dir)["documents"]
-    # narrow-key windows + one payload attach join — same restructure
-    # as pipeline_web_crawl (r17, guide §8): the url-dedup and
-    # host-cap decisions read only (doc_id, canonical_url, host), so
-    # the corpus text never rides a window exchange
-    pages = docs.select(
-        "doc_id", web.synth_url(F.col("doc_id")).alias("url"))
-    from .streaming.crawl import url_hash
-    canon = (web.canonicalize_urls(pages)
-             .filter(F.col("canonical_url").isNotNull()))
-    # dedup keyed on the SAME portable url hash the stream's persisted
-    # index stores (r15 third review: keying the twin on the raw
-    # canonical_url made the proven equivalence hold only absent
-    # 60-bit collisions instead of by construction)
-    wurl = Window.partitionBy(
-        url_hash(F.col("canonical_url"))).orderBy(F.col("doc_id").asc())
-    first = (canon.withColumn("_rn", F.row_number().over(wurl))
-             .filter(F.col("_rn") == 1).drop("_rn", "url"))
-    whost = Window.partitionBy("host").orderBy(F.col("doc_id").asc())
-    capped = (first.withColumn("host_rank",
-                               F.row_number().over(whost))
-              .filter(F.col("host_rank") <= _STREAM_CRAWL_CAP))
-    paged = (capped.join(docs.select("doc_id", "text", "source"),
-                         "doc_id")
-             .withColumn(
-        "html", web.synth_html(F.col("doc_id"), F.col("text"),
-                               F.col("source"))))
-    gated = web.extract_floor_gate(paged, min_tokens=60,
-                                   pushdown_pin="host_rank")
-    return gated.select("doc_id", "canonical_url", "host",
-                        "n_lines_kept", "n_extracted_tokens",
-                        "extracted_text")
+    # extraction+gate behind the same materialization barrier as
+    # pipeline_web_crawl (_crawl_gate_barrier docstring — r18)
+    gated, release = _crawl_gate_barrier(
+        _stream_crawl_joined(spark, sf_dir))
+    out = gated.select("doc_id", "canonical_url", "host",
+                       "n_lines_kept", "n_extracted_tokens",
+                       "extracted_text")
+    out.rm_release_cache = release
+    return out
 
 
 def stream_crawl_ingest_sql() -> str:

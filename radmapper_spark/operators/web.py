@@ -747,8 +747,7 @@ def duck_token_floor_count(expr: str) -> str:
 
 
 def extract_floor_gate(df: DataFrame, min_tokens: int = 60,
-                       html_col: str = "html",
-                       pushdown_pin: str = None) -> DataFrame:
+                       html_col: str = "html") -> DataFrame:
     """The shared extraction tail — html_extract -> C4 token floor ->
     Gopher gate — used by pipeline_web_crawl, the stream_crawl_ingest
     batch twin, and the streaming crawl loop (one definition, three
@@ -756,36 +755,43 @@ def extract_floor_gate(df: DataFrame, min_tokens: int = 60,
     n_extracted_tokens plus the gopher columns; rows failing the floor
     or any Gopher rule are dropped.
 
-    ``pushdown_pin``: name of a column that (a) comes from the OTHER
-    side of a join directly below this gate and (b) is provably
-    non-negative (e.g. a row_number rank). When the caller feeds this
-    gate with ``survivors.join(corpus, id)`` (the decide-narrow /
-    attach-payload shape, guide §8), BOTH gate filters reference only
-    corpus-side columns, so PushPredicateThroughJoin would slide the
-    whole interpreted extraction+Gopher predicate below the join and
-    run it over the FULL corpus instead of the joined survivors —
-    measured 40+ s of single-task Filter eval at sf0.1 vs ~1 s post
-    join. ``pred OR (pin < 0)`` is value-identical (the pin is never
-    negative, and x OR false == x in SQL 3-valued logic) but
-    references both join sides in one non-splittable disjunct, so the
-    predicate lands in the JOIN CONDITION — evaluated only on
-    equi-matched survivor pairs, never on the full corpus. (An
-    always-true non-deterministic conjunct — rand(0) > -1 — was ALSO
-    tried: it keeps a literal Filter above the join but blocks the
-    broadcast-hash planning and measured 58 s vs 1.6 s, so the
-    disjunct form is the measured winner.)"""
+    Caller contract (r18): feed this gate a frame the optimizer CANNOT
+    push predicates out of — either a scan-rooted lazy frame (the
+    streaming loop's per-micro-batch input) or a materialization
+    barrier (the crawl heads' localCheckpoint of the tiny capped
+    survivors⋈payload join). With a join directly below the gate,
+    PushPredicateThroughJoin slides the whole interpreted
+    extraction+Gopher predicate below the join and runs it over the
+    FULL corpus (measured 40+ s at sf0.1 vs ~1 s post join, r17); the
+    r17 OR-pin workaround (``pred OR (join_side_rank < 0)``) kept it
+    in the join condition but double-evaluated the extraction per
+    survivor and inflated the join condition to a ~200 KB expression
+    the driver re-stringified at every AQE update. The barrier removes
+    both: the gate is a plain Filter over a leaf, evaluated once per
+    survivor."""
+    cols = extract_floor_columns(df, html_col=html_col)
+    return (cols.filter(F.col("n_extracted_tokens") >= min_tokens)
+            .filter(F.col("gopher_pass")))
+
+
+def extract_floor_columns(df: DataFrame,
+                          html_col: str = "html") -> DataFrame:
+    """The COMPUTED-COLUMNS half of extract_floor_gate: extraction +
+    n_extracted_tokens + the Gopher columns, NO filters. The crawl
+    heads consume this form directly and checkpoint it BEFORE
+    filtering: a filter above these Projects gets pushed through by
+    alias substitution (PushPredicateThroughNonJoin), re-inlining the
+    whole extraction chain into one ~200 KB Filter condition that (a)
+    the CodegenFallback HOFs force into interpreted eval and (b) the
+    driver re-prints at every plan stringification — while the
+    unfiltered Project stack keeps each expression written and
+    evaluated ONCE per row (CollapseProject does not inline non-cheap
+    aliases referenced more than once). Values are unchanged either
+    way: the gate columns are deterministic per row, so filtering
+    before or after computing them selects the same rows."""
     ext = html_extract(df, html_col=html_col)
-
-    def _pin(pred):
-        if pushdown_pin is None:
-            return pred
-        return pred | (F.col(pushdown_pin) < F.lit(0))
-
-    floored = (ext.withColumn("n_extracted_tokens",
-                              token_floor_count())
-               .filter(_pin(F.col("n_extracted_tokens") >= min_tokens)))
-    return (gopher_quality(floored, text_col="extracted_text")
-            .filter(_pin(F.col("gopher_pass"))))
+    floored = ext.withColumn("n_extracted_tokens", token_floor_count())
+    return gopher_quality(floored, text_col="extracted_text")
 
 
 #: constant casualty blocks for the REPETITION rules (fixture-side,

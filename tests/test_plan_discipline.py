@@ -213,6 +213,13 @@ EAGER_ALLOWED = {
     # once per invocation from the parquet inputs (no cross-run memo).
     "pipeline_crawl_to_shards",
     "stream_crawl_to_shards",
+    # r18: both crawl heads localCheckpoint the tiny capped-survivors
+    # ⋈ payload frame (the structural barrier replacing the r17
+    # OR-pin — entrypoints._pipeline_crawl_joined docstring), so the
+    # head's stages run at construction under AQE, same contract as
+    # the *_to_shards entries above.
+    "pipeline_web_crawl",
+    "stream_crawl_ingest",
 }
 
 

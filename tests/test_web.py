@@ -4,6 +4,7 @@ URL canonicalization edge cases, and the map-only plan locks."""
 from __future__ import annotations
 
 import duckdb
+import pytest
 from pyspark.sql import functions as F
 
 from radmapper_spark.operators import web
@@ -169,21 +170,20 @@ def test_extract_zero_kept_is_empty_string_both_engines(spark):
     assert got == [("", 0)]
 
 
-def test_pipeline_web_crawl_plan_shape(spark):
-    """The composed crawl pipeline must stay ONE lazy plan in the r17
-    decide-narrow / attach-payload shape (guide §8): the two window
-    exchanges (canonical-URL dedup, host cap) run over a DECISION scan
-    that reads ONLY doc_id (the url is synthesized from it), the text
-    payload is attached to the capped survivors by one doc_id
-    equi-join against a second scan, and the extraction+Gopher gate
-    runs on the join output — so the corpus text never rides a window
-    exchange and the gate prices only survivors. The OR-pin
-    (host_rank < 0) keeps the gate predicate out of the corpus side
-    (web.extract_floor_gate docstring)."""
+@pytest.mark.parametrize("head_fn", ["_pipeline_crawl_joined",
+                                     "_stream_crawl_joined"])
+def test_crawl_head_plan_shape(spark, head_fn):
+    """Both crawl heads must stay in the decide-narrow / attach-payload
+    shape (guide §8): the two window exchanges (URL dedup, host cap)
+    run over a DECISION scan that reads ONLY doc_id (the url is
+    synthesized from it), and the text payload is attached to the
+    capped survivors by one doc_id equi-join against a second scan.
+    Asserted on the LAZY pre-barrier frame (the entries checkpoint it —
+    r18 structural barrier, _pipeline_crawl_joined docstring)."""
     import re
 
     from radmapper_spark import entrypoints as ep
-    df = ep.pipeline_web_crawl(spark, "/root/testdata/sf0.001")
+    df = getattr(ep, head_fn)(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_ex == 2, f"expected 2 window exchanges, found {n_ex}"
@@ -193,13 +193,51 @@ def test_pipeline_web_crawl_plan_shape(spark):
     # narrow-window restructure; text/source ride the payload scan
     m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert any(s == "doc_id:bigint" for s in m), m
-    # and the gate did NOT slide below the join onto the full corpus:
-    # the payload scan's pushed filters stay trivial (null-safety
-    # only, no gopher/array predicates at the scan)
+    # the join is a BARE equi-join: no gate fragments anywhere in the
+    # head plan (the r17 OR-pin inlined the ~200 KB gate expression
+    # into the join condition; the r18 barrier removes it). NOTE
+    # array_sort appears legitimately in canonicalize_urls' param
+    # sort, so the gate absence is probed via its gopher columns and
+    # the scan blocks' pushed filters staying trivial.
+    assert "gopher" not in plan
     scan_blocks = plan.split("Scan parquet")
     for blk in scan_blocks[1:]:
         head = blk[:800]
-        assert "gopher" not in head and "array_sort" not in head, head
+        assert "array_sort" not in head, head
+    assert len(plan) < 50_000, f"head plan blew up: {len(plan)} chars"
+
+
+@pytest.mark.parametrize("entry", ["pipeline_web_crawl",
+                                   "stream_crawl_ingest"])
+def test_crawl_entry_gate_above_barrier(spark, entry):
+    """The entry's own plan must show the extraction+Gopher gate as a
+    plain Filter chain above the checkpoint leaf (Scan ExistingRDD):
+    no join below the gate (so nothing to push it through), no window
+    exchange above the barrier, no Python eval, and the gate evaluated
+    ONCE (a single gopher_pass filter, not a join-condition copy)."""
+    import re
+
+    from radmapper_spark import entrypoints as ep
+    df = getattr(ep, entry)(spark, "/root/testdata/sf0.001")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan, plan[:500]
+        assert "Join" not in plan, "a join re-appeared above the barrier"
+        assert "Exchange" not in plan, "exchange above the barrier"
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # parquet scans live below the barrier (executed at
+        # construction), so none may appear in the entry plan
+        assert "Scan parquet" not in plan
+        # the admission filters must be TRIVIAL column references over
+        # the materialized gate columns — an extraction/gopher
+        # expression re-inlined above the leaf blows the plan text
+        # back up to ~200 KB (the r17 stringify tax)
+        assert "gopher_pass" in plan
+        assert len(plan) < 20_000, f"entry plan blew up: {len(plan)}"
+    finally:
+        rel = getattr(df, "rm_release_cache", None)
+        rel and rel()
 
 
 def test_pipeline_web_crawl_cap_and_floor_bite(spark):
