@@ -87,10 +87,20 @@ def importance_weights(raw: DataFrame, target: DataFrame,
     feature bucket that occurs in either corpus. Both inputs reduce to
     <= ``buckets`` rows before the outer merge, so the result is always
     broadcast-sized regardless of corpus scale."""
-    tc = (_bigram_buckets(target, text_col, buckets, hash_mode)
-          .groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct")))
     rc = (_bigram_buckets(raw, text_col, buckets, hash_mode)
           .groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr")))
+    return _weights_from_raw_counts(rc, target, text_col, buckets,
+                                    hash_mode)
+
+
+def _weights_from_raw_counts(rc: DataFrame, target: DataFrame,
+                             text_col: str, buckets: int,
+                             hash_mode: str) -> DataFrame:
+    """importance_weights' merge half over a PRE-AGGREGATED raw side
+    (bucket, _cr) — lets dsir_score derive the raw counts from the same
+    exchange the scoring pass reads instead of a second corpus pass."""
+    tc = (_bigram_buckets(target, text_col, buckets, hash_mode)
+          .groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct")))
     merged = (tc.join(rc, "bucket", "full_outer")
               .select("bucket",
                       F.coalesce(F.col("_ct"), F.lit(0)).alias("_ct"),
@@ -105,16 +115,31 @@ def dsir_score(docs: DataFrame, target: DataFrame,
                hash_mode: str = "portable") -> DataFrame:
     """(id_col, score): the importance score of every document in
     ``docs`` against the ``target`` distribution. The corpus is never
-    shuffled at occurrence grain: occurrences broadcast-join the
-    <= ``buckets``-row weight table and aggregate once per document.
-    Documents with fewer than two tokens score 0 (no features — they
-    carry no evidence either way)."""
-    wtab = importance_weights(docs, target, text_col, buckets, hash_mode)
-    occ = _bigram_buckets(docs, text_col, buckets, hash_mode,
-                          keep_cols=(id_col,))
-    scored = (occ.join(F.broadcast(wtab), "bucket")
+    shuffled at occurrence grain: occurrences reduce to (id, bucket,
+    n) with map-side partials, broadcast-join the <= ``buckets``-row
+    weight table and aggregate once per document. Documents with fewer
+    than two tokens score 0 (no features — they carry no evidence
+    either way).
+
+    ONE tokenize/explode pass over ``docs`` (r18; guide §1.2 step 1 /
+    §2.4): the raw-side bucket counts the weight table needs are
+    exactly the scoring occurrences re-aggregated — deriving both from
+    the same (id, bucket) aggregate makes its exchange subtree
+    identical in the two branches, so ReuseExchange/AQE stage reuse
+    computes the explode once (the old form ran _bigram_buckets over
+    the full raw corpus twice: once for _cr, once for scoring). The
+    per-document score is unchanged: sum(weight) over occurrences ==
+    sum(n * weight) over (id, bucket) groups, exact BIGINTs."""
+    occ_db = (_bigram_buckets(docs, text_col, buckets, hash_mode,
+                              keep_cols=(id_col,))
+              .groupBy(id_col, "bucket")
+              .agg(F.count(F.lit(1)).alias("_n")))
+    rc = occ_db.groupBy("bucket").agg(F.sum("_n").alias("_cr"))
+    wtab = _weights_from_raw_counts(rc, target, text_col, buckets,
+                                    hash_mode)
+    scored = (occ_db.join(F.broadcast(wtab), "bucket")
               .groupBy(id_col)
-              .agg(F.sum("weight").alias("score")))
+              .agg(F.sum(F.col("_n") * F.col("weight")).alias("score")))
     # featureless docs (< 2 tokens) drop out of the explode; restore
     # them with score 0 so selection sees the whole corpus
     all_ids = docs.select(id_col).distinct()
