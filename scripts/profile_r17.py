@@ -59,21 +59,23 @@ def run_once(fn, spark, sf_dir, noop: bool) -> tuple:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    runs = 3
-    explain_dir = None
-    noop = "--noop" in sys.argv
-    interleave = "--interleave" in sys.argv
-    for i, a in enumerate(sys.argv):
-        if a == "--runs":
-            runs = int(sys.argv[i + 1])
-            args.remove(sys.argv[i + 1])
-        if a == "--explain":
-            explain_dir = sys.argv[i + 1]
-            args.remove(explain_dir)
-        if a == "--sf":
-            os.environ["SPARK_GRAFT_SF_DIR"] = sys.argv[i + 1]
-            args.remove(sys.argv[i + 1])
+    # argparse instead of hand-rolled sys.argv scanning (ADVICE r17: the
+    # remove-by-value form silently dropped a query whose name equalled a
+    # flag's value, e.g. --runs 3 plus a query literally named '3')
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--explain", metavar="DIR", default=None)
+    ap.add_argument("--sf", metavar="DIR", default=None)
+    ap.add_argument("--noop", action="store_true")
+    ap.add_argument("--interleave", action="store_true")
+    ap.add_argument("--split", action="store_true")
+    ns = ap.parse_args()
+    args, runs, explain_dir = ns.queries, ns.runs, ns.explain
+    noop, interleave = ns.noop, ns.interleave
+    if ns.sf:
+        os.environ["SPARK_GRAFT_SF_DIR"] = ns.sf
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("r17-profile")
@@ -110,7 +112,7 @@ def main() -> None:
                 release()
             print(f"explain written: {explain_dir}/{n}.txt")
 
-    if "--split" in sys.argv:
+    if ns.split:
         # breakdown: python plan construction / JVM optimize (explain) /
         # execution — tells whether a slow bench entry is driver-bound
         # (plan size) or executor-bound at this SF

@@ -87,12 +87,25 @@ def test_no_python_eval_outside_allowlist(spark):
 
     baseline = jobs_during("lazy_baseline",
                            lambda: entrymod.load_tables(spark, SF))
-    offenders, missing_arrow, eager = [], [], []
+    offenders, missing_arrow, eager, oversized = [], [], [], []
     for name, fn in entrymod.queries().items():
         # warm-up build doubles as the plan audit (codebook fits and
         # memoized collects land here, outside the measured build)
         df = fn(spark, SF)
         plan = _plan(df)
+        # stringify-tax governor (r18, VERDICT r17 item 7): AQE re-prints
+        # every operator's expression text at each plan update, and one
+        # giant inlined expression (a gate pushed into a join condition
+        # or Filter) costs O(depth x text) per print — the r17 crawl
+        # pathology. One operator == one printed line; the worst honest
+        # line today is ~3.8 KB and the worst honest whole plan ~100 KB
+        # (graph iterations, many SMALL operators), while the
+        # pathological crawl entries measured 206-234 KB with ~3 KB-avg
+        # lines. Caps chosen with headroom below the measured ~50 KB
+        # per-operator tax threshold.
+        max_line = max(len(ln) for ln in plan.splitlines())
+        if max_line > 25_000 or len(plan) > 200_000:
+            oversized.append((name, len(plan), max_line))
         _release(df)
         has_py = [w for w in PY_NODES if w in plan]
         if "BatchEvalPython" in has_py:
@@ -117,6 +130,9 @@ def test_no_python_eval_outside_allowlist(spark):
     assert not eager, (
         f"entries ran driver jobs at construction (beyond {baseline} "
         f"load_tables schema reads): {eager}")
+    assert not oversized, (
+        "plan text blew past the stringify-tax caps (name, plan chars, "
+        f"max operator line): {oversized}")
 
 
 @pytest.mark.parametrize("name,table,needed", [
