@@ -937,6 +937,23 @@ def sign_lsh_base(emb: DataFrame, vec_col: str = "embedding",
         sketch_planes=sketch_planes, seed=seed)
 
 
+def verify_partitions(spark) -> int:
+    """Explicit partition count for the Arrow pair-verify stages
+    (embedding_cosine_pairs, semantic_dedup_pairs): AQE's size-based
+    coalescing prices the verify INPUT by its narrow bytes (id pairs /
+    a vector table of a few MB) and packs it into 1-2 partitions, but
+    the per-pair einsum work that fuses on top is proportional to the
+    CANDIDATE volume, not the input bytes — measured at sf1 the
+    20M+-pair verifies ran on ~2 of 32 cores. ``rm.dedup.
+    verifyPartitions`` overrides (a cluster deployment sizes it to its
+    width); 0/unset = the session's default parallelism."""
+    try:
+        p = int(spark.conf.get("rm.dedup.verifyPartitions", "0"))
+    except Exception:
+        p = 0
+    return p if p > 0 else spark.sparkContext.defaultParallelism
+
+
 def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", threshold: float = 0.45,
                            bands: int = 64, planes_per_band: int = 8,
@@ -1046,7 +1063,17 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
     )
     if distinct_stage == "early":
-        screened = screened.distinct()
+        # explicit REPARTITION_BY_NUM after the distinct (r18): AQE's
+        # size-based coalescing sees only the narrow (id, id) bytes of
+        # the candidate set and packs them into 1-2 partitions — and the
+        # downstream vector joins + Arrow einsum verify FUSE onto those
+        # partitions, starving the operator's dominant stage (measured
+        # at sf1: the 20.6M-candidate verify ran on ~2 of 32 cores).
+        # AQE never coalesces a user-numbered repartition, so the shuffle
+        # (16 B/row — the vectors attach after) restores full-width
+        # parallelism for the verify at any scale.
+        screened = screened.distinct().repartition(
+            verify_partitions(emb.sparkSession))
     elif distinct_stage != "late":
         raise ValueError(f"unknown distinct_stage {distinct_stage!r} "
                          f"(early|late)")
@@ -1055,10 +1082,6 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
     # SLOWER here — the ~130-node-per-row expression tree blows past the
     # codegen thresholds and evaluates interpreted anyway, with a much
     # bigger tree; the higher-order-function form wins.
-    v = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
-    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
-    paired = screened.join(va, on="id_a").join(vb, on="id_b")
     # exact-cosine verify over the (typically ~100x-overscreened)
     # candidate set. Arrow-batched numpy is the default: the aggregate()
     # HOF dot does NOT whole-stage-codegen (lambda evaluation is
@@ -1075,24 +1098,85 @@ def embedding_cosine_pairs(emb: DataFrame, vec_col: str = "embedding",
     if verify_mode == "arrow":
         thr = float(threshold)
 
+        # r18 (guide §4.2): two boundary costs halved/removed at once.
+        # (a) vectors cross Arrow in their STORAGE type (float32) and
+        # widen IN the kernel — float->double is exact, so the einsum
+        # runs on the identical doubles the old ship-as-double form
+        # carried while the boundary moves half the bytes (~1 KB/row at
+        # dim 128; ~21 GB for the 20.6M sf1 candidates). (b) mapInArrow
+        # instead of mapInPandas: a list<float> column is ONE flat
+        # values buffer + offsets, so the (n, dim) matrix is a single
+        # reshape — the pandas form materialized a per-cell object
+        # array and np.stack'ed it row by row (~µs/row, THE dominant
+        # slice at sf1's 20M+ candidates).
         def _verify(batches):
             import numpy as np
+            import pyarrow as pa
 
-            for pdf in batches:
-                if not len(pdf):
+            def _mat(col):
+                offs = col.offsets.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                lens = np.diff(offs)
+                if col.null_count or (len(lens) and
+                                      lens.min() != lens.max()):
+                    raise ValueError(
+                        "embedding_cosine_pairs: NULL or ragged vector "
+                        "batch in the Arrow verify")
+                n, dim = len(lens), (int(lens[0]) if len(lens) else 0)
+                vals = np.asarray(
+                    col.values.to_numpy(zero_copy_only=False),
+                    dtype=np.float64)
+                return vals[offs[0]:offs[0] + n * dim].reshape(n, dim)
+
+            for rb in batches:
+                if not rb.num_rows:
                     continue
-                a = np.stack(pdf["v_a"].to_numpy())
-                b = np.stack(pdf["v_b"].to_numpy())
+                ix = {nm: i for i, nm in enumerate(rb.schema.names)}
+                a = _mat(rb.column(ix["v_a"]))
+                b = _mat(rb.column(ix["v_b"]))
                 dots = np.einsum("ij,ij->i", a, b)
                 cosv = dots / (np.sqrt(np.einsum("ij,ij->i", a, a))
                                * np.sqrt(np.einsum("ij,ij->i", b, b)))
-                keep = cosv >= thr
-                yield pdf.loc[keep, ["id_a", "id_b"]].assign(
-                    cosine=cosv[keep])
+                keep = pa.array(cosv >= thr)
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(ix["id_a"]).filter(keep),
+                     rb.column(ix["id_b"]).filter(keep),
+                     pa.array(cosv[cosv >= thr], type=pa.float64())],
+                    names=["id_a", "id_b", "cosine"])
 
-        out = paired.mapInPandas(
+        va_raw = emb.select(F.col(id_col).alias("id_a"),
+                            F.col(vec_col).alias("v_a"))
+        vb_raw = emb.select(F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("v_b"))
+        # size-gate the vector attach (r18, same recipe as the index
+        # probe's rm.index.probeBroadcastMaxBytes): left to the planner,
+        # a vector table just over autoBroadcastJoinThreshold turns the
+        # SECOND attach into a sort-merge join that shuffles pairs WITH
+        # v_a already attached (~1 KB/row — measured 20 GB at sf1's
+        # 20.6M candidates) by id_b. Broadcasting both (tiny) vector
+        # sides keeps the pair stream in place; a vector table over the
+        # cap falls back to the planner's choice instead of OOMing.
+        try:
+            bc_max = int(emb.sparkSession.conf.get(
+                "rm.dedup.vectorBroadcastMaxBytes", str(256 << 20)))
+        except Exception:
+            bc_max = 256 << 20
+        from .plan_stats import est_plan_bytes
+
+        est = est_plan_bytes(va_raw)
+        if est is not None and est <= bc_max:
+            va_raw, vb_raw = F.broadcast(va_raw), F.broadcast(vb_raw)
+        paired_raw = (screened.join(va_raw, on="id_a")
+                      .join(vb_raw, on="id_b")
+                      .select("id_a", "id_b", "v_a", "v_b"))
+        out = paired_raw.mapInArrow(
             _verify, schema="id_a long, id_b long, cosine double")
     elif verify_mode == "catalyst":
+        v = emb.select(F.col(id_col).alias("id"), vec.alias("v"))
+        va = v.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+        vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+        paired = screened.join(va, on="id_a").join(vb, on="id_b")
+
         def _sqnorm(c):
             return F.aggregate(F.transform(c, lambda x: x * x),
                                F.lit(0.0), lambda acc, x: acc + x)

@@ -729,9 +729,22 @@ def semantic_dedup_pairs(emb: DataFrame, k: int = 8, iters: int = 2,
     rel = getattr(asg, "rm_release_cache", lambda: None) if owns_asg \
         else (lambda: None)
     sid = asg.select(F.col(id_col).alias("_sid"), "cluster")
-    v = emb.select(F.col(id_col).alias("_sid"),
-                   _to_double(F.col(vec_col)).alias("_v"))
-    side = sid.join(v, "_sid")
+    # ship vectors in their STORAGE type (float32 for the fixtures) and
+    # widen inside the Arrow kernel — float->double is exact, so the
+    # einsum sees the identical doubles while the per-pair Arrow traffic
+    # (two full vectors per candidate row, THE dominant byte stream of
+    # this operator) halves; the catalyst branch casts JVM-side below
+    # because its float arithmetic would otherwise run at float32 (r18)
+    v = emb.select(F.col(id_col).alias("_sid"), F.col(vec_col).alias("_v"))
+    # explicit REPARTITION_BY_NUM of the (tiny) per-vector side (r18):
+    # whichever side of the cluster self-join streams, its partition
+    # count is this frame's — and AQE coalesces the few-MB frame to 1-2
+    # partitions, starving the fused n^2/k-pair einsum verify above the
+    # join (dedup.verify_partitions docstring; measured at sf1 the 27M-
+    # pair verify ran on ~2 of 32 cores)
+    from .dedup import verify_partitions
+    side = sid.join(v, "_sid").repartition(
+        verify_partitions(emb.sparkSession))
     a = side.select(F.col("cluster"), F.col("_sid").alias("id_a"),
                     F.col("_v").alias("_va"))
     b = side.select(F.col("cluster"), F.col("_sid").alias("id_b"),
@@ -739,49 +752,82 @@ def semantic_dedup_pairs(emb: DataFrame, k: int = 8, iters: int = 2,
     paired = a.join(b, ["cluster"]).filter(F.col("id_a") < F.col("id_b"))
     thr = float(threshold)
     if verify_mode == "arrow":
+        # r18 (guide §4.2): mapInArrow over the list<float> columns —
+        # the (m, dim) matrices come from ONE vectorized gather over the
+        # flat Arrow values buffer instead of np.stack over a per-cell
+        # object array (~µs/row — the dominant slice at sf1's 27M
+        # within-cluster pairs); float->double widening happens in the
+        # kernel on the batch, bit-identical to the old JVM-side cast.
         def _verify(batches):
             import numpy as np
+            import pyarrow as pa
 
-            for pdf in batches:
-                if not len(pdf):
+            def _flat(col):
+                offs = col.offsets.to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                vals = np.asarray(
+                    col.values.to_numpy(zero_copy_only=False),
+                    dtype=np.float64)
+                lens = np.diff(offs)
+                return offs[:-1], vals, lens
+
+            for rb in batches:
+                n = rb.num_rows
+                if not n:
                     continue
-                va_raw = pdf["_va"].to_numpy()
-                vb_raw = pdf["_vb"].to_numpy()
+                ix = {nm: i for i, nm in enumerate(rb.schema.names)}
+                ca, cb = rb.column(ix["_va"]), rb.column(ix["_vb"])
+                oa, fa, la = _flat(ca)
+                ob, fb, lb = _flat(cb)
                 # NULL or length-mismatched embedding pairs yield a NULL
                 # cosine on the catalyst path (zip_with pads with NULL,
-                # the aggregate sum propagates it) and are dropped by the
-                # threshold filter; mirror that here instead of letting
-                # np.stack raise on a ragged/None batch
-                la = np.array([len(a) if a is not None else -1
-                               for a in va_raw])
-                lb = np.array([len(b) if b is not None else -2
-                               for b in vb_raw])
+                # the aggregate sum propagates it) and are dropped by
+                # the threshold filter; mirror that (null sentinels -1
+                # vs -2 can never match)
+                if ca.null_count:
+                    la = np.where(
+                        ca.is_null().to_numpy(zero_copy_only=False),
+                        -1, la)
+                if cb.null_count:
+                    lb = np.where(
+                        cb.is_null().to_numpy(zero_copy_only=False),
+                        -2, lb)
                 valid = la == lb
                 if not valid.any():
                     continue
-                # batches can mix dims only via dirty input; stack per dim
+                # batches can mix dims only via dirty input; one
+                # vectorized gather per distinct dim
                 for dim in np.unique(la[valid]):
                     m = valid & (la == dim)
-                    va = np.stack(va_raw[m])
-                    vb = np.stack(vb_raw[m])
+                    span = np.arange(int(dim))
+                    va = fa[oa[m][:, None] + span]
+                    vb = fb[ob[m][:, None] + span]
                     dots = np.einsum("ij,ij->i", va, vb)
                     cosv = dots / (np.sqrt(np.einsum("ij,ij->i", va, va))
-                                   * np.sqrt(np.einsum("ij,ij->i", vb, vb)))
+                                   * np.sqrt(np.einsum("ij,ij->i",
+                                                       vb, vb)))
                     keep = cosv >= thr  # filter on the UN-rounded value,
                     #                     exactly like the HOF path + oracle
-                    sub = pdf.loc[m, ["cluster", "id_a", "id_b"]]
-                    yield sub.loc[keep].assign(
-                        cosine=np.round(cosv[keep], 6))
+                    full = np.zeros(n, dtype=bool)
+                    full[np.flatnonzero(m)[keep]] = True
+                    fm = pa.array(full)
+                    yield pa.RecordBatch.from_arrays(
+                        [rb.column(ix["cluster"]).filter(fm),
+                         rb.column(ix["id_a"]).filter(fm),
+                         rb.column(ix["id_b"]).filter(fm),
+                         pa.array(np.round(cosv[keep], 6),
+                                  type=pa.float64())],
+                        names=["cluster", "id_a", "id_b", "cosine"])
 
         dt = dict(paired.dtypes)
         pairs = paired.select("cluster", "id_a", "id_b", "_va", "_vb") \
-            .mapInPandas(_verify,
-                         schema=f"cluster {dt['cluster']}, "
-                                f"id_a {dt['id_a']}, "
-                                f"id_b {dt['id_b']}, cosine double")
+            .mapInArrow(_verify,
+                        schema=f"cluster {dt['cluster']}, "
+                               f"id_a {dt['id_a']}, "
+                               f"id_b {dt['id_b']}, cosine double")
     elif verify_mode == "catalyst":
-        cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va"))
-                                                  * _norm(F.col("_vb")))
+        da, db = _to_double(F.col("_va")), _to_double(F.col("_vb"))
+        cos = _dot(da, db) / (_norm(da) * _norm(db))
         pairs = (paired.withColumn("cosine", cos)
                  .filter(F.col("cosine") >= threshold)
                  .select("cluster", "id_a", "id_b",

@@ -49,7 +49,7 @@ ARROW_ALLOWED = {
 }
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
-            "FlatMapGroupsInPandas")
+            "MapInArrow", "FlatMapGroupsInPandas")
 
 
 def _plan(df) -> str:
